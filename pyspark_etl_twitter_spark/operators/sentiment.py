@@ -1,0 +1,147 @@
+"""Native TF-IDF + logistic scoring (SURVEY.md §1.4, §2.9 M2-M5).
+
+The reference scores text with a 5-stage MLlib ``PipelineModel``
+(consumer.py:51-53): StopWordsRemover → CountVectorizer → IDF →
+StringIndexer → LogisticRegression. Relationally (SURVEY.md §1.4) the fitted
+model is just tables — vocabulary(term, idx), idf(idx, weight),
+lr(idx, coef), intercept — and the whole inference collapses to
+
+    margin(doc) = Σ_{t ∈ tokens(doc)} tf(doc, t) · idf(t) · coef(t) + b
+    prediction  = 1.0 if σ(margin) > 0.5 else 0.0      (σ(m) > 0.5 ⇔ m > 0)
+
+i.e. explode + broadcast-hash-join against a precomputed ``term → weight``
+dimension + groupBy-sum. This keeps the entire scoring path inside
+whole-stage codegen — no VectorUDT, no Python.
+
+Label polarity (easy to invert, SURVEY.md §7.5): the reference's
+StringIndexer labelsArray is ``[['4','0']]`` (Sentiment140), so
+**prediction 1.0 = "0" = negative, 0.0 = "4" = positive**.
+
+Scale notes:
+- The weight table is a *dimension* (262k rows in the reference model ≈ a few
+  MB) — always ``F.broadcast`` it; the token fact side can be 100 TB and the
+  join stays shuffle-free.
+- ``tf`` is a partial-aggregable count: Catalyst plans map-side combine for
+  the groupBy(doc_id, term) so the shuffle carries (doc, term, count), not
+  raw tokens.
+- The final groupBy(doc_id) shuffles once on doc_id; AQE coalesces the
+  post-shuffle partitions at small SF and splits skewed docs at large SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.functions.text import remove_stopwords, tokenize
+
+# Reference model intercept: pre_trained_model/stages/
+# 4_LogisticRegression_ed84056a763e/data/*.parquet (SURVEY.md §1.4).
+INTERCEPT = -0.24585153897212955
+
+# Reference IDF stage: minDocFreq=3 (stages/2_IDF_ea5017f27b57/metadata).
+MIN_DOC_FREQ = 3
+
+
+def tokens_column(text_col: Column | str, *, reference_clean: bool = False,
+                  stop: bool = True) -> Column:
+    """Token array for scoring. ``reference_clean=True`` applies the full
+    reference regex pipeline (F3-F6); the driver ``documents`` table is
+    already lowercase space-separated, where a plain split is semantically
+    identical and DuckDB-oracle-expressible."""
+    if reference_clean:
+        toks = tokenize(text_col)
+    else:
+        c = F.col(text_col) if isinstance(text_col, str) else text_col
+        toks = F.filter(F.split(c, " "), lambda t: t != F.lit(""))
+    return remove_stopwords(toks) if stop else toks
+
+
+def build_weight_table(
+    documents: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stop: bool = True,
+    min_doc_freq: int = MIN_DOC_FREQ,
+) -> DataFrame:
+    """Fit a deterministic ``(term, idx, df, idf, coef)`` weight dimension
+    from a corpus — the relational equivalent of CountVectorizer+IDF+LR
+    artifacts (SURVEY.md §1.4). ``idx`` follows CountVectorizer's
+    frequencyDesc order (ties broken by term for determinism);
+    ``idf = ln((N+1)/(df+1))`` zeroed below ``min_doc_freq`` (M3 semantics);
+    ``coef`` is a deterministic mixed-sign function of ``idx`` standing in
+    for trained LR coefficients so both Spark and the DuckDB oracle can
+    derive the identical table from the data alone.
+
+    The single-partition window for idx assignment is fine: the *vocabulary*
+    is bounded (≈262k terms in the reference model) no matter how large the
+    corpus — a classic small-dimension / huge-fact split.
+    """
+    n_docs = documents.count()
+    toks = tokens_column(text_col, stop=stop)
+    term_df = (
+        documents.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("term"))
+    return (
+        term_df.withColumn("idx", F.row_number().over(w) - F.lit(1))
+        .withColumn(
+            "idf",
+            F.when(F.col("df") < min_doc_freq, F.lit(0.0)).otherwise(
+                F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df").cast("double") + 1.0))
+            ),
+        )
+        .withColumn("coef", ((F.col("idx") % 13) - F.lit(6)).cast("double") / 5.0)
+        .select("term", "idx", "df", "idf", "coef")
+    )
+
+
+def score_documents(
+    documents: DataFrame,
+    weights: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    intercept: float = INTERCEPT,
+    stop: bool = True,
+    reference_clean: bool = False,
+) -> DataFrame:
+    """Score every document: returns (id_col, margin, prediction).
+
+    Plan shape: explode(tokens) → map-side-combined groupBy(doc, term) count
+    [tf] → **broadcast** join weights [M2+M3+M5 folded] → groupBy(doc)
+    sum(tf·idf·coef) → left join back to keep vocab-less docs (their margin
+    is the bare intercept, mirroring MLlib's empty-vector dot product).
+    """
+    toks = tokens_column(text_col, stop=stop, reference_clean=reference_clean)
+    tf = (
+        documents.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_margin = (
+        tf.join(F.broadcast(weights), "term")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("idf") * F.col("coef")).alias("dot"))
+    )
+    return (
+        documents.select(id_col)
+        .join(doc_margin, id_col, "left")
+        .select(
+            F.col(id_col),
+            (F.coalesce(F.col("dot"), F.lit(0.0)) + F.lit(intercept)).alias("margin"),
+        )
+        .withColumn(
+            "prediction",
+            F.when(F.col("margin") > 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def sentiment_class_counts(scored: DataFrame) -> DataFrame:
+    """The reference's headline output shape — predictions per class
+    (1.0 = negative "0", 0.0 = positive "4")."""
+    return scored.groupBy("prediction").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -1,0 +1,54 @@
+"""Batch parquet catalog over the driver testdata star schema (TESTDATA.md).
+
+The reference's only batch scan is the model-artifact parquet read behind
+``PipelineModel.load`` (consumer.py:51); this module is its engine-native
+generalization (SURVEY.md §2.1 S8/S9): plain ``spark.read.parquet`` relations
+that Catalyst can push filters into and prune columns from.
+
+Scale notes: parquet scans here are the 100 TB entry point. Everything
+downstream must keep predicates and projections *above* these relations
+declarative so they reach the scan (``PushedFilters`` / ``ReadSchema`` in
+``explain("formatted")``). No ``.cache()`` by default — at 100 TB caching the
+fact table is a mistake; dimension tables are broadcast at join sites instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every table as a temp view (for the SQL-API query paths)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)

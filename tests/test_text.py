@@ -1,0 +1,105 @@
+"""Tokenizer bit-parity tests (SURVEY.md §5.3 property tests).
+
+Oracle = the reference's exact Python expression (consumer.py:46):
+``re.sub(r'[^A-Za-z\\n ]|(http\\S+)|(www.\\S+)', '', x.lower().strip()).split()``.
+The quirks under test: unescaped ``.`` in ``www.\\S+``, ``\\n`` retained in
+the keep-class, leftmost-first alternation, empty string → ``[]``.
+"""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.functions.stopwords import ENGLISH_STOPWORDS
+from pyspark_etl_twitter_spark.functions.text import (
+    CLEAN_PATTERN,
+    clean_text,
+    remove_stopwords,
+    tokenize,
+)
+
+
+def python_oracle(x: str) -> list[str]:
+    return re.sub(CLEAN_PATTERN, "", x.lower().strip()).split()
+
+
+ADVERSARIAL = [
+    "Hello, World! 123",
+    "  leading and trailing  ",
+    "check http://example.com/foo?bar=1 out",
+    "see www.example.com now",
+    "wwwX-unescaped-dot-quirk",
+    "MiXeD CaSe TEXT",
+    "tabs\tand\nnewlines\nkept",
+    "",
+    " ",
+    "\n",
+    "éàü non latin stays? 漢字",
+    "http://a http://b www.c wwwd",
+    "a,b.c;d:e!f?g",
+    "don't stop me now",
+    "100% pure numbers 42",
+    "trailing url http://x.co",
+    "  http://only.url  ",
+    "emoji 🎉 party",
+    "CRLF\r\nline",
+]
+
+
+def _spark_tokenize(spark, texts):
+    df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(texts)])
+    rows = df.select("i", tokenize("t").alias("toks")).collect()
+    return [r.toks for r in sorted(rows, key=lambda r: r.i)]
+
+
+def test_tokenize_adversarial(spark):
+    got = _spark_tokenize(spark, ADVERSARIAL)
+    want = [python_oracle(t) for t in ADVERSARIAL]
+    for text, g, w in zip(ADVERSARIAL, got, want):
+        assert g == w, f"mismatch for {text!r}: spark={g} python={w}"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="aB zZ.,!?\n\t\rhttp://wwwx0189%ü·",
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_tokenize_property(spark, texts):
+    got = _spark_tokenize(spark, texts)
+    want = [python_oracle(t) for t in texts]
+    assert got == want
+
+
+def test_empty_string_gives_empty_array_not_null(spark):
+    df = spark.createDataFrame([Row(t="")])
+    row = df.select(tokenize("t").alias("toks")).first()
+    assert row.toks == []  # Python ''.split() == []; dropna must not fire
+
+
+def test_remove_stopwords_preserves_order_and_duplicates(spark):
+    # array_except would dedup; StopWordsRemover must not (SURVEY.md §2.9 M1).
+    df = spark.createDataFrame([Row(toks=["the", "cat", "The", "cat", "sat", "a"])])
+    row = df.select(remove_stopwords(F.col("toks")).alias("out")).first()
+    assert row.out == ["cat", "cat", "sat"]
+    assert "the" in ENGLISH_STOPWORDS and "a" in ENGLISH_STOPWORDS
+
+
+def test_stopword_filter_case_insensitive(spark):
+    df = spark.createDataFrame([Row(toks=["THE", "Keep", "ITSELF"])])
+    row = df.select(remove_stopwords(F.col("toks")).alias("out")).first()
+    assert row.out == ["Keep"]
+
+
+def test_clean_text_scalar(spark):
+    df = spark.createDataFrame([Row(t="Visit www.site.com NOW!!")])
+    row = df.select(clean_text("t").alias("c")).first()
+    assert row.c == re.sub(CLEAN_PATTERN, "", "Visit www.site.com NOW!!".lower().strip())

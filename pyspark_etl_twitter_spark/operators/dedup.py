@@ -1,0 +1,300 @@
+"""Deduplication operators (BASELINE.json north star; SURVEY.md §7.3 M5).
+
+Exact dedup is a hash aggregate; near-dup is MinHash+LSH (the scale path:
+shingle → k min-hashes → banded bucket join → verify candidates only) and
+SimHash (bit-sampling fingerprints + banded hamming search). The exact
+n-gram-Jaccard pair join exists as the oracle-able baseline — it is
+quadratic in posting-list length and must only run on bounded subsets;
+MinHash-LSH is the operator that survives 100 TB.
+
+Scale notes:
+- All hashing is ``xxhash64`` (JVM, codegen'd); no Python in the row path.
+- The LSH bucket self-join is the only join; its key (band_id, band_hash)
+  is high-cardinality by construction. Exact-duplicate clusters all land in
+  one bucket → quadratic in cluster size; run exact dedup FIRST, then LSH
+  on distinct texts (``near_dup_pairs_minhash(distinct_texts=True)``).
+- Candidate verification joins shingles only for candidate pairs (semi-join
+  pruned), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators.sentiment import tokens_column
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level duplication profile in one aggregate pass."""
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(text_col).alias("n_distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(text_col)).alias("n_dup_docs"),
+    )
+
+
+def exact_dedup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Duplicate groups with canonical (min-id) representative.
+    groupBy(text) shuffles the full text as key — for 100 TB use the sha
+    fingerprint as the shuffle key instead (``sha_fingerprints``)."""
+    return (
+        docs.groupBy(text_col)
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("canonical_id", "n_copies")
+    )
+
+
+def sha_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content-hash column for exact dedup at scale: shuffle 32-byte keys,
+    not document bodies."""
+    return docs.select(id_col, F.sha2(F.col(text_col), 256).alias("text_sha"))
+
+
+def drop_exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id row per distinct text (deterministic survivor)."""
+    keep = docs.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    return docs.join(keep, [id_col, text_col], "left_semi")
+
+
+# --------------------------------------------------------------------------
+# Shingles + exact n-gram Jaccard (oracle-able baseline)
+# --------------------------------------------------------------------------
+
+def shingle_array(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as one array expression (no explode needed)."""
+    sz = F.size(tokens)
+    seq = F.sequence(F.lit(0), sz - n)
+    return F.when(
+        sz >= n,
+        F.transform(seq, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _distinct_terms(docs: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    toks = tokens_column(text_col, stop=False)
+    term = F.explode(shingle_array(toks, shingle_n)) if shingle_n > 1 else F.explode(toks)
+    return docs.select(F.col(id_col).alias("_id"), term.alias("term")).distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact set-Jaccard over all pairs sharing ≥1 term. Quadratic in
+    posting-list length — the correctness baseline for MinHash, to be run
+    on bounded subsets only (callers subsample)."""
+    terms = _distinct_terms(docs, id_col, text_col, shingle_n)
+    sizes = terms.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = terms.alias("a"), terms.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{k-1}) min-hash signature via k seeded xxhash64 families.
+    One explode + one map-side-combined groupBy(id) with k min-aggregates —
+    the shuffle carries k longs per doc, independent of doc length."""
+    terms = _distinct_terms(docs, id_col, text_col, shingle_n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("term"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return terms.groupBy("_id").agg(*mins).withColumnRenamed("_id", "minhash_id")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of any band become candidates.
+    Band hash join is the only shuffle; bucket skew (giant duplicate
+    clusters) is the known hazard — dedup exactly first, and AQE skew-join
+    splitting covers the residue."""
+    rows = num_hashes // bands
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{j * rows + r}") for r in range(rows)])
+            for j in range(bands)
+        ]
+    )
+    exploded = signatures.select(
+        F.col("minhash_id"), F.posexplode(band_hashes).alias("band_id", "band_hash")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.minhash_id") < F.col("b.minhash_id")),
+        )
+        .select(
+            F.col("a.minhash_id").alias("doc_a"), F.col("b.minhash_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def near_dup_pairs_minhash(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup flow: LSH candidates → exact-Jaccard verify on the
+    candidate set only. Returns (doc_a, doc_b, jaccard)."""
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    cand = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
+    terms = _distinct_terms(docs, id_col, text_col, shingle_n)
+    sizes = terms.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa, sb = terms.alias("sa"), terms.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("sa._id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb._id")) & (F.col("sa.term") == F.col("sb.term")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 63  # bits 0..62 keep the fingerprint in a signed BIGINT
+
+
+def simhash_fingerprints(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """63-bit SimHash: per-token xxhash64, each bit votes ±tf, fingerprint
+    bit = sign of the vote sum. One explode + one groupBy(id) with 63
+    integer-sum aggregates — all codegen, shuffle carries 63 longs/doc."""
+    toks = tokens_column(text_col, stop=False)
+    tf = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(toks).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.xxhash64(F.col("term")))
+    )
+    votes = [
+        F.sum(
+            F.col("tf")
+            * (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tf.groupBy("_id").agg(*votes)
+    fp = reduce(
+        add,
+        [
+            F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    return agg.select(
+        F.col("_id").alias(id_col), fp.cast("long").alias("simhash")
+    )
+
+
+def simhash_near_dup_pairs(
+    fingerprints: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 7,
+) -> DataFrame:
+    """Near-dup by fingerprint: band the 63 bits into ``bands`` 9-bit keys
+    (pigeonhole: pairs within ``bands-1`` differing bits share ≥1 exact
+    band), bucket-join, then exact hamming filter via bit_count(xor)."""
+    width = SIMHASH_BITS // bands
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), j * width).bitwiseAND(F.lit((1 << width) - 1))
+            for j in range(bands)
+        ]
+    )
+    exploded = fingerprints.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.posexplode(band_vals).alias("band_id", "band_val"),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Embeddings are plain ``array<float>`` columns; all vector math is built-in
+higher-order functions (``zip_with`` + ``aggregate``) evaluated JVM-side in
+double precision — no Python, no VectorUDT.
+
+Two paths:
+- ``cosine_topk``: brute-force exact top-k — broadcast the (small) query set
+  against the full corpus; one pass, no shuffle except the final per-query
+  window. The 100 TB cost is O(corpus × queries) — correct baseline.
+- ``ann_lsh_topk``: random-hyperplane LSH — each vector gets a sign-bit
+  bucket; candidates are bucket-mates only. Recall < 1 by design; the
+  scale path when queries × corpus is too large.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision (left-fold, deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Norms are computed once per side before the cross join; the query side
+    is broadcast (queries ≪ corpus always, or you should not be brute
+    forcing). Ranking orders by the *rounded* score with an id tiebreak so
+    results are stable across engines/runs."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    queries = (
+        base.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    pairs = base.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), round_dp
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane bucket id: bit p = sign(v · plane_p)."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(vec, plane_lit) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The bucket equi-join replaces the cross join — at 100 TB this turns
+    O(corpus × queries) into O(corpus/2^planes × queries) per bucket with a
+    plain shuffle-hash join. May return fewer than k rows per query
+    (recall tradeoff); not oracle-SQL checked (approximate by design)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = base.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), round_dp
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets: vectors with
+    cosine ≥ threshold almost surely share a bucket (and nearby buckets —
+    this single-probe variant trades recall for one equi-join)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

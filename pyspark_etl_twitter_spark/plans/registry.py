@@ -1,0 +1,118 @@
+"""Query registry: name → (spark, sf_dir) callable, plus oracle-SQL twins.
+
+Keys without an oracle entry are deliberately non-SQL-expressible
+(xxhash64-based LSH, approximate ANN) — the driver records rows-only checks
+for those; pytest covers them against Python/exact-Spark oracles instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_etl_twitter_spark.plans import relational as R
+from pyspark_etl_twitter_spark.plans import text_queries as T
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {
+    # aggregations
+    "pricing_summary": R.pricing_summary,
+    "distinct_counts": R.distinct_counts,
+    "rollup_revenue": R.rollup_revenue,
+    "cube_quantity": R.cube_quantity,
+    "grouping_sets_revenue": R.grouping_sets_revenue,
+    "pivot_status_qty": R.pivot_status_qty,
+    # joins
+    "top_revenue_orders": R.top_revenue_orders,
+    "revenue_by_nation": R.revenue_by_nation,
+    "semi_join_customers": R.semi_join_customers,
+    "anti_join_customers": R.anti_join_customers,
+    "outer_join_order_counts": R.outer_join_order_counts,
+    "range_join_price_bands": R.range_join_price_bands,
+    # windows / sort / top-k
+    "topk_orders_per_customer": R.topk_orders_per_customer,
+    "global_top_orders": R.global_top_orders,
+    "running_revenue_by_supplier": R.running_revenue_by_supplier,
+    "event_gaps": R.event_gaps,
+    "asof_purchase_click": R.asof_purchase_click,
+    "sessionize_events": R.sessionize_events,
+    # set ops
+    "set_union_active_keys": R.set_union_active_keys,
+    "set_intersect_custkeys": R.set_intersect_custkeys,
+    "set_except_custkeys": R.set_except_custkeys,
+    # scalar functions
+    "string_funcs_part": R.string_funcs_part,
+    "date_funcs_orders": R.date_funcs_orders,
+    "json_extract_events": R.json_extract_events,
+    # time windows (batch twins of streaming aggs)
+    "hourly_event_rollup": R.hourly_event_rollup,
+    "sliding_window_events": R.sliding_window_events,
+    # sentiment (reference pipeline, native)
+    "sentiment_classes": T.sentiment_classes,
+    "sentiment_doc_scores": T.sentiment_doc_scores,
+    "sentiment_weights_head": T.sentiment_weights_head,
+    # dedup
+    "dedup_exact_summary": T.dedup_exact_summary,
+    "dedup_exact_groups": T.dedup_exact_groups,
+    "dedup_sha_fingerprints": T.dedup_sha_fingerprints,
+    "dedup_jaccard_pairs": T.dedup_jaccard_pairs,
+    "dedup_minhash_pairs": T.dedup_minhash_pairs,
+    "dedup_simhash_fingerprints": T.dedup_simhash_fingerprints,
+    # similarity
+    "knn_brute_cosine": T.knn_brute_cosine,
+    "knn_ann_lsh": T.knn_ann_lsh,
+    "embedding_norm_stats": T.embedding_norm_stats,
+    # text analytics
+    "text_quality_by_source": T.text_quality_by_source,
+    "lang_token_stats": T.lang_token_stats,
+    "lang_detect_counts": T.lang_detect_counts,
+    "token_counts": T.token_counts,
+    "doc_fingerprints": T.doc_fingerprints,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": R.ORACLE_PRICING_SUMMARY,
+    "distinct_counts": R.ORACLE_DISTINCT_COUNTS,
+    "rollup_revenue": R.ORACLE_ROLLUP_REVENUE,
+    "cube_quantity": R.ORACLE_CUBE_QUANTITY,
+    "grouping_sets_revenue": R.ORACLE_GROUPING_SETS_REVENUE,
+    "pivot_status_qty": R.ORACLE_PIVOT_STATUS_QTY,
+    "top_revenue_orders": R.ORACLE_TOP_REVENUE_ORDERS,
+    "revenue_by_nation": R.ORACLE_REVENUE_BY_NATION,
+    "semi_join_customers": R.ORACLE_SEMI_JOIN_CUSTOMERS,
+    "anti_join_customers": R.ORACLE_ANTI_JOIN_CUSTOMERS,
+    "outer_join_order_counts": R.ORACLE_OUTER_JOIN_ORDER_COUNTS,
+    "range_join_price_bands": R.ORACLE_RANGE_JOIN_PRICE_BANDS,
+    "topk_orders_per_customer": R.ORACLE_TOPK_ORDERS_PER_CUSTOMER,
+    "global_top_orders": R.ORACLE_GLOBAL_TOP_ORDERS,
+    "running_revenue_by_supplier": R.ORACLE_RUNNING_REVENUE_BY_SUPPLIER,
+    "event_gaps": R.ORACLE_EVENT_GAPS,
+    "asof_purchase_click": R.ORACLE_ASOF_PURCHASE_CLICK,
+    "sessionize_events": R.ORACLE_SESSIONIZE_EVENTS,
+    "set_union_active_keys": R.ORACLE_SET_UNION_ACTIVE_KEYS,
+    "set_intersect_custkeys": R.ORACLE_SET_INTERSECT_CUSTKEYS,
+    "set_except_custkeys": R.ORACLE_SET_EXCEPT_CUSTKEYS,
+    "string_funcs_part": R.ORACLE_STRING_FUNCS_PART,
+    "date_funcs_orders": R.ORACLE_DATE_FUNCS_ORDERS,
+    "json_extract_events": R.ORACLE_JSON_EXTRACT_EVENTS,
+    "hourly_event_rollup": R.ORACLE_HOURLY_EVENT_ROLLUP,
+    "sliding_window_events": R.ORACLE_SLIDING_WINDOW_EVENTS,
+    "sentiment_classes": T.ORACLE_SENTIMENT_CLASSES,
+    "sentiment_doc_scores": T.ORACLE_SENTIMENT_DOC_SCORES,
+    "sentiment_weights_head": T.ORACLE_SENTIMENT_WEIGHTS_HEAD,
+    "dedup_exact_summary": T.ORACLE_DEDUP_EXACT_SUMMARY,
+    "dedup_exact_groups": T.ORACLE_DEDUP_EXACT_GROUPS,
+    "dedup_sha_fingerprints": T.ORACLE_DEDUP_SHA_FINGERPRINTS,
+    "dedup_jaccard_pairs": T.ORACLE_DEDUP_JACCARD_PAIRS,
+    # dedup_minhash_pairs / dedup_simhash_fingerprints: xxhash64 → rows-only
+    "knn_brute_cosine": T.ORACLE_KNN_BRUTE_COSINE,
+    # knn_ann_lsh: approximate → rows-only
+    "embedding_norm_stats": T.ORACLE_EMBEDDING_NORM_STATS,
+    "text_quality_by_source": T.ORACLE_TEXT_QUALITY_BY_SOURCE,
+    "lang_token_stats": T.ORACLE_LANG_TOKEN_STATS,
+    "lang_detect_counts": T.ORACLE_LANG_DETECT_COUNTS,
+    "token_counts": T.ORACLE_TOKEN_COUNTS,
+    "doc_fingerprints": T.ORACLE_DOC_FINGERPRINTS,
+}

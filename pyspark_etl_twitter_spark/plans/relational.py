@@ -1,0 +1,691 @@
+"""Relational query pack (SURVEY.md §2.3-2.8 engine-added operators).
+
+Every function takes ``(spark, sf_dir)`` and returns a DataFrame; its DuckDB
+oracle twin lives in ``ORACLES`` under the same key with identical output
+column names (the driver sorts columns by name and hashes values).
+
+Conventions for oracle stability:
+- session timezone pinned to UTC before building each plan;
+- every floating-point output column is wrapped in ``round(x, N)`` on BOTH
+  sides (double sums are order-dependent; engines agree to ~1e-12 relative,
+  so rounding to 4-6 dp makes the hash deterministic);
+- every window/order has a total order (explicit tiebreak columns);
+- DuckDB integer ``sum()`` returns HUGEINT — oracles cast back to BIGINT.
+
+Scale notes are inline per query: which side broadcasts, where the shuffles
+are, why the plan survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.session import pin_oracle_confs
+from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    pin_oracle_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Aggregations
+# --------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg. The filter and the 7-column
+    projection reach the parquet scan (PushedFilters/ReadSchema); the
+    groupBy is partially aggregated map-side, so the shuffle carries one row
+    per (flag, status) per task — constant, independent of fact size."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            # charge values have 6 decimals (2dp price × 2dp disc × 2dp tax);
+            # rounding below a value's intrinsic decimal scale is unsafe
+            # across engines (Spark rounds the shortest decimal repr,
+            # DuckDB the binary value — they disagree exactly at .5 ulps).
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                        AS sum_qty,
+       round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation — Catalyst plans expand+two-phase agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_DISTINCT_COUNTS = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*)                  AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_ROLLUP_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+ORACLE_CUBE_QUANTITY = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (DataFrame API only has rollup/cube)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 4) AS sum_price
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS_REVENUE = """
+SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 4) AS sum_price
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let Spark scan for pivot
+    values at 100 TB — that is an extra full pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )
+
+
+ORACLE_PIVOT_STATUS_QTY = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS "O",
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS "F"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. customer is filtered then joined to orders —
+    Catalyst/AQE picks broadcast when the filtered side is small; the
+    orders⋈lineitem join shuffles on orderkey (both sides co-partition)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_REVENUE_ORDERS = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact⋈fact shuffle joins + broadcast dims.
+    nation/region/supplier are bounded dimensions → explicit broadcast;
+    customer⋈orders and orders⋈lineitem shuffle on their keys."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): no row multiplication, output stays customer-sized."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+ORACLE_SEMI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_acctbal")
+
+
+ORACLE_ANTI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER + agg, keeping zero-order customers (count(key) skips null)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spent"),
+        )
+    )
+
+
+ORACLE_OUTER_JOIN_ORDER_COUNTS = """
+SELECT c_custkey, count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0.0), 4) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against a tiny literal dimension. The scalable plan
+    for small-dim non-equi joins is BroadcastNestedLoopJoin — O(fact × 5)
+    comparisons, no shuffle. Never range-join two fact tables directly;
+    bucketize first (see asof_purchase_click for the windowed alternative)."""
+    bands = spark.createDataFrame(
+        [
+            ("band0", 0.0, 50_000.0),
+            ("band1", 50_000.0, 100_000.0),
+            ("band2", 100_000.0, 200_000.0),
+            ("band3", 200_000.0, 400_000.0),
+            ("band4", 400_000.0, 1e18),
+        ],
+        ["band", "lo", "hi"],
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+ORACLE_RANGE_JOIN_PRICE_BANDS = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('band0', 0.0, 50000.0), ('band1', 50000.0, 100000.0),
+  ('band2', 100000.0, 200000.0), ('band3', 200000.0, 400000.0),
+  ('band4', 400000.0, 1e18))
+SELECT band, count(*) AS n_orders, round(avg(o_totalprice), 6) AS avg_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+# --------------------------------------------------------------------------
+# Windows / sort / top-k
+# --------------------------------------------------------------------------
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the scalable top-k (single shuffle
+    on the partition key; never a global sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("price"), "rn")
+    )
+
+
+ORACLE_TOPK_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit — Spark plans TakeOrderedAndProject
+    (per-partition heaps + driver merge), not a full sort."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("price"))
+    )
+
+
+ORACLE_GLOBAL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def running_revenue_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame aggregate (running sum) with a total order for determinism."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum(rev).over(w), 4).alias("running_revenue"),
+    )
+
+
+ORACLE_RUNNING_REVENUE_BY_SUPPLIER = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_extendedprice * (1 - l_discount))
+             OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_revenue
+FROM lineitem
+"""
+
+
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics over the events stream table."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).alias("gap_seconds"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+ORACLE_EVENT_GAPS = """
+SELECT user_id, event_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_seconds,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, windowed formulation (SURVEY.md §2.3 engine-added).
+
+    For each purchase, the latest strictly-preceding click by the same user.
+    Instead of a non-equi self-join (quadratic blowup on hot users), a single
+    pass: one shuffle on user_id, running max over a CASE column — this is
+    the 100 TB-safe as-of plan."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        ev.withColumn("last_click_ts", F.max(click_ts).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+ORACLE_ASOF_PURCHASE_CLICK = """
+SELECT event_id, user_id, ts, last_click_ts
+FROM (SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM events)
+WHERE event_type = 'purchase'
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag → gap flag → cumulative sum = session id.
+    Two window passes over one shuffle on user_id; the streaming twin is
+    ``session_window`` (streaming/windows.py)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap >= 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+ORACLE_SESSIONIZE_EVENTS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+def set_union_active_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_totalprice") > 300_000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = cust.filter(F.col("c_acctbal") > 5_000).select(F.col("c_custkey").alias("custkey"))
+    return a.union(b).distinct()
+
+
+ORACLE_SET_UNION_ACTIVE_KEYS = """
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+UNION
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+"""
+
+
+def set_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+ORACLE_SET_INTERSECT_CUSTKEYS = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def set_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.select(F.col("c_custkey").alias("custkey"))
+    b = orders.select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b.distinct())
+
+
+ORACLE_SET_EXCEPT_CUSTKEYS = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (string / date / json / case)
+# --------------------------------------------------------------------------
+
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+    )
+
+
+ORACLE_STRING_FUNCS_PART = """
+SELECT p_partkey,
+       upper(p_name)                        AS name_upper,
+       CAST(length(p_name) AS INTEGER)      AS name_len,
+       substr(p_type, 1, 5)                 AS type_prefix,
+       concat(p_brand, '#', p_type)         AS brand_type,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel
+FROM part
+"""
+
+
+def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+            F.quarter("o_orderdate").alias("o_quarter"),
+            F.dayofweek("o_orderdate").alias("o_dow"),
+            "o_totalprice",
+        )
+        .groupBy("o_year", "o_month", "o_quarter", "o_dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+# Spark dayofweek: 1 = Sunday; DuckDB dayofweek: 0 = Sunday → +1 to align.
+ORACLE_DATE_FUNCS_ORDERS = """
+SELECT CAST(date_part('year', o_orderdate) AS INTEGER)    AS o_year,
+       CAST(date_part('month', o_orderdate) AS INTEGER)   AS o_month,
+       CAST(date_part('quarter', o_orderdate) AS INTEGER) AS o_quarter,
+       CAST(date_part('dayofweek', o_orderdate) + 1 AS INTEGER) AS o_dow,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue
+FROM orders GROUP BY 1, 2, 3, 4
+"""
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction on the events.props column (F2 generalized)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.round(F.max(k), 6).alias("max_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_JSON_EXTRACT_EVENTS = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+       round(max(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS max_k,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window as batch — identical logical result to the streaming
+    ``window(ts, '1 hour')`` agg (streaming/windows.py twin)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_HOURLY_EVENT_ROLLUP = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 30 min slide) — each event lands in two
+    windows; batch twin of the streaming sliding agg."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+ORACLE_SLIDING_WINDOW_EVENTS = """
+WITH slides(off) AS (VALUES (0), (1800)),
+     placed AS (
+  SELECT ts,
+         epoch_ms((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - off) * 1000)
+           AS window_start
+  FROM events, slides)
+SELECT window_start, count(*) AS n_events
+FROM placed
+WHERE epoch(ts) >= epoch(window_start) AND epoch(ts) < epoch(window_start) + 3600
+GROUP BY window_start
+"""

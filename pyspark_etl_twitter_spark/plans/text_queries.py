@@ -1,0 +1,423 @@
+"""Text / dedup / similarity / analytics queries with DuckDB oracle twins.
+
+The sentiment queries re-express the reference's entire streaming ML
+pipeline (SURVEY.md §1.4) as batch relational algebra over ``documents``;
+their oracles rebuild the identical deterministic weight table in pure SQL,
+so DuckDB verifies tokenize → stopword-filter → TF → IDF → LR margin →
+threshold end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.functions.stopwords import ENGLISH_STOPWORDS
+from pyspark_etl_twitter_spark.operators import dedup as D
+from pyspark_etl_twitter_spark.operators import similarity as S
+from pyspark_etl_twitter_spark.operators import textstats as TS
+from pyspark_etl_twitter_spark.operators.sentiment import (
+    INTERCEPT,
+    MIN_DOC_FREQ,
+    build_weight_table,
+    score_documents,
+    sentiment_class_counts,
+)
+from pyspark_etl_twitter_spark.session import pin_oracle_confs
+from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    pin_oracle_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _sql_strings(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+_STOPLIST_SQL = _sql_strings(ENGLISH_STOPWORDS)
+
+# Shared SQL fragment: documents tokenized, stop-filtered (engine semantics:
+# split on single space, drop empties, case-insensitive stop filter).
+_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok_f AS (
+  SELECT doc_id, term FROM tok
+  WHERE term <> '' AND lower(term) NOT IN ({_STOPLIST_SQL})
+)"""
+
+_WEIGHTS_CTE = f"""
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok_f GROUP BY term
+),
+vocab AS (
+  SELECT term, df, row_number() OVER (ORDER BY df DESC, term) - 1 AS idx
+  FROM dfreq
+),
+weights AS (
+  SELECT term,
+         CASE WHEN df < {MIN_DOC_FREQ} THEN CAST(0.0 AS DOUBLE)
+              ELSE ln((CAST((SELECT n_docs FROM n) AS DOUBLE) + 1.0)
+                      / (CAST(df AS DOUBLE) + 1.0)) END AS idf,
+         CAST((idx % 13) - 6 AS DOUBLE) / 5.0 AS coef
+  FROM vocab
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok_f GROUP BY doc_id, term
+),
+dots AS (
+  SELECT tf.doc_id, sum(tf.tf * w.idf * w.coef) AS dot
+  FROM tf JOIN weights w USING (term) GROUP BY tf.doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         coalesce(dots.dot, CAST(0.0 AS DOUBLE)) + ({INTERCEPT!r}) AS margin
+  FROM documents d LEFT JOIN dots ON d.doc_id = dots.doc_id
+)"""
+
+
+# --------------------------------------------------------------------------
+# Sentiment (the reference's core capability, batch-relational)
+# --------------------------------------------------------------------------
+
+def sentiment_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = score_documents(docs, build_weight_table(docs))
+    return sentiment_class_counts(scored)
+
+
+ORACLE_SENTIMENT_CLASSES = f"""
+WITH {_TOK_CTE}, {_WEIGHTS_CTE}
+SELECT CASE WHEN margin > 0 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS prediction,
+       count(*) AS n_docs
+FROM scored GROUP BY 1
+"""
+
+
+def sentiment_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = score_documents(docs, build_weight_table(docs))
+    return scored.select("doc_id", F.round("margin", 6).alias("margin"), "prediction")
+
+
+ORACLE_SENTIMENT_DOC_SCORES = f"""
+WITH {_TOK_CTE}, {_WEIGHTS_CTE}
+SELECT doc_id, round(margin, 6) AS margin,
+       CASE WHEN margin > 0 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS prediction
+FROM scored
+"""
+
+
+def sentiment_weights_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fitted weight dimension itself (top 100 terms by idx) — verifies
+    vocabulary order, df counts, idf math, coef derivation."""
+    docs = _t(spark, sf_dir, "documents")
+    w = build_weight_table(docs)
+    return (
+        w.filter(F.col("idx") < 100)
+        .select("term", "idx", "df", F.round("idf", 6).alias("idf"), "coef")
+    )
+
+
+ORACLE_SENTIMENT_WEIGHTS_HEAD = f"""
+WITH {_TOK_CTE},
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok_f GROUP BY term
+),
+vocab AS (
+  SELECT term, df, row_number() OVER (ORDER BY df DESC, term) - 1 AS idx
+  FROM dfreq
+)
+SELECT term, CAST(idx AS INTEGER) AS idx, df,
+       round(CASE WHEN df < {MIN_DOC_FREQ} THEN CAST(0.0 AS DOUBLE)
+                  ELSE ln((CAST((SELECT n_docs FROM n) AS DOUBLE) + 1.0)
+                          / (CAST(df AS DOUBLE) + 1.0)) END, 6) AS idf,
+       CAST((idx % 13) - 6 AS DOUBLE) / 5.0 AS coef
+FROM vocab
+WHERE idx < 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_summary(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT_SUMMARY = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT text) AS n_distinct_texts,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs
+FROM documents
+"""
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT_GROUPS = """
+SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM documents GROUP BY text HAVING count(*) > 1
+"""
+
+
+def dedup_sha_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.sha_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_SHA_FINGERPRINTS = """
+SELECT doc_id, sha256(text) AS text_sha FROM documents
+"""
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unigram-Jaccard pairs on a 2% deterministic subset (the
+    quadratic oracle baseline for MinHash — never run unsubsetted at scale)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return D.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.5)
+
+
+ORACLE_DEDUP_JACCARD_PAIRS = """
+WITH sub AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+terms AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM sub) t
+  WHERE t.term <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM terms GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM terms a JOIN terms b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE)
+             / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+"""
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified. xxhash64-based → not
+    ANSI-SQL-expressible; driver records rows-only (pytest covers recall
+    against the exact-Jaccard oracle on fixtures)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return D.near_dup_pairs_minhash(docs, shingle_n=1, threshold=0.5)
+
+
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only: xxhash64 not SQL-expressible)."""
+    return D.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+ORACLE_KNN_BRUTE_COSINE = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+           WHERE vec_id < 10),
+pairs AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      q.q_emb::DOUBLE[]), 6) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos_sim DESC, neighbor_id)
+              AS INTEGER) AS rank
+  FROM pairs
+)
+SELECT q_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (approximate → rows-only check)."""
+    return S.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    nrm = S.l2_norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(nrm), 6).alias("avg_norm"),
+        F.round(F.min(nrm), 6).alias("min_norm"),
+        F.round(F.max(nrm), 6).alias("max_norm"),
+    )
+
+
+ORACLE_EMBEDDING_NORM_STATS = """
+SELECT label, count(*) AS n_vecs,
+       round(avg(nrm), 6) AS avg_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM (SELECT label,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings)
+GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analytics
+# --------------------------------------------------------------------------
+
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TS.quality_columns(_t(spark, sf_dir, "documents"))
+    return (
+        docs.filter(F.col("n_tokens") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(F.avg("avg_token_len"), 6).alias("avg_token_len"),
+            F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+        )
+    )
+
+
+ORACLE_TEXT_QUALITY_BY_SOURCE = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok_ne AS (SELECT * FROM tok WHERE term <> ''),
+per_doc AS (
+  SELECT doc_id, source,
+         count(*) AS n_tokens,
+         CAST(sum(length(term)) AS DOUBLE) / count(*) AS avg_token_len,
+         CAST(sum(CASE WHEN lower(term) IN ({_STOPLIST_SQL}) THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*) AS stop_ratio
+  FROM tok_ne GROUP BY doc_id, source
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(CAST(n_tokens AS DOUBLE)), 6) AS avg_tokens,
+       round(avg(avg_token_len), 6) AS avg_token_len,
+       round(avg(stop_ratio), 6) AS avg_stop_ratio
+FROM per_doc GROUP BY source
+"""
+
+
+def lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(TS.token_count("text")), 6).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+ORACLE_LANG_TOKEN_STATS = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+       round(avg(CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                      AS DOUBLE)), 6) AS avg_tokens,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def lang_detect_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(TS.detect_language("text").alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _profile_sum(lang: str) -> str:
+    profile = dict(TS.LANG_PROFILES)[lang]
+    return (
+        f"sum(CASE WHEN term IN ({_sql_strings(profile)}) THEN 1 ELSE 0 END)"
+    )
+
+
+ORACLE_LANG_DETECT_COUNTS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok_ne AS (SELECT * FROM tok WHERE term <> ''),
+per_doc AS (
+  SELECT doc_id,
+         {_profile_sum('en')} AS s_en,
+         {_profile_sum('es')} AS s_es,
+         {_profile_sum('de')} AS s_de,
+         {_profile_sum('fr')} AS s_fr
+  FROM tok_ne GROUP BY doc_id
+)
+SELECT predicted_lang, count(*) AS n_docs
+FROM (SELECT CASE
+        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        WHEN s_de >= s_fr THEN 'de'
+        ELSE 'fr' END AS predicted_lang
+      FROM per_doc)
+GROUP BY predicted_lang
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count("text").alias("n_ws_tokens"),
+        TS.regex_token_count("text").alias("n_regex_tokens"),
+        F.length("text").alias("text_len"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+            AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+            AS INTEGER) AS n_regex_tokens,
+       CAST(length(text) AS INTEGER) AS text_len
+FROM documents
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.doc_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DOC_FINGERPRINTS = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos1
+  FROM documents
+),
+numbered AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos1) AS pos
+  FROM tok WHERE term <> ''
+)
+SELECT doc_id,
+       CAST(sum(CAST(pos AS BIGINT)
+                * (31 * length(term) + ascii(substr(term, 1, 1))))
+            AS BIGINT) AS fingerprint
+FROM numbered GROUP BY doc_id
+"""

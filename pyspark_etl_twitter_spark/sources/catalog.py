@@ -41,6 +41,17 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+        # timestamp type. Read nanos as long, truncate to micros (identical
+        # to DuckDB's nanos→micros truncation on the same file).
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.read.parquet(table_path(sf_dir, name))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -1,0 +1,139 @@
+"""Streaming pipeline: the reference's Kafka consumers, Spark-first.
+
+The reference reads Kafka (consumer.py:31-38) and the engine-equivalent
+source is any Structured Streaming source with the same record shape; tests
+use file-replay (JSON micro-batch files in event order) as the in-container
+stand-in (SURVEY.md §2.1 S1/S3). The logical pipeline is *identical* to the
+batch path — the same column expressions and the same broadcast weight
+join — bound to ``readStream`` instead of ``read``. That is the point of
+the native rewrite: batch/stream parity for free, because nothing in the
+plan is a Python UDF or an MLlib stage.
+
+Reference defects fixed here (SURVEY.md §2.1):
+- (b) foreachBatch callbacks take ``(batch_df, epoch_id)`` — the reference
+  declared single-parameter callbacks (consumer_delta.py:11,
+  consumer_mongo.py:10) which Structured Streaming calls with two args;
+- (c) every started query is awaited or explicitly managed — the reference
+  started the Delta query without ``awaitTermination()``
+  (consumer_delta.py:68);
+- (d) no bogus options (``option("header", ...)`` on Kafka/JSON,
+  consumer.py:37, consumer_local.py:63).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_etl_twitter_spark.operators.sentiment import score_documents
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+DOCUMENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def replay_to_json(
+    df: DataFrame, out_dir: str, *, n_files: int = 10, order_col: str = "ts"
+) -> list[str]:
+    """Split a batch table into ``n_files`` sequential JSON-lines files in
+    ``order_col`` order — a deterministic replay directory for file-source
+    streaming tests (FIXTURES.md events_stream). Timestamps serialize as
+    ISO strings; the stream schema parses them back."""
+    os.makedirs(out_dir, exist_ok=True)
+    pdf = df.toPandas().sort_values(order_col).reset_index(drop=True)
+    import numpy as np
+
+    paths = []
+    for i, chunk in enumerate(np.array_split(pdf, n_files)):
+        path = os.path.join(out_dir, f"batch_{i:04d}.json")
+        chunk.to_json(
+            path, orient="records", lines=True, date_format="iso", date_unit="us"
+        )
+        paths.append(path)
+    return paths
+
+
+def stream_events(
+    spark: SparkSession, replay_dir: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-replay streaming source for events (Kafka stand-in, S3)."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(replay_dir)
+    )
+
+
+def stream_documents(
+    spark: SparkSession, replay_dir: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(replay_dir)
+    )
+
+
+def score_stream_foreach_batch(
+    doc_stream: DataFrame,
+    weights: DataFrame,
+    out_path: str,
+    checkpoint: str,
+):
+    """Streaming sentiment scoring via foreachBatch — the consumer_delta /
+    consumer_mongo pattern (S6/S7) with the defects fixed: the callback
+    takes (batch_df, epoch_id) and stamps the epoch for idempotent replay
+    auditing. Per micro-batch, the *batch* scoring plan runs unchanged
+    (stream-static broadcast join)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        scored = score_documents(batch_df, weights)
+        (
+            scored.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .queryName("score_stream")
+        .start()
+    )
+
+
+def console_sink(df: DataFrame, *, output_mode: str = "update"):
+    """S4: console sink, update mode (consumer.py:58-63)."""
+    return df.writeStream.format("console").outputMode(output_mode).start()
+
+
+def json_sink(df: DataFrame, path: str, checkpoint: str):
+    """S5: append-mode JSON file sink with exactly-once via the
+    ``_spark_metadata`` commit log (consumer_local.py:59-66)."""
+    return (
+        df.writeStream.outputMode("append")
+        .format("json")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,83 @@
+"""Engine-added streaming operators (SURVEY.md §2.10): watermarked
+tumbling/sliding/session windows and streaming dedup over the events
+stream. The reference has none of these (its plan is stateless map-only);
+they are the stateful half of a streaming analytics engine.
+
+Scale notes: state is keyed by (window, group) — watermarks bound state
+size; without them complete/update state grows forever. Shuffle partitions
+for streaming stateful ops are fixed at query start (state is partition-
+bound across restarts) — size them for the target load up front.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts per event type. Batch twin:
+    plans/relational.py::hourly_event_rollup (same logical result on
+    non-late data)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window counts. Batch twin: sliding_window_events."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user (gap-merged). Batch twin: sessionize_events
+    (lag + cumulative-sum formulation) — same session boundaries for
+    gap >= semantics."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates keyed state, bounded by the
+    watermark (engine-added row in SURVEY.md §2.10). At scale this is the
+    streaming twin of exact_dedup — state holds one key per event inside
+    the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys or ["event_id"])

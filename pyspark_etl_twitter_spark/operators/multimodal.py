@@ -1,0 +1,163 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design (BASELINE.json north star): media payloads are ``binary`` columns
+with a typed metadata struct; decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas iterators (``mapInPandas``) — the
+one place Python belongs, because pixel math is NumPy's job. The Spark-side
+plumbing (schema, partitioning, batch shape) is real and tested; the codec
+itself is STUBBED: the container has no image/audio libraries, so
+``decode_media`` uses a deterministic fake decoder (payload-hash seeded)
+and raises ``NotImplementedError`` when asked for a real codec.
+
+Scale notes: payloads dominate row size — keep them out of shuffles.
+Every operator here is a narrow mapInPandas (no shuffle); metadata-only
+queries must select around the payload column so parquet column pruning
+skips the bytes entirely.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("format", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synth_media_table(docs: DataFrame, *, kind_cycle: int = 3) -> DataFrame:
+    """Deterministic fake media table derived from ``documents`` — payload
+    bytes are the utf-8 text; kind/meta derived from doc_id. Stands in for
+    a real media lake so the plumbing is exercised on driver testdata."""
+    kind = (
+        F.when(F.col("doc_id") % kind_cycle == 0, "image")
+        .when(F.col("doc_id") % kind_cycle == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("doc_id") % 640 + 64).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 48).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+            F.lit("fake/v1").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, n: int) -> np.ndarray:
+    """Deterministic stand-in for a codec: sha256-seeded uniform samples.
+    Real decode (PIL/librosa/ffmpeg) is not available in this container."""
+    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:4], "big")
+    return np.random.RandomState(seed).rand(n).astype(np.float32)
+
+
+def decode_media(media: DataFrame, *, real_codec: bool = False) -> DataFrame:
+    """payload → fixed-size decoded sample vector (mapInPandas, Arrow
+    batches). ``real_codec=True`` raises until a codec library is wired."""
+    if real_codec:
+        raise NotImplementedError(
+            "no image/audio codec libraries in this container; "
+            "wire PIL/librosa here when available"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("decoded", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "decoded": [
+                        _fake_decode(p, FEATURE_DIM).tolist() for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(decode, out_schema)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """payload → feature vector + simple stats, one Arrow pass."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("feature", T.ArrayType(T.FloatType())),
+            T.StructField("payload_bytes", T.IntegerType()),
+            T.StructField("feature_norm", T.DoubleType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(p, FEATURE_DIM) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": [f.tolist() for f in feats],
+                    "payload_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "feature_norm": [float(np.linalg.norm(f)) for f in feats],
+                }
+            )
+
+    return media.mapInPandas(extract, out_schema)
+
+
+def frame_sample(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """video → one row per sampled frame index (UDTF-style expansion done
+    relationally: sequence + explode, no Python)."""
+    video = media.filter(F.col("kind") == "video")
+    n_frames = F.greatest(
+        F.lit(1), (F.col("meta.duration_ms") / every_ms).cast("int")
+    )
+    return video.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+def resize_meta(media: DataFrame, *, max_side: int = 256) -> DataFrame:
+    """Pure-metadata resize planning (aspect-preserving target dims) —
+    stays entirely in Catalyst; the pixel resample would plug into
+    decode_media's pandas iterator."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(F.lit(1.0), F.lit(max_side) / F.greatest(w, h))
+    return media.select(
+        "media_id",
+        "kind",
+        w.alias("src_width"),
+        h.alias("src_height"),
+        F.round(w * scale).cast("int").alias("dst_width"),
+        F.round(h * scale).cast("int").alias("dst_height"),
+    )

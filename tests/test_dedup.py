@@ -1,0 +1,94 @@
+"""Dedup operator tests: planted duplicates + exact-Jaccard cross-checks.
+MinHash/SimHash are xxhash64-based (not DuckDB-oracle-able); their gate is
+recall/precision against the exact operators here."""
+
+import pytest
+from pyspark.sql import Row
+
+from pyspark_etl_twitter_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_dedup_groups,
+    exact_dedup_summary,
+    near_dup_pairs_minhash,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_dup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "machine learning models need large clean training data sets to work well",
+    "spark executes distributed dataframe plans with catalyst and tungsten engines",
+    "completely unrelated text about cooking pasta with tomato sauce and basil",
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    i = 0
+    for text in BASE:
+        rows.append(Row(doc_id=i, text=text)); i += 1
+    # exact duplicate of doc 0
+    rows.append(Row(doc_id=i, text=BASE[0])); i += 1
+    # near duplicate of doc 1 (one word changed)
+    rows.append(Row(doc_id=i, text=BASE[1].replace("clean", "fresh"))); i += 1
+    # near duplicate of doc 2 (word appended)
+    rows.append(Row(doc_id=i, text=BASE[2] + " quickly")); i += 1
+    # padding distinct docs
+    for j in range(20):
+        rows.append(Row(doc_id=i, text=f"filler document number {j} with unique token f{j} and more f{j} text here")); i += 1
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark, corpus):
+    s = exact_dedup_summary(corpus).first()
+    assert s.n_docs == 27 and s.n_dup_docs == 1
+    groups = exact_dedup_groups(corpus).collect()
+    assert len(groups) == 1 and groups[0].canonical_id == 0 and groups[0].n_copies == 2
+    kept = drop_exact_duplicates(corpus)
+    assert kept.count() == 26
+    assert kept.filter("doc_id = 4").count() == 0  # dup of doc 0 dropped
+    assert kept.filter("doc_id = 0").count() == 1  # min-id survivor kept
+
+
+def test_minhash_finds_planted_near_dups(spark, corpus):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in near_dup_pairs_minhash(corpus, shingle_n=3, threshold=0.3).collect()
+    }
+    assert (0, 4) in pairs and pairs[(0, 4)] == 1.0  # exact dup
+    assert (1, 5) in pairs  # one-word swap
+    assert (2, 6) in pairs  # appended word
+    # no cross-base false positives
+    for a, b in pairs:
+        assert (a % 4 == b % 4) or max(a, b) <= 6
+
+
+def test_minhash_jaccard_matches_exact(spark, corpus):
+    """The verify stage must report the exact shingle-Jaccard."""
+    mh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in near_dup_pairs_minhash(corpus, shingle_n=3, threshold=0.3).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, shingle_n=3, threshold=0.3).collect()
+    }
+    for pair, j in mh.items():
+        assert exact[pair] == j  # LSH pairs ⊆ exact pairs, same similarity
+
+
+def test_simhash(spark, corpus):
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(corpus).collect()}
+    assert fps[0] == fps[4]  # identical docs → identical fingerprint
+    ham_15 = bin(fps[1] ^ fps[5]).count("1")
+    ham_unrelated = bin(fps[0] ^ fps[3]).count("1")
+    assert ham_15 < ham_unrelated  # near-dup closer than unrelated
+    pairs = simhash_near_dup_pairs(
+        simhash_fingerprints(corpus), max_hamming=6
+    ).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 4) in found
+    hams = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert hams[(0, 4)] == 0

@@ -1,0 +1,66 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, determinism.
+The codec is a deterministic stub (no media libs in container) — these
+tests pin the Spark-side contract so a real codec drops in unchanged."""
+
+import numpy as np
+import pytest
+
+from pyspark_etl_twitter_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_media,
+    extract_features,
+    frame_sample,
+    resize_meta,
+    synth_media_table,
+)
+from pyspark_etl_twitter_spark.sources.catalog import load_table
+from tests.conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synth_media_table(load_table(spark, SF_TINY, "documents"))
+
+
+def test_media_schema(media):
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    assert media.schema["meta"].dataType.typeName() == "struct"
+    assert media.count() == 500
+
+
+def test_decode_deterministic(media):
+    a = {r.media_id: r.decoded for r in decode_media(media).collect()}
+    b = {r.media_id: r.decoded for r in decode_media(media).collect()}
+    assert a == b
+    assert all(len(v) == FEATURE_DIM for v in a.values())
+
+
+def test_real_codec_is_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media, real_codec=True)
+
+
+def test_extract_features(media):
+    rows = extract_features(media).collect()
+    assert len(rows) == 500
+    for r in rows[:10]:
+        assert len(r.feature) == FEATURE_DIM
+        assert r.payload_bytes > 0
+        assert abs(r.feature_norm - float(np.linalg.norm(r.feature))) < 1e-5
+
+
+def test_frame_sample_counts(spark, media):
+    frames = frame_sample(media, every_ms=1000)
+    per = frames.groupBy("media_id").count().collect()
+    metas = {r.media_id: r.meta.duration_ms for r in media.filter("kind = 'video'").collect()}
+    assert {r.media_id for r in per} == set(metas)
+    for r in per:
+        assert r["count"] == max(1, metas[r.media_id] // 1000)
+
+
+def test_resize_preserves_aspect(media):
+    rows = resize_meta(media, max_side=256).collect()
+    for r in rows:
+        assert max(r.dst_width, r.dst_height) <= 256
+        if max(r.src_width, r.src_height) <= 256:
+            assert (r.dst_width, r.dst_height) == (r.src_width, r.src_height)

@@ -1,0 +1,76 @@
+"""Similarity search tests: exact top-k vs NumPy oracle; ANN sanity."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+
+from pyspark_etl_twitter_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+from tests.conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def emb_pd():
+    return pd.read_parquet(f"{SF_TINY}/embeddings.parquet")
+
+
+def _numpy_topk(emb_pd, n_queries=10, k=5):
+    mat = np.stack(emb_pd["embedding"].to_numpy()).astype(np.float64)
+    ids = emb_pd["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    out = {}
+    for qi in range(len(ids)):
+        if ids[qi] >= n_queries:
+            continue
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        cand = [(round(c, 6), int(i)) for c, i in zip(cos, ids) if i != ids[qi]]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        out[int(ids[qi])] = cand[:k]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, emb_pd):
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    got = cosine_topk(emb, n_queries=10, k=5).collect()
+    want = _numpy_topk(emb_pd)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.neighbor_id, r.cos_sim))
+    assert set(by_q) == set(want)
+    for q, rows in by_q.items():
+        rows.sort()
+        for (rank, nid, cos), (wcos, wid) in zip(rows, want[q]):
+            assert nid == wid and abs(cos - wcos) < 2e-6, (q, rank)
+
+
+def test_ann_results_are_exact_cosines(spark, emb_pd):
+    """ANN may miss neighbors (recall<1) but must never misreport a score."""
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    got = ann_lsh_topk(emb, n_queries=10, k=5).collect()
+    mat = np.stack(emb_pd["embedding"].to_numpy()).astype(np.float64)
+    ids = {int(v): i for i, v in enumerate(emb_pd["vec_id"].to_numpy())}
+    norms = np.linalg.norm(mat, axis=1)
+    assert len(got) > 0
+    for r in got:
+        a, b = ids[r.q_id], ids[r.neighbor_id]
+        true_cos = float(mat[a] @ mat[b] / (norms[a] * norms[b]))
+        assert abs(r.cos_sim - round(true_cos, 6)) < 2e-6
+
+
+def test_embedding_near_dup_finds_planted_duplicate(spark):
+    rng = np.random.RandomState(3)
+    base = rng.rand(30, 8).astype("float32")
+    rows = [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(base)]
+    # vec 30 = copy of vec 0; vec 31 = tiny perturbation of vec 1
+    rows.append(Row(vec_id=30, embedding=[float(x) for x in base[0]]))
+    rows.append(
+        Row(vec_id=31, embedding=[float(x) for x in base[1] + 0.001 * rng.rand(8).astype("float32")])
+    )
+    df = spark.createDataFrame(rows)
+    pairs = {(r.vec_a, r.vec_b): r.cos_sim for r in embedding_near_dup_pairs(df, threshold=0.999).collect()}
+    assert (0, 30) in pairs and pairs[(0, 30)] == 1.0
+    assert (1, 31) in pairs

@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries execute fully via the noop writer (no driver-side materialization
+cost polluting the numbers). The headline set spans the engine's surface:
+scan-agg, multi-join, window/top-k, sessionization, the native sentiment
+pipeline, dedup (exact + MinHash-LSH), similarity top-k, text analytics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark_etl_twitter_spark.plans.registry import QUERIES  # noqa: E402
+from pyspark_etl_twitter_spark.session import get_session  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_revenue_orders",
+    "outer_join_order_counts",
+    "topk_orders_per_customer",
+    "running_revenue_by_supplier",
+    "sessionize_events",
+    "hourly_event_rollup",
+    "sentiment_classes",
+    "dedup_exact_summary",
+    "dedup_minhash_pairs",
+    "dedup_simhash_fingerprints",
+    "knn_brute_cosine",
+    "text_quality_by_source",
+    "doc_fingerprints",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_session(app_name="bench")
+    # warm the JVM / codegen paths off the clock
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -78,5 +78,8 @@ def remove_stopwords(
     scale (the list is a constant, not data).
     """
     t = F.col(tokens) if isinstance(tokens, str) else tokens
+    # array_contains against a constant-folded literal array benches faster
+    # than In/InSet inside a HOF lambda (the In→InSet rewrite does not fire
+    # under lambda scope), and both stay inside codegen.
     stop_lit = F.array(*[F.lit(w) for w in stopwords])
     return F.filter(t, lambda tok: ~F.array_contains(stop_lit, F.lower(tok)))

@@ -87,7 +87,14 @@ def shingle_array(tokens: Column, n: int = 3) -> Column:
 def _distinct_terms(docs: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
     toks = tokens_column(text_col, stop=False)
     term = F.explode(shingle_array(toks, shingle_n)) if shingle_n > 1 else F.explode(toks)
-    return docs.select(F.col(id_col).alias("_id"), term.alias("term")).distinct()
+    # repartition compact docs pre-explode: the distinct's (id, term)
+    # clustering is satisfied by id-partitioning, so shingles themselves are
+    # never shuffled (and single-file local inputs fan out across cores)
+    return (
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col).alias("_id"), term.alias("term"))
+        .dropDuplicates(["_id", "term"])
+    )
 
 
 def ngram_jaccard_pairs(
@@ -233,7 +240,8 @@ def simhash_fingerprints(
     integer-sum aggregates — all codegen, shuffle carries 63 longs/doc."""
     toks = tokens_column(text_col, stop=False)
     tf = (
-        docs.select(F.col(id_col).alias("_id"), F.explode(toks).alias("term"))
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col).alias("_id"), F.explode(toks).alias("term"))
         .groupBy("_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", F.xxhash64(F.col("term")))

@@ -141,6 +141,72 @@ def score_documents(
     )
 
 
+def fit_and_score(
+    documents: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    intercept: float = INTERCEPT,
+    stop: bool = True,
+    min_doc_freq: int = MIN_DOC_FREQ,
+) -> DataFrame:
+    """Fused fit+inference: derive the weight table AND score in one job,
+    sharing the exploded (doc, term, tf) relation between the df-count
+    aggregation and the scoring join via an explicit persist.
+
+    Without the persist Catalyst recomputes the explode+groupBy branch
+    twice (self-referencing plans get no automatic CSE across actions).
+    At 100 TB fit and inference are separate jobs with the weight table
+    persisted to storage — this fused shape exists for the benchmark/oracle
+    path where both run in one query; tf is ~(docs × distinct terms/doc)
+    rows of (long, string, long), far smaller than the corpus.
+
+    Shuffle layout: documents are repartitioned by id *before* the explode,
+    so (a) the groupBy(id, term) needs no further shuffle (hash partitioning
+    on a subset of the grouping keys satisfies the clustering requirement) —
+    compact documents are shuffled once and exploded tokens never are — and
+    (b) single-file local inputs still fan out across all cores."""
+    toks = tokens_column(text_col, stop=stop)
+    tf = (
+        documents.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    n_docs = documents.count()
+    term_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.orderBy(F.col("df").desc(), F.col("term"))
+    weights = (
+        term_df.withColumn("idx", F.row_number().over(w) - F.lit(1))
+        .withColumn(
+            "idf",
+            F.when(F.col("df") < min_doc_freq, F.lit(0.0)).otherwise(
+                F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df").cast("double") + 1.0))
+            ),
+        )
+        .withColumn("coef", ((F.col("idx") % 13) - F.lit(6)).cast("double") / 5.0)
+        .select("term", "idx", "df", "idf", "coef")
+    )
+    doc_margin = (
+        tf.join(F.broadcast(weights), "term")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("idf") * F.col("coef")).alias("dot"))
+    )
+    return (
+        documents.select(id_col)
+        .join(doc_margin, id_col, "left")
+        .select(
+            F.col(id_col),
+            (F.coalesce(F.col("dot"), F.lit(0.0)) + F.lit(intercept)).alias("margin"),
+        )
+        .withColumn(
+            "prediction",
+            F.when(F.col("margin") > 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def sentiment_class_counts(scored: DataFrame) -> DataFrame:
     """The reference's headline output shape — predictions per class
     (1.0 = negative "0", 0.0 = positive "4")."""

@@ -94,7 +94,7 @@ def doc_fingerprints(
     content signature that is also expressible in ANSI SQL (oracle-able,
     unlike xxhash64). posexplode + one groupBy(id) sum."""
     toks = ws_tokens(text_col)
-    exploded = docs.select(
+    exploded = docs.repartition(F.col(id_col)).select(
         F.col(id_col), F.posexplode(toks).alias("pos", "term")
     )
     contrib = (F.col("pos") + 1).cast("long") * (

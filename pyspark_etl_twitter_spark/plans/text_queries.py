@@ -20,7 +20,7 @@ from pyspark_etl_twitter_spark.operators.sentiment import (
     INTERCEPT,
     MIN_DOC_FREQ,
     build_weight_table,
-    score_documents,
+    fit_and_score,
     sentiment_class_counts,
 )
 from pyspark_etl_twitter_spark.session import pin_oracle_confs
@@ -86,8 +86,7 @@ scored AS (
 
 def sentiment_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    scored = score_documents(docs, build_weight_table(docs))
-    return sentiment_class_counts(scored)
+    return sentiment_class_counts(fit_and_score(docs))
 
 
 ORACLE_SENTIMENT_CLASSES = f"""
@@ -101,7 +100,7 @@ FROM scored GROUP BY 1
 
 def sentiment_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    scored = score_documents(docs, build_weight_table(docs))
+    scored = fit_and_score(docs)
     return scored.select("doc_id", F.round("margin", 6).alias("margin"), "prediction")
 
 

@@ -111,28 +111,33 @@ def score_documents(
 ) -> DataFrame:
     """Score every document: returns (id_col, margin, prediction).
 
-    Plan shape: explode(tokens) → map-side-combined groupBy(doc, term) count
-    [tf] → **broadcast** join weights [M2+M3+M5 folded] → groupBy(doc)
-    sum(tf·idf·coef) → left join back to keep vocab-less docs (their margin
-    is the bare intercept, mirroring MLlib's empty-vector dot product).
+    Plan shape: explode_outer(tokens) → map-side-combined groupBy(doc, term)
+    count [tf] → **broadcast left** join weights [M2+M3+M5 folded] →
+    groupBy(doc) sum(tf·coalesce(idf·coef, 0)). ``explode_outer`` keeps a
+    null-term row for vocab-less/empty docs, so every document reaches the
+    final aggregate and no join-back is needed — the whole pipeline is one
+    doc-id shuffle end to end (their margin is the bare intercept,
+    mirroring MLlib's empty-vector dot product).
     """
     toks = tokens_column(text_col, stop=stop, reference_clean=reference_clean)
     tf = (
-        documents.select(F.col(id_col), F.explode(toks).alias("term"))
+        documents.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode_outer(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    doc_margin = (
-        tf.join(F.broadcast(weights), "term")
-        .groupBy(id_col)
-        .agg(F.sum(F.col("tf") * F.col("idf") * F.col("coef")).alias("dot"))
-    )
     return (
-        documents.select(id_col)
-        .join(doc_margin, id_col, "left")
+        tf.join(F.broadcast(weights), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.coalesce(F.col("idf") * F.col("coef"), F.lit(0.0))
+            ).alias("dot")
+        )
         .select(
             F.col(id_col),
-            (F.coalesce(F.col("dot"), F.lit(0.0)) + F.lit(intercept)).alias("margin"),
+            (F.col("dot") + F.lit(intercept)).alias("margin"),
         )
         .withColumn(
             "prediction",
@@ -169,13 +174,17 @@ def fit_and_score(
     toks = tokens_column(text_col, stop=stop)
     tf = (
         documents.repartition(F.col(id_col))
-        .select(F.col(id_col), F.explode(toks).alias("term"))
+        .select(F.col(id_col), F.explode_outer(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist()
     )
     n_docs = documents.count()
-    term_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    term_df = (
+        tf.filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     w = Window.orderBy(F.col("df").desc(), F.col("term"))
     weights = (
         term_df.withColumn("idx", F.row_number().over(w) - F.lit(1))
@@ -188,17 +197,18 @@ def fit_and_score(
         .withColumn("coef", ((F.col("idx") % 13) - F.lit(6)).cast("double") / 5.0)
         .select("term", "idx", "df", "idf", "coef")
     )
-    doc_margin = (
-        tf.join(F.broadcast(weights), "term")
-        .groupBy(id_col)
-        .agg(F.sum(F.col("tf") * F.col("idf") * F.col("coef")).alias("dot"))
-    )
     return (
-        documents.select(id_col)
-        .join(doc_margin, id_col, "left")
+        tf.join(F.broadcast(weights), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.coalesce(F.col("idf") * F.col("coef"), F.lit(0.0))
+            ).alias("dot")
+        )
         .select(
             F.col(id_col),
-            (F.coalesce(F.col("dot"), F.lit(0.0)) + F.lit(intercept)).alias("margin"),
+            (F.col("dot") + F.lit(intercept)).alias("margin"),
         )
         .withColumn(
             "prediction",

@@ -1,0 +1,105 @@
+"""Physical-plan shape tests: the scale guarantees are plan properties,
+so they are asserted like any other behavior (SURVEY.md §4).
+
+If one of these breaks, the query still returns correct rows — but the
+100 TB story (pushdown, broadcast, partial agg, no token shuffles) is gone.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators.sentiment import fit_and_score
+from pyspark_etl_twitter_spark.plans import relational as R
+from pyspark_etl_twitter_spark.sources.catalog import load_table
+from tests.conftest import SF_TINY
+
+
+def plan_of(df, *, execute: bool = False) -> str:
+    if execute:
+        # AQE finalizes (and codegen-annotates) the plan only at execution
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = R.pricing_summary(spark, SF_TINY)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read unused columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+    assert "HashAggregate" in plan  # partial+final hash agg, not sort agg
+
+
+def test_pricing_summary_is_codegen(spark):
+    df = R.pricing_summary(spark, SF_TINY)
+    plan = plan_of(df, execute=True)
+    # codegen stage markers "*(n)" appear once AQE finalizes the plan
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan  # no Python in the row path
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    plan = plan_of(R.revenue_by_nation(spark, SF_TINY))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_global_top_orders_avoids_full_sort(spark):
+    plan = plan_of(R.global_top_orders(spark, SF_TINY))
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, not a global sort
+
+
+def test_semi_and_anti_join_physical(spark):
+    assert "LeftSemi" in plan_of(R.semi_join_customers(spark, SF_TINY))
+    assert "LeftAnti" in plan_of(R.anti_join_customers(spark, SF_TINY))
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    plan = plan_of(R.range_join_price_bands(spark, SF_TINY))
+    assert "BroadcastNestedLoopJoin" in plan  # tiny dim side, no shuffle of facts
+
+
+def test_fit_and_score_has_no_token_shuffle(spark):
+    """The (id, term) aggregations must reuse the doc-id partitioning:
+    exactly one exchange below the TF aggregate (the compact-docs
+    repartition), none between explode and groupBy."""
+    docs = load_table(spark, SF_TINY, "documents")
+    plan = plan_of(fit_and_score(docs))
+    assert "BroadcastHashJoin" in plan  # weight dim never shuffles the fact side
+    assert "BatchEvalPython" not in plan
+    # doc_id exchanges (dedup by plan_id — cached subtrees print twice):
+    # 1. the compact-docs repartition feeding the TF aggregate, which then
+    #    needs no exchange of exploded tokens (subset-key clustering);
+    # 2. the post-join margin aggregate — AQE's cache boundary hides tf's
+    #    partitioning, but the preceding partial agg reduces that shuffle to
+    #    one row per (doc, partition). Anything beyond 2 = a token shuffle.
+    import re
+
+    ids = set(re.findall(r"Exchange hashpartitioning\(doc_id[^]]*plan_id=(\d+)", plan))
+    assert len(ids) <= 2, plan
+
+
+def test_no_python_udfs_anywhere_in_query_pack(spark):
+    from pyspark_etl_twitter_spark.plans.registry import QUERIES
+
+    for name in (
+        "sentiment_classes",
+        "dedup_minhash_pairs",
+        "dedup_simhash_fingerprints",
+        "knn_brute_cosine",
+        "text_quality_by_source",
+        "doc_fingerprints",
+    ):
+        plan = plan_of(QUERIES[name](spark, SF_TINY))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_asof_is_single_pass_window(spark):
+    """The as-of join must be a window over one shuffle, not a join."""
+    plan = plan_of(R.asof_purchase_click(spark, SF_TINY))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1

@@ -217,6 +217,48 @@ def fit_and_score(
     )
 
 
+def load_mllib_weights(spark, model_path: str):
+    """Flatten a fitted MLlib pipeline (the reference's
+    ``pre_trained_model/``) into the relational weight dimension of §1.4:
+    ``(term, idx, idf, coef)`` + intercept.
+
+    Reads the model's own parquet artifacts directly:
+    - vocabulary: stages/1_CountVectorizer_*/data (array<string>, 262,144
+      terms, index = CountVectorizer feature index);
+    - idf vector: stages/2_IDF_*/data (``idf: vector``);
+    - coefficients + intercept: stages/4_LogisticRegression_*/data
+      (sparse ``coefficientMatrix``, 120,977 non-zeros,
+      intercept −0.24585153897212955).
+
+    Only terms with non-zero coefficient enter the table (zero-coef terms
+    contribute nothing to the margin) — the broadcast side shrinks to the
+    nnz count. Returns (weights_df, intercept).
+    """
+    import glob
+
+    import pandas as pd
+
+    stage_dir = {p.split("/")[-1].split("_")[0]: p
+                 for p in glob.glob(f"{model_path}/stages/*")}
+    vocab = spark.read.parquet(f"{stage_dir['1']}/data").first()["vocabulary"]
+    idf = spark.read.parquet(f"{stage_dir['2']}/data").first()["idf"].toArray()
+    lr = spark.read.parquet(f"{stage_dir['4']}/data").first()
+    coef = lr["coefficientMatrix"].toArray().ravel()
+    intercept = float(lr["interceptVector"].toArray()[0])
+
+    pdf = pd.DataFrame(
+        {
+            "term": vocab,
+            "idx": range(len(vocab)),
+            "idf": idf[: len(vocab)],
+            "coef": coef[: len(vocab)],
+        }
+    )
+    pdf = pdf[pdf["coef"] != 0.0]
+    weights = spark.createDataFrame(pdf)
+    return weights, intercept
+
+
 def sentiment_class_counts(scored: DataFrame) -> DataFrame:
     """The reference's headline output shape — predictions per class
     (1.0 = negative "0", 0.0 = positive "4")."""

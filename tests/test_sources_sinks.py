@@ -1,0 +1,86 @@
+"""Wire-format and sink round-trip tests (SURVEY.md §2.1-§2.2)."""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_etl_twitter_spark.sources.catalog import load_table
+from pyspark_etl_twitter_spark.sources.sinks import (
+    delta_available,
+    foreach_batch_delta,
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+from pyspark_etl_twitter_spark.sources.wire import (
+    decode_wire,
+    encode_wire,
+    with_processing_time,
+)
+from tests.conftest import SF_TINY
+
+
+def test_wire_roundtrip(spark):
+    texts = ["hello, world", "no commas here", "a,b,c,d", ""]
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+    wired = df.select(encode_wire("text").alias("value"))
+    decoded = wired.select(decode_wire("value").alias("v")).select("v.message")
+    got = [r.message for r in decoded.collect()]
+    # producer strips commas before wrapping (producer.py:40)
+    assert got == [t.replace(",", "") for t in texts]
+
+
+def test_wire_encode_is_reference_json(spark):
+    df = spark.createDataFrame([Row(text="hi, there")])
+    raw = df.select(encode_wire("text").alias("value")).first().value
+    assert json.loads(bytes(raw).decode("utf-8")) == {"message": "hi there"}
+
+
+def test_decode_malformed_gives_null_struct(spark):
+    df = spark.createDataFrame([Row(value=b"not json at all"), Row(value=b'{"message": "ok"}')])
+    out = df.select(decode_wire("value").alias("v")).collect()
+    assert out[0].v is None or out[0].v.message is None  # P2 validity probe
+    assert out[1].v.message == "ok"
+
+
+def test_processing_time_format(spark):
+    df = with_processing_time(spark.createDataFrame([Row(x=1)]))
+    val = df.first().created_at
+    import re
+
+    assert re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", val)
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, tmp_path):
+    docs = load_table(spark, SF_TINY, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_parquet(docs, out, partition_by=["lang"])
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    plan = back.filter(F.col("lang") == "de")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan  # partition pruning active
+
+
+def test_json_csv_roundtrip(spark, tmp_path):
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("lang", T.StringType())]
+    )
+    df = load_table(spark, SF_TINY, "documents").select("doc_id", "lang")
+    jdir, cdir = str(tmp_path / "j"), str(tmp_path / "c")
+    write_json(df, jdir)
+    write_csv(df, cdir)
+    assert read_json(spark, jdir, schema).count() == 500
+    got = read_csv(spark, cdir, schema)
+    assert got.count() == 500
+    assert got.schema == schema  # explicit schema, no inference
+
+
+def test_delta_sink_is_gated(spark):
+    assert not delta_available()
+    with pytest.raises(NotImplementedError):
+        foreach_batch_delta(None, "/tmp/x", "/tmp/y")

@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark_etl_twitter_spark.plans import relational as R
+from pyspark_etl_twitter_spark.plans import relational2 as R2
 from pyspark_etl_twitter_spark.plans import text_queries as T
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -49,6 +50,17 @@ QUERIES: dict[str, QueryFn] = {
     # time windows (batch twins of streaming aggs)
     "hourly_event_rollup": R.hourly_event_rollup,
     "sliding_window_events": R.sliding_window_events,
+    # scalar math / arrays / percentiles / subquery patterns / ALL set ops
+    "math_funcs_lineitem": R2.math_funcs_lineitem,
+    "percentile_prices": R2.percentile_prices,
+    "array_funcs_documents": R2.array_funcs_documents,
+    "orders_with_many_items": R2.orders_with_many_items,
+    "orders_above_avg": R2.orders_above_avg,
+    "intersect_all_quantities": R2.intersect_all_quantities,
+    "except_all_quantities": R2.except_all_quantities,
+    "union_by_name_accounts": R2.union_by_name_accounts,
+    "null_conditionals_customer": R2.null_conditionals_customer,
+    "approx_summary": R2.approx_summary,
     # sentiment (reference pipeline, native)
     "sentiment_classes": T.sentiment_classes,
     "sentiment_doc_scores": T.sentiment_doc_scores,
@@ -99,6 +111,16 @@ ORACLES: dict[str, str] = {
     "json_extract_events": R.ORACLE_JSON_EXTRACT_EVENTS,
     "hourly_event_rollup": R.ORACLE_HOURLY_EVENT_ROLLUP,
     "sliding_window_events": R.ORACLE_SLIDING_WINDOW_EVENTS,
+    "math_funcs_lineitem": R2.ORACLE_MATH_FUNCS_LINEITEM,
+    "percentile_prices": R2.ORACLE_PERCENTILE_PRICES,
+    "array_funcs_documents": R2.ORACLE_ARRAY_FUNCS_DOCUMENTS,
+    "orders_with_many_items": R2.ORACLE_ORDERS_WITH_MANY_ITEMS,
+    "orders_above_avg": R2.ORACLE_ORDERS_ABOVE_AVG,
+    "intersect_all_quantities": R2.ORACLE_INTERSECT_ALL_QUANTITIES,
+    "except_all_quantities": R2.ORACLE_EXCEPT_ALL_QUANTITIES,
+    "union_by_name_accounts": R2.ORACLE_UNION_BY_NAME_ACCOUNTS,
+    "null_conditionals_customer": R2.ORACLE_NULL_CONDITIONALS_CUSTOMER,
+    # approx_summary: sketches differ across engines → rows-only
     "sentiment_classes": T.ORACLE_SENTIMENT_CLASSES,
     "sentiment_doc_scores": T.ORACLE_SENTIMENT_DOC_SCORES,
     "sentiment_weights_head": T.ORACLE_SENTIMENT_WEIGHTS_HEAD,

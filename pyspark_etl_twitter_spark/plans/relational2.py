@@ -1,0 +1,227 @@
+"""Second relational pack: scalar math, array functions, percentiles,
+subquery patterns, ALL-variant set ops, null-handling conditionals.
+Same conventions as relational.py (UTC pinned, floats rounded on both
+sides, total orders everywhere)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.session import pin_oracle_confs
+from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    pin_oracle_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(price - 50000.0), 4).alias("abs_centered"),
+        F.ceil(price).alias("price_ceil"),
+        F.floor(price).alias("price_floor"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt"),
+        F.round(F.log(price + 1.0), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_discount"), 2), 6).alias("disc_sq"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+    )
+
+
+ORACLE_MATH_FUNCS_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       round(abs(l_extendedprice - 50000.0), 4)   AS abs_centered,
+       CAST(ceil(l_extendedprice) AS BIGINT)      AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT)     AS price_floor,
+       round(sqrt(l_extendedprice), 6)            AS price_sqrt,
+       round(ln(l_extendedprice + 1.0), 6)        AS price_ln,
+       round(pow(l_discount, 2), 6)               AS disc_sq,
+       CAST(l_quantity AS BIGINT) % 7             AS qty_mod7
+FROM lineitem
+"""
+
+
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``). The exact form needs a per-group sort — use
+    ``approx_percentile`` (see approx_summary) when 100 TB group sizes make
+    that a memory hazard."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+    )
+
+
+ORACLE_PERCENTILE_PRICES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6)  AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def array_funcs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"),
+        F.array_contains(toks, "table").alias("mentions_table"),
+        F.concat_ws(" ", F.slice(F.sort_array(toks), 1, 2)).alias("min2_sorted"),
+        F.element_at(toks, -1).alias("last_token"),
+    )
+
+
+ORACLE_ARRAY_FUNCS_DOCUMENTS = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents)
+SELECT doc_id,
+       CAST(len(list_distinct(toks)) AS INTEGER)        AS n_distinct_tokens,
+       array_to_string(toks[1:3], ' ')                  AS first3,
+       list_contains(toks, 'table')                     AS mentions_table,
+       array_to_string(list_sort(toks)[1:2], ' ')       AS min2_sorted,
+       toks[-1]                                         AS last_token
+FROM base
+"""
+
+
+def orders_with_many_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING on a join-aggregate (correlated-EXISTS-with-count pattern)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") >= 5)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_orderkey"), F.col("n_items"), F.round("o_totalprice", 4).alias("price"))
+    )
+
+
+ORACLE_ORDERS_WITH_MANY_ITEMS = """
+SELECT o_orderkey, n_items, round(o_totalprice, 4) AS price
+FROM orders
+JOIN (SELECT l_orderkey, count(*) AS n_items FROM lineitem
+      GROUP BY l_orderkey HAVING count(*) >= 5) t
+  ON l_orderkey = o_orderkey
+"""
+
+
+def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: compare each row to a global aggregate.
+    The aggregate is a 1-row DataFrame broadcast into a cross join — no
+    driver-side collect, works at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    avg_df = orders.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("price"))
+    )
+
+
+ORACLE_ORDERS_ABOVE_AVG = """
+SELECT o_orderkey, round(o_totalprice, 4) AS price
+FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+def intersect_all_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (duplicate-preserving)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_quantity").alias("qty"))
+    b = li.filter(F.col("l_returnflag") == "R").select(F.col("l_quantity").alias("qty"))
+    return a.intersectAll(b)
+
+
+ORACLE_INTERSECT_ALL_QUANTITIES = """
+SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'A'
+INTERSECT ALL
+SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+def except_all_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_quantity").alias("qty"))
+    b = li.filter(F.col("l_returnflag") == "R").select(F.col("l_quantity").alias("qty"))
+    return a.exceptAll(b)
+
+
+ORACLE_EXCEPT_ALL_QUANTITIES = """
+SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'A'
+EXCEPT ALL
+SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+def union_by_name_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName across differently-ordered projections (dup-preserving)."""
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    a = cust.select(
+        F.col("c_acctbal").alias("acctbal"), F.col("c_name").alias("name"),
+        F.lit("customer").alias("kind"),
+    )
+    b = sup.select(
+        F.lit("supplier").alias("kind"), F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return a.unionByName(b).select("kind", "name", F.round("acctbal", 4).alias("acctbal"))
+
+
+ORACLE_UNION_BY_NAME_ACCOUNTS = """
+SELECT kind, name, round(acctbal, 4) AS acctbal FROM (
+  SELECT 'customer' AS kind, c_name AS name, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT 'supplier' AS kind, s_name AS name, s_acctbal AS acctbal FROM supplier)
+"""
+
+
+def null_conditionals_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("~none~")).alias(
+            "seg_or_none"
+        ),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal, F.lit(1000.0)).alias("bal_cap1000"),
+        F.when(bal < 0, "overdrawn").when(bal < 5000, "normal").otherwise("rich").alias("bal_band"),
+    )
+
+
+ORACLE_NULL_CONDITIONALS_CUSTOMER = """
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), '~none~') AS seg_or_none,
+       greatest(c_acctbal, 0.0)  AS bal_floor0,
+       least(c_acctbal, 1000.0)  AS bal_cap1000,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+            WHEN c_acctbal < 5000 THEN 'normal'
+            ELSE 'rich' END AS bal_band
+FROM customer
+"""
+
+
+def approx_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates (HLL++ distinct, t-digest-style percentile).
+    No oracle: sketch implementations differ across engines by design —
+    accuracy is property-tested against the exact queries instead
+    (tests/test_relational_props.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.round(F.expr("approx_percentile(l_extendedprice, 0.5)"), 4).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -60,6 +60,8 @@ QUERIES: dict[str, QueryFn] = {
     "except_all_quantities": R2.except_all_quantities,
     "union_by_name_accounts": R2.union_by_name_accounts,
     "null_conditionals_customer": R2.null_conditionals_customer,
+    "window_rank_stats": R2.window_rank_stats,
+    "date_arithmetic_orders": R2.date_arithmetic_orders,
     "approx_summary": R2.approx_summary,
     # sentiment (reference pipeline, native)
     "sentiment_classes": T.sentiment_classes,
@@ -120,6 +122,8 @@ ORACLES: dict[str, str] = {
     "except_all_quantities": R2.ORACLE_EXCEPT_ALL_QUANTITIES,
     "union_by_name_accounts": R2.ORACLE_UNION_BY_NAME_ACCOUNTS,
     "null_conditionals_customer": R2.ORACLE_NULL_CONDITIONALS_CUSTOMER,
+    "window_rank_stats": R2.ORACLE_WINDOW_RANK_STATS,
+    "date_arithmetic_orders": R2.ORACLE_DATE_ARITHMETIC_ORDERS,
     # approx_summary: sketches differ across engines → rows-only
     "sentiment_classes": T.ORACLE_SENTIMENT_CLASSES,
     "sentiment_doc_scores": T.ORACLE_SENTIMENT_DOC_SCORES,

@@ -214,6 +214,71 @@ FROM customer
 """
 
 
+def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking-function family over one window spec: rank/dense_rank/
+    percent_rank/ntile/lag-default — one shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.lag("o_totalprice", 1, 0.0).over(w), 4).alias("prev_price"),
+    ).filter(F.col("rnk") <= 50)
+
+
+ORACLE_WINDOW_RANK_STATS = """
+SELECT * FROM (
+  SELECT o_orderstatus, o_orderkey,
+         rank()         OVER w AS rnk,
+         dense_rank()   OVER w AS drnk,
+         round(percent_rank() OVER w, 6) AS prnk,
+         CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         round(lag(o_totalprice, 1, 0.0) OVER w, 4) AS prev_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey))
+WHERE rnk <= 50
+"""
+
+
+def date_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic across the orders⋈lineitem shuffle join: ship delay
+    stats per status."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.avg(delay), 6).alias("avg_ship_delay_days"),
+            F.max(delay).alias("max_ship_delay_days"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_DATE_ARITHMETIC_ORDERS = """
+SELECT o_orderstatus,
+       round(avg(CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                 CAST(l_shipdate AS DATE)) AS DOUBLE)), 6)
+         AS avg_ship_delay_days,
+       CAST(max(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(l_shipdate AS DATE))) AS INTEGER)
+         AS max_ship_delay_days,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 def approx_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates (HLL++ distinct, t-digest-style percentile).
     No oracle: sketch implementations differ across engines by design —

@@ -42,6 +42,25 @@ def kafka_source(
     )
 
 
+def kafka_sink(
+    df: DataFrame,
+    *,
+    bootstrap_servers: str = "localhost:9092",
+    topic: str = "twitter",
+    checkpoint: str,
+):
+    """S2 engine twin: stream writer to Kafka. The input must have a
+    ``value`` (binary/string) column — pair with ``encode_wire``. Gated on
+    the same package/broker requirements as ``kafka_source``."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def rate_source(
     spark: SparkSession, *, rows_per_second: int = 100
 ) -> DataFrame:

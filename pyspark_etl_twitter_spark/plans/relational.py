@@ -45,14 +45,18 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantity is integer-valued → its double sum is exact
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            # charge values have 6 decimals (2dp price × 2dp disc × 2dp tax);
-            # rounding below a value's intrinsic decimal scale is unsafe
-            # across engines (Spark rounds the shortest decimal repr,
-            # DuckDB the binary value — they disagree exactly at .5 ulps).
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            # money sums span the whole table: at sf0.1 they reach ~3e9,
+            # where double accumulation error (~1e-6) exceeds fine rounding
+            # quanta — round to 2dp so the quantum dwarfs the noise. (For
+            # small-magnitude outputs the rule is the opposite: round AT or
+            # above the value's intrinsic decimal scale, because Spark
+            # rounds the shortest decimal repr while DuckDB rounds the
+            # binary value, disagreeing exactly at .5 ulps.)
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -64,9 +68,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4)                                        AS sum_qty,
-       round(sum(l_extendedprice), 4)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
        round(avg(l_quantity), 6)                                        AS avg_qty,
        round(avg(l_extendedprice), 6)                                   AS avg_price,
        round(avg(l_discount), 6)                                        AS avg_disc,
@@ -99,14 +103,16 @@ FROM lineitem GROUP BY l_returnflag
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        # grand-total rollup rows sum the whole table → coarse rounding
+        # (see pricing_summary note)
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
 
 ORACLE_ROLLUP_REVENUE = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        count(*) AS n_rows
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
@@ -131,7 +137,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_extendedprice), 4) AS sum_price
+               round(sum(l_extendedprice), 2) AS sum_price
         FROM gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -139,7 +145,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_GROUPING_SETS_REVENUE = """
-SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 4) AS sum_price
+SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price
 FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
@@ -382,11 +388,16 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 
 
 def running_revenue_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame aggregate (running sum) with a total order for determinism."""
+    """Frame aggregate (running sum) with a total order for determinism.
+    (orderkey, linenumber) is NOT unique in the synthetic data — price and
+    discount tiebreaks make remaining ties revenue-identical, so the
+    running values are order-invariant."""
     li = _t(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -402,7 +413,8 @@ ORACLE_RUNNING_REVENUE_BY_SUPPLIER = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        round(sum(l_extendedprice * (1 - l_discount))
              OVER (PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                            l_extendedprice, l_discount
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
          AS running_revenue
 FROM lineitem

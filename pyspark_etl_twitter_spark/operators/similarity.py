@@ -145,6 +145,108 @@ def ann_lsh_topk(
     )
 
 
+def ivf_assignments(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization: partition the corpus into ``n_lists``
+    inverted lists by nearest centroid.
+
+    Centroids are the first ``n_lists`` vectors (deterministic seeding — a
+    k-means refinement would iterate re-assignment exactly like this single
+    assignment pass, so the join shape is the real thing). Assignment is a
+    broadcast cross join against the centroid dimension + per-vector argmin
+    window: one narrow pass over the corpus, no corpus shuffle except the
+    final argmin partition by id. Returns (assignments, centroids)."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    centroids = base.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = base.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "emb",
+        "nrm",
+        "list_id",
+        (dot(F.col("emb"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))).alias(
+            "c_sim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("list_id"))
+    assignments = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "nrm", "list_id")
+    )
+    return assignments, centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``n_probe`` nearest
+    inverted lists; candidates are only the vectors assigned to those
+    lists. At scale the list assignment is precomputed once (a column on
+    the corpus) and the probe is an equi-join on list_id — O(corpus ·
+    n_probe / n_lists) per query instead of O(corpus)."""
+    assignments, centroids = ivf_assignments(
+        embeddings, id_col=id_col, vec_col=vec_col, n_lists=n_lists
+    )
+    queries = assignments.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    probe_sim = queries.crossJoin(F.broadcast(centroids)).select(
+        "q_id",
+        "q_emb",
+        "q_nrm",
+        "list_id",
+        (dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+            "c_sim"
+        ),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("list_id"))
+    probes = (
+        probe_sim.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "q_emb", "q_nrm", "list_id")
+    )
+    pairs = probes.join(assignments, "list_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")),
+            round_dp,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     *,

@@ -77,6 +77,7 @@ QUERIES: dict[str, QueryFn] = {
     # similarity
     "knn_brute_cosine": T.knn_brute_cosine,
     "knn_ann_lsh": T.knn_ann_lsh,
+    "knn_ivf": T.knn_ivf,
     "embedding_norm_stats": T.embedding_norm_stats,
     # text analytics
     "text_quality_by_source": T.text_quality_by_source,

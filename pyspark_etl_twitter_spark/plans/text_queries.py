@@ -255,6 +255,11 @@ def knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
 
 
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN (approximate → rows-only check)."""
+    return S.ivf_topk(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     nrm = S.l2_norm(F.col("embedding"))

@@ -61,6 +61,30 @@ def test_ann_results_are_exact_cosines(spark, emb_pd):
         assert abs(r.cos_sim - round(true_cos, 6)) < 2e-6
 
 
+def test_ivf_results_are_exact_cosines_and_decent_recall(spark, emb_pd):
+    from pyspark_etl_twitter_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    got = ivf_topk(emb, n_queries=10, k=5, n_lists=16, n_probe=4).collect()
+    mat = np.stack(emb_pd["embedding"].to_numpy()).astype(np.float64)
+    ids = {int(v): i for i, v in enumerate(emb_pd["vec_id"].to_numpy())}
+    norms = np.linalg.norm(mat, axis=1)
+    assert len(got) > 0
+    for r in got:
+        a, b = ids[r.q_id], ids[r.neighbor_id]
+        true_cos = float(mat[a] @ mat[b] / (norms[a] * norms[b]))
+        assert abs(r.cos_sim - round(true_cos, 6)) < 2e-6
+    # recall sanity vs exact top-5: probing 4/16 lists must find some
+    # true neighbors across the query set
+    want = _numpy_topk(emb_pd)
+    hits = sum(
+        1
+        for r in got
+        if r.neighbor_id in {nid for _, nid in want[r.q_id]}
+    )
+    assert hits >= 5
+
+
 def test_embedding_near_dup_finds_planted_duplicate(spark):
     rng = np.random.RandomState(3)
     base = rng.rand(30, 8).astype("float32")

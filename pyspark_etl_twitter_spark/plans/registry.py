@@ -85,6 +85,9 @@ QUERIES: dict[str, QueryFn] = {
     "lang_detect_counts": T.lang_detect_counts,
     "token_counts": T.token_counts,
     "doc_fingerprints": T.doc_fingerprints,
+    # training-data pipeline ops
+    "pack_documents_2048": T.pack_documents_2048,
+    "multi_resolution_rollup": T.multi_resolution_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -142,4 +145,6 @@ ORACLES: dict[str, str] = {
     "lang_detect_counts": T.ORACLE_LANG_DETECT_COUNTS,
     "token_counts": T.ORACLE_TOKEN_COUNTS,
     "doc_fingerprints": T.ORACLE_DOC_FINGERPRINTS,
+    "pack_documents_2048": T.ORACLE_PACK_DOCUMENTS_2048,
+    "multi_resolution_rollup": T.ORACLE_MULTI_RESOLUTION_ROLLUP,
 }

@@ -403,6 +403,53 @@ FROM documents
 """
 
 
+def pack_documents_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_etl_twitter_spark.operators.packing import pack_documents
+
+    return pack_documents(_t(spark, sf_dir, "documents"), budget=2048)
+
+
+def _oracle_pack() -> str:
+    from pyspark_etl_twitter_spark.operators.packing import ORACLE_PACK_DOCUMENTS
+
+    return ORACLE_PACK_DOCUMENTS.format(budget=2048)
+
+
+ORACLE_PACK_DOCUMENTS_2048 = _oracle_pack()
+
+
+def multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup: minute-level aggregates
+    re-aggregated to hours — the continuous-aggregate pattern where coarse
+    resolutions are built from fine partials (sums of sums), never from raw
+    events twice."""
+    ev = _t(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("minute_start")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    return (
+        minute.groupBy(F.date_trunc("hour", F.col("minute_start")).alias("hour_start"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("v"), 6).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_minutes"),
+        )
+    )
+
+
+ORACLE_MULTI_RESOLUTION_ROLLUP = """
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS minute_start,
+         count(*) AS n, sum(value) AS v
+  FROM events GROUP BY 1)
+SELECT date_trunc('hour', minute_start) AS hour_start,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(sum(v), 6) AS sum_value,
+       count(*) AS n_minutes
+FROM minute GROUP BY 1
+"""
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.doc_fingerprints(_t(spark, sf_dir, "documents"))
 

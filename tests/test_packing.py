@@ -1,0 +1,42 @@
+"""Token-budget packing + stratified sampling tests."""
+
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators.packing import pack_documents, stratified_sample
+from pyspark_etl_twitter_spark.sources.catalog import load_table
+from tests.conftest import SF_TINY
+
+
+def test_pack_documents_respects_budget(spark):
+    docs = load_table(spark, SF_TINY, "documents")
+    packed = pack_documents(docs, budget=500).collect()
+    assert len(packed) == docs.count()
+    # shard ids are contiguous from 0
+    shards = sorted({r.shard_id for r in packed})
+    assert shards == list(range(len(shards)))
+    # each shard's token total stays within budget + one overhanging doc
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    for sid, rows in by_shard.items():
+        total = sum(r.n_tokens for r in rows)
+        overhang = max(r.n_tokens for r in rows)
+        assert total <= 500 + overhang
+    # packing is greedy in doc_id order: doc order maps to nondecreasing shards
+    ordered = sorted(packed, key=lambda r: r.doc_id)
+    assert all(a.shard_id <= b.shard_id for a, b in zip(ordered, ordered[1:]))
+
+
+def test_stratified_sample_rebalances(spark):
+    docs = load_table(spark, SF_TINY, "documents")
+    fractions = {"es": 0.5, "zh": 0.1}
+    got = stratified_sample(docs, strata_col="lang", fractions=fractions, seed=7)
+    counts = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= set(fractions)  # unlisted strata dropped
+    for lang, frac in fractions.items():
+        got_frac = counts.get(lang, 0) / totals[lang]
+        assert abs(got_frac - frac) < 0.2  # Bernoulli, loose bound at n~100
+    # deterministic under a fixed seed
+    again = stratified_sample(docs, strata_col="lang", fractions=fractions, seed=7)
+    assert sorted(r.doc_id for r in got.collect()) == sorted(r.doc_id for r in again.collect())

@@ -60,11 +60,18 @@ def get_session(
 
 
 def pin_oracle_confs(spark: SparkSession) -> SparkSession:
-    """Runtime-settable confs required for DuckDB-oracle comparability.
+    """Runtime-settable confs required for DuckDB-oracle comparability
+    and sane execution under a caller-owned session.
 
     The driver owns the session it passes to ``queries()`` callables; these
     confs are safe to set post-hoc (unlike ``spark.driver.memory``).
-    UTC keeps timestamp values identical to DuckDB's naive-UTC timestamps.
+    UTC keeps timestamp values identical to DuckDB's naive-UTC timestamps;
+    AQE + core-count shuffle partitions avoid 200-task fan-out for small
+    stages when the caller's session still has stock defaults.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
     return spark

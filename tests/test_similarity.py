@@ -61,6 +61,17 @@ def test_ann_results_are_exact_cosines(spark, emb_pd):
         assert abs(r.cos_sim - round(true_cos, 6)) < 2e-6
 
 
+def test_pandas_cosine_equals_hof_cosine(spark, emb_pd):
+    """The Arrow/BLAS path must produce the identical result set as the
+    codegen HOF path (same rounding, same tiebreaks)."""
+    from pyspark_etl_twitter_spark.operators.similarity import cosine_topk_pandas
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    a = sorted(map(tuple, cosine_topk(emb, n_queries=10, k=5).collect()))
+    b = sorted(map(tuple, cosine_topk_pandas(emb, n_queries=10, k=5).collect()))
+    assert a == b
+
+
 def test_ivf_results_are_exact_cosines_and_decent_recall(spark, emb_pd):
     from pyspark_etl_twitter_spark.operators.similarity import ivf_topk
 

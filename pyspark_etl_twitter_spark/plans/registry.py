@@ -78,6 +78,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_brute_cosine": T.knn_brute_cosine,
     "knn_ann_lsh": T.knn_ann_lsh,
     "knn_ivf": T.knn_ivf,
+    "embedding_near_dup": T.embedding_near_dup,
     "embedding_norm_stats": T.embedding_norm_stats,
     # text analytics
     "text_quality_by_source": T.text_quality_by_source,
@@ -138,7 +139,8 @@ ORACLES: dict[str, str] = {
     "dedup_jaccard_pairs": T.ORACLE_DEDUP_JACCARD_PAIRS,
     # dedup_minhash_pairs / dedup_simhash_fingerprints: xxhash64 → rows-only
     "knn_brute_cosine": T.ORACLE_KNN_BRUTE_COSINE,
-    # knn_ann_lsh: approximate → rows-only
+    # knn_ann_lsh / knn_ivf: approximate → rows-only
+    "embedding_near_dup": T.ORACLE_EMBEDDING_NEAR_DUP,
     "embedding_norm_stats": T.ORACLE_EMBEDDING_NORM_STATS,
     "text_quality_by_source": T.ORACLE_TEXT_QUALITY_BY_SOURCE,
     "lang_token_stats": T.ORACLE_LANG_TOKEN_STATS,

@@ -260,6 +260,41 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
 
 
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine high-similarity pairs on a 25% subset — the
+    oracle-able baseline for near-dup detection; `embedding_near_dup_pairs`
+    (LSH-bucketed, threshold 0.95) is the scale path, tested on planted
+    duplicates in pytest. The driver's random embeddings top out at
+    cos≈0.44, so the query thresholds at 0.35 to produce verifiable rows."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    base = emb.select(
+        F.col("vec_id"), F.col("embedding").alias("emb"),
+        S.l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = S.dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.35
+"""
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     nrm = S.l2_norm(F.col("embedding"))

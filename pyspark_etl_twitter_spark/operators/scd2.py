@@ -1,0 +1,80 @@
+"""CDC upsert / SCD2 merge emulation (no MERGE INTO without Delta — the
+engine pattern is anti-join + union, per the classic Spark playbook).
+
+- ``upsert_latest``: compact a changelog to latest-row-per-key (CDC apply).
+- ``scd2_apply``: apply a batch of updates to a type-2 slowly-changing
+  dimension: close current versions of changed keys, append the new
+  versions, keep history untouched.
+
+Scale notes: both are one shuffle on the business key. ``scd2_apply``
+touches only rows for keys present in the update batch (semi/anti joins
+prune the untouched majority before the union); at 100 TB the dimension
+should additionally be partitioned/bucketed by key so the join co-locates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert_latest(
+    changelog: DataFrame,
+    *,
+    key: str,
+    version_col: str,
+) -> DataFrame:
+    """Latest row per key from an append-only changelog (CDC compaction).
+    Deterministic: ties on version break by nothing — version must be a
+    total order per key (enforce upstream: offset, commit ts, etc.)."""
+    w = Window.partitionBy(key).orderBy(F.col(version_col).desc())
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    *,
+    key: str,
+    effective_col: str = "effective_from",
+    end_col: str = "effective_to",
+    current_col: str = "is_current",
+    ts_col: str = "update_ts",
+) -> DataFrame:
+    """Type-2 merge: ``dim`` rows carry (key, attributes…, effective_from,
+    effective_to, is_current); ``updates`` carry (key, attributes…, ts_col).
+
+    Result = untouched history ∪ closed-out old current rows ∪ new current
+    rows. Updates for unseen keys insert directly."""
+    upd_keys = updates.select(key).distinct()
+
+    untouched = dim.join(upd_keys, key, "left_anti")
+    touched_current = dim.filter(F.col(current_col)).join(upd_keys, key, "left_semi")
+    touched_history = dim.filter(~F.col(current_col)).join(upd_keys, key, "left_semi")
+
+    upd_ts = updates.groupBy(key).agg(F.max(ts_col).alias("_new_from"))
+    closed = (
+        touched_current.join(upd_ts, key)
+        .withColumn(end_col, F.col("_new_from"))
+        .withColumn(current_col, F.lit(False))
+        .drop("_new_from")
+    )
+
+    latest_updates = upsert_latest(updates, key=key, version_col=ts_col)
+    new_current = (
+        latest_updates.withColumnRenamed(ts_col, effective_col)
+        .withColumn(end_col, F.lit(None).cast(dim.schema[end_col].dataType))
+        .withColumn(current_col, F.lit(True))
+    )
+
+    cols = dim.columns
+    return (
+        untouched.select(cols)
+        .unionByName(touched_history.select(cols))
+        .unionByName(closed.select(cols))
+        .unionByName(new_current.select(cols))
+    )

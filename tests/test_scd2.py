@@ -1,0 +1,72 @@
+"""CDC compaction + SCD2 merge tests on hand-built fixtures."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from pyspark_etl_twitter_spark.operators.scd2 import scd2_apply, upsert_latest
+
+
+def _ts(day):
+    return dt.datetime(2024, 1, day)
+
+
+def test_upsert_latest(spark):
+    log = spark.createDataFrame(
+        [
+            Row(k=1, v="a", version=1),
+            Row(k=1, v="b", version=3),
+            Row(k=1, v="c", version=2),
+            Row(k=2, v="x", version=1),
+        ]
+    )
+    got = {(r.k, r.v) for r in upsert_latest(log, key="k", version_col="version").collect()}
+    assert got == {(1, "b"), (2, "x")}
+
+
+def test_scd2_apply(spark):
+    dim = spark.createDataFrame(
+        [
+            # key 1: one closed version + one current
+            Row(k=1, attr="old1", effective_from=_ts(1), effective_to=_ts(5), is_current=False),
+            Row(k=1, attr="cur1", effective_from=_ts(5), effective_to=None, is_current=True),
+            # key 2: current only, not updated this batch
+            Row(k=2, attr="cur2", effective_from=_ts(3), effective_to=None, is_current=True),
+        ]
+    )
+    updates = spark.createDataFrame(
+        [
+            Row(k=1, attr="new1a", update_ts=_ts(8)),
+            Row(k=1, attr="new1b", update_ts=_ts(9)),  # latest wins
+            Row(k=3, attr="new3", update_ts=_ts(9)),   # brand-new key
+        ]
+    )
+    out = scd2_apply(dim, updates, key="k").collect()
+    rows = {(r.k, r.attr): (r.effective_from, r.effective_to, r.is_current) for r in out}
+
+    assert len(out) == 5
+    # untouched key 2 intact
+    assert rows[(2, "cur2")] == (_ts(3), None, True)
+    # key 1 history intact, old current closed at the update ts
+    assert rows[(1, "old1")] == (_ts(1), _ts(5), False)
+    assert rows[(1, "cur1")] == (_ts(5), _ts(9), False)
+    # latest update becomes the new current version
+    assert rows[(1, "new1b")] == (_ts(9), None, True)
+    assert (1, "new1a") not in rows
+    # new key inserts as current
+    assert rows[(3, "new3")] == (_ts(9), None, True)
+
+
+def test_scd2_apply_is_idempotent_on_reapply(spark):
+    """Re-applying the same batch must not duplicate history rows beyond
+    closing the (now already latest) version at its own timestamp."""
+    dim = spark.createDataFrame(
+        [Row(k=1, attr="cur", effective_from=_ts(1), effective_to=None, is_current=True)],
+        schema="k long, attr string, effective_from timestamp, "
+        "effective_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame([Row(k=1, attr="new", update_ts=_ts(2))])
+    once = scd2_apply(dim, updates, key="k")
+    twice = scd2_apply(once, updates, key="k")
+    finals = [r for r in twice.collect() if r.is_current]
+    assert len(finals) == 1 and finals[0].attr == "new"

@@ -1,0 +1,57 @@
+"""Stream-stream joins (SURVEY.md §2.10 engine-added family).
+
+``click_purchase_attribution``: inner join of two event streams on user_id
+with an interval condition — each purchase matched to clicks at most
+``horizon`` before it. Both sides carry watermarks so the join state is
+bounded: Spark buffers each side only until the watermark passes the
+interval bound, then evicts. This is the streaming twin of the batch as-of
+join (plans/relational.py::asof_purchase_click) with a bounded horizon —
+at 100 TB/day the state held is horizon × ingest-rate per side, not the
+stream history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def click_purchase_attribution(
+    events: DataFrame,
+    *,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """events: a streaming relation with (event_id, ts, user_id,
+    event_type). Returns (purchase_id, user_id, purchase_ts, click_id,
+    click_ts) for every click within ``horizon`` before each purchase."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )

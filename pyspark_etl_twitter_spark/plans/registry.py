@@ -62,6 +62,7 @@ QUERIES: dict[str, QueryFn] = {
     "null_conditionals_customer": R2.null_conditionals_customer,
     "window_rank_stats": R2.window_rank_stats,
     "date_arithmetic_orders": R2.date_arithmetic_orders,
+    "data_quality_lineitem": R2.data_quality_lineitem,
     "approx_summary": R2.approx_summary,
     # sentiment (reference pipeline, native)
     "sentiment_classes": T.sentiment_classes,
@@ -129,6 +130,7 @@ ORACLES: dict[str, str] = {
     "null_conditionals_customer": R2.ORACLE_NULL_CONDITIONALS_CUSTOMER,
     "window_rank_stats": R2.ORACLE_WINDOW_RANK_STATS,
     "date_arithmetic_orders": R2.ORACLE_DATE_ARITHMETIC_ORDERS,
+    "data_quality_lineitem": R2.ORACLE_DATA_QUALITY_LINEITEM,
     # approx_summary: sketches differ across engines → rows-only
     "sentiment_classes": T.ORACLE_SENTIMENT_CLASSES,
     "sentiment_doc_scores": T.ORACLE_SENTIMENT_DOC_SCORES,

@@ -279,6 +279,32 @@ GROUP BY o_orderstatus
 """
 
 
+def data_quality_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass expectation report over the fact table (pre-flight gate)."""
+    from pyspark_etl_twitter_spark.operators.quality_checks import data_quality_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return data_quality_report(
+        li,
+        not_null=["l_orderkey", "l_shipdate"],
+        unique=["l_orderkey"],
+        ranges={"l_discount": (0.0, 0.1), "l_quantity": (1.0, 50.0)},
+    )
+
+
+ORACLE_DATA_QUALITY_LINEITEM = """
+SELECT count(*) AS n_rows,
+       count(CASE WHEN l_orderkey IS NULL THEN 1 END)  AS null_l_orderkey,
+       count(CASE WHEN l_shipdate IS NULL THEN 1 END)  AS null_l_shipdate,
+       CAST(count(*) - count(DISTINCT l_orderkey) AS BIGINT) AS dup_l_orderkey,
+       count(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 END)
+         AS oob_l_discount,
+       count(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 END)
+         AS oob_l_quantity
+FROM lineitem
+"""
+
+
 def approx_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates (HLL++ distinct, t-digest-style percentile).
     No oracle: sketch implementations differ across engines by design —

@@ -1,0 +1,147 @@
+"""Differential fuzzing: random filter+aggregate queries executed by both
+Spark and DuckDB on the same parquet, results compared exactly.
+
+Each case: a random conjunction/disjunction of column predicates over
+lineitem or orders + a random group-by + a random set of aggregates,
+rendered once as a Spark plan and once as SQL. Catches semantic drift
+(null handling, comparison/casting rules, aggregate typing) that curated
+queries can sidestep.
+
+Usage: python tools/fuzz_oracle.py [n_cases] [seed] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pyspark_etl_twitter_spark.session import get_session  # noqa: E402
+
+TABLES = {
+    "lineitem": {
+        "numeric": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "string": ["l_returnflag", "l_linestatus"],
+        "key": ["l_orderkey", "l_suppkey", "l_partkey", "l_linenumber"],
+        "group": ["l_returnflag", "l_linestatus", "l_suppkey"],
+    },
+    "orders": {
+        "numeric": ["o_totalprice"],
+        "string": ["o_orderstatus", "o_orderpriority"],
+        "key": ["o_orderkey", "o_custkey"],
+        "group": ["o_orderstatus", "o_orderpriority", "o_custkey"],
+    },
+}
+
+
+def _rand_predicate(rng, spec, stats):
+    kind = rng.choice(["num_cmp", "str_eq", "key_mod", "num_between", "str_in"])
+    if kind == "num_cmp":
+        c = rng.choice(spec["numeric"])
+        lo, hi = stats[c]
+        v = round(rng.uniform(lo, hi), 3)
+        op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+        return f"{c} {op} {v}"
+    if kind == "num_between":
+        c = rng.choice(spec["numeric"])
+        lo, hi = stats[c]
+        a, b = sorted((round(rng.uniform(lo, hi), 3), round(rng.uniform(lo, hi), 3)))
+        return f"{c} BETWEEN {a} AND {b}"
+    if kind == "str_eq":
+        c = rng.choice(spec["string"])
+        v = rng.choice(stats[c])
+        return f"{c} {'=' if rng.random() < 0.7 else '<>'} '{v}'"
+    if kind == "str_in":
+        c = rng.choice(spec["string"])
+        vs = rng.sample(stats[c], k=min(len(stats[c]), rng.randint(1, 3)))
+        inner = ", ".join(f"'{v}'" for v in vs)
+        return f"{c} {'IN' if rng.random() < 0.7 else 'NOT IN'} ({inner})"
+    c = rng.choice(spec["key"])
+    m = rng.randint(2, 17)
+    return f"{c} % {m} = {rng.randint(0, m - 1)}"
+
+
+def _rand_query(rng, table, spec, stats):
+    preds = [_rand_predicate(rng, spec, stats) for _ in range(rng.randint(1, 3))]
+    joiner = " AND " if rng.random() < 0.7 else " OR "
+    where = joiner.join(f"({p})" for p in preds)
+    group = rng.sample(spec["group"], k=rng.randint(1, 2))
+    aggs = ["count(*) AS n"]
+    for c in rng.sample(spec["numeric"] + spec["key"], k=rng.randint(1, 3)):
+        op = rng.choice(["sum", "min", "max", "avg"])
+        if op == "avg":
+            aggs.append(f"round(avg({c}), 6) AS avg_{c}")
+        elif op == "sum":
+            aggs.append(f"round(sum(CAST({c} AS DOUBLE)), 2) AS sum_{c}")
+        else:
+            aggs.append(f"{op}({c}) AS {op}_{c}")
+    gcols = ", ".join(group)
+    acols = ", ".join(dict.fromkeys(aggs))
+    return f"SELECT {gcols}, {acols} FROM {table} WHERE {where} GROUP BY {gcols}"
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cv(v):
+        if v is None:
+            return ("null",)
+        if isinstance(v, float):
+            return ("nan",) if math.isnan(v) else ("f", round(v, 9))
+        if isinstance(v, int):
+            return ("i", v)
+        return ("s", str(v))
+
+    return sorted(tuple(cv(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1234
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+    rng = random.Random(seed)
+
+    spark = get_session(app_name="fuzz_oracle", master="local[16]", shuffle_partitions=16)
+    con = duckdb.connect()
+    stats: dict[str, dict] = {}
+    for t, spec in TABLES.items():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        s: dict = {}
+        for c in spec["numeric"]:
+            lo, hi = con.execute(f"SELECT min({c}), max({c}) FROM {t}").fetchone()
+            s[c] = (float(lo), float(hi))
+        for c in spec["string"]:
+            s[c] = [r[0] for r in con.execute(f"SELECT DISTINCT {c} FROM {t}").fetchall()]
+        stats[t] = s
+
+    failures = 0
+    for i in range(n_cases):
+        table = rng.choice(list(TABLES))
+        sql = _rand_query(rng, table, TABLES[table], stats[table])
+        try:
+            sdf = spark.sql(sql)
+            srows, scols = sdf.collect(), sdf.columns
+            res = con.execute(sql)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            failures += 1
+            print(f"CASE {i} ERROR: {exc}\n  {sql}")
+            continue
+        if _canon([tuple(r) for r in srows], scols) != _canon(drows, dcols):
+            failures += 1
+            print(f"CASE {i} MISMATCH ({len(srows)} vs {len(drows)} rows):\n  {sql}")
+    print(f"\nfuzz: {n_cases - failures}/{n_cases} matched (seed={seed}, sf={sf_dir})")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -68,11 +68,7 @@ def _rand_predicate(rng, spec, stats):
     return f"{c} % {m} = {rng.randint(0, m - 1)}"
 
 
-def _rand_query(rng, table, spec, stats):
-    preds = [_rand_predicate(rng, spec, stats) for _ in range(rng.randint(1, 3))]
-    joiner = " AND " if rng.random() < 0.7 else " OR "
-    where = joiner.join(f"({p})" for p in preds)
-    group = rng.sample(spec["group"], k=rng.randint(1, 2))
+def _agg_exprs(rng, spec):
     aggs = ["count(*) AS n"]
     for c in rng.sample(spec["numeric"] + spec["key"], k=rng.randint(1, 3)):
         op = rng.choice(["sum", "min", "max", "avg"])
@@ -82,9 +78,37 @@ def _rand_query(rng, table, spec, stats):
             aggs.append(f"round(sum(CAST({c} AS DOUBLE)), 2) AS sum_{c}")
         else:
             aggs.append(f"{op}({c}) AS {op}_{c}")
+    return list(dict.fromkeys(aggs))
+
+
+def _rand_query(rng, table, spec, stats):
+    preds = [_rand_predicate(rng, spec, stats) for _ in range(rng.randint(1, 3))]
+    joiner = " AND " if rng.random() < 0.7 else " OR "
+    where = joiner.join(f"({p})" for p in preds)
+    group = rng.sample(spec["group"], k=rng.randint(1, 2))
     gcols = ", ".join(group)
-    acols = ", ".join(dict.fromkeys(aggs))
-    return f"SELECT {gcols}, {acols} FROM {table} WHERE {where} GROUP BY {gcols}"
+    acols = ", ".join(_agg_exprs(rng, spec))
+    having = ""
+    if rng.random() < 0.3:
+        having = f" HAVING count(*) >= {rng.randint(1, 5)}"
+    return f"SELECT {gcols}, {acols} FROM {table} WHERE {where} GROUP BY {gcols}{having}"
+
+
+def _rand_join_query(rng, stats):
+    """orders ⋈ lineitem with predicates on both sides + grouped aggregates."""
+    po = _rand_predicate(rng, TABLES["orders"], stats["orders"])
+    pl = _rand_predicate(rng, TABLES["lineitem"], stats["lineitem"])
+    jt = rng.choice(["JOIN", "LEFT JOIN", "JOIN", "JOIN"])
+    group = rng.choice(["o_orderstatus", "o_orderpriority", "l_returnflag"])
+    if jt == "LEFT JOIN" and group.startswith("l_"):
+        group = "o_orderstatus"  # left-join null groups are fine, but keep it simple
+    aggs = ["count(*) AS n", "count(l_orderkey) AS n_items",
+            "round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS sum_price"]
+    return (
+        f"SELECT {group}, {', '.join(aggs)} FROM orders {jt} lineitem"
+        f" ON o_orderkey = l_orderkey AND ({pl})"
+        f" WHERE ({po}) GROUP BY {group}"
+    )
 
 
 def _canon(rows, cols):
@@ -124,8 +148,11 @@ def main() -> int:
 
     failures = 0
     for i in range(n_cases):
-        table = rng.choice(list(TABLES))
-        sql = _rand_query(rng, table, TABLES[table], stats[table])
+        if rng.random() < 0.3:
+            sql = _rand_join_query(rng, stats)
+        else:
+            table = rng.choice(list(TABLES))
+            sql = _rand_query(rng, table, TABLES[table], stats[table])
         try:
             sdf = spark.sql(sql)
             srows, scols = sdf.collect(), sdf.columns

@@ -63,6 +63,8 @@ QUERIES: dict[str, QueryFn] = {
     "window_rank_stats": R2.window_rank_stats,
     "date_arithmetic_orders": R2.date_arithmetic_orders,
     "data_quality_lineitem": R2.data_quality_lineitem,
+    "map_funcs_events": R2.map_funcs_events,
+    "regex_extract_part": R2.regex_extract_part,
     "approx_summary": R2.approx_summary,
     # sentiment (reference pipeline, native)
     "sentiment_classes": T.sentiment_classes,
@@ -131,6 +133,8 @@ ORACLES: dict[str, str] = {
     "window_rank_stats": R2.ORACLE_WINDOW_RANK_STATS,
     "date_arithmetic_orders": R2.ORACLE_DATE_ARITHMETIC_ORDERS,
     "data_quality_lineitem": R2.ORACLE_DATA_QUALITY_LINEITEM,
+    "map_funcs_events": R2.ORACLE_MAP_FUNCS_EVENTS,
+    "regex_extract_part": R2.ORACLE_REGEX_EXTRACT_PART,
     # approx_summary: sketches differ across engines → rows-only
     "sentiment_classes": T.ORACLE_SENTIMENT_CLASSES,
     "sentiment_doc_scores": T.ORACLE_SENTIMENT_DOC_SCORES,

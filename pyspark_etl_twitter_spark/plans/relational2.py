@@ -279,6 +279,61 @@ GROUP BY o_orderstatus
 """
 
 
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: parse the props JSON into map<string,int>, then
+    explode entries — the generic path for semi-structured key spaces
+    (vs get_json_object for known keys)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    entry = F.explode(m)
+    return (
+        ev.select("event_type", entry.alias("k", "v"))
+        .groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+
+
+ORACLE_MAP_FUNCS_EVENTS = """
+WITH kv AS (
+  SELECT event_type, unnest(json_keys(props)) AS k, props FROM events
+)
+SELECT event_type, k, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.' || k) AS INTEGER))
+            AS BIGINT) AS sum_v,
+       CAST(min(CAST(json_extract_string(props, '$.' || k) AS INTEGER))
+            AS INTEGER) AS min_v,
+       CAST(max(CAST(json_extract_string(props, '$.' || k) AS INTEGER))
+            AS INTEGER) AS max_v
+FROM kv GROUP BY event_type, k
+"""
+
+
+def regex_extract_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-group extraction: first word and trailing digits (if any)
+    of part names — regexp_extract with group indices."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract("p_brand", r"(\d+)$", 1).alias("brand_num"),
+        F.regexp_extract("p_type", r"^(\w+)\s+(\w+)", 2).alias("second_type_word"),
+    )
+
+
+ORACLE_REGEX_EXTRACT_PART = r"""
+SELECT p_partkey,
+       coalesce(regexp_extract(p_name, '^(\w+)', 1), '') AS first_word,
+       coalesce(regexp_extract(p_brand, '(\d+)$', 1), '') AS brand_num,
+       coalesce(regexp_extract(p_type, '^(\w+)\s+(\w+)', 2), '') AS second_type_word
+FROM part
+"""
+
+
 def data_quality_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass expectation report over the fact table (pre-flight gate)."""
     from pyspark_etl_twitter_spark.operators.quality_checks import data_quality_report

@@ -94,6 +94,39 @@ def _rand_query(rng, table, spec, stats):
     return f"SELECT {gcols}, {acols} FROM {table} WHERE {where} GROUP BY {gcols}{having}"
 
 
+def _rand_window_query(rng, stats):
+    """Ranking/frame windows with a guaranteed total order (unique key in
+    the ORDER BY tail) so results are engine-independent."""
+    table = rng.choice(list(TABLES))
+    spec = TABLES[table]
+    part = rng.choice(spec["group"])
+    val = rng.choice(spec["numeric"])
+    uniq = "o_orderkey" if table == "orders" else "l_orderkey, l_linenumber"
+    order = f"{val} DESC, {uniq}"
+    fn = rng.choice(
+        [
+            "row_number()",
+            "rank()",
+            "dense_rank()",
+            f"round(sum({val}) OVER (PARTITION BY {part} ORDER BY {order} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)",
+            f"lag({val}, 1, 0.0)",
+            f"lead({val}, 1, 0.0)",
+        ]
+    )
+    if "OVER" in fn:
+        expr = f"{fn} AS w"
+    else:
+        expr = f"{fn} OVER (PARTITION BY {part} ORDER BY {order}) AS w"
+    pred = _rand_predicate(rng, spec, stats[table])
+    limit_rank = rng.randint(2, 6)
+    return (
+        f"SELECT * FROM (SELECT {part}, {uniq}, {expr},"
+        f" row_number() OVER (PARTITION BY {part} ORDER BY {order}) AS rn"
+        f" FROM {table} WHERE ({pred})) WHERE rn <= {limit_rank}"
+    )
+
+
 def _rand_join_query(rng, stats):
     """orders ⋈ lineitem with predicates on both sides + grouped aggregates."""
     po = _rand_predicate(rng, TABLES["orders"], stats["orders"])
@@ -148,8 +181,11 @@ def main() -> int:
 
     failures = 0
     for i in range(n_cases):
-        if rng.random() < 0.3:
+        roll = rng.random()
+        if roll < 0.25:
             sql = _rand_join_query(rng, stats)
+        elif roll < 0.45:
+            sql = _rand_window_query(rng, stats)
         else:
             table = rng.choice(list(TABLES))
             sql = _rand_query(rng, table, TABLES[table], stats[table])

@@ -145,18 +145,46 @@ def _rand_join_query(rng, stats):
 
 
 def _canon(rows, cols):
+    """Sort rows by a coarse key, keep raw floats for tolerance compare.
+
+    Floats use a 4dp sort key + isclose equality (see _rows_equal): exact
+    canonical hashing is wrong for fuzzing because ``round(avg(x), 6)`` of
+    exact-decimal data can land exactly on a .5 boundary (group sizes of
+    form 2^a·5^b make the average terminate at 7 digits ending in 5),
+    where Spark's decimal-string HALF_UP and DuckDB's binary rounding
+    legitimately differ by one ulp of the rounding quantum."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
-    def cv(v):
+    def sort_key(v):
         if v is None:
             return ("null",)
         if isinstance(v, float):
-            return ("nan",) if math.isnan(v) else ("f", round(v, 9))
+            return ("f", round(v, 4)) if not math.isnan(v) else ("nan",)
         if isinstance(v, int):
             return ("i", v)
         return ("s", str(v))
 
-    return sorted(tuple(cv(r[i]) for i in order) for r in rows)
+    return sorted(
+        (tuple(r[i] for i in order) for r in rows),
+        key=lambda t: tuple(sort_key(v) for v in t),
+    )
+
+
+def _rows_equal(a, b):
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return False
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                if math.isnan(va) and math.isnan(vb):
+                    continue
+                if not math.isclose(va, vb, rel_tol=1e-9, abs_tol=2e-6):
+                    return False
+            elif va != vb:
+                return False
+    return True
 
 
 def main() -> int:
@@ -199,7 +227,9 @@ def main() -> int:
             failures += 1
             print(f"CASE {i} ERROR: {exc}\n  {sql}")
             continue
-        if _canon([tuple(r) for r in srows], scols) != _canon(drows, dcols):
+        if not _rows_equal(
+            _canon([tuple(r) for r in srows], scols), _canon(drows, dcols)
+        ):
             failures += 1
             print(f"CASE {i} MISMATCH ({len(srows)} vs {len(drows)} rows):\n  {sql}")
     print(f"\nfuzz: {n_cases - failures}/{n_cases} matched (seed={seed}, sf={sf_dir})")

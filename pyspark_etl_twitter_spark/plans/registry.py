@@ -31,6 +31,7 @@ QUERIES: dict[str, QueryFn] = {
     "semi_join_customers": R.semi_join_customers,
     "anti_join_customers": R.anti_join_customers,
     "outer_join_order_counts": R.outer_join_order_counts,
+    "full_outer_nation_counts": R.full_outer_nation_counts,
     "range_join_price_bands": R.range_join_price_bands,
     # windows / sort / top-k
     "topk_orders_per_customer": R.topk_orders_per_customer,
@@ -106,6 +107,7 @@ ORACLES: dict[str, str] = {
     "semi_join_customers": R.ORACLE_SEMI_JOIN_CUSTOMERS,
     "anti_join_customers": R.ORACLE_ANTI_JOIN_CUSTOMERS,
     "outer_join_order_counts": R.ORACLE_OUTER_JOIN_ORDER_COUNTS,
+    "full_outer_nation_counts": R.ORACLE_FULL_OUTER_NATION_COUNTS,
     "range_join_price_bands": R.ORACLE_RANGE_JOIN_PRICE_BANDS,
     "topk_orders_per_customer": R.ORACLE_TOPK_ORDERS_PER_CUSTOMER,
     "global_top_orders": R.ORACLE_GLOBAL_TOP_ORDERS,

@@ -302,6 +302,39 @@ GROUP BY c_custkey
 """
 
 
+def full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: customers-per-nation vs suppliers-per-nation —
+    nations with only one side present survive with nulls."""
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = sup.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+ORACLE_FULL_OUTER_NATION_COUNTS = """
+WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+           FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+           FROM supplier GROUP BY 1)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL JOIN s ON c.nationkey = s.nationkey
+"""
+
+
 def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/range join against a tiny literal dimension. The scalable plan
     for small-dim non-equi joins is BroadcastNestedLoopJoin — O(fact × 5)

@@ -37,7 +37,12 @@ from pyspark_etl_twitter_spark.functions.stopwords import ENGLISH_STOPWORDS
 CLEAN_PATTERN = r"[^A-Za-z\n ]|(http\S+)|(www.\S+)"
 
 # Java-regex spellings with Unicode character classes for Python parity.
-_JAVA_CLEAN_PATTERN = "(?U)" + CLEAN_PATTERN
+# (?U): Unicode \s/\S like Python's. (?d) UNIX_LINES: Java's `.` excludes
+# all line terminators (CR, NEL, U+2028/U+2029) while Python's `.` excludes
+# only \n — UNIX_LINES restricts Java to \n, so the unescaped-dot quirk in
+# ``www.\S+`` matches a following \r exactly as Python does (found by
+# differential fuzzing: "www\r/x" tokenized differently before this flag).
+_JAVA_CLEAN_PATTERN = "(?Ud)" + CLEAN_PATTERN
 _STRIP_PATTERN = r"(?U)^\s+|\s+$"
 _SPLIT_PATTERN = r"(?U)\s+"
 

@@ -46,6 +46,12 @@ ADVERSARIAL = [
     "  http://only.url  ",
     "emoji 🎉 party",
     "CRLF\r\nline",
+    # fuzz-found: Python's `.` matches \r (only \n excluded); Java needs
+    # UNIX_LINES for the same — the unescaped dot in www.\S+ hits this
+    "wa*ww)X.é? pwtxX\\p'! pb#w  )é\t\tp1w  \twwww\rwx0$\rw*_ 🎉ta",
+    "ü!wwww\r/wc.X bc),Za& ^h)t\",w _",
+    "www\rafter-carriage-return",
+    "www\nafter-newline",
 ]
 
 

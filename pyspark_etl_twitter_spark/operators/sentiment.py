@@ -42,6 +42,18 @@ INTERCEPT = -0.24585153897212955
 # Reference IDF stage: minDocFreq=3 (stages/2_IDF_ea5017f27b57/metadata).
 MIN_DOC_FREQ = 3
 
+# The most recent fit_and_score persisted tf relation. Each new call releases
+# the previous one, so a session running many fits (registry sweep, bench
+# loop) holds at most ONE cached tf at a time instead of leaking one per
+# call; `release_cache()` frees the last.
+_LAST_TF: list = []
+
+
+def release_cache() -> None:
+    """Unpersist the tf relation cached by the most recent fit_and_score."""
+    while _LAST_TF:
+        _LAST_TF.pop().unpersist()
+
 
 def tokens_column(text_col: Column | str, *, reference_clean: bool = False,
                   stop: bool = True) -> Column:
@@ -179,7 +191,13 @@ def fit_and_score(
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist()
     )
-    n_docs = documents.count()
+    release_cache()
+    _LAST_TF.append(tf)
+    # explode_outer guarantees >=1 tf row per document, so the corpus size is
+    # derivable from the (about-to-be-cached) tf relation — this both
+    # materializes the cache and avoids a second full corpus scan that a
+    # separate documents.count() action would cost.
+    n_docs = tf.select(F.countDistinct(id_col)).first()[0]
     term_df = (
         tf.filter(F.col("term").isNotNull())
         .groupBy("term")

@@ -68,12 +68,16 @@ def salted_broadcast_left(
     *,
     n_salts: int = 8,
     seed: int = 42,
+    how: str = "left",
 ) -> DataFrame:
     """fact ⋈ dim on ``key`` with the dim side replicated per salt and the
     fact side salted randomly — a shuffle join where every hot fact key
-    spreads across ``n_salts`` reducers. Row multiplicity is preserved
-    (each fact row matches exactly its own salt replica)."""
+    spreads across ``n_salts`` reducers. Row multiplicity of matched keys is
+    preserved (each fact row matches exactly its own salt replica); with the
+    default ``how='left'`` fact rows whose key is absent from dim also
+    survive (dim columns null), matching plain left-join semantics. Pass
+    ``how='inner'`` to drop them."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     dim_rep = dim.select("*", salts)
     fact_salted = fact.withColumn("_salt", (F.rand(seed) * n_salts).cast("int"))
-    return fact_salted.join(dim_rep, [key, "_salt"]).drop("_salt")
+    return fact_salted.join(dim_rep, [key, "_salt"], how).drop("_salt")

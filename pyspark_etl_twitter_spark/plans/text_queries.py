@@ -405,6 +405,14 @@ per_doc AS (
          {_profile_sum('de')} AS s_de,
          {_profile_sum('fr')} AS s_fr
   FROM tok_ne GROUP BY doc_id
+),
+all_docs AS (
+  -- zero-token documents (empty/whitespace-only text) produce no tok_ne
+  -- rows; the engine scores them all-zero -> 'en', so default them here too
+  SELECT d.doc_id,
+         coalesce(p.s_en, 0) AS s_en, coalesce(p.s_es, 0) AS s_es,
+         coalesce(p.s_de, 0) AS s_de, coalesce(p.s_fr, 0) AS s_fr
+  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 )
 SELECT predicted_lang, count(*) AS n_docs
 FROM (SELECT CASE
@@ -412,7 +420,7 @@ FROM (SELECT CASE
         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
         WHEN s_de >= s_fr THEN 'de'
         ELSE 'fr' END AS predicted_lang
-      FROM per_doc)
+      FROM all_docs)
 GROUP BY predicted_lang
 """
 

@@ -75,9 +75,18 @@ def streaming_dedup(
     *,
     keys: list[str] | None = None,
     watermark: str = "2 hours",
+    time_col: str = "ts",
 ) -> DataFrame:
-    """Streaming exact dedup: dropDuplicates keyed state, bounded by the
-    watermark (engine-added row in SURVEY.md §2.10). At scale this is the
-    streaming twin of exact_dedup — state holds one key per event inside
-    the watermark horizon."""
-    return events.withWatermark("ts", watermark).dropDuplicates(keys or ["event_id"])
+    """Streaming exact dedup with *bounded* state: the streaming twin of
+    exact_dedup (engine-added row in SURVEY.md §2.10).
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+): state for a key is
+    evicted once the watermark passes the first-seen event time, so state
+    holds one entry per distinct key inside the watermark horizon. A plain
+    ``dropDuplicates(keys)`` would NOT be bounded here — Spark only evicts
+    dedup state when the event-time column is part of the key subset, and
+    duplicates of the same event share the same key but state would still
+    grow with the number of distinct keys forever."""
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

@@ -51,6 +51,21 @@ def test_salted_join_equals_plain(spark):
     assert sorted(map(tuple, g)) == sorted(map(tuple, w))
 
 
+def test_salted_join_left_keeps_unmatched(spark):
+    """Default how='left': fact rows whose key is missing from dim survive
+    with null dim columns, exactly like a plain left join."""
+    li = load_table(spark, SF_TINY, "lineitem").withColumnRenamed("l_suppkey", "s_suppkey")
+    sup = load_table(spark, SF_TINY, "supplier").filter(F.col("s_suppkey") % 2 == 0)
+    got = salted_broadcast_left(li, sup, "s_suppkey")
+    want = li.join(sup, "s_suppkey", "left")
+    assert got.count() == want.count() == li.count()
+    n_null_got = got.filter(F.col("s_name").isNull()).count()
+    n_null_want = want.filter(F.col("s_name").isNull()).count()
+    assert n_null_got == n_null_want > 0
+    inner = salted_broadcast_left(li, sup, "s_suppkey", how="inner")
+    assert inner.count() == li.join(sup, "s_suppkey").count() < li.count()
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """bucketBy co-location: a join between two tables bucketed on the key
     runs with zero Exchange operators — the 100 TB repeated-join answer.

@@ -170,20 +170,37 @@ def _canon(rows, cols):
     )
 
 
+def _row_matches(ra, rb):
+    if len(ra) != len(rb):
+        return False
+    for va, vb in zip(ra, rb):
+        if isinstance(va, float) and isinstance(vb, float):
+            if math.isnan(va) and math.isnan(vb):
+                continue
+            if not math.isclose(va, vb, rel_tol=1e-9, abs_tol=2e-6):
+                return False
+        elif va != vb:
+            return False
+    return True
+
+
 def _rows_equal(a, b):
     if len(a) != len(b):
         return False
-    for ra, rb in zip(a, b):
-        if len(ra) != len(rb):
+    if all(_row_matches(ra, rb) for ra, rb in zip(a, b)):
+        return True
+    # Positional compare after independent sorts can spuriously fail when two
+    # within-tolerance floats straddle the 4dp sort-key boundary and order the
+    # rows differently. Fall back to greedy tolerance-aware multiset matching
+    # (O(n^2), but only on the rare near-boundary cases).
+    unused = list(range(len(b)))
+    for ra in a:
+        for j_pos, j in enumerate(unused):
+            if _row_matches(ra, b[j]):
+                unused.pop(j_pos)
+                break
+        else:
             return False
-        for va, vb in zip(ra, rb):
-            if isinstance(va, float) and isinstance(vb, float):
-                if math.isnan(va) and math.isnan(vb):
-                    continue
-                if not math.isclose(va, vb, rel_tol=1e-9, abs_tol=2e-6):
-                    return False
-            elif va != vb:
-                return False
     return True
 
 

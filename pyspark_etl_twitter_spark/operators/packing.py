@@ -4,10 +4,10 @@ actually runs after dedup/quality filtering).
 
 ``pack_documents``: assign documents to fixed-token-budget shards by
 running-sum bucketing in a deterministic order — the distributed version of
-greedy sequence packing. One window pass; at scale, partition the cumsum by
-a coarse salt (e.g. source) and offset shard ids per salt to avoid the
-single-partition global window (the global variant here matches the SQL
-oracle exactly).
+greedy sequence packing. The global form is one single-partition window
+pass (kept as the exact SQL-oracle twin and the n_salts=1 reference);
+``pack_documents_salted`` is the scale path — per-range partitioned
+cumsums with deterministic shard-id offsets, no single-task window.
 
 ``stratified_sample``: per-stratum Bernoulli sampling with a fixed seed —
 deterministic but RNG-specific, so property-tested rather than
@@ -53,6 +53,100 @@ FROM (SELECT doc_id,
              CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
                   AS INTEGER) AS n_tokens
       FROM documents)
+"""
+
+
+def pack_documents_salted(
+    docs: DataFrame,
+    *,
+    budget: int = 2048,
+    n_salts: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scale path for ``pack_documents``: the global single-partition cumsum
+    window is replaced by ``n_salts`` independent *partitioned* cumsums over
+    contiguous doc-id ranges, with deterministic shard-id offsets stitching
+    the per-range packings into one global shard numbering.
+
+    Semantics: identical greedy packing to the global form *within* each
+    range; each range starts a fresh shard (so up to ``n_salts - 1`` shards
+    are slightly under-filled at range boundaries — the price of
+    parallelism, bounded and deterministic). ``n_salts=1`` reproduces
+    ``pack_documents`` exactly (property-tested).
+
+    Plan shape: one scalar max(doc_id) aggregate (broadcast) → window
+    PARTITIONED BY salt (each partition ≈ corpus/n_salts — no single-task
+    window) → tiny per-salt shard-count aggregate (n_salts rows; its offset
+    cumsum runs on a bounded dimension) → broadcast join back. At 100 TB set
+    ``n_salts`` to a small multiple of the executor-core count."""
+    n_tok = token_count(text_col)
+    base = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+    bounds = base.agg(F.max(id_col).alias("_max_id"))
+    # contiguous range per salt: salt = doc_id div ceil((max_id+1)/n_salts)
+    ranged = base.join(F.broadcast(bounds)).withColumn(
+        "_salt",
+        F.floor(
+            F.col(id_col)
+            / F.ceil((F.col("_max_id") + 1) / F.lit(n_salts)).cast("double")
+        ).cast("long"),
+    )
+    w_in = (
+        Window.partitionBy("_salt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shards = ranged.withColumn(
+        "prev_cum", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    ).withColumn("shard_within", F.floor(F.col("prev_cum") / budget).cast("long"))
+    per_salt = shards.groupBy("_salt").agg(
+        (F.max("shard_within") + 1).alias("_n_shards")
+    )
+    w_off = Window.orderBy("_salt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_salt.withColumn(
+        "_off", F.coalesce(F.sum("_n_shards").over(w_off), F.lit(0))
+    ).select("_salt", "_off")
+    return (
+        shards.join(F.broadcast(offsets), "_salt")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("shard_within") + F.col("_off")).cast("long").alias("shard_id"),
+        )
+    )
+
+
+ORACLE_PACK_DOCUMENTS_SALTED = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS INTEGER) AS n_tokens
+  FROM documents),
+mx AS (SELECT max(doc_id) AS max_id FROM base),
+ranged AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(doc_id / CAST(ceil(CAST((SELECT max_id FROM mx) + 1
+                                            AS DOUBLE) / {n_salts})
+                                  AS DOUBLE))
+              AS BIGINT) AS salt
+  FROM base),
+shards AS (
+  SELECT doc_id, n_tokens, salt,
+         CAST(floor(CAST(coalesce(sum(n_tokens) OVER (PARTITION BY salt
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS DOUBLE) / {budget}) AS BIGINT) AS shard_within
+  FROM ranged),
+offs AS (
+  SELECT salt,
+         coalesce(sum(n_shards) OVER (ORDER BY salt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off
+  FROM (SELECT salt, max(shard_within) + 1 AS n_shards
+        FROM shards GROUP BY salt))
+SELECT s.doc_id, s.n_tokens,
+       CAST(s.shard_within + o.off AS BIGINT) AS shard_id
+FROM shards s JOIN offs o ON s.salt = o.salt
 """
 
 

@@ -92,6 +92,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprints": T.doc_fingerprints,
     # training-data pipeline ops
     "pack_documents_2048": T.pack_documents_2048,
+    "pack_documents_salted_2048": T.pack_documents_salted_2048,
     "multi_resolution_rollup": T.multi_resolution_rollup,
 }
 
@@ -156,5 +157,6 @@ ORACLES: dict[str, str] = {
     "token_counts": T.ORACLE_TOKEN_COUNTS,
     "doc_fingerprints": T.ORACLE_DOC_FINGERPRINTS,
     "pack_documents_2048": T.ORACLE_PACK_DOCUMENTS_2048,
+    "pack_documents_salted_2048": T.ORACLE_PACK_DOCUMENTS_SALTED_2048,
     "multi_resolution_rollup": T.ORACLE_MULTI_RESOLUTION_ROLLUP,
 }

@@ -461,6 +461,27 @@ def _oracle_pack() -> str:
 ORACLE_PACK_DOCUMENTS_2048 = _oracle_pack()
 
 
+def pack_documents_salted_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path packing: partitioned per-range cumsums + offset stitching
+    (no single-partition window; see operators/packing.py)."""
+    from pyspark_etl_twitter_spark.operators.packing import pack_documents_salted
+
+    return pack_documents_salted(
+        _t(spark, sf_dir, "documents"), budget=2048, n_salts=8
+    )
+
+
+def _oracle_pack_salted() -> str:
+    from pyspark_etl_twitter_spark.operators.packing import (
+        ORACLE_PACK_DOCUMENTS_SALTED,
+    )
+
+    return ORACLE_PACK_DOCUMENTS_SALTED.format(budget=2048, n_salts=8)
+
+
+ORACLE_PACK_DOCUMENTS_SALTED_2048 = _oracle_pack_salted()
+
+
 def multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style cascading rollup: minute-level aggregates
     re-aggregated to hours — the continuous-aggregate pattern where coarse

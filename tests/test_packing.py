@@ -2,7 +2,11 @@
 
 from pyspark.sql import functions as F
 
-from pyspark_etl_twitter_spark.operators.packing import pack_documents, stratified_sample
+from pyspark_etl_twitter_spark.operators.packing import (
+    pack_documents,
+    pack_documents_salted,
+    stratified_sample,
+)
 from pyspark_etl_twitter_spark.sources.catalog import load_table
 from tests.conftest import SF_TINY
 
@@ -25,6 +29,41 @@ def test_pack_documents_respects_budget(spark):
     # packing is greedy in doc_id order: doc order maps to nondecreasing shards
     ordered = sorted(packed, key=lambda r: r.doc_id)
     assert all(a.shard_id <= b.shard_id for a, b in zip(ordered, ordered[1:]))
+
+
+def test_pack_salted_budget_invariants(spark):
+    docs = load_table(spark, SF_TINY, "documents")
+    packed = pack_documents_salted(docs, budget=500, n_salts=8).collect()
+    plain = {(r.doc_id, r.n_tokens) for r in pack_documents(docs, budget=500).collect()}
+    # same multiset of (doc, token-count); only shard assignment differs
+    assert {(r.doc_id, r.n_tokens) for r in packed} == plain
+    shards = sorted({r.shard_id for r in packed})
+    assert shards == list(range(len(shards)))  # contiguous global ids
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    for rows in by_shard.values():
+        total = sum(r.n_tokens for r in rows)
+        overhang = max(r.n_tokens for r in rows)
+        assert total <= 500 + overhang
+    # greedy within the global (salt, doc_id) order → nondecreasing shards
+    ordered = sorted(packed, key=lambda r: r.doc_id)
+    assert all(a.shard_id <= b.shard_id for a, b in zip(ordered, ordered[1:]))
+
+
+def test_pack_salted_single_salt_equals_global(spark):
+    docs = load_table(spark, SF_TINY, "documents")
+    salted = pack_documents_salted(docs, budget=500, n_salts=1)
+    plain = pack_documents(docs, budget=500)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_pack_salted_window_is_partitioned(spark):
+    """The scale-path cumsum must never plan a single-partition global
+    window over the corpus: its window spec partitions by the salt."""
+    docs = load_table(spark, SF_TINY, "documents")
+    plan = pack_documents_salted(docs, budget=500, n_salts=8)._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_salt" in plan
 
 
 def test_stratified_sample_rebalances(spark):

@@ -1,0 +1,63 @@
+"""Registry ordering + completeness contract.
+
+The driver's correctness gate checks the first 50 registry keys (round 1
+covered exactly positions 1-50), so the dict order is load-bearing: every
+operator family must keep a representative inside the window, and the
+LLM-pipeline queries (sentiment/dedup/similarity/text/packing) must all sit
+inside it. Entries past position 50 must be round-1-verified relational
+variants that still carry an oracle for local CI.
+"""
+
+from pyspark_etl_twitter_spark.plans.registry import ORACLES, QUERIES
+
+DRIVER_WINDOW = 50
+
+# queries that had no driver-verified row in round 1 (VERDICT.md "What's
+# missing" #1) plus the round-2 additions — all must stay inside the window
+MUST_BE_IN_WINDOW = {
+    "dedup_simhash_fingerprints",
+    "knn_brute_cosine",
+    "knn_ann_lsh",
+    "knn_ivf",
+    "embedding_near_dup",
+    "embedding_norm_stats",
+    "text_quality_by_source",
+    "lang_token_stats",
+    "lang_detect_counts",
+    "token_counts",
+    "doc_fingerprints",
+    "pack_documents_2048",
+    "pack_documents_salted_2048",
+    "multi_resolution_rollup",
+    "bucketed_join_revenue",
+    "approx_summary",
+    "dedup_minhash_pairs",
+}
+
+# the only queries allowed to lack a SQL oracle (approximate / hash-seeded
+# semantics not expressible in ANSI SQL — driver records rows-only)
+ROWS_ONLY_BY_DESIGN = {
+    "approx_summary",
+    "dedup_minhash_pairs",
+    "dedup_simhash_fingerprints",
+    "knn_ann_lsh",
+    "knn_ivf",
+}
+
+
+def test_priority_queries_inside_driver_window():
+    window = set(list(QUERIES)[:DRIVER_WINDOW])
+    assert MUST_BE_IN_WINDOW <= window
+
+
+def test_tail_entries_are_oracle_checked():
+    tail = list(QUERIES)[DRIVER_WINDOW:]
+    assert all(k in ORACLES for k in tail)
+
+
+def test_rows_only_set_is_exact():
+    assert set(QUERIES) - set(ORACLES) == ROWS_ONLY_BY_DESIGN
+
+
+def test_oracles_are_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)

@@ -57,6 +57,39 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
+    # Amortized ANN: the index is built ONCE (its cost reported as its own
+    # row) and probes are timed index-resident — the shape a 100 TB
+    # deployment actually runs, vs the one-shot knn_* rows above which
+    # rebuild per call. Probe rows use the same n_queries/k as
+    # knn_brute_cosine so the rows are directly comparable.
+    import shutil
+    import tempfile
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_ivf_index,
+        build_lsh_index,
+        ivf_probe_indexed,
+        lsh_probe_indexed,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    idx_root = tempfile.mkdtemp(prefix="spark_graft_ann_idx_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        start = time.perf_counter()
+        build_ivf_index(emb, f"{idx_root}/ivf", n_lists=16)
+        build_lsh_index(emb, f"{idx_root}/lsh", n_planes=8)
+        timings["ann_index_build"] = round(time.perf_counter() - start, 3)
+        for name, probe in (
+            ("knn_ivf_probe_only", lambda: ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=10, k=5, n_probe=4)),
+            ("knn_ann_lsh_probe_only", lambda: lsh_probe_indexed(spark, f"{idx_root}/lsh", n_queries=10, k=5)),
+        ):
+            start = time.perf_counter()
+            probe().write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -4,13 +4,18 @@ Embeddings are plain ``array<float>`` columns; all vector math is built-in
 higher-order functions (``zip_with`` + ``aggregate``) evaluated JVM-side in
 double precision — no Python, no VectorUDT.
 
-Two paths:
+Three paths:
 - ``cosine_topk``: brute-force exact top-k — broadcast the (small) query set
   against the full corpus; one pass, no shuffle except the final per-query
   window. The 100 TB cost is O(corpus × queries) — correct baseline.
-- ``ann_lsh_topk``: random-hyperplane LSH — each vector gets a sign-bit
-  bucket; candidates are bucket-mates only. Recall < 1 by design; the
-  scale path when queries × corpus is too large.
+- ``ann_lsh_topk`` / ``ivf_topk``: one-shot approximate top-k — build the
+  LSH-bucket / inverted-list structure in-plan, then probe. Recall < 1 by
+  design; the scale path when queries × corpus is too large.
+- ``build_lsh_index`` / ``build_ivf_index`` + ``*_probe_indexed``: the
+  amortized form — the index is written ONCE as parquet partitioned by
+  bucket/list_id, and every later probe is an equi-join that only reads the
+  probed partitions (partition pruning on the index layout). At 100 TB this
+  is the only sane shape: index build is a batch job, probes are cheap.
 """
 
 from __future__ import annotations
@@ -36,6 +41,16 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared ranking tail: per-query top-k by (rounded score desc, id)."""
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
 
 
 def cosine_topk(
@@ -74,12 +89,7 @@ def cosine_topk(
             dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), round_dp
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def cosine_topk_pandas(
@@ -134,12 +144,7 @@ def cosine_topk_pandas(
         )
         .filter(F.col("q_id") != F.col("neighbor_id"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
@@ -198,12 +203,7 @@ def ann_lsh_topk(
             dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), round_dp
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def ivf_assignments(
@@ -250,30 +250,21 @@ def ivf_assignments(
     return assignments, centroids
 
 
-def ivf_topk(
-    embeddings: DataFrame,
+def _ivf_probe(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
     *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_queries: int = 10,
-    k: int = 5,
-    n_lists: int = 16,
-    n_probe: int = 4,
-    round_dp: int = 6,
+    k: int,
+    n_probe: int,
+    round_dp: int,
 ) -> DataFrame:
-    """IVF approximate top-k: each query probes its ``n_probe`` nearest
-    inverted lists; candidates are only the vectors assigned to those
-    lists. At scale the list assignment is precomputed once (a column on
-    the corpus) and the probe is an equi-join on list_id — O(corpus ·
-    n_probe / n_lists) per query instead of O(corpus)."""
-    assignments, centroids = ivf_assignments(
-        embeddings, id_col=id_col, vec_col=vec_col, n_lists=n_lists
-    )
-    queries = assignments.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
+    """Probe stage shared by one-shot ``ivf_topk`` and the persisted-index
+    path: rank centroids per query (broadcast cross join over the tiny
+    centroid dim), keep ``n_probe`` lists, then equi-join on ``list_id``
+    against the assignments. When ``assignments`` is a parquet table
+    partitioned by ``list_id``, the broadcast probe side drives dynamic
+    partition pruning — only the probed lists are read."""
     probe_sim = queries.crossJoin(F.broadcast(centroids)).select(
         "q_id",
         "q_emb",
@@ -289,7 +280,7 @@ def ivf_topk(
         .filter(F.col("rn") <= n_probe)
         .select("q_id", "q_emb", "q_nrm", "list_id")
     )
-    pairs = probes.join(assignments, "list_id").filter(
+    pairs = F.broadcast(probes).join(assignments, "list_id").filter(
         F.col("vec_id") != F.col("q_id")
     )
     scored = pairs.select(
@@ -300,12 +291,146 @@ def ivf_topk(
             round_dp,
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    return _rank_topk(scored, k)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k, one-shot: each query probes its ``n_probe``
+    nearest inverted lists; candidates are only the vectors assigned to
+    those lists — O(corpus · n_probe / n_lists) per query instead of
+    O(corpus). Builds the assignment in-plan; for repeated querying use
+    ``build_ivf_index`` + ``ivf_probe_indexed`` so the build is amortized."""
+    assignments, centroids = ivf_assignments(
+        embeddings, id_col=id_col, vec_col=vec_col, n_lists=n_lists
     )
+    queries = assignments.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    return _ivf_probe(
+        assignments, centroids, queries, k=k, n_probe=n_probe, round_dp=round_dp
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    max_queries: int = 100,
+) -> None:
+    """Materialize the IVF index: assignments parquet PARTITIONED BY
+    ``list_id`` (so a probe of p lists reads p/n_lists of the bytes —
+    partition pruning, the on-disk analogue of an inverted list), plus the
+    tiny centroid table and a pre-extracted query block (first
+    ``max_queries`` vectors) so probes never scan the corpus for queries."""
+    assignments, centroids = ivf_assignments(
+        embeddings, id_col=id_col, vec_col=vec_col, n_lists=n_lists
+    )
+    assignments.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/assignments"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    assignments.filter(F.col("vec_id") < max_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    ).write.mode("overwrite").parquet(f"{path}/queries")
+
+
+def ivf_probe_indexed(
+    spark,
+    path: str,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    n_probe: int = 4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Probe-only IVF top-k against a ``build_ivf_index`` layout. No index
+    construction in the plan: centroid ranking over a broadcast dim, then a
+    list_id equi-join that prunes to the probed partitions."""
+    assignments = spark.read.parquet(f"{path}/assignments")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    queries = spark.read.parquet(f"{path}/queries").filter(
+        F.col("q_id") < n_queries
+    )
+    return _ivf_probe(
+        assignments, centroids, queries, k=k, n_probe=n_probe, round_dp=round_dp
+    )
+
+
+def build_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 7,
+    max_queries: int = 100,
+) -> None:
+    """Materialize the LSH index: corpus with precomputed norm + sign-bit
+    bucket, parquet PARTITIONED BY ``bucket``; plus a pre-extracted query
+    block (ids, vectors, norms, buckets) for probe-only runs."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    base.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/corpus")
+    base.filter(F.col("vec_id") < max_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    ).write.mode("overwrite").parquet(f"{path}/queries")
+
+
+def lsh_probe_indexed(
+    spark,
+    path: str,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Probe-only LSH top-k against a ``build_lsh_index`` layout: broadcast
+    the query block and equi-join on the bucket partition column — only the
+    queries' buckets are scanned."""
+    corpus = spark.read.parquet(f"{path}/corpus")
+    queries = spark.read.parquet(f"{path}/queries").filter(
+        F.col("q_id") < n_queries
+    )
+    pairs = corpus.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")),
+            round_dp,
+        ).alias("cos_sim"),
+    )
+    return _rank_topk(scored, k)
 
 
 def embedding_near_dup_pairs(

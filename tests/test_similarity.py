@@ -96,6 +96,62 @@ def test_ivf_results_are_exact_cosines_and_decent_recall(spark, emb_pd):
     assert hits >= 5
 
 
+def test_indexed_probes_match_one_shot(spark, tmp_path):
+    """build+probe must return the identical result set as the one-shot
+    forms (same centroids / hyperplanes, same rounding, same tiebreaks) —
+    the index changes WHERE the work happens, never the answer."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_ivf_index,
+        build_lsh_index,
+        ivf_probe_indexed,
+        ivf_topk,
+        lsh_probe_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    ivf_dir, lsh_dir = str(tmp_path / "ivf"), str(tmp_path / "lsh")
+    build_ivf_index(emb, ivf_dir, n_lists=16)
+    build_lsh_index(emb, lsh_dir, n_planes=8)
+
+    got_ivf = sorted(
+        map(tuple, ivf_probe_indexed(spark, ivf_dir, n_queries=10, k=5, n_probe=4).collect())
+    )
+    want_ivf = sorted(
+        map(tuple, ivf_topk(emb, n_queries=10, k=5, n_lists=16, n_probe=4).collect())
+    )
+    assert got_ivf == want_ivf
+
+    got_lsh = sorted(
+        map(tuple, lsh_probe_indexed(spark, lsh_dir, n_queries=10, k=5).collect())
+    )
+    want_lsh = sorted(map(tuple, ann_lsh_topk(emb, n_queries=10, k=5).collect()))
+    assert got_lsh == want_lsh
+
+
+def test_index_layout_is_partitioned(spark, tmp_path):
+    """The on-disk index must be hive-partitioned by list/bucket so probes
+    prune to the probed partitions instead of scanning the corpus."""
+    import os
+
+    from pyspark_etl_twitter_spark.operators.similarity import build_ivf_index
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    ivf_dir = str(tmp_path / "ivf")
+    build_ivf_index(emb, ivf_dir, n_lists=16)
+    parts = [d for d in os.listdir(f"{ivf_dir}/assignments") if d.startswith("list_id=")]
+    assert len(parts) > 1
+    # probe plan scans the partitioned layout with list_id as partition col
+    from pyspark_etl_twitter_spark.operators.similarity import ivf_probe_indexed
+
+    plan = (
+        ivf_probe_indexed(spark, ivf_dir, n_queries=10, k=5, n_probe=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+
+
 def test_embedding_near_dup_finds_planted_duplicate(spark):
     rng = np.random.RandomState(3)
     base = rng.rand(30, 8).astype("float32")

@@ -1,11 +1,20 @@
-"""Differential fuzzing: random filter+aggregate queries executed by both
-Spark and DuckDB on the same parquet, results compared exactly.
+"""Differential fuzzing: random queries executed by both Spark and DuckDB
+on the same data, results compared exactly.
 
-Each case: a random conjunction/disjunction of column predicates over
-lineitem or orders + a random group-by + a random set of aggregates,
-rendered once as a Spark plan and once as SQL. Catches semantic drift
-(null handling, comparison/casting rules, aggregate typing) that curated
-queries can sidestep.
+Shapes: random filter+aggregate over lineitem/orders, window queries with a
+guaranteed total order, orders⋈lineitem joins, two-branch set operations
+(UNION/INTERSECT/EXCEPT [ALL]), and random synthetic documents pushed
+through the full text pipeline (tokenize → stop-filter → term frequency) in
+Spark vs a DuckDB twin of the tokenizer. Catches semantic drift (null
+handling, comparison/casting rules, aggregate typing, regex/split edge
+cases) that curated queries can sidestep.
+
+Text-fuzz alphabet is deliberately ASCII-only (letters, digits, punctuation
+and the whitespace set ``space \\t \\n \\r \\f``): inside that alphabet
+Python's re, Java's regex with (?Ud), and DuckDB's RE2 agree on ``\\s``/
+``\\S``/``.``/alternation, so any mismatch is a real engine bug, not a
+known Unicode-class divergence (those are covered by the Spark-vs-Python
+tokenizer fuzz in tests/, which needs no third engine).
 
 Usage: python tools/fuzz_oracle.py [n_cases] [seed] [sf_dir]
 """
@@ -144,6 +153,125 @@ def _rand_join_query(rng, stats):
     )
 
 
+def _rand_setop_query(rng, stats):
+    """Two same-table branches with independent predicates under a random
+    set operation — same-table branches guarantee the branches overlap so
+    INTERSECT/EXCEPT exercise real matching, not empty sets."""
+    table = rng.choice(list(TABLES))
+    spec = TABLES[table]
+    cols = [rng.choice(spec["string"]), rng.choice(spec["key"])]
+    proj = ", ".join(f"{c} AS c{i}" for i, c in enumerate(cols))
+    p1 = _rand_predicate(rng, spec, stats[table])
+    p2 = _rand_predicate(rng, spec, stats[table])
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"]
+    )
+    return (
+        f"SELECT {proj} FROM {table} WHERE ({p1})"
+        f" {op} SELECT {proj} FROM {table} WHERE ({p2})"
+    )
+
+
+# --- text-pipeline fuzz: random documents through tokenize/stop/TF --------
+
+_WORDS = [
+    "the", "Quick", "BROWN", "fox", "Jumps", "over", "lazy", "dogs", "spark",
+    "Tweet", "LOVE", "hate", "data", "pipeline", "model", "learning", "great",
+    "bad", "happy", "sad", "stream", "batch", "Shuffle", "join",
+]
+_STOPS = ["i", "me", "My", "WE", "our", "you", "it", "is", "are", "was", "a",
+          "an", "the", "and", "or", "not", "no", "too", "very"]
+_WS = [" ", "\t", "\n", "\r", "\f"]
+_PUNCT = "!?#@$%^&*()-_=+[]{};:'\",<.>/\\|~`"
+
+
+def _rand_token(rng):
+    roll = rng.random()
+    if roll < 0.40:
+        return rng.choice(_WORDS)
+    if roll < 0.55:
+        return rng.choice(_STOPS)
+    if roll < 0.65:  # URL-ish (reference scrub quirks: http\S+ / www.\S+)
+        head = rng.choice(["http", "https", "www.", "wwwX", "httpx"])
+        tail = "".join(
+            rng.choice("abcz019:/._-") for _ in range(rng.randint(0, 6))
+        )
+        return head + tail
+    if roll < 0.80:  # word with punct/digit infix — partially scrubbed
+        w = rng.choice(_WORDS)
+        pos = rng.randint(0, len(w))
+        return w[:pos] + rng.choice(_PUNCT + "0123456789") + w[pos:]
+    if roll < 0.90:  # pure noise
+        return "".join(rng.choice(_PUNCT + "0123456789") for _ in range(rng.randint(1, 5)))
+    return ""
+
+
+def _rand_doc(rng):
+    parts = []
+    for _ in range(rng.randint(0, 12)):
+        parts.append(_rand_token(rng))
+        parts.append(rng.choice(_WS) * rng.randint(1, 2))
+    return "".join(parts)
+
+
+def _duck_stoplist_sql():
+    from pyspark_etl_twitter_spark.functions.stopwords import ENGLISH_STOPWORDS
+
+    return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in ENGLISH_STOPWORDS) + "]"
+
+
+def _duck_tf_sql():
+    """DuckDB twin of tokenize → remove_stopwords → TF. Same regexes as
+    functions/text.py modulo the ASCII-whitespace spelling (see module
+    docstring); tokens are lowercase after clean, so the stop filter
+    compares directly against the lowercase stoplist."""
+    strip = r"'^[ \t\n\r\f]+|[ \t\n\r\f]+$'"
+    clean = r"'[^A-Za-z\n ]|(http[^ \t\n\r\f]+)|(www.[^ \t\n\r\f]+)'"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(list_filter(
+             regexp_split_to_array(
+               regexp_replace(
+                 regexp_replace(lower(text), {strip}, '', 'g'),
+                 {clean}, '', 'g'),
+               '[\n ]+'),
+             t -> t <> ''),
+             t -> NOT list_contains({_duck_stoplist_sql()}, t))) AS term
+  FROM fuzz_docs)
+SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+FROM toks GROUP BY doc_id, term
+"""
+
+
+def _text_fuzz_batch(rng, spark, con, n_docs=40):
+    """One batch: fresh random docs registered in both engines, engine TF
+    (native column expressions) vs DuckDB-SQL TF, exact compare."""
+    import pandas as pd
+
+    from pyspark_etl_twitter_spark.functions.text import remove_stopwords, tokenize
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(n_docs), "text": [_rand_doc(rng) for _ in range(n_docs)]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.select("doc_id", F.explode(remove_stopwords(tokenize("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    )
+    con.register("fuzz_docs", pdf)
+    want = con.execute(_duck_tf_sql()).fetchall()
+    a = sorted((int(r.doc_id), r.term, int(r.tf)) for r in got)
+    b = sorted((int(d), t, int(c)) for d, t, c in want)
+    if a != b:
+        extra_s = set(a) - set(b)
+        extra_d = set(b) - set(a)
+        return False, f"spark-only={sorted(extra_s)[:5]} duck-only={sorted(extra_d)[:5]}"
+    return True, ""
+
+
 def _canon(rows, cols):
     """Sort rows by a coarse key, keep raw floats for tolerance compare.
 
@@ -227,10 +355,12 @@ def main() -> int:
     failures = 0
     for i in range(n_cases):
         roll = rng.random()
-        if roll < 0.25:
+        if roll < 0.20:
             sql = _rand_join_query(rng, stats)
-        elif roll < 0.45:
+        elif roll < 0.40:
             sql = _rand_window_query(rng, stats)
+        elif roll < 0.55:
+            sql = _rand_setop_query(rng, stats)
         else:
             table = rng.choice(list(TABLES))
             sql = _rand_query(rng, table, TABLES[table], stats[table])
@@ -249,7 +379,23 @@ def main() -> int:
         ):
             failures += 1
             print(f"CASE {i} MISMATCH ({len(srows)} vs {len(drows)} rows):\n  {sql}")
-    print(f"\nfuzz: {n_cases - failures}/{n_cases} matched (seed={seed}, sf={sf_dir})")
+
+    n_text = max(2, n_cases // 20)
+    text_fail = 0
+    for i in range(n_text):
+        try:
+            ok, detail = _text_fuzz_batch(rng, spark, con)
+        except Exception as exc:  # noqa: BLE001
+            ok, detail = False, f"ERROR {exc}"
+        if not ok:
+            text_fail += 1
+            print(f"TEXT BATCH {i} MISMATCH: {detail}")
+    failures += text_fail
+    print(
+        f"\nfuzz: {n_cases - (failures - text_fail)}/{n_cases} SQL matched, "
+        f"{n_text - text_fail}/{n_text} text batches matched "
+        f"(seed={seed}, sf={sf_dir})"
+    )
     return 1 if failures else 0
 
 

@@ -226,6 +226,79 @@ def near_dup_pairs_minhash(
 
 
 # --------------------------------------------------------------------------
+# Duplicate clusters (connected components) → keep-canonical
+# --------------------------------------------------------------------------
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id) with
+    cluster_id = min doc id reachable through the pair graph. Transitive
+    closure matters — A~B and B~C must land A, B, C in ONE cluster even when
+    the A~C edge was never emitted (LSH band misses, threshold straddling).
+
+    Iterative min-label propagation: each round joins labels to the
+    symmetrized edge list, takes the min neighbor label, and keeps the
+    smaller of (own, neighbor-min). Rounds needed = graph diameter, and
+    dedup graphs are near-cliques (tiny diameter), so 2-4 rounds typical.
+    Scale shape per round: one equi-join on doc id + one min-aggregate —
+    both map-side combinable; ``localCheckpoint`` truncates the lineage so
+    plan size stays constant across rounds (the classic iterative-join
+    blowup). Only nodes appearing in ``pairs`` are returned; singletons are
+    their own cluster by definition and never enter the computation.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(labels, "src")
+                .groupBy("dst")
+                .agg(F.min("label").alias("nbr_label"))
+                .withColumnRenamed("dst", "src")
+            )
+            joined = labels.join(nbr, "src", "left").localCheckpoint()
+            labels = joined.select(
+                "src",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            if joined.filter(F.col("nbr_label") < F.col("label")).count() == 0:
+                break
+    finally:
+        edges.unpersist()
+    return labels.select(
+        F.col("src").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def drop_near_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Keep one canonical (min-id) document per near-dup cluster; documents
+    in no pair are untouched. One anti-join against the loser set — the
+    loser list is |dup docs| − |clusters| rows, tiny next to the corpus."""
+    clusters = duplicate_clusters(pairs, a_col=a_col, b_col=b_col)
+    losers = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

@@ -33,9 +33,7 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": R.pricing_summary,
     "distinct_counts": R.distinct_counts,
     "rollup_revenue": R.rollup_revenue,
-    "cube_quantity": R.cube_quantity,
     "grouping_sets_revenue": R.grouping_sets_revenue,
-    "pivot_status_qty": R.pivot_status_qty,
     # joins
     "top_revenue_orders": R.top_revenue_orders,
     "revenue_by_nation": R.revenue_by_nation,
@@ -74,6 +72,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_jaccard_pairs": T.dedup_jaccard_pairs,
     "dedup_minhash_pairs": T.dedup_minhash_pairs,
     "dedup_simhash_fingerprints": T.dedup_simhash_fingerprints,
+    "dedup_clusters": T.dedup_clusters,
+    "dedup_clusters_minhash": T.dedup_clusters_minhash,
     # similarity
     "knn_brute_cosine": T.knn_brute_cosine,
     "knn_ann_lsh": T.knn_ann_lsh,
@@ -91,6 +91,8 @@ QUERIES: dict[str, QueryFn] = {
     "pack_documents_salted_2048": T.pack_documents_salted_2048,
     "multi_resolution_rollup": T.multi_resolution_rollup,
     # -- past the window: round-1-verified relational variants -------------
+    "cube_quantity": R.cube_quantity,
+    "pivot_status_qty": R.pivot_status_qty,
     "sliding_window_events": R.sliding_window_events,
     "set_intersect_custkeys": R.set_intersect_custkeys,
     "set_except_custkeys": R.set_except_custkeys,
@@ -160,6 +162,8 @@ ORACLES: dict[str, str] = {
     "dedup_sha_fingerprints": T.ORACLE_DEDUP_SHA_FINGERPRINTS,
     "dedup_jaccard_pairs": T.ORACLE_DEDUP_JACCARD_PAIRS,
     # dedup_minhash_pairs / dedup_simhash_fingerprints: xxhash64 → rows-only
+    "dedup_clusters": T.ORACLE_DEDUP_CLUSTERS,
+    # dedup_clusters_minhash: xxhash64-seeded pairs → rows-only
     "knn_brute_cosine": T.ORACLE_KNN_BRUTE_COSINE,
     # knn_ann_lsh / knn_ivf: approximate → rows-only
     "embedding_near_dup": T.ORACLE_EMBEDDING_NEAR_DUP,

@@ -222,6 +222,60 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard pair graph (2% subset):
+    (doc_id, cluster_id = min reachable doc id). Transitive closure — A~B,
+    B~C cluster together even without an A~C edge. Oracle: DuckDB recursive
+    CTE over the identical pair set."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    pairs = D.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.5)
+    return D.duplicate_clusters(pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE
+sub AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+terms AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM sub) t
+  WHERE t.term <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM terms GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM terms a JOIN terms b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over MinHash-LSH verified pairs (10% subset) —
+    the scale path composition: bucketed candidates → verify → connected
+    components. xxhash64-seeded → rows-only driver check; transitivity and
+    canonical-survivor semantics are pytest-covered on fixtures."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pairs = D.near_dup_pairs_minhash(docs, shingle_n=1, threshold=0.5)
+    return D.duplicate_clusters(pairs)
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

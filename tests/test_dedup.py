@@ -92,3 +92,40 @@ def test_simhash(spark, corpus):
     assert (0, 4) in found
     hams = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
     assert hams[(0, 4)] == 0
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    """A~B and B~C (no A~C edge) must form ONE cluster labeled min(A,B,C);
+    disjoint pairs stay separate; chain of 4 converges past one round."""
+    from pyspark_etl_twitter_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21), (30, 31), (31, 32), (32, 33)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30, 33: 30}
+
+
+def test_drop_near_duplicates_keeps_canonical_and_singletons(spark):
+    from pyspark_etl_twitter_spark.operators.dedup import drop_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 3), (3, 6)], "doc_a long, doc_b long")
+    kept = sorted(r.doc_id for r in drop_near_duplicates(docs, pairs).collect())
+    # cluster {1,3,6} -> keep 1; everything unpaired survives
+    assert kept == [0, 1, 2, 4, 5, 7]
+
+
+def test_duplicate_clusters_on_minhash_pairs(spark, corpus):
+    """End-to-end scale composition: LSH pairs -> components. The planted
+    exact dup (0,4) and near dups (1,5), (2,6) must each form a 2-cluster."""
+    from pyspark_etl_twitter_spark.operators.dedup import duplicate_clusters
+
+    pairs = near_dup_pairs_minhash(corpus, shingle_n=1, threshold=0.5)
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got[0] == 0 and got[4] == 0
+    assert got[1] == 1 and got[5] == 1
+    assert got[2] == 2 and got[6] == 2

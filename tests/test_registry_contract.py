@@ -32,6 +32,8 @@ MUST_BE_IN_WINDOW = {
     "bucketed_join_revenue",
     "approx_summary",
     "dedup_minhash_pairs",
+    "dedup_clusters",
+    "dedup_clusters_minhash",
 }
 
 # the only queries allowed to lack a SQL oracle (approximate / hash-seeded
@@ -42,6 +44,7 @@ ROWS_ONLY_BY_DESIGN = {
     "dedup_simhash_fingerprints",
     "knn_ann_lsh",
     "knn_ivf",
+    "dedup_clusters_minhash",
 }
 
 

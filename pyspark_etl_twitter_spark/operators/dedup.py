@@ -70,6 +70,28 @@ def drop_exact_duplicates(
     return docs.join(keep, [id_col, text_col], "left_semi")
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Append-time dedup: drop new documents whose text already exists in
+    the corpus, then exact-dedup within the batch (min-id survivor). The
+    batch-ingest twin of ``streaming_dedup`` for content rather than ids.
+
+    Scale shape: both sides reduce to sha256 fingerprints before the
+    anti-join, so the shuffle carries 32-byte keys — never document bodies
+    (the corpus side would be a precomputed fingerprint column in a real
+    deployment; recomputing here keeps the operator self-contained)."""
+    new_fp = new_docs.withColumn("_sha", F.sha2(F.col(text_col), 256))
+    corpus_fp = corpus.select(F.sha2(F.col(text_col), 256).alias("_sha")).distinct()
+    fresh = new_fp.join(corpus_fp, "_sha", "left_anti")
+    keep = fresh.groupBy("_sha").agg(F.min(id_col).alias(id_col))
+    return fresh.join(keep, [id_col, "_sha"], "left_semi").drop("_sha")
+
+
 # --------------------------------------------------------------------------
 # Shingles + exact n-gram Jaccard (oracle-able baseline)
 # --------------------------------------------------------------------------

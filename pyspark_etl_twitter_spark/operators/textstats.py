@@ -101,3 +101,93 @@ def doc_fingerprints(
         F.lit(31) * F.length("term") + F.ascii(F.substring("term", 1, 1))
     ).cast("long")
     return exploded.groupBy(id_col).agg(F.sum(contrib).alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# Within-document repetition metrics + composite quality gate
+# (Gopher-style repetition filters for training-data curation)
+# --------------------------------------------------------------------------
+
+def repetition_columns(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc repetition profile: (id, n_tokens, dup_token_ratio,
+    top_token_share, top_bigram_share). High values mark boilerplate /
+    keyword-stuffed / looping documents that repetition filters drop.
+
+    Shape: one pre-partitioned explode per n-gram order, frequency counts
+    via map-side-combined (id, gram) aggregates, then per-id maxima — the
+    shuffle carries counts, never text. Zero-token docs are preserved via
+    the left joins (ratios 0.0), matching the oracle's LEFT JOIN semantics.
+    """
+    from pyspark_etl_twitter_spark.operators.dedup import shingle_array
+
+    toks = ws_tokens(text_col)
+    base = docs.repartition(F.col(id_col)).select(
+        F.col(id_col), toks.alias("_toks")
+    )
+    uni = (
+        base.select(id_col, F.explode("_toks").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("_nt"),
+            F.count(F.lit(1)).alias("_nd"),
+            F.max("c").alias("_topc"),
+        )
+    )
+    bi = (
+        base.select(id_col, F.explode(shingle_array(F.col("_toks"), 2)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("_nb"), F.max("c").alias("_topb"))
+    )
+    nt = F.col("_nt").cast("double")
+    return (
+        base.select(F.col(id_col), F.size("_toks").alias("n_tokens"))
+        .join(uni, id_col, "left")
+        .join(bi, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.coalesce(1 - F.col("_nd").cast("double") / nt, F.lit(0.0)), 6
+            ).alias("dup_token_ratio"),
+            F.round(
+                F.coalesce(F.col("_topc").cast("double") / nt, F.lit(0.0)), 6
+            ).alias("top_token_share"),
+            F.round(
+                F.coalesce(
+                    F.col("_topb").cast("double") / F.col("_nb").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_bigram_share"),
+        )
+    )
+
+
+def quality_gate(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    max_dup_ratio: float = 0.3,
+    max_top_bigram: float = 0.25,
+) -> DataFrame:
+    """Composite curation gate: append a ``kept`` flag combining length
+    bounds and repetition thresholds. One id-partitioned join of the
+    repetition profile back onto the corpus; downstream pipelines filter on
+    ``kept`` so the decision is auditable (flag, not silent drop)."""
+    rep = repetition_columns(docs, id_col=id_col, text_col=text_col)
+    return docs.join(rep, id_col).withColumn(
+        "kept",
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("dup_token_ratio") <= max_dup_ratio)
+        & (F.col("top_bigram_share") <= max_top_bigram),
+    )

@@ -31,7 +31,6 @@ QUERIES: dict[str, QueryFn] = {
     # -- inside the 50-query driver window ---------------------------------
     # aggregations
     "pricing_summary": R.pricing_summary,
-    "distinct_counts": R.distinct_counts,
     "rollup_revenue": R.rollup_revenue,
     "grouping_sets_revenue": R.grouping_sets_revenue,
     # joins
@@ -39,9 +38,7 @@ QUERIES: dict[str, QueryFn] = {
     "revenue_by_nation": R.revenue_by_nation,
     "bucketed_join_revenue": B.bucketed_join_revenue,
     "semi_join_customers": R.semi_join_customers,
-    "anti_join_customers": R.anti_join_customers,
     "outer_join_order_counts": R.outer_join_order_counts,
-    "full_outer_nation_counts": R.full_outer_nation_counts,
     "range_join_price_bands": R.range_join_price_bands,
     # windows / sort / top-k
     "topk_orders_per_customer": R.topk_orders_per_customer,
@@ -74,6 +71,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash_fingerprints": T.dedup_simhash_fingerprints,
     "dedup_clusters": T.dedup_clusters,
     "dedup_clusters_minhash": T.dedup_clusters_minhash,
+    "dedup_incremental": T.dedup_incremental,
     # similarity
     "knn_brute_cosine": T.knn_brute_cosine,
     "knn_ann_lsh": T.knn_ann_lsh,
@@ -82,6 +80,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_norm_stats": T.embedding_norm_stats,
     # text analytics
     "text_quality_by_source": T.text_quality_by_source,
+    "repetition_stats": T.repetition_stats,
+    "quality_gate_by_source": T.quality_gate_by_source,
     "lang_token_stats": T.lang_token_stats,
     "lang_detect_counts": T.lang_detect_counts,
     "token_counts": T.token_counts,
@@ -91,6 +91,9 @@ QUERIES: dict[str, QueryFn] = {
     "pack_documents_salted_2048": T.pack_documents_salted_2048,
     "multi_resolution_rollup": T.multi_resolution_rollup,
     # -- past the window: round-1-verified relational variants -------------
+    "distinct_counts": R.distinct_counts,
+    "anti_join_customers": R.anti_join_customers,
+    "full_outer_nation_counts": R.full_outer_nation_counts,
     "cube_quantity": R.cube_quantity,
     "pivot_status_qty": R.pivot_status_qty,
     "sliding_window_events": R.sliding_window_events,
@@ -164,6 +167,9 @@ ORACLES: dict[str, str] = {
     # dedup_minhash_pairs / dedup_simhash_fingerprints: xxhash64 → rows-only
     "dedup_clusters": T.ORACLE_DEDUP_CLUSTERS,
     # dedup_clusters_minhash: xxhash64-seeded pairs → rows-only
+    "dedup_incremental": T.ORACLE_DEDUP_INCREMENTAL,
+    "repetition_stats": T.ORACLE_REPETITION_STATS,
+    "quality_gate_by_source": T.ORACLE_QUALITY_GATE_BY_SOURCE,
     "knn_brute_cosine": T.ORACLE_KNN_BRUTE_COSINE,
     # knn_ann_lsh / knn_ivf: approximate → rows-only
     "embedding_near_dup": T.ORACLE_EMBEDDING_NEAR_DUP,

@@ -266,6 +266,109 @@ SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-time dedup: docs with id % 3 == 0 play the 'new batch', the
+    rest the existing corpus; survivors = batch texts unseen in the corpus,
+    min-id per within-batch duplicate group. Anti-join on sha256
+    fingerprints (32-byte shuffle keys, never bodies)."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    return D.incremental_dedup(new, corpus).select("doc_id")
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH newb AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+corp AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+fresh AS (
+  SELECT n.* FROM newb n
+  WHERE NOT EXISTS (SELECT 1 FROM corp o WHERE o.text = n.text)
+)
+SELECT f.doc_id FROM fresh f
+WHERE f.doc_id = (SELECT min(g.doc_id) FROM fresh g WHERE g.text = f.text)
+"""
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition profile (Gopher-style filters): duplicate-token
+    ratio, top-token share, top-bigram share."""
+    return TS.repetition_columns(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_REPETITION_CTES = """
+base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS g FROM base) u
+  GROUP BY doc_id, g
+),
+us AS (
+  SELECT doc_id, sum(c) AS nt, count(*) AS nd, max(c) AS topc
+  FROM uni GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS g
+        FROM base) v
+  GROUP BY doc_id, g
+),
+bs AS (SELECT doc_id, sum(c) AS nb, max(c) AS topb FROM bi GROUP BY doc_id),
+rep AS (
+  SELECT b.doc_id,
+         CAST(len(b.toks) AS INTEGER) AS n_tokens,
+         round(coalesce(1 - CAST(us.nd AS DOUBLE) / us.nt, 0), 6) AS dup_token_ratio,
+         round(coalesce(CAST(us.topc AS DOUBLE) / us.nt, 0), 6) AS top_token_share,
+         round(coalesce(CAST(bs.topb AS DOUBLE) / bs.nb, 0), 6) AS top_bigram_share
+  FROM base b
+  LEFT JOIN us ON us.doc_id = b.doc_id
+  LEFT JOIN bs ON bs.doc_id = b.doc_id
+)
+"""
+
+ORACLE_REPETITION_STATS = f"""
+WITH {_ORACLE_REPETITION_CTES}
+SELECT doc_id, n_tokens, dup_token_ratio, top_token_share, top_bigram_share
+FROM rep
+"""
+
+
+def quality_gate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation gate rollup: per-source doc counts, kept counts,
+    keep rate under the default length/repetition thresholds."""
+    gated = TS.quality_gate(_t(spark, sf_dir, "documents"))
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.round(F.avg(F.col("kept").cast("double")), 6).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_QUALITY_GATE_BY_SOURCE = f"""
+WITH {_ORACLE_REPETITION_CTES},
+gate AS (
+  SELECT d.source,
+         (rep.n_tokens >= 5 AND rep.n_tokens <= 5000
+          AND rep.dup_token_ratio <= 0.3
+          AND rep.top_bigram_share <= 0.25) AS kept
+  FROM documents d JOIN rep ON rep.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(CASE WHEN kept THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+FROM gate GROUP BY source ORDER BY source
+"""
+
+
 def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters over MinHash-LSH verified pairs (10% subset) —
     the scale path composition: bucketed candidates → verify → connected

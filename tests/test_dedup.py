@@ -129,3 +129,22 @@ def test_duplicate_clusters_on_minhash_pairs(spark, corpus):
     assert got[0] == 0 and got[4] == 0
     assert got[1] == 1 and got[5] == 1
     assert got[2] == 2 and got[6] == 2
+
+
+def test_incremental_dedup(spark):
+    from pyspark_etl_twitter_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "seen before"),   # already in corpus -> dropped
+            (11, "brand new"),     # survives
+            (12, "brand new"),     # within-batch dup of 11 -> dropped
+            (13, "another fresh"), # survives
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in incremental_dedup(new, corpus).collect())
+    assert kept == [11, 13]

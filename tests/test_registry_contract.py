@@ -34,6 +34,9 @@ MUST_BE_IN_WINDOW = {
     "dedup_minhash_pairs",
     "dedup_clusters",
     "dedup_clusters_minhash",
+    "dedup_incremental",
+    "repetition_stats",
+    "quality_gate_by_source",
 }
 
 # the only queries allowed to lack a SQL oracle (approximate / hash-seeded

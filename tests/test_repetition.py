@@ -1,0 +1,40 @@
+"""Repetition metrics + composite quality gate."""
+
+from pyspark_etl_twitter_spark.operators.textstats import (
+    quality_gate,
+    repetition_columns,
+)
+
+
+def test_repetition_metrics_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a"),             # one token repeated
+            (1, "x y z w"),             # all distinct
+            (2, "p q p q p q"),         # dominant bigram loop
+            (3, ""),                    # empty doc must survive with zeros
+            (4, "solo"),                # single token, no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_columns(docs).collect()}
+    assert got[0].n_tokens == 4
+    assert got[0].dup_token_ratio == 0.75 and got[0].top_token_share == 1.0
+    assert got[0].top_bigram_share == 1.0  # "a a" x3
+    assert got[1].dup_token_ratio == 0.0 and got[1].top_token_share == 0.25
+    assert got[2].top_bigram_share == 0.6  # "p q" 3 of 5 bigrams
+    assert got[3].n_tokens == 0 and got[3].dup_token_ratio == 0.0
+    assert got[4].n_tokens == 1 and got[4].top_bigram_share == 0.0
+
+
+def test_quality_gate_flags(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "tiny doc", "web"),  # < 5 tokens -> dropped
+            (1, "spam spam spam spam spam spam", "web"),  # dup ratio -> dropped
+            (2, "a perfectly normal sentence with enough distinct words", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: r.kept for r in quality_gate(docs).collect()}
+    assert got == {0: False, 1: False, 2: True}

@@ -191,3 +191,48 @@ def quality_gate(
         & (F.col("dup_token_ratio") <= max_dup_ratio)
         & (F.col("top_bigram_share") <= max_top_bigram),
     )
+
+
+def top_tfidf_terms(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k keyword extraction per document by smoothed TF-IDF:
+    score = tf · ln((N+1)/(df+1)), ties broken by term. The corpus pass is
+    the same TF shape as sentiment scoring (pre-partitioned explode,
+    map-side-combined counts); df is a second small aggregate over distinct
+    (doc, term); the final ranking window partitions by doc id — never a
+    global sort. N counts all documents (empty docs included; a broadcast
+    in-plan scalar, not a driver-side count action) so the IDF denominator
+    is stable under curation filters upstream."""
+    from pyspark.sql import Window
+
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    tf = (
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log((F.col("_n") + 1.0) / (F.col("df").cast("double") + 1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tfidf", "rnk")
+    )

@@ -369,6 +369,33 @@ FROM gate GROUP BY source ORDER BY source
 """
 
 
+def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (smoothed IDF, term tiebreak)."""
+    return TS.top_tfidf_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+ORACLE_TOP_TERMS_PER_DOC = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        FROM documents) u
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(CAST(tf.tf AS DOUBLE) * ln((n.n + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)), 6) AS tfidf
+  FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+  FROM scored) r
+WHERE rnk <= 3
+"""
+
+
 def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters over MinHash-LSH verified pairs (10% subset) —
     the scale path composition: bucketed candidates → verify → connected

@@ -38,3 +38,27 @@ def test_quality_gate_flags(spark):
     )
     got = {r.doc_id: r.kept for r in quality_gate(docs).collect()}
     assert got == {0: False, 1: False, 2: True}
+
+
+def test_top_tfidf_terms(spark):
+    import math
+
+    from pyspark_etl_twitter_spark.operators.textstats import top_tfidf_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple banana common"),
+            (1, "banana cherry common"),
+            (2, "common cherry"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.rnk): (r.term, r.tfidf) for r in top_tfidf_terms(docs, k=2).collect()}
+    # N=4 (empty doc counts); df: apple 1, banana 2, cherry 2, common 3
+    idf = lambda df: math.log(5.0 / (df + 1.0))
+    assert got[(0, 1)] == ("apple", round(2 * idf(1), 6))
+    assert got[(0, 2)] == ("banana", round(1 * idf(2), 6))
+    # doc 2: cherry beats common; empty doc 3 emits no rows
+    assert got[(2, 1)][0] == "cherry"
+    assert (3, 1) not in got

@@ -90,3 +90,29 @@ def streaming_dedup(
     return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def streaming_content_dedup(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    time_col: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.incremental_dedup``: drop
+    documents whose CONTENT (sha256 of text) was already seen inside the
+    watermark horizon, keeping the first arrival.
+
+    Keying the state on the 32-byte sha rather than the raw text keeps the
+    state store bounded in *bytes per key*, not just key count — the same
+    never-shuffle-bodies rule the batch dedup operators follow. When the
+    stream has no event-time column, ingest processing time is attached for
+    the watermark; deduping against all history is an offline job
+    (``incremental_dedup``), not a streaming one."""
+    withsha = docs.withColumn("_sha", F.sha2(F.col(text_col), 256))
+    tcol = time_col
+    if tcol is None:
+        tcol = "_ingest_ts"
+        withsha = withsha.withColumn(tcol, F.current_timestamp())
+    out = withsha.withWatermark(tcol, watermark).dropDuplicatesWithinWatermark(["_sha"])
+    return out.drop("_sha", *([tcol] if time_col is None else []))

@@ -148,3 +148,15 @@ def test_incremental_dedup(spark):
     )
     kept = sorted(r.doc_id for r in incremental_dedup(new, corpus).collect())
     assert kept == [11, 13]
+
+
+def test_duplicate_clusters_long_chain(spark):
+    """A 20-node path graph (worst-case diameter for its size) must still
+    collapse to one cluster within the iteration bound."""
+    from pyspark_etl_twitter_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 120)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert set(got.values()) == {100} and len(got) == 21

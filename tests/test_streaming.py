@@ -133,3 +133,34 @@ def test_stream_scoring_equals_batch(spark, docs_replay_dir, tmp_path):
     assert got == want
     epochs = spark.read.parquet(out).select("epoch_id").distinct().count()
     assert epochs >= 2  # multiple micro-batches actually ran
+
+
+def test_streaming_content_dedup(spark, docs_replay_dir, tmp_path):
+    """Replaying every doc file twice must yield one row per distinct TEXT
+    (content dedup, not id dedup — planted duplicate texts collapse too)."""
+    from pyspark_etl_twitter_spark.streaming.windows import streaming_content_dedup
+
+    dup_dir = str(tmp_path / "cdup")
+    os.makedirs(dup_dir)
+    for f in sorted(os.listdir(docs_replay_dir)):
+        src = os.path.join(docs_replay_dir, f)
+        for tag in ("a", "b"):
+            with open(src) as fh, open(os.path.join(dup_dir, f"{tag}_{f}"), "w") as out:
+                out.write(fh.read())
+    stream = stream_documents(spark, dup_dir, max_files_per_trigger=4)
+    q = (
+        streaming_content_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("content_dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT text) AS d FROM content_dedup_out"
+    ).first()
+    n_distinct = (
+        load_table(spark, SF_TINY, "documents").select("text").distinct().count()
+    )
+    assert got.n == got.d == n_distinct

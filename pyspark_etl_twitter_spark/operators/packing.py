@@ -165,3 +165,39 @@ def stratified_sample(
         keys = [r[0] for r in docs.select(strata_col).distinct().collect()]
         fractions = {k: default_fraction for k in keys}
     return docs.sampleBy(strata_col, fractions, seed)
+
+
+MIX_PRIME = 2654435761  # Knuth multiplicative-hash constant: decorrelates
+# the mod class from arithmetic id patterns (id % k strides)
+MIX_RESOLUTION = 10_000
+
+
+def training_mix(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    default_rate: float = 0.0,
+    resolution: int = MIX_RESOLUTION,
+) -> DataFrame:
+    """Deterministic per-source downsampling for training-mix construction:
+    keep a document iff ``(id · PRIME) mod resolution < rate · resolution``.
+
+    The ``sampleBy`` twin above is the statistical tool; this one is the
+    *reproducible* tool — selection is a pure function of the id, so the
+    mix is identical across engines, runs, partitionings, and retries
+    (exactly-once composition with downstream incremental jobs), and it is
+    expressible in ANSI SQL for oracle verification. Evaluates as a per-row
+    filter: no shuffle, no sort, trivially pushdown-friendly."""
+    slot = F.pmod(F.col(id_col).cast("long") * F.lit(MIX_PRIME), F.lit(resolution))
+    branches = None
+    for src, rate in rates.items():
+        thr = F.lit(int(rate * resolution))
+        cond = (F.col(strata_col) == src) & (slot < thr)
+        branches = cond if branches is None else (branches | cond)
+    default_cond = (~F.col(strata_col).isin(list(rates))) & (
+        slot < F.lit(int(default_rate * resolution))
+    )
+    keep = default_cond if branches is None else (branches | default_cond)
+    return docs.filter(keep)

@@ -112,6 +112,7 @@ QUERIES: dict[str, QueryFn] = {
     "regex_extract_part": R2.regex_extract_part,
     "orders_above_avg": R2.orders_above_avg,
     "top_terms_per_doc": T.top_terms_per_doc,
+    "training_mix_counts": T.training_mix_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -181,6 +182,7 @@ ORACLES: dict[str, str] = {
     "token_counts": T.ORACLE_TOKEN_COUNTS,
     "doc_fingerprints": T.ORACLE_DOC_FINGERPRINTS,
     "top_terms_per_doc": T.ORACLE_TOP_TERMS_PER_DOC,
+    "training_mix_counts": T.ORACLE_TRAINING_MIX_COUNTS,
     "pack_documents_2048": T.ORACLE_PACK_DOCUMENTS_2048,
     "pack_documents_salted_2048": T.ORACLE_PACK_DOCUMENTS_SALTED_2048,
     "multi_resolution_rollup": T.ORACLE_MULTI_RESOLUTION_ROLLUP,

@@ -16,6 +16,10 @@ from pyspark_etl_twitter_spark.functions.stopwords import ENGLISH_STOPWORDS
 from pyspark_etl_twitter_spark.operators import dedup as D
 from pyspark_etl_twitter_spark.operators import similarity as S
 from pyspark_etl_twitter_spark.operators import textstats as TS
+from pyspark_etl_twitter_spark.operators.packing import (
+    MIX_PRIME as _MIX_PRIME,
+    MIX_RESOLUTION as _MIX_RESOLUTION,
+)
 from pyspark_etl_twitter_spark.operators.sentiment import (
     INTERCEPT,
     MIN_DOC_FREQ,
@@ -366,6 +370,47 @@ SELECT source,
        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        round(avg(CASE WHEN kept THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
 FROM gate GROUP BY source ORDER BY source
+"""
+
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.05
+
+
+def training_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source training-mix sample → per-source kept
+    counts. Selection is a pure function of doc_id (multiplicative-hash
+    slot < rate·resolution), so the mix is reproducible across runs,
+    partitionings, and engines."""
+    from pyspark_etl_twitter_spark.operators.packing import training_mix
+
+    mixed = training_mix(
+        _t(spark, sf_dir, "documents"), _MIX_RATES, default_rate=_MIX_DEFAULT
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+_mix_case = " OR ".join(
+    f"(source = '{s}' AND slot < {int(r * _MIX_RESOLUTION)})"
+    for s, r in _MIX_RATES.items()
+)
+ORACLE_TRAINING_MIX_COUNTS = f"""
+WITH slotted AS (
+  SELECT source, (doc_id * {_MIX_PRIME}) % {_MIX_RESOLUTION} AS slot
+  FROM documents
+),
+kept AS (
+  SELECT source FROM slotted
+  WHERE {_mix_case}
+     OR (source NOT IN ({", ".join(repr(s) for s in _MIX_RATES)})
+         AND slot < {int(_MIX_DEFAULT * _MIX_RESOLUTION)})
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY source ORDER BY source
 """
 
 

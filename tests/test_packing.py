@@ -79,3 +79,32 @@ def test_stratified_sample_rebalances(spark):
     # deterministic under a fixed seed
     again = stratified_sample(docs, strata_col="lang", fractions=fractions, seed=7)
     assert sorted(r.doc_id for r in got.collect()) == sorted(r.doc_id for r in again.collect())
+
+
+def test_training_mix_deterministic_and_rate_accurate(spark):
+    from pyspark_etl_twitter_spark.operators.packing import training_mix
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(10_000)], "doc_id long, source string"
+    )
+    rates = {"s0": 1.0, "s1": 0.2}
+    a = sorted(r.doc_id for r in training_mix(docs, rates).collect())
+    b = sorted(
+        r.doc_id
+        for r in training_mix(docs.repartition(17), rates).collect()
+    )
+    assert a == b  # pure function of id: partitioning-invariant
+    n0 = sum(1 for i in a if i % 2 == 0)
+    n1 = len(a) - n0
+    assert n0 == 5000  # rate 1.0 keeps everything
+    assert abs(n1 / 5000 - 0.2) < 0.02  # multiplicative hash ~uniform
+
+
+def test_training_mix_default_rate_zero_drops_unlisted(spark):
+    from pyspark_etl_twitter_spark.operators.packing import training_mix
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, source string"
+    )
+    kept = training_mix(docs, {"a": 1.0}).collect()
+    assert [r.source for r in kept] == ["a"]

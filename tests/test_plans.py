@@ -103,3 +103,25 @@ def test_asof_is_single_pass_window(spark):
     plan = plan_of(R.asof_purchase_click(spark, SF_TINY))
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_training_mix_is_exchange_free_filter(spark):
+    """Deterministic mix sampling must compile to a pure per-row filter over
+    the scan — no exchange, no sort, no Python."""
+    from pyspark_etl_twitter_spark.operators.packing import training_mix
+
+    docs = load_table(spark, SF_TINY, "documents")
+    plan = plan_of(training_mix(docs, {"src0": 1.0, "src1": 0.5}))
+    assert "Exchange" not in plan and "Sort" not in plan
+    assert "Filter" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_counts_are_partially_aggregated(spark):
+    """The (id, gram) frequency aggregates must map-side combine: two
+    HashAggregate phases per explode (partial before any exchange)."""
+    from pyspark_etl_twitter_spark.operators.textstats import repetition_columns
+
+    docs = load_table(spark, SF_TINY, "documents")
+    plan = plan_of(repetition_columns(docs))
+    assert "partial_count" in plan or "partial count" in plan.lower()

@@ -175,12 +175,29 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, *, num_hashes: int = 32, bands: int = 8
+    signatures: DataFrame,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    star_bucket_threshold: int | None = 64,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on all rows of any band become candidates.
-    Band hash join is the only shuffle; bucket skew (giant duplicate
-    clusters) is the known hazard — dedup exactly first, and AQE skew-join
-    splitting covers the residue."""
+    Band hash join is the only shuffle.
+
+    Bucket skew is THE hazard at scale: a swarm of n near-identical
+    documents (template spam, boilerplate) lands in one bucket and a naive
+    self-join emits n²/2 pairs — measured as an executor OOM at a 100-doc
+    clique × 500 swarms on a 100× replicated corpus. Exact-dedup-first only
+    collapses byte-identical swarms, not near-identical ones. Buckets
+    larger than ``star_bucket_threshold`` therefore emit a STAR instead:
+    every member pairs with the bucket's min doc id only — O(n) edges whose
+    connected components (what downstream clustering consumes) are
+    IDENTICAL to the clique's. The tradeoff is pair-level recall inside
+    oversized buckets (member↔member edges are not listed/verified
+    individually); pass ``None`` to disable. The bucket-stats window runs
+    over the same (band, hash) shuffle the join needs anyway."""
+    from pyspark.sql import Window
+
     rows = num_hashes // bands
     band_hashes = F.array(
         *[
@@ -191,19 +208,34 @@ def lsh_candidate_pairs(
     exploded = signatures.select(
         F.col("minhash_id"), F.posexplode(band_hashes).alias("band_id", "band_hash")
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.minhash_id") < F.col("b.minhash_id")),
+    if star_bucket_threshold is not None:
+        w = Window.partitionBy("band_id", "band_hash")
+        exploded = (
+            exploded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .withColumn("_bmin", F.min("minhash_id").over(w))
         )
-        .select(
-            F.col("a.minhash_id").alias("doc_a"), F.col("b.minhash_id").alias("doc_b")
+        small = exploded.filter(F.col("_bsz") <= star_bucket_threshold)
+        star = (
+            exploded.filter(
+                (F.col("_bsz") > star_bucket_threshold)
+                & (F.col("minhash_id") != F.col("_bmin"))
+            )
+            .select(F.col("_bmin").alias("doc_a"), F.col("minhash_id").alias("doc_b"))
         )
-        .distinct()
+    else:
+        small, star = exploded, None
+    a, b = small.alias("a"), small.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.minhash_id") < F.col("b.minhash_id")),
+    ).select(
+        F.col("a.minhash_id").alias("doc_a"), F.col("b.minhash_id").alias("doc_b")
     )
+    if star is not None:
+        pairs = pairs.union(star)
+    return pairs.distinct()
 
 
 def near_dup_pairs_minhash(
@@ -215,13 +247,19 @@ def near_dup_pairs_minhash(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    star_bucket_threshold: int | None = 64,
 ) -> DataFrame:
     """Full near-dup flow: LSH candidates → exact-Jaccard verify on the
     candidate set only. Returns (doc_a, doc_b, jaccard)."""
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
-    cand = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
+    cand = lsh_candidate_pairs(
+        sigs,
+        num_hashes=num_hashes,
+        bands=bands,
+        star_bucket_threshold=star_bucket_threshold,
+    )
     terms = _distinct_terms(docs, id_col, text_col, shingle_n)
     sizes = terms.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     sa, sb = terms.alias("sa"), terms.alias("sb")

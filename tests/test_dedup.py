@@ -160,3 +160,37 @@ def test_duplicate_clusters_long_chain(spark):
     )
     got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
     assert set(got.values()) == {100} and len(got) == 21
+
+
+def test_lsh_star_guard_preserves_components(spark):
+    """A 100-doc near-identical swarm: with the star guard the pair list is
+    O(n) yet downstream clustering yields the same single component as the
+    unguarded quadratic pairing."""
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        duplicate_clusters,
+        near_dup_pairs_minhash,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{base} tail{i}") for i in range(100)]
+    rows += [(200 + i, f"totally different text number {i} about topic{i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    guarded = near_dup_pairs_minhash(
+        docs, shingle_n=1, threshold=0.5, star_bucket_threshold=16
+    )
+    unguarded = near_dup_pairs_minhash(
+        docs, shingle_n=1, threshold=0.5, star_bucket_threshold=None
+    )
+    n_guard = guarded.count()
+    n_full = unguarded.count()
+    assert n_guard < n_full  # star collapsed the quadratic swarm
+    assert n_full > 4000     # the swarm really is a near-clique
+    assert n_guard <= 400    # star edges + small-bucket residue only
+
+    clus_g = {r.doc_id: r.cluster_id for r in duplicate_clusters(guarded).collect()}
+    clus_f = {r.doc_id: r.cluster_id for r in duplicate_clusters(unguarded).collect()}
+    # the whole swarm is one component with canonical doc 0 in both modes,
+    # and the guard changes no component assignment anywhere
+    assert all(clus_g[i] == 0 for i in range(100))
+    assert clus_g == clus_f

@@ -113,6 +113,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_above_avg": R2.orders_above_avg,
     "top_terms_per_doc": T.top_terms_per_doc,
     "training_mix_counts": T.training_mix_counts,
+    "dedup_keep_canonical": T.dedup_keep_canonical,
 }
 
 ORACLES: dict[str, str] = {
@@ -183,6 +184,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprints": T.ORACLE_DOC_FINGERPRINTS,
     "top_terms_per_doc": T.ORACLE_TOP_TERMS_PER_DOC,
     "training_mix_counts": T.ORACLE_TRAINING_MIX_COUNTS,
+    "dedup_keep_canonical": T.ORACLE_DEDUP_KEEP_CANONICAL,
     "pack_documents_2048": T.ORACLE_PACK_DOCUMENTS_2048,
     "pack_documents_salted_2048": T.ORACLE_PACK_DOCUMENTS_SALTED_2048,
     "multi_resolution_rollup": T.ORACLE_MULTI_RESOLUTION_ROLLUP,

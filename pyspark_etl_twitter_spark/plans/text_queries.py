@@ -414,6 +414,53 @@ FROM kept GROUP BY source ORDER BY source
 """
 
 
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup corpus curation on the 2% subset: exact-Jaccard
+    pairs → connected components → drop all but the min-id doc per cluster.
+    Returns surviving doc_ids (cluster losers removed, singletons kept)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    pairs = D.ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.5)
+    return D.drop_near_duplicates(docs, pairs).select("doc_id")
+
+
+ORACLE_DEDUP_KEEP_CANONICAL = """
+WITH RECURSIVE
+sub AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+terms AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM sub) t
+  WHERE t.term <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM terms GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM terms a JOIN terms b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+losers AS (
+  SELECT node FROM (SELECT node, min(r) AS cid FROM reach GROUP BY node) c
+  WHERE cid <> node
+)
+SELECT doc_id FROM sub WHERE doc_id NOT IN (SELECT node FROM losers)
+"""
+
+
 def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document (smoothed IDF, term tiebreak)."""
     return TS.top_tfidf_terms(_t(spark, sf_dir, "documents"), k=3)

@@ -38,6 +38,10 @@ HEADLINE = [
     "knn_brute_cosine",
     "text_quality_by_source",
     "doc_fingerprints",
+    "repetition_stats",
+    "top_terms_per_doc",
+    "dedup_incremental",
+    "training_mix_counts",
 ]
 
 

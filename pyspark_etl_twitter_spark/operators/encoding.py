@@ -1,0 +1,124 @@
+"""Tokenization-to-ids and context-window chunking (training-prep ops).
+
+The last mile of a training-data pipeline: turn curated text into fixed
+vocab ids and fixed-token-budget chunks. Everything is relational —
+vocab = frequency-ranked aggregate, encoding = explode + vocab join +
+ordered re-assembly, chunking = per-row array slicing — so Catalyst sees
+every step (no opaque tokenizer UDF in the row path).
+
+Scale notes:
+- The vocab ranking window is a single-partition sort by construction, and
+  safe for the same reason as the sentiment vocabulary (DESIGN.md §8):
+  vocabularies are bounded by the language, not the corpus.
+- Encoding re-assembles token order via sort_array(collect_list(struct)) —
+  per-doc arrays, grouped on the pre-partitioned doc id, so the shuffle
+  carries (id, pos, vocab_id) triples, never text.
+- Chunking is a pure per-row expression (no explode until the final
+  posexplode of at most ceil(n/k) chunks per doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators.textstats import ws_tokens
+
+OOV_ID = -1
+
+
+def build_vocab(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequency-ranked vocabulary: (term, vocab_id, n_occurrences,
+    n_docs). vocab_id 0 is the most frequent term; ties break by term so
+    the mapping is deterministic across runs and engines."""
+    counts = (
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
+    return counts.withColumn("vocab_id", F.row_number().over(w) - 1).select(
+        "term", "vocab_id", "n_occurrences", "n_docs"
+    )
+
+
+def encode_documents(
+    docs: DataFrame,
+    vocab: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode each document as an array of vocab ids in token order,
+    out-of-vocabulary tokens as ``OOV_ID``. Empty documents yield empty
+    arrays (they must survive encoding just as they survive tokenizing).
+
+    The vocab join is left (OOV-safe) on the exploded (id, pos, term)
+    stream; order is restored with sort_array over (pos, id) structs —
+    an exact, engine-portable re-assembly."""
+    exploded = docs.repartition(F.col(id_col)).select(
+        F.col(id_col), F.posexplode(ws_tokens(text_col)).alias("pos", "term")
+    )
+    joined = exploded.join(vocab.select("term", "vocab_id"), "term", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("vocab_id"), F.lit(OOV_ID)).alias("vid"),
+    )
+    encoded = (
+        joined.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "vid"))),
+                lambda s: s.getField("vid"),
+            ).alias("token_ids")
+        )
+    )
+    # empty docs emit no exploded rows — restore them with empty arrays
+    return (
+        docs.select(id_col)
+        .join(encoded, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("token_ids", F.array().cast("array<int>")).alias("token_ids"),
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+) -> DataFrame:
+    """Split each document into consecutive fixed-token-budget chunks:
+    (doc_id, chunk_id, n_chunk_tokens, chunk_text). The final chunk may be
+    short; empty documents produce no chunks. One narrow pass — the only
+    row expansion is the posexplode of at most ceil(n/k) chunks."""
+    toks = ws_tokens(text_col)
+    n = F.size(toks)
+    k = F.lit(chunk_tokens)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), F.floor((n - 1) / k).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(starts, lambda i: F.slice(toks, i * k + 1, chunk_tokens))
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "_chunk"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.size("_chunk").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "_chunk").alias("chunk_text"),
+    )

@@ -117,6 +117,9 @@ QUERIES: dict[str, QueryFn] = {
     "top_terms_per_doc": T.top_terms_per_doc,
     "training_mix_counts": T.training_mix_counts,
     "dedup_keep_canonical": T.dedup_keep_canonical,
+    "vocab_head": T.vocab_head,
+    "encoded_docs": T.encoded_docs,
+    "chunk_documents_64": T.chunk_documents_64,
 }
 
 ORACLES: dict[str, str] = {
@@ -188,6 +191,9 @@ ORACLES: dict[str, str] = {
     "top_terms_per_doc": T.ORACLE_TOP_TERMS_PER_DOC,
     "training_mix_counts": T.ORACLE_TRAINING_MIX_COUNTS,
     "dedup_keep_canonical": T.ORACLE_DEDUP_KEEP_CANONICAL,
+    "vocab_head": T.ORACLE_VOCAB_HEAD,
+    "encoded_docs": T.ORACLE_ENCODED_DOCS,
+    "chunk_documents_64": T.ORACLE_CHUNK_DOCUMENTS_64,
     "pack_documents_2048": T.ORACLE_PACK_DOCUMENTS_2048,
     "pack_documents_salted_2048": T.ORACLE_PACK_DOCUMENTS_SALTED_2048,
     "multi_resolution_rollup": T.ORACLE_MULTI_RESOLUTION_ROLLUP,

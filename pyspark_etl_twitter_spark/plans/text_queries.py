@@ -373,6 +373,108 @@ FROM gate GROUP BY source ORDER BY source
 """
 
 
+def vocab_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 rows of the frequency-ranked vocabulary (deterministic
+    count-desc, term-asc ranking)."""
+    from pyspark_etl_twitter_spark.operators.encoding import build_vocab
+
+    return build_vocab(_t(spark, sf_dir, "documents")).orderBy("vocab_id").limit(50)
+
+
+_ORACLE_VOCAB_CTES = """
+vcounts AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        FROM documents) u
+  GROUP BY term
+),
+vocab AS (
+  SELECT term,
+         CAST(row_number() OVER (ORDER BY n_occurrences DESC, term) - 1
+              AS INTEGER) AS vocab_id,
+         n_occurrences, n_docs
+  FROM vcounts
+)
+"""
+
+ORACLE_VOCAB_HEAD = f"""
+WITH {_ORACLE_VOCAB_CTES}
+SELECT term, vocab_id, n_occurrences, n_docs
+FROM vocab ORDER BY vocab_id LIMIT 50
+"""
+
+
+def encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding of the 2% subset against the full-corpus vocab:
+    (doc_id, token_ids array<int>), OOV = -1, empty docs = empty arrays."""
+    from pyspark_etl_twitter_spark.operators.encoding import (
+        build_vocab,
+        encode_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sub = docs.filter(F.col("doc_id") % 50 == 0)
+    return encode_documents(sub, build_vocab(docs))
+
+
+ORACLE_ENCODED_DOCS = f"""
+WITH {_ORACLE_VOCAB_CTES},
+sub AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM sub
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM base
+),
+enc AS (
+  SELECT doc_id,
+         list(CAST(coalesce(v.vocab_id, -1) AS INTEGER) ORDER BY pos) AS token_ids
+  FROM tok LEFT JOIN vocab v USING (term)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, coalesce(e.token_ids, CAST([] AS INTEGER[])) AS token_ids
+FROM base b LEFT JOIN enc e USING (doc_id)
+"""
+
+
+def chunk_documents_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-64-token context-window chunking: (doc_id, chunk_id,
+    n_chunk_tokens, chunk_text); final chunk may be short, empty docs
+    produce no chunks."""
+    from pyspark_etl_twitter_spark.operators.encoding import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=64)
+
+
+ORACLE_CHUNK_DOCUMENTS_64 = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+expanded AS (
+  SELECT doc_id, toks,
+         CAST(unnest(generate_series(0, CAST(floor((len(toks) - 1) / 64.0) AS INTEGER)))
+              AS INTEGER) AS chunk_id
+  FROM base WHERE len(toks) > 0
+),
+sliced AS (
+  SELECT doc_id, chunk_id,
+         list_slice(toks, chunk_id * 64 + 1,
+                    least((chunk_id + 1) * 64, len(toks))) AS chunk
+  FROM expanded
+)
+SELECT doc_id, chunk_id,
+       CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM sliced
+"""
+
+
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MIX_DEFAULT = 0.05
 

@@ -58,17 +58,28 @@ def replay_to_json(
     """Split a batch table into ``n_files`` sequential JSON-lines files in
     ``order_col`` order — a deterministic replay directory for file-source
     streaming tests (FIXTURES.md events_stream). Timestamps serialize as
-    ISO strings; the stream schema parses them back."""
+    ISO strings; the stream schema parses them back.
+
+    Each file gets a strictly increasing mtime: Spark's FileStreamSource
+    orders pending files by MODIFICATION TIME, not path, and files written
+    in the same clock tick tie — a tie broken against event-time order
+    makes a later-time file advance the watermark first and the earlier
+    file's whole span arrives "late" and is dropped (observed as an
+    intermittently missing ~190 sessions in the session-window test)."""
     os.makedirs(out_dir, exist_ok=True)
     pdf = df.toPandas().sort_values(order_col).reset_index(drop=True)
+    import time
+
     import numpy as np
 
+    base = time.time() - 2 * n_files
     paths = []
     for i, chunk in enumerate(np.array_split(pdf, n_files)):
         path = os.path.join(out_dir, f"batch_{i:04d}.json")
         chunk.to_json(
             path, orient="records", lines=True, date_format="iso", date_unit="us"
         )
+        os.utime(path, times=(base + i, base + i))
         paths.append(path)
     return paths
 

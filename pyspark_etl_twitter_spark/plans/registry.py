@@ -120,6 +120,7 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_head": T.vocab_head,
     "encoded_docs": T.encoded_docs,
     "chunk_documents_64": T.chunk_documents_64,
+    "curation_pipeline_counts": T.curation_pipeline_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -194,6 +195,7 @@ ORACLES: dict[str, str] = {
     "vocab_head": T.ORACLE_VOCAB_HEAD,
     "encoded_docs": T.ORACLE_ENCODED_DOCS,
     "chunk_documents_64": T.ORACLE_CHUNK_DOCUMENTS_64,
+    "curation_pipeline_counts": T.ORACLE_CURATION_PIPELINE_COUNTS,
     "pack_documents_2048": T.ORACLE_PACK_DOCUMENTS_2048,
     "pack_documents_salted_2048": T.ORACLE_PACK_DOCUMENTS_SALTED_2048,
     "multi_resolution_rollup": T.ORACLE_MULTI_RESOLUTION_ROLLUP,

@@ -373,6 +373,64 @@ FROM gate GROUP BY source ORDER BY source
 """
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.05
+
+
+def curation_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition — the realistic pre-training flow:
+    exact-dedup (min-id survivor) → quality gate → deterministic mix
+    sampling → per-source funnel counts. Each stage is an operator with its
+    own oracle elsewhere; this query verifies the COMPOSITION (operator
+    boundaries, column contracts, row multiplicities) end to end."""
+    from pyspark_etl_twitter_spark.operators.dedup import drop_exact_duplicates
+    from pyspark_etl_twitter_spark.operators.packing import training_mix
+    from pyspark_etl_twitter_spark.operators.textstats import quality_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    deduped = drop_exact_duplicates(docs)
+    gated = quality_gate(deduped).filter(F.col("kept"))
+    mixed = training_mix(gated, _MIX_RATES, default_rate=_MIX_DEFAULT)
+    return (
+        mixed.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_curated"))
+        .orderBy("source")
+    )
+
+
+ORACLE_CURATION_PIPELINE_COUNTS = f"""
+WITH deduped AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id = (SELECT min(e.doc_id) FROM documents e WHERE e.text = d.text)
+),
+{_ORACLE_REPETITION_CTES.replace("FROM documents", "FROM deduped", 1)},
+gated AS (
+  SELECT d.doc_id, d.source FROM deduped d JOIN rep ON rep.doc_id = d.doc_id
+  WHERE rep.n_tokens >= 5 AND rep.n_tokens <= 5000
+    AND rep.dup_token_ratio <= 0.3 AND rep.top_bigram_share <= 0.25
+),
+slotted AS (
+  SELECT source, (doc_id * {{prime}}) % {{res}} AS slot FROM gated
+),
+kept AS (
+  SELECT source FROM slotted
+  WHERE {{mix_case}}
+     OR (source NOT IN ({{mix_sources}}) AND slot < {{def_thr}})
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_curated
+FROM kept GROUP BY source ORDER BY source
+""".format(
+    prime=_MIX_PRIME,
+    res=_MIX_RESOLUTION,
+    mix_case=" OR ".join(
+        f"(source = '{s}' AND slot < {int(r * _MIX_RESOLUTION)})"
+        for s, r in _MIX_RATES.items()
+    ),
+    mix_sources=", ".join(repr(s) for s in _MIX_RATES),
+    def_thr=int(_MIX_DEFAULT * _MIX_RESOLUTION),
+)
+
+
 def vocab_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 rows of the frequency-ranked vocabulary (deterministic
     count-desc, term-asc ranking)."""
@@ -473,10 +531,6 @@ SELECT doc_id, chunk_id,
        array_to_string(chunk, ' ') AS chunk_text
 FROM sliced
 """
-
-
-_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
-_MIX_DEFAULT = 0.05
 
 
 def training_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

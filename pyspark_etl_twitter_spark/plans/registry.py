@@ -121,6 +121,8 @@ QUERIES: dict[str, QueryFn] = {
     "encoded_docs": T.encoded_docs,
     "chunk_documents_64": T.chunk_documents_64,
     "curation_pipeline_counts": T.curation_pipeline_counts,
+    "customers_above_nation_avg": R2.customers_above_nation_avg,
+    "salted_join_brand_revenue": R2.salted_join_brand_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -196,6 +198,8 @@ ORACLES: dict[str, str] = {
     "encoded_docs": T.ORACLE_ENCODED_DOCS,
     "chunk_documents_64": T.ORACLE_CHUNK_DOCUMENTS_64,
     "curation_pipeline_counts": T.ORACLE_CURATION_PIPELINE_COUNTS,
+    "customers_above_nation_avg": R2.ORACLE_CUSTOMERS_ABOVE_NATION_AVG,
+    "salted_join_brand_revenue": R2.ORACLE_SALTED_JOIN_BRAND_REVENUE,
     "pack_documents_2048": T.ORACLE_PACK_DOCUMENTS_2048,
     "pack_documents_salted_2048": T.ORACLE_PACK_DOCUMENTS_SALTED_2048,
     "multi_resolution_rollup": T.ORACLE_MULTI_RESOLUTION_ROLLUP,

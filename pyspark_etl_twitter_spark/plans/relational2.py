@@ -371,3 +371,61 @@ def approx_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("approx_percentile(l_extendedprice, 0.5)"), 4).alias("approx_p50"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern (compare each row to ITS group's
+    aggregate), decorrelated the way Catalyst would: group-aggregate the
+    correlation key, broadcast the tiny per-nation averages back, filter.
+    No per-row subquery execution at any scale."""
+    cust = _t(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("nat_avg")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nat_avg"))
+        .select(
+            "c_custkey", "c_nationkey", F.round("c_acctbal", 4).alias("acctbal")
+        )
+    )
+
+
+ORACLE_CUSTOMERS_ABOVE_NATION_AVG = """
+SELECT c_custkey, c_nationkey, round(c_acctbal, 4) AS acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+def salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue through the explicit salted join (operators/skew.py):
+    the dim side replicated per salt, fact rows salted randomly, join on
+    (key, salt) — every hot part key spreads across n_salts reducers. The
+    salt must not change the ANSWER; this query pins that against the
+    plain-join oracle."""
+    from pyspark_etl_twitter_spark.operators.skew import salted_broadcast_left
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_broadcast_left(li, part, "p_partkey", how="inner")
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_SALTED_JOIN_BRAND_REVENUE = """
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand
+"""

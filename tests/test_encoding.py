@@ -47,3 +47,59 @@ def test_chunking_budget_and_tail(spark):
         (0, 2, 2, "t8 t9"),
         (1, 0, 1, "x"),
     ]  # empty doc 2 produces no chunks; tail chunk short
+
+
+def test_chunk_roundtrip_property(spark):
+    """Invariants over random docs: chunks concatenate back to the token
+    stream, every chunk meets the budget, only the last may be short."""
+    import random
+
+    rng = random.Random(0)
+    docs = [
+        (i, " ".join(f"w{rng.randint(0, 30)}" for _ in range(rng.randint(0, 40))))
+        for i in range(50)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = chunk_documents(sdf, chunk_tokens=7).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.n_chunk_tokens, r.chunk_text))
+    for doc_id, text in docs:
+        toks = text.split()
+        chunks = sorted(by_doc.get(doc_id, []))
+        assert " ".join(c[2] for c in chunks).split() == toks
+        for cid, (chunk_id, n, _) in enumerate(chunks):
+            assert chunk_id == cid
+            assert n == 7 or cid == len(chunks) - 1
+
+
+def test_encode_decode_roundtrip_property(spark):
+    """Encoding against a vocab built from the same corpus must decode back
+    to the exact token streams (no OOV possible)."""
+    import random
+
+    rng = random.Random(1)
+    docs = [
+        (i, " ".join(f"w{rng.randint(0, 20)}" for _ in range(rng.randint(0, 25))))
+        for i in range(40)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    vocab = build_vocab(sdf)
+    id2term = {r.vocab_id: r.term for r in vocab.collect()}
+    got = {r.doc_id: r.token_ids for r in encode_documents(sdf, vocab).collect()}
+    for doc_id, text in docs:
+        assert [id2term[v] for v in got[doc_id]] == text.split()
+        assert OOV_ID not in got[doc_id]
+
+
+def test_training_mix_rate_monotonicity(spark):
+    """For the same source, a higher rate must keep a superset of the docs
+    a lower rate keeps (threshold semantics, not resampling)."""
+    from pyspark_etl_twitter_spark.operators.packing import training_mix
+
+    docs = spark.createDataFrame(
+        [(i, "s") for i in range(5000)], "doc_id long, source string"
+    )
+    lo = {r.doc_id for r in training_mix(docs, {"s": 0.2}).collect()}
+    hi = {r.doc_id for r in training_mix(docs, {"s": 0.6}).collect()}
+    assert lo < hi

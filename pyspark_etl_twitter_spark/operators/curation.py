@@ -1,0 +1,250 @@
+"""Corpus-curation operators beyond the reference's surface (engine-added,
+SURVEY.md §2.12): benchmark decontamination, PII redaction /
+pseudonymization, deterministic epoch shuffling, corpus n-gram profiles,
+and length histograms.
+
+These are the operations a training-data pipeline runs between raw corpus
+and tokenizer:
+
+- ``contamination_overlap``: flag documents sharing any word n-gram with an
+  evaluation/benchmark set (the standard n-gram decontamination pass).
+  Scale shape: the benchmark side is tiny (thousands of eval documents vs a
+  100 TB corpus), so its distinct n-gram set is **broadcast** — the corpus
+  is scanned once, its n-grams never shuffle, and the join is a map-side
+  hash probe.
+- ``redact_pii`` / ``pseudonymize``: regex scrubbing plus deterministic
+  sha256 keyed pseudonyms — pure narrow column expressions, zero shuffle.
+- ``epoch_shuffle``: a deterministic global permutation of the corpus
+  (training epoch ordering) keyed by ``md5(id:seed)``. A naive
+  ``row_number() OVER (ORDER BY key)`` is a single-partition window; this
+  implementation derives a **monotone bucket** from the key's hex prefix,
+  so per-bucket windows run in parallel and a tiny (≤ ``n_buckets`` rows)
+  driver-side offset table stitches bucket-local ranks into one contiguous
+  global index. Determinism needs no caching: bucket = f(key), not a
+  sampled range boundary.
+- ``ngram_profile``: corpus-wide top-k n-gram counts (boilerplate and
+  collocation discovery) — one explode + map-side-combined count +
+  ``TakeOrderedAndProject`` top-k, never a global sort.
+- ``length_histogram``: binned corpus length profile, one aggregate pass.
+
+The reference (consumer.py:60-66, ETL to storage) never curates its corpus;
+this module is the engine's answer to "what would the same pipeline need at
+100 TB" — every operator here keeps document bodies out of shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_etl_twitter_spark.operators.dedup import shingle_array
+from pyspark_etl_twitter_spark.operators.textstats import token_count, ws_tokens
+
+# --------------------------------------------------------------------------
+# Decontamination
+# --------------------------------------------------------------------------
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Append (n_shared, contaminated) to ``docs``: the number of distinct
+    word ``n``-grams each document shares with ``eval_docs``, and whether
+    that count is > 0.
+
+    The eval side reduces to its distinct n-gram set and is broadcast, so
+    the corpus scan is one narrow pass (tokenize → shingle → explode →
+    distinct per doc) followed by a map-side hash-join probe; only matching
+    (doc, gram) rows — a vanishingly small fraction — reach the per-doc
+    count aggregate. Documents shorter than ``n`` tokens have no n-grams
+    and come back n_shared=0 via the left join."""
+    grams = (
+        docs.repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.explode(shingle_array(ws_tokens(text_col), n)).alias("_gram"),
+        )
+        .dropDuplicates([id_col, "_gram"])
+    )
+    eval_grams = (
+        eval_docs.select(
+            F.explode(shingle_array(ws_tokens(text_col), n)).alias("_gram")
+        ).distinct()
+    )
+    hits = (
+        grams.join(F.broadcast(eval_grams), "_gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+        .withColumn("contaminated", F.col("n_shared") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction / pseudonymization
+# --------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround) so DuckDB oracles can mirror them.
+DIGIT_RUN = "[0-9]+"
+EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+def redact_pii(
+    text: Column | str,
+    *,
+    patterns: tuple[tuple[str, str], ...] = ((EMAIL, "<EMAIL>"), (DIGIT_RUN, "<NUM>")),
+) -> Column:
+    """Apply ordered regex redactions (emails before digit runs so an
+    address is one ``<EMAIL>``, not shredded into ``<NUM>`` fragments).
+    Pure string expression — whole-stage codegen, zero shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in patterns:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pseudonymize(key: Column | str, *, namespace: str = "id") -> Column:
+    """Deterministic pseudonym: sha256 of ``namespace:key``. Joinable
+    across tables sharing the namespace, irreversible without the raw key
+    column — the standard keyed-pseudonym column for training corpora."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.sha2(F.concat_ws(":", F.lit(namespace), c.cast("string")), 256)
+
+
+def generalize_band(value: Column | str, *, width: float) -> Column:
+    """k-anonymity style numeric generalization: floor to a band lower
+    bound. Returns a double (band lower edge)."""
+    c = F.col(value) if isinstance(value, str) else value
+    return F.floor(c / F.lit(width)) * F.lit(width)
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle (scale-safe global row index)
+# --------------------------------------------------------------------------
+
+
+def shuffle_key(id_col: Column | str, seed: int) -> Column:
+    """md5 of ``id:seed`` — a uniform, deterministic, engine-portable
+    permutation key (identical hex in Spark and DuckDB)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat_ws(":", c.cast("string"), F.lit(str(seed))))
+
+
+def global_row_index(
+    df: DataFrame,
+    order_col: str,
+    *,
+    index_name: str = "pos",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Contiguous 0-based global index in ``order_col`` order WITHOUT a
+    single-partition window.
+
+    The first 4 hex chars of the (uniform, lowercase-hex) ``order_col``
+    pick a bucket; lowercase-hex string order equals numeric prefix order,
+    so bucket id is monotone in the key and a global index decomposes into
+    per-bucket ``row_number`` + per-bucket offset. Offsets come from one
+    tiny aggregate (≤ ``n_buckets`` rows collected to the driver — this
+    runs an eager action at call time) and are stitched in as a map
+    literal. Each bucket holds ~1/``n_buckets`` of the data: at 100 TB use
+    more buckets, never a bigger window.
+
+    Requires ``order_col`` values to be unique lowercase-hex strings
+    (md5/sha output — see ``shuffle_key``)."""
+    bkt = (
+        F.conv(F.substring(F.col(order_col), 1, 4), 16, 10).cast("int")
+        * n_buckets
+        / 65536
+    ).cast("int")
+    bucketed = df.withColumn("_bkt", bkt)
+    sizes = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("c")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(sizes, key=lambda r: r["_bkt"]):
+        offsets[row["_bkt"]] = acc
+        acc += row["c"]
+    omap = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = Window.partitionBy("_bkt").orderBy(order_col)
+    return (
+        bucketed.withColumn(
+            index_name,
+            (F.row_number().over(w) - 1 + omap[F.col("_bkt")]).cast("long"),
+        )
+        .drop("_bkt")
+    )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    *,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    index_name: str = "pos",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic training-epoch permutation: every document gets a
+    contiguous global position by ``md5(id:seed)`` order. Different seeds
+    give independent permutations of the same corpus; the same seed is
+    reproducible across runs and engines."""
+    keyed = docs.withColumn("_skey", shuffle_key(id_col, seed))
+    return global_row_index(
+        keyed, "_skey", index_name=index_name, n_buckets=n_buckets
+    ).drop("_skey")
+
+
+# --------------------------------------------------------------------------
+# Corpus n-gram profile + length histogram
+# --------------------------------------------------------------------------
+
+
+def ngram_profile(
+    docs: DataFrame,
+    *,
+    n: int = 2,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` corpus ``n``-grams by occurrence count (ties broken by
+    gram text). Explode is pre-partitioned by doc id so shingles fan out
+    without shuffling bodies; the count aggregate map-side combines; the
+    top-k is ``orderBy().limit()`` → TakeOrderedAndProject, never a global
+    sort materialization."""
+    grams = docs.repartition(F.col(id_col)).select(
+        F.explode(shingle_array(ws_tokens(text_col), n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return counts.orderBy(F.col("n_occurrences").desc(), F.col("gram")).limit(k)
+
+
+def length_histogram(
+    docs: DataFrame,
+    *,
+    bin_width: int = 64,
+    length_col: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus length profile: per ``bin_width``-char bin, document count
+    and mean whitespace-token count. One narrow map + one aggregate."""
+    bin_lo = (F.floor(F.col(length_col) / bin_width) * bin_width).cast("long")
+    return (
+        docs.select(
+            bin_lo.alias("bin_lo"), token_count(text_col).alias("_ntok")
+        )
+        .groupBy("bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_ntok"), 6).alias("avg_tokens"),
+        )
+    )

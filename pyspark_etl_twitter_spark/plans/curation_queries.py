@@ -1,0 +1,176 @@
+"""Curation-operator queries with DuckDB oracle twins: decontamination,
+PII pseudonymization, deterministic epoch shuffle, corpus n-gram profile,
+and length histogram (engine-added surface, SURVEY.md §2.12).
+
+The oracles lean on DuckDB list comprehensions for word n-grams
+(``list_transform(range(...), i -> array_to_string(t[i:i+n-1], ' '))``)
+which mirror the engine's ``shingle_array`` exactly, and on the md5/sha256
+hex parity between Spark and DuckDB for the shuffle/pseudonym keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators import curation as C
+from pyspark_etl_twitter_spark.session import pin_oracle_confs
+from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    pin_oracle_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# Shared oracle fragment: tokenized documents → distinct word n-grams.
+def _grams_cte(n: int) -> str:
+    return f"""
+tokd AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - {n} + 2, 1)),
+             i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS g
+  FROM tokd
+)"""
+
+
+# --------------------------------------------------------------------------
+# Decontamination: flag training docs sharing any 4-gram with the eval set
+# (stand-in eval set: doc_id % 97 == 0, a deterministic ~1% slice)
+# --------------------------------------------------------------------------
+
+EVAL_MOD = 97
+DECON_N = 4
+
+
+def decontaminate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    flagged = C.contamination_overlap(train, eval_docs, n=DECON_N)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("contaminated"), 1)).alias("n_contaminated"),
+        F.max("n_shared").alias("max_shared"),
+    )
+
+
+ORACLE_DECONTAMINATE_COUNTS = f"""
+WITH {_grams_cte(DECON_N)},
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+hits AS (
+  SELECT gr.doc_id, count(*) AS n_shared
+  FROM grams gr JOIN eval_grams USING (g)
+  WHERE gr.doc_id % {EVAL_MOD} <> 0
+  GROUP BY gr.doc_id
+),
+train AS (SELECT doc_id, source FROM documents WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT source,
+       count(*) AS n_docs,
+       count(CASE WHEN coalesce(n_shared, 0) > 0 THEN 1 END) AS n_contaminated,
+       max(coalesce(n_shared, 0)) AS max_shared
+FROM train LEFT JOIN hits USING (doc_id)
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# PII: pseudonymize key, redact identifiers, generalize quasi-identifiers
+# --------------------------------------------------------------------------
+
+
+def pii_pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        C.pseudonymize("c_custkey", namespace="cust").alias("pseudo_id"),
+        F.regexp_replace("c_name", C.DIGIT_RUN, "<ID>").alias("name_redacted"),
+        C.generalize_band("c_acctbal", width=1000.0).alias("acctbal_band"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+ORACLE_PII_PSEUDONYMIZE_CUSTOMERS = """
+SELECT sha256('cust:' || CAST(c_custkey AS VARCHAR)) AS pseudo_id,
+       regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS name_redacted,
+       floor(c_acctbal / 1000.0) * 1000.0 AS acctbal_band,
+       c_mktsegment AS segment
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle: first 100 positions of the seed-42 epoch
+# --------------------------------------------------------------------------
+
+SHUFFLE_SEED = 42
+
+
+def epoch_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    shuffled = C.epoch_shuffle(docs, seed=SHUFFLE_SEED)
+    return shuffled.filter(F.col("pos") < 100).select("pos", "doc_id")
+
+
+ORACLE_EPOCH_SHUFFLE_HEAD = f"""
+SELECT pos, doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}')
+         ) - 1 AS pos
+  FROM documents
+) WHERE pos < 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus bigram profile (boilerplate / collocation discovery)
+# --------------------------------------------------------------------------
+
+
+def bigram_profile_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return C.ngram_profile(docs, n=2, k=50)
+
+
+ORACLE_BIGRAM_PROFILE_TOP = """
+WITH tokd AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(
+             range(1, greatest(len(t) - 2 + 2, 1)),
+             i -> array_to_string(t[i:i+1], ' '))) AS gram
+  FROM tokd
+)
+SELECT gram, count(*) AS n_occurrences
+FROM grams GROUP BY gram
+ORDER BY n_occurrences DESC, gram
+LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus length histogram
+# --------------------------------------------------------------------------
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return C.length_histogram(docs, bin_width=64)
+
+
+ORACLE_DOC_LENGTH_HISTOGRAM = """
+SELECT CAST(floor(n_chars / 64) * 64 AS BIGINT) AS bin_lo,
+       count(*) AS n_docs,
+       round(avg(len(list_filter(string_split(text, ' '), t -> t <> ''))), 6)
+           AS avg_tokens
+FROM documents
+GROUP BY 1
+"""

@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark_etl_twitter_spark.plans import bucketed as B
+from pyspark_etl_twitter_spark.plans import curation_queries as CQ
 from pyspark_etl_twitter_spark.plans import relational as R
 from pyspark_etl_twitter_spark.plans import relational2 as R2
 from pyspark_etl_twitter_spark.plans import text_queries as T
@@ -50,10 +51,12 @@ QUERIES: dict[str, QueryFn] = {
     "event_gaps": R.event_gaps,
     "asof_purchase_click": R.asof_purchase_click,
     "sessionize_events": R.sessionize_events,
-    # set ops (family representative; remaining forms in the tail)
-    "set_union_active_keys": R.set_union_active_keys,
+    # curation: decontamination + PII (new families → inside the window;
+    # the set-op and string-func family reps they displaced earned green
+    # driver rows in round 1 and moved to the tail)
+    "decontaminate_counts": CQ.decontaminate_counts,
+    "pii_pseudonymize_customers": CQ.pii_pseudonymize_customers,
     # scalar functions / percentiles / arrays / subqueries / quality
-    "string_funcs_part": R.string_funcs_part,
     "percentile_prices": R2.percentile_prices,
     "array_funcs_documents": R2.array_funcs_documents,
     "orders_with_many_items": R2.orders_with_many_items,
@@ -94,6 +97,8 @@ QUERIES: dict[str, QueryFn] = {
     "pack_documents_salted_2048": T.pack_documents_salted_2048,
     "multi_resolution_rollup": T.multi_resolution_rollup,
     # -- past the window: round-1-verified relational variants -------------
+    "set_union_active_keys": R.set_union_active_keys,
+    "string_funcs_part": R.string_funcs_part,
     "distinct_counts": R.distinct_counts,
     "anti_join_customers": R.anti_join_customers,
     "full_outer_nation_counts": R.full_outer_nation_counts,
@@ -123,6 +128,9 @@ QUERIES: dict[str, QueryFn] = {
     "curation_pipeline_counts": T.curation_pipeline_counts,
     "customers_above_nation_avg": R2.customers_above_nation_avg,
     "salted_join_brand_revenue": R2.salted_join_brand_revenue,
+    "epoch_shuffle_head": CQ.epoch_shuffle_head,
+    "bigram_profile_top": CQ.bigram_profile_top,
+    "doc_length_histogram": CQ.doc_length_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -203,4 +211,9 @@ ORACLES: dict[str, str] = {
     "pack_documents_2048": T.ORACLE_PACK_DOCUMENTS_2048,
     "pack_documents_salted_2048": T.ORACLE_PACK_DOCUMENTS_SALTED_2048,
     "multi_resolution_rollup": T.ORACLE_MULTI_RESOLUTION_ROLLUP,
+    "decontaminate_counts": CQ.ORACLE_DECONTAMINATE_COUNTS,
+    "pii_pseudonymize_customers": CQ.ORACLE_PII_PSEUDONYMIZE_CUSTOMERS,
+    "epoch_shuffle_head": CQ.ORACLE_EPOCH_SHUFFLE_HEAD,
+    "bigram_profile_top": CQ.ORACLE_BIGRAM_PROFILE_TOP,
+    "doc_length_histogram": CQ.ORACLE_DOC_LENGTH_HISTOGRAM,
 }

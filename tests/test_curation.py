@@ -1,0 +1,141 @@
+"""Curation operators: decontamination, PII, epoch shuffle, n-gram
+profile, length histogram (engine-added surface, SURVEY.md §2.12)."""
+
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators import curation as C
+from pyspark_etl_twitter_spark.sources.catalog import load_table
+from tests.conftest import SF_TINY
+from tests.test_plans import plan_of
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+# -- decontamination -------------------------------------------------------
+
+
+def test_contamination_planted_overlap(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon", "s"),  # shares the 4-gram
+            (2, "one two three four five", "s"),  # no overlap
+            (3, "al be ga de", "s"),  # 4 tokens, 1 gram, no overlap
+        ],
+    )
+    eval_docs = _docs(spark, [(100, "x alpha beta gamma delta y", "e")])
+    out = C.contamination_overlap(train, eval_docs, n=4)
+    got = {r["doc_id"]: (r["n_shared"], r["contaminated"]) for r in out.collect()}
+    assert got[1] == (1, True)  # "alpha beta gamma delta"
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+
+
+def test_contamination_short_docs_survive(spark):
+    train = _docs(spark, [(1, "a b", "s"), (2, "", "s")])
+    eval_docs = _docs(spark, [(9, "a b c d e", "e")])
+    out = C.contamination_overlap(train, eval_docs, n=4)
+    got = {r["doc_id"]: r["n_shared"] for r in out.collect()}
+    assert got == {1: 0, 2: 0}  # sub-n docs kept, zero overlap
+
+
+def test_contamination_eval_side_broadcast(spark):
+    docs = load_table(spark, SF_TINY, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = plan_of(C.contamination_overlap(docs, eval_docs, n=4))
+    assert "BroadcastHashJoin" in plan  # gram probe never shuffles the corpus
+
+
+# -- PII -------------------------------------------------------------------
+
+
+def test_redact_pii_email_before_digits(spark):
+    df = spark.range(1).select(
+        C.redact_pii(F.lit("mail bob99@example.com or call 555 1234")).alias("r")
+    )
+    assert df.first()["r"] == "mail <EMAIL> or call <NUM> <NUM>"
+
+
+def test_pseudonymize_deterministic_and_distinct(spark):
+    df = spark.createDataFrame([(1,), (2,)], "k long").select(
+        "k", C.pseudonymize("k", namespace="t").alias("p")
+    )
+    rows = {r["k"]: r["p"] for r in df.collect()}
+    assert rows[1] != rows[2] and len(rows[1]) == 64
+    again = {
+        r["k"]: r["p"]
+        for r in spark.createDataFrame([(1,)], "k long")
+        .select("k", C.pseudonymize("k", namespace="t").alias("p"))
+        .collect()
+    }
+    assert again[1] == rows[1]
+
+
+def test_generalize_band(spark):
+    df = spark.createDataFrame([(1234.5,), (-1.0,)], "v double").select(
+        C.generalize_band("v", width=1000.0).alias("b")
+    )
+    assert [r["b"] for r in df.collect()] == [1000.0, -1000.0]
+
+
+# -- epoch shuffle ---------------------------------------------------------
+
+
+def test_epoch_shuffle_is_contiguous_permutation(spark):
+    docs = load_table(spark, SF_TINY, "documents")
+    n = docs.count()
+    out = C.epoch_shuffle(docs, seed=42)
+    poss = sorted(r["pos"] for r in out.select("pos").collect())
+    assert poss == list(range(n))
+
+
+def test_epoch_shuffle_deterministic_and_seed_sensitive(spark):
+    docs = load_table(spark, SF_TINY, "documents").limit(200)
+    a = {r["doc_id"]: r["pos"] for r in C.epoch_shuffle(docs, seed=7).collect()}
+    b = {r["doc_id"]: r["pos"] for r in C.epoch_shuffle(docs, seed=7).collect()}
+    c = {r["doc_id"]: r["pos"] for r in C.epoch_shuffle(docs, seed=8).collect()}
+    assert a == b
+    assert a != c
+
+
+def test_global_row_index_matches_global_sort(spark):
+    docs = load_table(spark, SF_TINY, "documents").withColumn(
+        "_k", C.shuffle_key("doc_id", 3)
+    )
+    idx = C.global_row_index(docs, "_k", n_buckets=16)
+    by_index = [
+        r["doc_id"] for r in idx.orderBy("pos").select("doc_id").collect()
+    ]
+    by_sort = [r["doc_id"] for r in docs.orderBy("_k").select("doc_id").collect()]
+    assert by_index == by_sort
+
+
+def test_epoch_shuffle_window_is_partitioned(spark):
+    docs = load_table(spark, SF_TINY, "documents")
+    plan = plan_of(C.epoch_shuffle(docs, seed=42))
+    # the rank window must run per bucket, not on one global partition
+    assert "_bkt" in plan
+
+
+# -- n-gram profile + histogram --------------------------------------------
+
+
+def test_ngram_profile_counts(spark):
+    docs = _docs(spark, [(1, "a b a b", "s"), (2, "a b c", "s")])
+    out = C.ngram_profile(docs, n=2, k=10)
+    got = {r["gram"]: r["n_occurrences"] for r in out.collect()}
+    assert got == {"a b": 3, "b a": 1, "b c": 1}
+
+
+def test_ngram_profile_topk_avoids_global_sort(spark):
+    docs = load_table(spark, SF_TINY, "documents")
+    assert "TakeOrderedAndProject" in plan_of(C.ngram_profile(docs, n=2, k=50))
+
+
+def test_length_histogram_partitions_corpus(spark):
+    docs = load_table(spark, SF_TINY, "documents")
+    out = C.length_histogram(docs, bin_width=64).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    assert all(r["bin_lo"] % 64 == 0 for r in out)

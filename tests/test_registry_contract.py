@@ -30,6 +30,8 @@ MUST_BE_IN_WINDOW = {
     "pack_documents_salted_2048",
     "multi_resolution_rollup",
     "bucketed_join_revenue",
+    "decontaminate_counts",
+    "pii_pseudonymize_customers",
     "approx_summary",
     "dedup_minhash_pairs",
     "dedup_clusters",

@@ -204,6 +204,50 @@ def epoch_shuffle(
 
 
 # --------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy string matching
+# --------------------------------------------------------------------------
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    *,
+    name_col: str = "p_name",
+    block_pattern: str = "[a-z]+$",
+    max_dist: int = 4,
+) -> DataFrame:
+    """Fuzzy-duplicate name pairs by edit distance, with blocking:
+    (name_a, name_b, dist) for distinct values whose blocking key (by
+    default the last lowercase word) matches and 0 < levenshtein ≤
+    ``max_dist``.
+
+    The two standard ER scale moves are both here: compare the DISTINCT
+    value vocabulary, not the rows (the vocabulary is orders of magnitude
+    smaller than a 100 TB fact table), and equi-join on a blocking key so
+    the quadratic comparison runs per block, never corpus-wide. Oversized
+    blocks are the residual hazard — tighten the key (add a length band)
+    or reuse the LSH star guard from ``lsh_candidate_pairs``."""
+    names = (
+        df.select(F.col(name_col).alias("name"))
+        .distinct()
+        .withColumn("_blk", F.regexp_extract("name", block_pattern, 0))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein("a.name", "b.name").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+# --------------------------------------------------------------------------
 # Corpus n-gram profile + length histogram
 # --------------------------------------------------------------------------
 

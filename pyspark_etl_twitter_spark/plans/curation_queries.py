@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_etl_twitter_spark.operators import curation as C
+from pyspark_etl_twitter_spark.operators.timeseries import resample_ffill
 from pyspark_etl_twitter_spark.session import pin_oracle_confs
 from pyspark_etl_twitter_spark.sources.catalog import load_table
 
@@ -153,6 +154,69 @@ SELECT gram, count(*) AS n_occurrences
 FROM grams GROUP BY gram
 ORDER BY n_occurrences DESC, gram
 LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy name matching over part names
+# --------------------------------------------------------------------------
+
+
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return C.fuzzy_name_pairs(part, name_col="p_name", max_dist=4)
+
+
+ORACLE_FUZZY_PART_NAME_PAIRS = """
+WITH names AS (
+  SELECT DISTINCT p_name AS name,
+         regexp_extract(p_name, '[a-z]+$') AS blk
+  FROM part
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS dist
+FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 4
+"""
+
+
+# --------------------------------------------------------------------------
+# Time-series resample + forward fill over the events stream
+# --------------------------------------------------------------------------
+
+
+def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    # exact fixed-point average (micro-units): round(avg, 6) over 2-dp
+    # values and a 2^a·5^b bucket size is a true decimal halfway point
+    # where engines legitimately differ — DESIGN.md §5
+    return resample_ffill(events, step="1 hour", trunc_unit="hour", exact_dp=(2, 6))
+
+
+ORACLE_RESAMPLE_FFILL_HOURLY = """
+WITH bounds AS (
+  SELECT event_type,
+         date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM events GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+),
+actual AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         (sum(CAST(round(value * 100) AS BIGINT)) * 10000) // count(1) AS avg0
+  FROM events GROUP BY 1, 2
+)
+SELECT s.event_type, s.bucket,
+       last_value(a.avg0 IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS avg_value_u6,
+       a.avg0 IS NULL AS is_gap
+FROM spine s
+LEFT JOIN actual a ON s.event_type = a.event_type AND s.bucket = a.bucket
 """
 
 

@@ -131,6 +131,8 @@ QUERIES: dict[str, QueryFn] = {
     "epoch_shuffle_head": CQ.epoch_shuffle_head,
     "bigram_profile_top": CQ.bigram_profile_top,
     "doc_length_histogram": CQ.doc_length_histogram,
+    "fuzzy_part_name_pairs": CQ.fuzzy_part_name_pairs,
+    "resample_ffill_hourly": CQ.resample_ffill_hourly,
 }
 
 ORACLES: dict[str, str] = {
@@ -216,4 +218,6 @@ ORACLES: dict[str, str] = {
     "epoch_shuffle_head": CQ.ORACLE_EPOCH_SHUFFLE_HEAD,
     "bigram_profile_top": CQ.ORACLE_BIGRAM_PROFILE_TOP,
     "doc_length_histogram": CQ.ORACLE_DOC_LENGTH_HISTOGRAM,
+    "fuzzy_part_name_pairs": CQ.ORACLE_FUZZY_PART_NAME_PAIRS,
+    "resample_ffill_hourly": CQ.ORACLE_RESAMPLE_FFILL_HOURLY,
 }

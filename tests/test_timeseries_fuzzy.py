@@ -1,0 +1,99 @@
+"""Time-series resample/forward-fill and blocked fuzzy name matching."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators.curation import fuzzy_name_pairs
+from pyspark_etl_twitter_spark.operators.timeseries import resample_ffill
+from pyspark_etl_twitter_spark.sources.catalog import load_table
+from tests.conftest import SF_TINY
+from tests.test_plans import plan_of
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+
+
+def test_resample_fills_gap_with_last_average(spark):
+    ev = _events(
+        spark,
+        [
+            ("a", datetime(2024, 1, 1, 0, 10), 10.0),
+            ("a", datetime(2024, 1, 1, 0, 50), 20.0),
+            # hour 1 empty → gap, carries 15.0
+            ("a", datetime(2024, 1, 1, 2, 5), 7.0),
+        ],
+    )
+    out = {
+        r["bucket"]: (r["avg_value"], r["is_gap"])
+        for r in resample_ffill(ev).collect()
+    }
+    assert out[datetime(2024, 1, 1, 0, 0)] == (15.0, False)
+    assert out[datetime(2024, 1, 1, 1, 0)] == (15.0, True)
+    assert out[datetime(2024, 1, 1, 2, 0)] == (7.0, False)
+
+
+def test_resample_grid_is_dense_per_group(spark):
+    ev = load_table(spark, SF_TINY, "events")
+    out = resample_ffill(ev).collect()
+    by_group: dict[str, list] = {}
+    for r in out:
+        by_group.setdefault(r["event_type"], []).append(r["bucket"])
+    for buckets in by_group.values():
+        buckets.sort()
+        deltas = {
+            int((b - a).total_seconds()) for a, b in zip(buckets, buckets[1:])
+        }
+        assert deltas == {3600}  # no holes in the grid
+    assert all(r["avg_value"] is not None for r in out)  # fill is total
+
+
+def test_resample_exact_units_match_float_path(spark):
+    ev = load_table(spark, SF_TINY, "events")
+    exact = {
+        (r["event_type"], r["bucket"]): r["avg_value_u6"]
+        for r in resample_ffill(ev, exact_dp=(2, 6)).collect()
+    }
+    approx = {
+        (r["event_type"], r["bucket"]): r["avg_value"]
+        for r in resample_ffill(ev).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for key, u6 in exact.items():
+        # truncating fixed-point vs rounded double: within one micro-unit
+        # (truncation can sit a full unit below a rounded-up float)
+        assert abs(u6 / 1e6 - approx[key]) <= 1.01e-6
+
+
+def test_fuzzy_pairs_planted(spark):
+    df = spark.createDataFrame(
+        [("cold widget",), ("bold widget",), ("cold bolt",), ("cold widget",)],
+        "p_name string",
+    )
+    out = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in fuzzy_name_pairs(df, max_dist=4).collect()
+    }
+    # same block (widget), distance 1; "cold bolt" blocks separately
+    assert out == {("bold widget", "cold widget"): 1}
+
+
+def test_fuzzy_pairs_compare_vocabulary_not_rows(spark):
+    # 1000 rows of the same two names → still exactly one candidate pair
+    rows = [("cold widget",), ("bold widget",)] * 500
+    df = spark.createDataFrame(rows, "p_name string")
+    assert fuzzy_name_pairs(df, max_dist=4).count() == 1
+
+
+def test_fuzzy_join_is_blocked_equi_join(spark):
+    part = load_table(spark, SF_TINY, "part")
+    plan = plan_of(fuzzy_name_pairs(part))
+    # blocked ER must hash-join on the block key, not nested-loop the vocab
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -42,6 +42,10 @@ HEADLINE = [
     "top_terms_per_doc",
     "dedup_incremental",
     "training_mix_counts",
+    "decontaminate_counts",
+    "epoch_shuffle_head",
+    "resample_ffill_hourly",
+    "rolling_1h_event_stats",
 ]
 
 

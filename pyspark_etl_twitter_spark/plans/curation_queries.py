@@ -221,6 +221,45 @@ LEFT JOIN actual a ON s.event_type = a.event_type AND s.bucket = a.bucket
 
 
 # --------------------------------------------------------------------------
+# Rolling time-range window (RANGE frame, trailing 1 hour per event type)
+# --------------------------------------------------------------------------
+
+
+def rolling_1h_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour rolling average per event: a RANGE frame over
+    microsecond epoch (micros on BOTH engines — a seconds-granularity
+    frame would include different rows than DuckDB's interval frame).
+    The average is exact fixed-point (micro-unit BIGINT integer division)
+    for the same halfway-rounding reason as resample_ffill_hourly.
+    One shuffle on event_type; the frame scan is a per-partition
+    running-window pass."""
+    events = _t(spark, sf_dir, "events")
+    over = (
+        "OVER (PARTITION BY event_type ORDER BY unix_micros(ts) "
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+    )
+    return events.withColumn(
+        "_cents", F.expr("cast(round(value * 100) as bigint)")
+    ).selectExpr(
+        "event_id",
+        "event_type",
+        f"(sum(_cents) {over} * 10000) div count(1) {over} AS rolling_avg_u6",
+        f"count(1) {over} AS n_win",
+    )
+
+
+ORACLE_ROLLING_1H_EVENT_STATS = """
+SELECT event_id, event_type,
+       (sum(CAST(round(value * 100) AS BIGINT)) OVER w * 10000)
+           // (count(1) OVER w) AS rolling_avg_u6,
+       count(1) OVER w AS n_win
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
 # Corpus length histogram
 # --------------------------------------------------------------------------
 

@@ -133,6 +133,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_length_histogram": CQ.doc_length_histogram,
     "fuzzy_part_name_pairs": CQ.fuzzy_part_name_pairs,
     "resample_ffill_hourly": CQ.resample_ffill_hourly,
+    "rolling_1h_event_stats": CQ.rolling_1h_event_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -220,4 +221,5 @@ ORACLES: dict[str, str] = {
     "doc_length_histogram": CQ.ORACLE_DOC_LENGTH_HISTOGRAM,
     "fuzzy_part_name_pairs": CQ.ORACLE_FUZZY_PART_NAME_PAIRS,
     "resample_ffill_hourly": CQ.ORACLE_RESAMPLE_FFILL_HOURLY,
+    "rolling_1h_event_stats": CQ.ORACLE_ROLLING_1H_EVENT_STATS,
 }

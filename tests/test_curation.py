@@ -41,6 +41,23 @@ def test_contamination_short_docs_survive(spark):
     assert got == {1: 0, 2: 0}  # sub-n docs kept, zero overlap
 
 
+def test_contamination_hashed_probe_matches_exact(spark):
+    docs = load_table(spark, SF_TINY, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = sorted(
+        (r["doc_id"], r["n_shared"])
+        for r in C.contamination_overlap(train, eval_docs, n=4).collect()
+    )
+    hashed = sorted(
+        (r["doc_id"], r["n_shared"])
+        for r in C.contamination_overlap(
+            train, eval_docs, n=4, hash_grams=True
+        ).collect()
+    )
+    assert exact == hashed
+
+
 def test_contamination_eval_side_broadcast(spark):
     docs = load_table(spark, SF_TINY, "documents")
     eval_docs = docs.filter(F.col("doc_id") % 97 == 0)

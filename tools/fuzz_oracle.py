@@ -272,6 +272,54 @@ def _text_fuzz_batch(rng, spark, con, n_docs=40):
     return True, ""
 
 
+def _ngram_fuzz_batch(rng, spark, con, n_docs=40):
+    """Word-n-gram parity batch: random docs through the engine's
+    ``shingle_array`` (single-space tokens, no empties) vs the DuckDB
+    list-comprehension twin used by the decontamination / bigram-profile
+    oracles. n is drawn 2..5 per batch."""
+    import pandas as pd
+
+    from pyspark_etl_twitter_spark.operators.dedup import shingle_array
+    from pyspark_etl_twitter_spark.operators.textstats import ws_tokens
+
+    n = rng.randint(2, 5)
+    pdf = pd.DataFrame(
+        {"doc_id": range(n_docs), "text": [_rand_doc(rng) for _ in range(n_docs)]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.select(
+            "doc_id", F.explode(shingle_array(ws_tokens("text"), n)).alias("g")
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    con.register("fuzz_ngram_docs", pdf)
+    want = con.execute(f"""
+        WITH tokd AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM fuzz_ngram_docs
+        ),
+        grams AS (
+          SELECT doc_id, unnest(list_transform(
+                     range(1, greatest(len(t) - {n} + 2, 1)),
+                     i -> array_to_string(t[i:i+{n - 1}], ' '))) AS g
+          FROM tokd
+        )
+        SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    """).fetchall()
+    a = sorted((int(r.doc_id), r.g, int(r.c)) for r in got)
+    b = sorted((int(d), g, int(c)) for d, g, c in want)
+    if a != b:
+        extra_s = set(a) - set(b)
+        extra_d = set(b) - set(a)
+        return False, (
+            f"n={n} spark-only={sorted(extra_s)[:5]} duck-only={sorted(extra_d)[:5]}"
+        )
+    return True, ""
+
+
 def _canon(rows, cols):
     """Sort rows by a coarse key, keep raw floats for tolerance compare.
 
@@ -391,9 +439,21 @@ def main() -> int:
             text_fail += 1
             print(f"TEXT BATCH {i} MISMATCH: {detail}")
     failures += text_fail
+
+    ngram_fail = 0
+    for i in range(n_text):
+        try:
+            ok, detail = _ngram_fuzz_batch(rng, spark, con)
+        except Exception as exc:  # noqa: BLE001
+            ok, detail = False, f"ERROR {exc}"
+        if not ok:
+            ngram_fail += 1
+            print(f"NGRAM BATCH {i} MISMATCH: {detail}")
+    failures += ngram_fail
     print(
-        f"\nfuzz: {n_cases - (failures - text_fail)}/{n_cases} SQL matched, "
-        f"{n_text - text_fail}/{n_text} text batches matched "
+        f"\nfuzz: {n_cases - (failures - text_fail - ngram_fail)}/{n_cases} "
+        f"SQL matched, {n_text - text_fail}/{n_text} text batches matched, "
+        f"{n_text - ngram_fail}/{n_text} ngram batches matched "
         f"(seed={seed}, sf={sf_dir})"
     )
     return 1 if failures else 0

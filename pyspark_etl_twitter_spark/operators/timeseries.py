@@ -88,3 +88,85 @@ def resample_ffill(
         .drop("_avg")
         .select(group_col, "bucket", out_name, "is_gap")
     )
+
+
+def rolling_range_mean(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    time_col: str = "ts",
+    value_col: str = "value",
+    frame_us: int = 3_600_000_000,
+    in_dp: int = 2,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Trailing time-range rolling mean per row (exact fixed-point, see
+    ``resample_ffill``): one RANGE-frame window over microsecond epoch.
+    Output: all input columns + rolling_avg_u{out_dp} + n_win.
+
+    Parallelism equals the number of groups — correct and fastest when
+    groups are plentiful; for few huge groups use
+    ``rolling_range_mean_chunked``."""
+    over = (
+        f"OVER (PARTITION BY {group_col} ORDER BY unix_micros({time_col}) "
+        f"RANGE BETWEEN {frame_us} PRECEDING AND CURRENT ROW)"
+    )
+    cents = f"cast(round({value_col} * {10**in_dp}) as bigint)"
+    return events.selectExpr(
+        "*",
+        f"(sum({cents}) {over} * {10 ** (out_dp - in_dp)}) div count(1) {over}"
+        f" AS rolling_avg_u{out_dp}",
+        f"count(1) {over} AS n_win",
+    )
+
+
+def rolling_range_mean_chunked(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    time_col: str = "ts",
+    value_col: str = "value",
+    frame_us: int = 3_600_000_000,
+    chunk_us: int = 86_400_000_000,
+    in_dp: int = 2,
+    out_dp: int = 6,
+) -> DataFrame:
+    """``rolling_range_mean`` for FEW HUGE GROUPS: identical output, but
+    the window partitions by (group, time chunk) so parallelism scales
+    with data volume instead of group cardinality.
+
+    A trailing frame at the start of a chunk must see the previous
+    chunk's tail, so every row in the last ``frame_us`` of a chunk is
+    replicated into the next chunk as a helper: it contributes to frames
+    there but is dropped from the output (``_helper`` flag). Replication
+    factor is frame_us/chunk_us (~4% for 1 h into 1 day) — the shuffle
+    stays one exchange on (group, chunk). Rows are never compared across
+    a chunk gap wider than the frame, which is exactly when the frame is
+    empty of them anyway, so chunked ≡ unchunked for any chunk_us ≥
+    frame_us (asserted in tests)."""
+    if chunk_us < frame_us:
+        raise ValueError("chunk_us must be >= frame_us for boundary overlap")
+    base = events.withColumn("_us", F.unix_micros(F.col(time_col)))
+    chunk = F.floor(F.col("_us") / chunk_us)
+    main = base.withColumn("_chunk", chunk).withColumn("_helper", F.lit(False))
+    helpers = (
+        base.filter(F.col("_us") % chunk_us >= chunk_us - frame_us)
+        .withColumn("_chunk", chunk + 1)
+        .withColumn("_helper", F.lit(True))
+    )
+    unioned = main.unionByName(helpers)
+    over = (
+        f"OVER (PARTITION BY {group_col}, _chunk ORDER BY _us "
+        f"RANGE BETWEEN {frame_us} PRECEDING AND CURRENT ROW)"
+    )
+    cents = f"cast(round({value_col} * {10**in_dp}) as bigint)"
+    return (
+        unioned.selectExpr(
+            "*",
+            f"(sum({cents}) {over} * {10 ** (out_dp - in_dp)}) div count(1) {over}"
+            f" AS rolling_avg_u{out_dp}",
+            f"count(1) {over} AS n_win",
+        )
+        .filter(~F.col("_helper"))
+        .drop("_us", "_chunk", "_helper")
+    )

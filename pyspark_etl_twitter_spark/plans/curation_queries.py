@@ -14,7 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_etl_twitter_spark.operators import curation as C
-from pyspark_etl_twitter_spark.operators.timeseries import resample_ffill
+from pyspark_etl_twitter_spark.operators.timeseries import (
+    resample_ffill,
+    rolling_range_mean,
+)
 from pyspark_etl_twitter_spark.session import pin_oracle_confs
 from pyspark_etl_twitter_spark.sources.catalog import load_table
 
@@ -234,17 +237,8 @@ def rolling_1h_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on event_type; the frame scan is a per-partition
     running-window pass."""
     events = _t(spark, sf_dir, "events")
-    over = (
-        "OVER (PARTITION BY event_type ORDER BY unix_micros(ts) "
-        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
-    )
-    return events.withColumn(
-        "_cents", F.expr("cast(round(value * 100) as bigint)")
-    ).selectExpr(
-        "event_id",
-        "event_type",
-        f"(sum(_cents) {over} * 10000) div count(1) {over} AS rolling_avg_u6",
-        f"count(1) {over} AS n_win",
+    return rolling_range_mean(events).select(
+        "event_id", "event_type", "rolling_avg_u6", "n_win"
     )
 
 

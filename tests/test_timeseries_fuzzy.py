@@ -68,6 +68,49 @@ def test_resample_exact_units_match_float_path(spark):
         assert abs(u6 / 1e6 - approx[key]) <= 1.01e-6
 
 
+def test_rolling_chunked_equals_unchunked(spark):
+    import pytest
+
+    from pyspark_etl_twitter_spark.operators.timeseries import (
+        rolling_range_mean,
+        rolling_range_mean_chunked,
+    )
+
+    ev = load_table(spark, SF_TINY, "events")
+    plain = {
+        r["event_id"]: (r["rolling_avg_u6"], r["n_win"])
+        for r in rolling_range_mean(ev).collect()
+    }
+    # 6-hour chunks over a 30-day span → ~120 window partitions per group
+    chunked = {
+        r["event_id"]: (r["rolling_avg_u6"], r["n_win"])
+        for r in rolling_range_mean_chunked(
+            ev, chunk_us=6 * 3_600_000_000
+        ).collect()
+    }
+    assert plain == chunked
+    # degenerate chunk = frame: maximum helper replication, still identical
+    edge = {
+        r["event_id"]: (r["rolling_avg_u6"], r["n_win"])
+        for r in rolling_range_mean_chunked(
+            ev, chunk_us=3_600_000_000
+        ).collect()
+    }
+    assert plain == edge
+    with pytest.raises(ValueError):
+        rolling_range_mean_chunked(ev, chunk_us=1)
+
+
+def test_rolling_chunked_window_partitions_by_chunk(spark):
+    from pyspark_etl_twitter_spark.operators.timeseries import (
+        rolling_range_mean_chunked,
+    )
+
+    ev = load_table(spark, SF_TINY, "events")
+    plan = plan_of(rolling_range_mean_chunked(ev))
+    assert "_chunk" in plan  # window partition key includes the time chunk
+
+
 def test_fuzzy_pairs_planted(spark):
     df = spark.createDataFrame(
         [("cold widget",), ("bold widget",), ("cold bolt",), ("cold widget",)],

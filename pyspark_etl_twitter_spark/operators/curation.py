@@ -310,3 +310,48 @@ def length_histogram(
             F.round(F.avg("_ntok"), 6).alias("avg_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test splitting
+# --------------------------------------------------------------------------
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    seed: str = "split-v1",
+    weights: tuple[tuple[str, int], ...] = (("train", 98), ("val", 1), ("test", 1)),
+    split_name: str = "split",
+) -> DataFrame:
+    """Deterministic, engine-portable split assignment (train/val/test).
+
+    Bucket = first 8 hex chars of ``md5(id:seed)`` mod Σweights, mapped to
+    the split whose cumulative weight range contains it. Row-local (no
+    shuffle, no state, no sampling pass): the assignment of a given id
+    never changes as the corpus grows — the property a training pipeline
+    needs so incremental ingestion can't leak val/test docs into train.
+    Mirrors the reference's consume-everything model (consumer.py writes
+    one undifferentiated stream; splitting is engine-added surface)."""
+    total = sum(w for _, w in weights)
+    bkt = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % total
+    )
+    acc = 0
+    out = None
+    for name, w in weights:
+        acc += w
+        out = F.when(bkt < acc, name) if out is None else out.when(bkt < acc, name)
+    return df.withColumn(split_name, out)

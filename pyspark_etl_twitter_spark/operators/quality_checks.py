@@ -54,3 +54,30 @@ def observed_pipeline(df: DataFrame, name: str = "metrics") -> tuple[DataFrame, 
         ),
     )
     return observed, obs
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD outlier flagging per group: adds ``_med``, ``_mad`` and
+    ``is_outlier`` (|x − median| > k·MAD) columns.
+
+    Exact medians need two aggregate passes over the fact (median, then
+    median of absolute deviations), but both aggregates reduce to one tiny
+    row per group, re-attached via broadcast joins — the fact table itself
+    never shuffles. At 100 TB swap ``F.median`` for
+    ``F.percentile_approx(value, 0.5)`` to fold both passes into one scan
+    each with bounded-memory sketches; exact is kept here because the
+    oracle (DuckDB ``median``) is exact."""
+    med = df.groupBy(*group_cols).agg(F.median(value_col).alias("_med"))
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(F.median("_adev").alias("_mad"))
+    return dev.join(F.broadcast(mad), group_cols).withColumn(
+        "is_outlier", F.col("_adev") > k * F.col("_mad")
+    )

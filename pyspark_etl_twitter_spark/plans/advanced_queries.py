@@ -1,0 +1,257 @@
+"""Round-2 additions with DuckDB oracle twins: deterministic hash
+splitting, robust (median/MAD) outlier detection, UNPIVOT/melt,
+distribution window functions, and bucketed semantic near-dup pairs.
+
+The semantic near-dup oracle is the notable one: the LSH hyperplanes come
+from a legacy-frozen ``np.random.RandomState`` stream, so the SAME
+full-precision literals embed in both the Spark plan and the SQL — this
+turns the previously rows-only LSH family fully hash-verifiable (bucket
+assignment AND cosine verified cross-engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators.curation import hash_split
+from pyspark_etl_twitter_spark.operators.quality_checks import robust_outliers
+from pyspark_etl_twitter_spark.operators.similarity import (
+    _hyperplanes,
+    embedding_near_dup_pairs,
+)
+from pyspark_etl_twitter_spark.session import pin_oracle_confs
+from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    pin_oracle_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test hash split
+# --------------------------------------------------------------------------
+
+SPLIT_SEED = "split-v1"
+SPLIT_WEIGHTS = (("train", 98), ("val", 1), ("test", 1))
+
+
+def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split sizes per source: the sanity report every training pipeline
+    runs after assignment. The split column is row-local (md5-bucket mod
+    100) — no shuffle beyond the final tiny aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", seed=SPLIT_SEED, weights=SPLIT_WEIGHTS)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_HASH_SPLIT_COUNTS = f"""
+SELECT source, split, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM (
+  SELECT source, n_chars,
+         CASE WHEN bkt < 98 THEN 'train'
+              WHEN bkt < 99 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT source, n_chars,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SPLIT_SEED}'), 1, 8)) AS BIGINT) % 100 AS bkt
+    FROM documents
+  )
+)
+GROUP BY source, split
+"""
+
+
+# --------------------------------------------------------------------------
+# Robust outlier detection (median/MAD)
+# --------------------------------------------------------------------------
+
+OUTLIER_K = 3.0
+
+
+def outlier_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: how many events sit more than k MADs from the
+    median value. Catches heavy-tailed metric corruption that mean/stddev
+    gates miss (the outliers themselves inflate a stddev gate)."""
+    ev = _t(spark, sf_dir, "events")
+    flagged = robust_outliers(ev, "value", ["event_type"], k=OUTLIER_K)
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("is_outlier"), 1)).alias("n_outliers"),
+        F.round(F.first("_med"), 6).alias("median_value"),
+        F.round(F.first("_mad"), 6).alias("mad_value"),
+    )
+
+
+ORACLE_OUTLIER_EVENTS_BY_TYPE = f"""
+WITH med AS (
+  SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - med.m) AS adev, med.m
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, median(adev) AS md FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*) AS n_events,
+       count(CASE WHEN d.adev > {OUTLIER_K} * mad.md THEN 1 END) AS n_outliers,
+       round(any_value(d.m), 6) AS median_value,
+       round(any_value(mad.md), 6) AS mad_value
+FROM dev d JOIN mad USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT / melt
+# --------------------------------------------------------------------------
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native ``DataFrame.unpivot`` (Spark's
+    Expand node: one pass, rows×measures output, no shuffle before the
+    aggregate's partial phase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    ).unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 2).alias("sum_val"),
+        F.round(F.min("val"), 2).alias("min_val"),
+        F.round(F.max("val"), 2).alias("max_val"),
+    )
+
+
+ORACLE_UNPIVOT_LINEITEM_MEASURES = """
+WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+)
+SELECT l_returnflag, measure, count(*) AS n,
+       round(sum(val), 2) AS sum_val,
+       round(min(val), 2) AS min_val,
+       round(max(val), 2) AS max_val
+FROM long
+GROUP BY l_returnflag, measure
+"""
+
+
+# --------------------------------------------------------------------------
+# Distribution window functions
+# --------------------------------------------------------------------------
+
+
+def percentile_window_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile within nation by account balance —
+    the 'where does this row sit in its group's distribution' family.
+    Partitioned window (one hash exchange on c_nationkey).
+
+    percent_rank = (rank−1)/(n−1) is an exact small-denominator rational:
+    at sf0.1 values like 333/640 = 0.5203125 terminate in a decimal 5, the
+    exact spot where Spark's HALF_UP and DuckDB's binary rounding disagree
+    by one ulp of the quantum. So the distributions are emitted as EXACT
+    integer micro-units (floor((rank−1)·10⁶ / (n−1))) — pure integer
+    arithmetic, bit-identical cross-engine at any SF. The ordering key
+    includes c_custkey, so rank == row_number (no ties) and cume_dist's
+    'rows ≤ current' count is row_number itself."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wp = Window.partitionBy("c_nationkey")
+    r = F.row_number().over(w).cast("long")
+    n = F.count(F.lit(1)).over(wp).cast("long")
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.when(n > 1, ((r - 1) * 1000000).cast("long") / (n - 1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pct_rank_micro"),
+        ((r * 1000000) / n).cast("long").alias("cume_d_micro"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+ORACLE_PERCENTILE_WINDOW_CUSTOMERS = """
+SELECT c_nationkey, c_custkey,
+       CASE WHEN n > 1 THEN ((r - 1) * 1000000) // (n - 1) ELSE 0 END AS pct_rank_micro,
+       (r * 1000000) // n AS cume_d_micro,
+       decile
+FROM (
+  SELECT c_nationkey, c_custkey,
+         row_number() OVER w AS r,
+         count(*) OVER (PARTITION BY c_nationkey) AS n,
+         ntile(10) OVER w AS decile
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Bucketed semantic near-dup with a FULL SQL oracle
+# --------------------------------------------------------------------------
+
+SEMANTIC_PLANES = 4
+SEMANTIC_SEED = 7
+SEMANTIC_TAU = 0.30
+_EMB_DIM = 64
+
+
+def semantic_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style scale path, fully verified: sign-LSH bucket (fixed
+    seeded hyperplanes) → candidates share a bucket (equi-join — the
+    corpus is never cross-joined) → exact cosine check on candidates only.
+    Unlike `embedding_near_dup` (exact all-pairs, subset-bounded) this is
+    the shape that runs at 100 TB, and unlike `knn_ann_lsh` (xxhash64
+    planes) its buckets are reproducible in ANSI SQL, so the driver can
+    hash-verify bucket assignment AND the verified pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb,
+        threshold=SEMANTIC_TAU,
+        n_planes=SEMANTIC_PLANES,
+        seed=SEMANTIC_SEED,
+    )
+
+
+def _semantic_oracle() -> str:
+    planes = _hyperplanes(_EMB_DIM, SEMANTIC_PLANES, SEMANTIC_SEED)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         {bucket_terms} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim
+FROM base a JOIN base b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= {SEMANTIC_TAU}
+"""
+
+
+ORACLE_SEMANTIC_NEAR_DUP_PAIRS = _semantic_oracle()

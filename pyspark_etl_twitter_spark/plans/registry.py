@@ -11,6 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark_etl_twitter_spark.plans import advanced_queries as AQ
 from pyspark_etl_twitter_spark.plans import bucketed as B
 from pyspark_etl_twitter_spark.plans import curation_queries as CQ
 from pyspark_etl_twitter_spark.plans import relational as R
@@ -134,6 +135,11 @@ QUERIES: dict[str, QueryFn] = {
     "fuzzy_part_name_pairs": CQ.fuzzy_part_name_pairs,
     "resample_ffill_hourly": CQ.resample_ffill_hourly,
     "rolling_1h_event_stats": CQ.rolling_1h_event_stats,
+    "hash_split_counts": AQ.hash_split_counts,
+    "outlier_events_by_type": AQ.outlier_events_by_type,
+    "unpivot_lineitem_measures": AQ.unpivot_lineitem_measures,
+    "percentile_window_customers": AQ.percentile_window_customers,
+    "semantic_near_dup_pairs": AQ.semantic_near_dup_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -222,4 +228,9 @@ ORACLES: dict[str, str] = {
     "fuzzy_part_name_pairs": CQ.ORACLE_FUZZY_PART_NAME_PAIRS,
     "resample_ffill_hourly": CQ.ORACLE_RESAMPLE_FFILL_HOURLY,
     "rolling_1h_event_stats": CQ.ORACLE_ROLLING_1H_EVENT_STATS,
+    "hash_split_counts": AQ.ORACLE_HASH_SPLIT_COUNTS,
+    "outlier_events_by_type": AQ.ORACLE_OUTLIER_EVENTS_BY_TYPE,
+    "unpivot_lineitem_measures": AQ.ORACLE_UNPIVOT_LINEITEM_MEASURES,
+    "percentile_window_customers": AQ.ORACLE_PERCENTILE_WINDOW_CUSTOMERS,
+    "semantic_near_dup_pairs": AQ.ORACLE_SEMANTIC_NEAR_DUP_PAIRS,
 }

@@ -1,0 +1,149 @@
+"""Tests for the round-2 advanced operators: hash split, robust
+outliers, unpivot, distribution windows, semantic near-dup."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators.curation import hash_split
+from pyspark_etl_twitter_spark.operators.quality_checks import robust_outliers
+from pyspark_etl_twitter_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+)
+from pyspark_etl_twitter_spark.plans.registry import QUERIES
+
+SF_TINY = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- hash_split
+
+
+def test_hash_split_total_and_disjoint(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 10_000
+    assert set(counts) == {"train", "val", "test"}
+    # 98/1/1 within loose tolerance on 10k uniform hashes
+    assert counts["train"] > 9_500
+    assert 20 < counts["val"] < 250
+    assert 20 < counts["test"] < 250
+
+
+def test_hash_split_stable_under_growth(spark):
+    """An id's split never changes when the corpus grows — the property
+    that prevents val/test leakage under incremental ingestion."""
+    small = hash_split(spark.range(1_000).withColumnRenamed("id", "doc_id"), "doc_id")
+    big = hash_split(spark.range(50_000).withColumnRenamed("id", "doc_id"), "doc_id")
+    joined = small.alias("s").join(big.alias("b"), "doc_id").filter(
+        F.col("s.split") != F.col("b.split")
+    )
+    assert joined.count() == 0
+
+
+def test_hash_split_seed_changes_assignment(spark):
+    df = spark.range(5_000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, "doc_id", seed="split-v1")
+    b = hash_split(df, "doc_id", seed="split-v2")
+    moved = (
+        a.alias("a")
+        .join(b.alias("b"), "doc_id")
+        .filter(F.col("a.split") != F.col("b.split"))
+        .count()
+    )
+    assert moved > 0  # different seeds give an independent assignment
+
+
+# ------------------------------------------------------------ robust_outliers
+
+
+def test_robust_outliers_planted(spark):
+    rows = [Row(g="a", v=float(x)) for x in range(100)] + [
+        Row(g="a", v=1e6),
+        Row(g="b", v=5.0),
+        Row(g="b", v=5.0),
+        Row(g="b", v=5.0),
+    ]
+    out = robust_outliers(spark.createDataFrame(rows), "v", ["g"], k=3.0)
+    flagged = [r["v"] for r in out.filter("is_outlier").collect()]
+    assert flagged == [1e6]
+    # constant group: MAD = 0, nothing flagged
+    assert out.filter("g = 'b' and is_outlier").count() == 0
+
+
+def test_robust_outliers_no_fact_shuffle(spark):
+    """The fact side must reach both joins without a hash exchange —
+    group stats are broadcast back."""
+    rows = [Row(g=str(i % 4), v=float(i)) for i in range(1000)]
+    out = robust_outliers(spark.createDataFrame(rows), "v", ["g"], k=3.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------- semantic near-dup
+
+
+def test_semantic_near_dup_catches_planted_duplicate(spark):
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    first = emb.select("embedding").first()[0]
+    near = [float(x) + 1e-4 for x in first]
+    planted = spark.createDataFrame(
+        [Row(vec_id=999_999, embedding=near, label=0)], schema=emb.schema
+    )
+    pairs = embedding_near_dup_pairs(
+        emb.unionByName(planted), threshold=0.99, n_planes=4, seed=7
+    ).collect()
+    found = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    base_id = emb.select("vec_id").first()[0]
+    assert (base_id, 999_999) in found
+
+
+def test_semantic_near_dup_subset_of_exact(spark):
+    """Bucketed pairs are a subset of exact all-pairs at the same
+    threshold (LSH only prunes, never invents)."""
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    bucketed = embedding_near_dup_pairs(emb, threshold=0.3, n_planes=4, seed=7)
+    got = {(r["vec_a"], r["vec_b"]) for r in bucketed.collect()}
+    from pyspark_etl_twitter_spark.operators.similarity import dot, l2_norm
+
+    base = emb.select(
+        "vec_id", F.col("embedding").alias("e"), l2_norm(F.col("embedding")).alias("n")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    exact = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n"))).alias("c"),
+        )
+        .filter(F.round("c", 6) >= 0.3)
+    )
+    allpairs = {(r["vec_a"], r["vec_b"]) for r in exact.collect()}
+    assert got <= allpairs
+    assert len(got) > 0
+
+
+# ----------------------------------------------------------- registry plans
+
+
+def test_unpivot_uses_expand_node(spark):
+    plan = (
+        QUERIES["unpivot_lineitem_measures"](spark, SF_TINY)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in plan  # native unpivot, not a union of scans
+    assert plan.count("FileScan") == 1
+
+
+def test_percentile_window_single_exchange(spark):
+    plan = (
+        QUERIES["percentile_window_customers"](spark, SF_TINY)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both windows and the count share the same c_nationkey partitioning:
+    # exactly one hash exchange
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -255,3 +255,78 @@ WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= {SEMANTIC_TA
 
 
 ORACLE_SEMANTIC_NEAR_DUP_PAIRS = _semantic_oracle()
+
+
+# --------------------------------------------------------------------------
+# End-to-end SemDeDup: bucketed pairs → connected components → survivors
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full semantic-dedup pipeline a training corpus runs: LSH-bucket
+    candidates (never a cross join) → exact-cosine-verified edges →
+    connected components (transitive closure — A~B, B~C collapse even
+    without an A~C edge) → keep each cluster's min-id member. Reports
+    per-label corpus shrinkage. Every stage is the scale shape: equi-joins
+    and min-aggregates only; the CC loop converges in graph-diameter
+    rounds (near-clique dup groups → 2-4) with localCheckpoint capping
+    lineage."""
+    from pyspark_etl_twitter_spark.operators.dedup import duplicate_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb,
+        threshold=SEMANTIC_TAU,
+        n_planes=SEMANTIC_PLANES,
+        seed=SEMANTIC_SEED,
+    )
+    clusters = duplicate_clusters(pairs, a_col="vec_a", b_col="vec_b")
+    drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    kept = emb.join(drops, "vec_id", "left_anti")
+    totals = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_total"))
+    kept_counts = kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+    return totals.join(kept_counts, "label").select("label", "n_total", "n_kept")
+
+
+def _semantic_dedup_oracle() -> str:
+    planes = _hyperplanes(_EMB_DIM, SEMANTIC_PLANES, SEMANTIC_SEED)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         {bucket_terms} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= {SEMANTIC_TAU}
+),
+edges AS (
+  SELECT va AS src, vb AS dst FROM pairs
+  UNION
+  SELECT vb, va FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+clusters AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+drops AS (SELECT node FROM clusters WHERE node <> cluster_id)
+SELECT label,
+       count(*) AS n_total,
+       count(CASE WHEN vec_id NOT IN (SELECT node FROM drops) THEN 1 END) AS n_kept
+FROM embeddings
+GROUP BY label
+"""
+
+
+ORACLE_SEMANTIC_DEDUP_SURVIVORS = _semantic_dedup_oracle()

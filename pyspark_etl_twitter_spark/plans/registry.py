@@ -140,6 +140,7 @@ QUERIES: dict[str, QueryFn] = {
     "unpivot_lineitem_measures": AQ.unpivot_lineitem_measures,
     "percentile_window_customers": AQ.percentile_window_customers,
     "semantic_near_dup_pairs": AQ.semantic_near_dup_pairs,
+    "semantic_dedup_survivors": AQ.semantic_dedup_survivors,
 }
 
 ORACLES: dict[str, str] = {
@@ -233,4 +234,5 @@ ORACLES: dict[str, str] = {
     "unpivot_lineitem_measures": AQ.ORACLE_UNPIVOT_LINEITEM_MEASURES,
     "percentile_window_customers": AQ.ORACLE_PERCENTILE_WINDOW_CUSTOMERS,
     "semantic_near_dup_pairs": AQ.ORACLE_SEMANTIC_NEAR_DUP_PAIRS,
+    "semantic_dedup_survivors": AQ.ORACLE_SEMANTIC_DEDUP_SURVIVORS,
 }

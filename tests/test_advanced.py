@@ -147,3 +147,35 @@ def test_percentile_window_single_exchange(spark):
     # both windows and the count share the same c_nationkey partitioning:
     # exactly one hash exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_semantic_dedup_transitive_collapse(spark):
+    """A~B and B~C (without an A~C edge necessarily) collapse into one
+    cluster; survivors = corpus minus non-canonical members."""
+    import numpy as np
+
+    from pyspark_etl_twitter_spark.operators.dedup import duplicate_clusters
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    first = np.array(emb.select("embedding").first()[0], dtype=float)
+    rows = [
+        Row(vec_id=10_000_001, embedding=[float(x) for x in first * 1.0001], label=0),
+        Row(vec_id=10_000_002, embedding=[float(x) for x in first * 1.0002], label=0),
+    ]
+    planted = spark.createDataFrame(rows, schema=emb.schema)
+    corpus = emb.unionByName(planted)
+    pairs = embedding_near_dup_pairs(corpus, threshold=0.999, n_planes=4, seed=7)
+    clusters = duplicate_clusters(pairs, a_col="vec_a", b_col="vec_b")
+    base_id = emb.select("vec_id").first()[0]
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in clusters.filter(
+            F.col("doc_id").isin(base_id, 10_000_001, 10_000_002)
+        ).collect()
+    }
+    # all three label to the min id of the group
+    assert got == {
+        base_id: base_id,
+        10_000_001: base_id,
+        10_000_002: base_id,
+    }

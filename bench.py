@@ -46,6 +46,11 @@ HEADLINE = [
     "epoch_shuffle_head",
     "resample_ffill_hourly",
     "rolling_1h_event_stats",
+    "hash_split_counts",
+    "outlier_events_by_type",
+    "unpivot_lineitem_measures",
+    "semantic_near_dup_pairs",
+    "semantic_dedup_survivors",
 ]
 
 

@@ -320,6 +320,42 @@ def _ngram_fuzz_batch(rng, spark, con, n_docs=40):
     return True, ""
 
 
+def _split_fuzz_batch(rng, spark, con, n_ids=500):
+    """Hash-split parity batch: random (possibly huge/negative) ids and a
+    random seed through the engine's ``hash_split`` vs the DuckDB
+    hex-prefix CASE formula — the md5-bucket assignment must agree on
+    every id or incremental ingestion would leak across splits."""
+    import pandas as pd
+
+    from pyspark_etl_twitter_spark.operators.curation import hash_split
+
+    seed = f"fuzz-{rng.randint(0, 10**9)}"
+    ids = [rng.randint(-(2**62), 2**62) for _ in range(n_ids)]
+    pdf = pd.DataFrame({"doc_id": ids})
+    got = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            spark.createDataFrame(pdf), "doc_id", seed=seed
+        ).collect()
+    }
+    con.register("fuzz_split_ids", pdf)
+    want = dict(
+        con.execute(f"""
+        SELECT doc_id,
+               CASE WHEN bkt < 98 THEN 'train'
+                    WHEN bkt < 99 THEN 'val'
+                    ELSE 'test' END
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{seed}'), 1, 8)) AS BIGINT) % 100 AS bkt
+              FROM fuzz_split_ids)
+    """).fetchall()
+    )
+    if got != want:
+        diff = {k: (got[k], want[k]) for k in got if got[k] != want[k]}
+        return False, f"seed={seed} diverged={dict(list(diff.items())[:5])}"
+    return True, ""
+
+
 def _canon(rows, cols):
     """Sort rows by a coarse key, keep raw floats for tolerance compare.
 
@@ -450,10 +486,22 @@ def main() -> int:
             ngram_fail += 1
             print(f"NGRAM BATCH {i} MISMATCH: {detail}")
     failures += ngram_fail
+
+    split_fail = 0
+    for i in range(n_text):
+        try:
+            ok, detail = _split_fuzz_batch(rng, spark, con)
+        except Exception as exc:  # noqa: BLE001
+            ok, detail = False, f"ERROR {exc}"
+        if not ok:
+            split_fail += 1
+            print(f"SPLIT BATCH {i} MISMATCH: {detail}")
+    failures += split_fail
     print(
-        f"\nfuzz: {n_cases - (failures - text_fail - ngram_fail)}/{n_cases} "
+        f"\nfuzz: {n_cases - (failures - text_fail - ngram_fail - split_fail)}/{n_cases} "
         f"SQL matched, {n_text - text_fail}/{n_text} text batches matched, "
-        f"{n_text - ngram_fail}/{n_text} ngram batches matched "
+        f"{n_text - ngram_fail}/{n_text} ngram batches matched, "
+        f"{n_text - split_fail}/{n_text} split batches matched "
         f"(seed={seed}, sf={sf_dir})"
     )
     return 1 if failures else 0

@@ -444,7 +444,15 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets: vectors with
     cosine ≥ threshold almost surely share a bucket (and nearby buckets —
-    this single-probe variant trades recall for one equi-join)."""
+    this single-probe variant trades recall for one equi-join).
+
+    SIZE THE BUCKETS TO THE CORPUS: within-bucket verification is
+    quadratic in bucket population, so ``n_planes`` must grow with the
+    corpus — pick ``n_planes ≈ log2(n_vectors / target_bucket_size)``
+    (target ≈ 50-100). Measured (DESIGN.md §12): at 200k vectors, 12
+    planes verify 9.8M true pairs in ~35 s with ≈99% planted-pair recall,
+    while 4 planes (right for the 2k-vector registry corpus) leave
+    12.5k-vector buckets whose ~1.25G candidate pairs never finish."""
     dim = len(embeddings.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     base = embeddings.select(

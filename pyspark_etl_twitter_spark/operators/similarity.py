@@ -439,8 +439,9 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 7,
+    target_bucket_size: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets: vectors with
     cosine ≥ threshold almost surely share a bucket (and nearby buckets —
@@ -448,12 +449,18 @@ def embedding_near_dup_pairs(
 
     SIZE THE BUCKETS TO THE CORPUS: within-bucket verification is
     quadratic in bucket population, so ``n_planes`` must grow with the
-    corpus — pick ``n_planes ≈ log2(n_vectors / target_bucket_size)``
-    (target ≈ 50-100). Measured (DESIGN.md §12): at 200k vectors, 12
-    planes verify 9.8M true pairs in ~35 s with ≈99% planted-pair recall,
-    while 4 planes (right for the 2k-vector registry corpus) leave
-    12.5k-vector buckets whose ~1.25G candidate pairs never finish."""
+    corpus — ``n_planes=None`` derives it as
+    ``ceil(log2(n_vectors / target_bucket_size))`` (one count action).
+    Measured (DESIGN.md §12): at 200k vectors, 12 planes verify 9.8M true
+    pairs in ~35 s with ≈99% planted-pair recall, while 4 planes (right
+    for the 2k-vector registry corpus) leave 12.5k-vector buckets whose
+    ~1.25G candidate pairs never finish."""
     dim = len(embeddings.select(vec_col).first()[0])
+    if n_planes is None:
+        import math
+
+        n_vecs = embeddings.count()
+        n_planes = max(1, math.ceil(math.log2(max(n_vecs, 2) / target_bucket_size)))
     planes = _hyperplanes(dim, n_planes, seed)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),

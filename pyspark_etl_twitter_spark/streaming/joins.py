@@ -55,3 +55,23 @@ def click_purchase_attribution(
         "click_id",
         "click_ts",
     )
+
+
+def enrich_stream_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    CURRENT contents of the static relation (Spark re-plans the static
+    side per batch, so a dim table updated between batches is picked up —
+    slowly-changing enrichment without restarting the query).
+
+    The dim is broadcast: stateless, no watermark, no join state at all —
+    the right shape for code↔name/config/feature-flag enrichment where
+    the dim is orders of magnitude smaller than the stream. For a dim too
+    big to broadcast, drop the hint and let the stream side shuffle per
+    batch (still stateless)."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -179,3 +179,16 @@ def test_semantic_dedup_transitive_collapse(spark):
         10_000_001: base_id,
         10_000_002: base_id,
     }
+
+
+def test_near_dup_auto_planes(spark):
+    """n_planes=None sizes buckets to the corpus: ceil(log2(N/target))."""
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")  # 500 vecs
+    auto = embedding_near_dup_pairs(
+        emb, threshold=0.3, n_planes=None, target_bucket_size=64
+    )
+    explicit = embedding_near_dup_pairs(emb, threshold=0.3, n_planes=3, seed=7)
+    # ceil(log2(500/64)) = 3 → identical plan → identical pairs
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )

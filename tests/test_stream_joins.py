@@ -51,3 +51,48 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_enrich_stream_static(spark, tmp_path):
+    """Each micro-batch joins the current static dim; the streamed result
+    equals the batch twin."""
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+    from pyspark_etl_twitter_spark.streaming.joins import enrich_stream_static
+    from pyspark_etl_twitter_spark.streaming.pipeline import (
+        EVENTS_STREAM_SCHEMA,
+        replay_to_json,
+        stream_events,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    replay = str(tmp_path / "replay")
+    replay_to_json(events, replay, n_files=5)
+    dim = spark.createDataFrame(
+        [("click", "interaction"), ("view", "impression"), ("purchase", "revenue")],
+        ["event_type", "category"],
+    )
+    enriched = enrich_stream_static(
+        stream_events(spark, replay, max_files_per_trigger=2), dim, "event_type"
+    ).select("event_id", "event_type", "category")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_static")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from enrich_static")
+    want = events.join(dim, "event_type", "left").select(
+        "event_id", "event_type", "category"
+    )
+    assert got.count() == 500
+    assert (
+        sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    )
+    # unknown types survive the left join with null category
+    assert got.filter(F.col("category").isNull()).count() == want.filter(
+        F.col("category").isNull()
+    ).count()

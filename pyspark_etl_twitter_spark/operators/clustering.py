@@ -1,0 +1,114 @@
+"""Distributed k-means (Lloyd's) over an embedding column.
+
+The scale shape: each iteration does ONE distributed pass — assign every
+vector to its nearest centroid (broadcast cross join against the k-row
+centroid dim, argmin per vector) and average the member vectors per
+cluster (posexplode to (cluster, dim_pos, value), one partial-aggregated
+groupBy). The k×dim centroid table (a few KB) comes back to the driver
+and is re-broadcast as literals for the next round — the corpus is never
+collected and never shuffles on anything wider than (cluster, pos).
+
+Used standalone (`semantic clustering / SemDeDup partitioning`) and as a
+trainer for the IVF index (`operators/similarity.ivf_assignments` uses
+first-k seeding; passing centroids trained here tightens its lists).
+Deterministic: seeding is id-ordered, iteration count and tolerance are
+explicit, ties break on lowest cluster id.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _assign(emb: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
+    """(id, cluster, dist2): nearest centroid per vector, ties → lowest id.
+
+    Distances via one least() over k squared-L2 expressions — pure
+    codegen, no explode, no shuffle."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"_d{i}")
+        for i, c in enumerate(centroids)
+    ]
+    scored = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), *dists)
+    best = F.least(*[F.col(f"_d{i}") for i in range(len(centroids))])
+    cluster = F.lit(None).cast("int")
+    # reversed so ties resolve to the LOWEST cluster id
+    for i in reversed(range(len(centroids))):
+        cluster = F.when(F.col(f"_d{i}") == best, F.lit(i)).otherwise(cluster)
+    return scored.select(
+        F.col("_id").alias(id_col),
+        F.col("_v").alias(vec_col),
+        cluster.alias("cluster"),
+        best.alias("dist2"),
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iters: int = 10,
+    tol: float = 1e-6,
+) -> tuple[list[list[float]], list[float]]:
+    """Lloyd's iterations; returns (centroids, per-iteration inertia).
+
+    Inertia (Σ dist²) is monotonically non-increasing — asserted by the
+    property tests. Empty clusters keep their previous centroid. Stops
+    when max centroid shift < ``tol`` or after ``max_iters``."""
+    seeds = (
+        emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    history: list[float] = []
+    for _ in range(max_iters):
+        assigned = _assign(emb, centroids, id_col, vec_col)
+        per_dim = (
+            assigned.select(
+                "cluster", "dist2", F.posexplode(vec_col).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+        )
+        rows = per_dim.collect()
+        inertia = assigned.agg(F.sum("dist2")).first()[0] or 0.0
+        history.append(float(inertia))
+        new_centroids = [list(c) for c in centroids]
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mean"]
+        shift = 0.0
+        for ci, dims in by_cluster.items():
+            vec = [dims[p] for p in sorted(dims)]
+            shift = max(
+                shift,
+                math.sqrt(sum((a - b) ** 2 for a, b in zip(vec, centroids[ci]))),
+            )
+            new_centroids[ci] = vec
+        centroids = new_centroids
+        if shift < tol:
+            break
+    return centroids, history
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, dist2) for trained centroids — one codegen pass."""
+    return _assign(emb, centroids, id_col, vec_col).drop(vec_col)

@@ -330,3 +330,30 @@ GROUP BY label
 
 
 ORACLE_SEMANTIC_DEDUP_SURVIVORS = _semantic_dedup_oracle()
+
+
+# --------------------------------------------------------------------------
+# Distributed k-means (rows-only: iterative, not ANSI-SQL-expressible)
+# --------------------------------------------------------------------------
+
+
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus: per-cluster population
+    and mean distance. Iterative (assign ⇄ re-center) → no SQL oracle;
+    driver records rows-only, pytest covers blob recovery / monotone
+    inertia / determinism (tests/test_clustering.py)."""
+    from pyspark_etl_twitter_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, _ = kmeans_fit(emb, 8, max_iters=5)
+    return (
+        kmeans_assign(emb, centroids)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(F.sqrt("dist2")), 6).alias("avg_dist"),
+        )
+    )

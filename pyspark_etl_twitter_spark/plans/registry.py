@@ -71,7 +71,6 @@ QUERIES: dict[str, QueryFn] = {
     "sentiment_weights_head": T.sentiment_weights_head,
     # dedup
     "dedup_exact_summary": T.dedup_exact_summary,
-    "dedup_exact_groups": T.dedup_exact_groups,
     "dedup_sha_fingerprints": T.dedup_sha_fingerprints,
     "dedup_jaccard_pairs": T.dedup_jaccard_pairs,
     "dedup_minhash_pairs": T.dedup_minhash_pairs,
@@ -97,7 +96,13 @@ QUERIES: dict[str, QueryFn] = {
     "pack_documents_2048": T.pack_documents_2048,
     "pack_documents_salted_2048": T.pack_documents_salted_2048,
     "multi_resolution_rollup": T.multi_resolution_rollup,
+    # k-means (iterative → rows-only; must sit inside the window so the
+    # driver's rows-only check is its hard signal — tail entries carry
+    # oracles. dedup_exact_groups moved to the tail to make room; it keeps
+    # its oracle and its round-1 green row.)
+    "kmeans_cluster_sizes": AQ.kmeans_cluster_sizes,
     # -- past the window: round-1-verified relational variants -------------
+    "dedup_exact_groups": T.dedup_exact_groups,
     "set_union_active_keys": R.set_union_active_keys,
     "string_funcs_part": R.string_funcs_part,
     "distinct_counts": R.distinct_counts,

@@ -1,0 +1,82 @@
+"""Distributed Lloyd's k-means: separated clusters recovered exactly,
+inertia monotone, assignment deterministic."""
+
+import random
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_fit,
+)
+
+SF_TINY = "/root/testdata/sf0.001"
+
+
+def _blobs(spark, n_per=50, dim=8, spread=0.05):
+    """Three well-separated blobs at distance ~1 apart."""
+    rng = random.Random(11)
+    centers = [[0.0] * dim, [1.0] * dim, [-1.0] * dim]
+    rows = []
+    i = 0
+    for ci, c in enumerate(centers):
+        for _ in range(n_per):
+            rows.append(
+                Row(
+                    vec_id=i,
+                    embedding=[x + rng.uniform(-spread, spread) for x in c],
+                    true_cluster=ci,
+                )
+            )
+            i += 1
+    return spark.createDataFrame(rows)
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    blobs = _blobs(spark)
+    centroids, history = kmeans_fit(blobs, 3, max_iters=10)
+    assigned = kmeans_assign(blobs, centroids).join(
+        blobs.select("vec_id", "true_cluster"), "vec_id"
+    )
+    # every learned cluster maps 1:1 onto a true blob
+    purity = (
+        assigned.groupBy("cluster")
+        .agg(F.countDistinct("true_cluster").alias("n_true"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(purity) == 3
+    assert all(r["n_true"] == 1 and r["n"] == 50 for r in purity)
+
+
+def test_kmeans_inertia_monotone(spark):
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    _, history = kmeans_fit(emb, 8, max_iters=5)
+    assert len(history) >= 2
+    assert all(a >= b - 1e-6 for a, b in zip(history, history[1:]))
+
+
+def test_kmeans_assign_deterministic_and_total(spark):
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    centroids, _ = kmeans_fit(emb, 4, max_iters=3)
+    a = kmeans_assign(emb, centroids)
+    b = kmeans_assign(emb, centroids)
+    assert a.count() == emb.count()
+    assert sorted((r["vec_id"], r["cluster"]) for r in a.collect()) == sorted(
+        (r["vec_id"], r["cluster"]) for r in b.collect()
+    )
+    # every vector gets a cluster in range
+    assert a.filter(F.col("cluster").isNull() | (F.col("cluster") >= 4)).count() == 0
+
+
+def test_kmeans_assign_no_shuffle(spark):
+    """Assignment is one codegen pass: no exchange in the plan."""
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    centroids, _ = kmeans_fit(emb, 2, max_iters=1)
+    plan = (
+        kmeans_assign(emb, centroids)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

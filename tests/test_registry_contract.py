@@ -50,6 +50,7 @@ ROWS_ONLY_BY_DESIGN = {
     "knn_ann_lsh",
     "knn_ivf",
     "dedup_clusters_minhash",
+    "kmeans_cluster_sizes",
 }
 
 

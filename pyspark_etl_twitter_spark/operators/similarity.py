@@ -20,6 +20,8 @@ Three paths:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -212,26 +214,52 @@ def ivf_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_lists: int = 16,
+    train_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: partition the corpus into ``n_lists``
     inverted lists by nearest centroid.
 
-    Centroids are the first ``n_lists`` vectors (deterministic seeding — a
-    k-means refinement would iterate re-assignment exactly like this single
-    assignment pass, so the join shape is the real thing). Assignment is a
-    broadcast cross join against the centroid dimension + per-vector argmin
-    window: one narrow pass over the corpus, no corpus shuffle except the
-    final argmin partition by id. Returns (assignments, centroids)."""
+    Default centroids are the first ``n_lists`` vectors (deterministic
+    seeding — a k-means refinement iterates re-assignment exactly like
+    this single assignment pass, so the join shape is the real thing).
+    ``train_iters > 0`` runs that refinement (operators/clustering
+    Lloyd's) first, which evens out list populations — the probe path's
+    worst case is its biggest list. Assignment is a broadcast cross join
+    against the centroid dimension + per-vector argmin window: one narrow
+    pass over the corpus, no corpus shuffle except the final argmin
+    partition by id. Returns (assignments, centroids)."""
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("emb"),
         l2_norm(F.col(vec_col)).alias("nrm"),
     )
-    centroids = base.filter(F.col("vec_id") < n_lists).select(
-        F.col("vec_id").alias("list_id"),
-        F.col("emb").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
+    if train_iters > 0:
+        from pyspark_etl_twitter_spark.operators.clustering import kmeans_fit
+
+        trained, _ = kmeans_fit(
+            embeddings,
+            n_lists,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_iters=train_iters,
+        )
+        rows = [
+            (i, [float(x) for x in c], math.sqrt(sum(x * x for x in c)))
+            for i, c in enumerate(trained)
+        ]
+        centroids = embeddings.sparkSession.createDataFrame(
+            rows, ["list_id", "c_emb", "c_nrm"]
+        ).select(
+            "list_id",
+            F.col("c_emb").cast("array<float>").alias("c_emb"),
+            "c_nrm",
+        )
+    else:
+        centroids = base.filter(F.col("vec_id") < n_lists).select(
+            F.col("vec_id").alias("list_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
     scored = base.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "emb",

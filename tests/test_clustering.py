@@ -80,3 +80,20 @@ def test_kmeans_assign_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_ivf_trained_centroids_balance_lists(spark):
+    """train_iters>0 runs Lloyd's before assignment; the biggest inverted
+    list (the probe path's worst case) must not grow vs naive seeding, and
+    every vector stays assigned to exactly one list."""
+    from pyspark_etl_twitter_spark.operators.similarity import ivf_assignments
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    naive, _ = ivf_assignments(emb, n_lists=8)
+    trained, cents = ivf_assignments(emb, n_lists=8, train_iters=3)
+    assert trained.count() == emb.count()
+    assert trained.select("vec_id").distinct().count() == emb.count()
+    assert cents.count() == 8
+    max_naive = naive.groupBy("list_id").count().agg(F.max("count")).first()[0]
+    max_trained = trained.groupBy("list_id").count().agg(F.max("count")).first()[0]
+    assert max_trained <= max_naive

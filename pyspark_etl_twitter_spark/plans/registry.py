@@ -17,6 +17,7 @@ from pyspark_etl_twitter_spark.plans import curation_queries as CQ
 from pyspark_etl_twitter_spark.plans import relational as R
 from pyspark_etl_twitter_spark.plans import relational2 as R2
 from pyspark_etl_twitter_spark.plans import text_queries as T
+from pyspark_etl_twitter_spark.plans import tpch as H
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -146,6 +147,22 @@ QUERIES: dict[str, QueryFn] = {
     "percentile_window_customers": AQ.percentile_window_customers,
     "semantic_near_dup_pairs": AQ.semantic_near_dup_pairs,
     "semantic_dedup_survivors": AQ.semantic_dedup_survivors,
+    # classic TPC-H suite (tail: the relational family's in-window reps —
+    # pricing_summary/revenue_by_nation/... — already carry its hard signal)
+    "tpch_q3_shipping_priority": H.tpch_q3_shipping_priority,
+    "tpch_q4_order_priority": H.tpch_q4_order_priority,
+    "tpch_q7_nation_volume": H.tpch_q7_nation_volume,
+    "tpch_q8_market_share": H.tpch_q8_market_share,
+    "tpch_q9_profit_by_nation": H.tpch_q9_profit_by_nation,
+    "tpch_q10_returned_items": H.tpch_q10_returned_items,
+    "tpch_q12_latency_priority": H.tpch_q12_latency_priority,
+    "tpch_q14_promo_effect": H.tpch_q14_promo_effect,
+    "tpch_q16_supplier_variety": H.tpch_q16_supplier_variety,
+    "tpch_q17_small_qty_revenue": H.tpch_q17_small_qty_revenue,
+    "tpch_q18_large_volume_customers": H.tpch_q18_large_volume_customers,
+    "tpch_q19_disjunctive_revenue": H.tpch_q19_disjunctive_revenue,
+    "tpch_q21_waiting_suppliers": H.tpch_q21_waiting_suppliers,
+    "tpch_q22_dormant_customers": H.tpch_q22_dormant_customers,
 }
 
 ORACLES: dict[str, str] = {
@@ -240,4 +257,18 @@ ORACLES: dict[str, str] = {
     "percentile_window_customers": AQ.ORACLE_PERCENTILE_WINDOW_CUSTOMERS,
     "semantic_near_dup_pairs": AQ.ORACLE_SEMANTIC_NEAR_DUP_PAIRS,
     "semantic_dedup_survivors": AQ.ORACLE_SEMANTIC_DEDUP_SURVIVORS,
+    "tpch_q3_shipping_priority": H.ORACLE_TPCH_Q3,
+    "tpch_q4_order_priority": H.ORACLE_TPCH_Q4,
+    "tpch_q7_nation_volume": H.ORACLE_TPCH_Q7,
+    "tpch_q8_market_share": H.ORACLE_TPCH_Q8,
+    "tpch_q9_profit_by_nation": H.ORACLE_TPCH_Q9,
+    "tpch_q10_returned_items": H.ORACLE_TPCH_Q10,
+    "tpch_q12_latency_priority": H.ORACLE_TPCH_Q12,
+    "tpch_q14_promo_effect": H.ORACLE_TPCH_Q14,
+    "tpch_q16_supplier_variety": H.ORACLE_TPCH_Q16,
+    "tpch_q17_small_qty_revenue": H.ORACLE_TPCH_Q17,
+    "tpch_q18_large_volume_customers": H.ORACLE_TPCH_Q18,
+    "tpch_q19_disjunctive_revenue": H.ORACLE_TPCH_Q19,
+    "tpch_q21_waiting_suppliers": H.ORACLE_TPCH_Q21,
+    "tpch_q22_dormant_customers": H.ORACLE_TPCH_Q22,
 }

@@ -1,0 +1,66 @@
+"""Physical-plan shape assertions for the TPC-H suite (plans/tpch.py).
+
+Correct rows are the oracle check's job; these tests pin the 100 TB plan
+properties — dims broadcast, EXISTS/NOT-EXISTS become semi/anti joins,
+top-k avoids a global sort, disjunctive predicates stay in an equi-join.
+"""
+
+from pyspark_etl_twitter_spark.plans import tpch as H
+from tests.conftest import SF_TINY
+from tests.test_plans import plan_of
+
+
+def test_q3_broadcasts_customer_and_heaps_topk(spark):
+    plan = plan_of(H.tpch_q3_shipping_priority(spark, SF_TINY))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # both date filters reach their scans
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_q4_exists_is_left_semi(spark):
+    plan = plan_of(H.tpch_q4_order_priority(spark, SF_TINY))
+    assert "LeftSemi" in plan
+
+
+def test_q7_q8_q9_broadcast_all_dims(spark):
+    # every dim joins as a broadcast; the only sort-merge/shuffle joins
+    # allowed are fact⋈fact (lineitem⋈orders)
+    for fn, n_dims in (
+        (H.tpch_q7_nation_volume, 4),
+        (H.tpch_q8_market_share, 5),
+        (H.tpch_q9_profit_by_nation, 3),
+    ):
+        plan = plan_of(fn(spark, SF_TINY))
+        assert plan.count("BroadcastHashJoin") >= n_dims, fn.__name__
+
+
+def test_q19_disjunction_stays_equi_join(spark):
+    plan = plan_of(H.tpch_q19_disjunctive_revenue(spark, SF_TINY))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_not_exists_is_left_anti(spark):
+    plan = plan_of(H.tpch_q22_dormant_customers(spark, SF_TINY))
+    assert "LeftAnti" in plan
+    # dormancy window filter reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q18_broadcasts_having_output_not_fact(spark):
+    # the HAVING aggregate's tiny output is the build side of both joins
+    plan = plan_of(H.tpch_q18_large_volume_customers(spark, SF_TINY))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q21_is_two_aggregates_no_self_join_explosion(spark):
+    # the EXISTS/NOT-EXISTS pair compiles to per-order arithmetic: two
+    # hash aggregates over lineitem, no BroadcastNestedLoopJoin
+    plan = plan_of(H.tpch_q21_waiting_suppliers(spark, SF_TINY))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × two levels

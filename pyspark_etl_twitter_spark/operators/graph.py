@@ -1,0 +1,115 @@
+"""Graph analytics over relational co-occurrence edges — engine-added
+family (the reference, SURVEY.md §2, has no graph surface; connected
+components for dedup clustering live in operators/dedup.py and this module
+adds the degree/triangle layer on explicitly derived edges).
+
+Edges are DERIVED, not stored: two suppliers are connected when they ship
+lineitems in the same order. The pair generation is a per-order self-join
+— safe at 100 TB because the fan-out per join key is bounded by the
+per-order supplier count (≤7 lineitems/order in TPC-H-shaped data), so no
+key explodes regardless of total volume. Skewed *nodes* (a supplier in
+millions of orders) surface only after the dedup to distinct edges, where
+each edge appears once.
+
+Triangle counting uses the degree-ordered orientation (Schank & Wagner's
+forward algorithm, the standard distributed formulation — also how
+Spark/GraphFrames and the MapReduce literature do it): orient every edge
+from the lower-(degree, id) endpoint to the higher one, join oriented
+adjacency on the source to enumerate wedges, then semi-join wedges against
+oriented edges. Orientation caps every node's out-degree at O(sqrt(m)),
+so the wedge join's fan-out — the step that explodes on skewed graphs —
+is bounded even for celebrity nodes.
+
+All steps are DataFrame ops (joins + aggregates); everything shuffles on
+edge endpoints, nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def supplier_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct undirected edges (u < v) between suppliers sharing an
+    order. Distinct (order, supplier) first so the per-order self-join
+    fans out over supplier count, not lineitem count."""
+    os = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    a = os.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = os.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Degree per node from undirected (u < v) edges: count both
+    endpoint roles in one union-aggregate (a single shuffle on node)."""
+    ends = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    return ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Distribution of degrees: n_nodes per degree value."""
+    return (
+        degrees(edges)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def oriented_edges(edges: DataFrame) -> DataFrame:
+    """Orient each undirected edge from the endpoint with the smaller
+    (degree, id) to the larger — the total order that caps out-degree at
+    O(sqrt(m)) and makes the wedge join skew-proof."""
+    deg = degrees(edges)
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v"))
+    with_deg = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    return with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count (1-row DataFrame, column ``n_triangles``).
+
+    Wedges: ordered pairs (src→b, src→c), b ≠ c. Each triangle yields
+    exactly two wedges at its lowest-order corner, but only the one whose
+    (b, c) agrees with the closing edge's orientation survives the
+    semi-join against oriented edges — so each triangle counts exactly
+    once. Two shuffles (wedge join on src, closing
+    semi-join on (b, c)); no step's fan-out exceeds the oriented
+    out-degree bound."""
+    oe = oriented_edges(edges)
+    e1 = oe.select(F.col("src").alias("s"), F.col("dst").alias("b"))
+    e2 = oe.select(F.col("src").alias("s"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "s").filter(F.col("b") != F.col("c"))
+    closing = oe.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    closed = wedges.join(closing, ["b", "c"], "left_semi")
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def triangles_per_node(edges: DataFrame) -> DataFrame:
+    """Triangle participation count per node (local clustering numerator).
+    Same wedge enumeration; each closed wedge credits all three corners
+    via one explode — still bounded fan-out (3× triangles)."""
+    oe = oriented_edges(edges)
+    e1 = oe.select(F.col("src").alias("s"), F.col("dst").alias("b"))
+    e2 = oe.select(F.col("src").alias("s"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "s").filter(F.col("b") != F.col("c"))
+    closing = oe.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    closed = wedges.join(closing, ["b", "c"], "left_semi")
+    corners = closed.select(
+        F.explode(F.array("s", "b", "c")).alias("node")
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

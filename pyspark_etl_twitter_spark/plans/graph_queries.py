@@ -1,0 +1,95 @@
+"""Graph-analytics registry queries (operators/graph.py) with DuckDB
+oracle twins.
+
+The edge set is the supplier co-occurrence graph derived from lineitem
+(suppliers sharing an order). Oracles replicate the degree-ordered
+orientation in SQL, so the triangle queries are fully hash-verified —
+not rows-only."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_etl_twitter_spark.operators import graph as G
+from pyspark_etl_twitter_spark.session import pin_oracle_confs
+from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+
+def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_oracle_confs(spark)
+    return load_table(spark, sf_dir, "lineitem")
+
+
+_EDGE_CTES = """
+os AS (SELECT DISTINCT l_orderkey AS k, l_suppkey AS s FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM os a JOIN os b ON a.k = b.k AND a.s < b.s
+)"""
+
+_ORIENT_CTES = _EDGE_CTES + """,
+deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+  GROUP BY node
+),
+oe AS (
+  SELECT CASE WHEN du.degree < dv.degree
+                OR (du.degree = dv.degree AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.degree < dv.degree
+                OR (du.degree = dv.degree AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM edges e
+  JOIN deg du ON e.u = du.node
+  JOIN deg dv ON e.v = dv.node
+)"""
+
+
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier co-occurrence graph."""
+    return G.degree_histogram(G.supplier_edges(_li(spark, sf_dir)))
+
+
+ORACLE_GRAPH_DEGREE_HISTOGRAM = f"""
+WITH {_EDGE_CTES},
+deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+  GROUP BY node
+)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count via degree-ordered wedge enumeration."""
+    return G.triangle_count(G.supplier_edges(_li(spark, sf_dir)))
+
+
+ORACLE_GRAPH_TRIANGLE_COUNT = f"""
+WITH {_ORIENT_CTES}
+SELECT count(*) AS n_triangles
+FROM oe e1 JOIN oe e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+WHERE EXISTS (SELECT 1 FROM oe WHERE src = e1.dst AND dst = e2.dst)
+"""
+
+
+def graph_triangles_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation (local clustering numerator)."""
+    return G.triangles_per_node(G.supplier_edges(_li(spark, sf_dir)))
+
+
+ORACLE_GRAPH_TRIANGLES_PER_NODE = f"""
+WITH {_ORIENT_CTES},
+tri AS (
+  SELECT e1.src AS s, e1.dst AS b, e2.dst AS c
+  FROM oe e1 JOIN oe e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+  WHERE EXISTS (SELECT 1 FROM oe WHERE src = e1.dst AND dst = e2.dst)
+)
+SELECT node, count(*) AS n_triangles
+FROM (SELECT s AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY node
+"""

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark_etl_twitter_spark.plans import advanced_queries as AQ
 from pyspark_etl_twitter_spark.plans import bucketed as B
 from pyspark_etl_twitter_spark.plans import curation_queries as CQ
+from pyspark_etl_twitter_spark.plans import graph_queries as GQ
 from pyspark_etl_twitter_spark.plans import relational as R
 from pyspark_etl_twitter_spark.plans import relational2 as R2
 from pyspark_etl_twitter_spark.plans import text_queries as T
@@ -163,6 +164,10 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q19_disjunctive_revenue": H.tpch_q19_disjunctive_revenue,
     "tpch_q21_waiting_suppliers": H.tpch_q21_waiting_suppliers,
     "tpch_q22_dormant_customers": H.tpch_q22_dormant_customers,
+    # graph analytics (new family, fully hash-verified incl. triangles)
+    "graph_degree_histogram": GQ.graph_degree_histogram,
+    "graph_triangle_count": GQ.graph_triangle_count,
+    "graph_triangles_per_node": GQ.graph_triangles_per_node,
 }
 
 ORACLES: dict[str, str] = {
@@ -271,4 +276,7 @@ ORACLES: dict[str, str] = {
     "tpch_q19_disjunctive_revenue": H.ORACLE_TPCH_Q19,
     "tpch_q21_waiting_suppliers": H.ORACLE_TPCH_Q21,
     "tpch_q22_dormant_customers": H.ORACLE_TPCH_Q22,
+    "graph_degree_histogram": GQ.ORACLE_GRAPH_DEGREE_HISTOGRAM,
+    "graph_triangle_count": GQ.ORACLE_GRAPH_TRIANGLE_COUNT,
+    "graph_triangles_per_node": GQ.ORACLE_GRAPH_TRIANGLES_PER_NODE,
 }

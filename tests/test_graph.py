@@ -1,0 +1,94 @@
+"""Graph operators: known-answer fixtures + brute-force parity.
+
+The registry oracle check covers the lineitem-derived graph; these tests
+pin the operators on graphs whose answers are computable by hand and by
+an all-triples brute force, including skew (star) and tie-degree shapes.
+"""
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators import graph as G
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(min(u, v), max(u, v)) for u, v in pairs], "u long, v long"
+    ).distinct()
+
+
+def _brute_triangles(pairs):
+    es = {(min(u, v), max(u, v)) for u, v in pairs}
+    nodes = sorted({n for e in es for n in e})
+    return sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+
+
+def test_triangle_count_k4(spark):
+    # complete graph K4: C(4,3) = 4 triangles
+    k4 = _edges_df(spark, list(combinations(range(4), 2)))
+    assert G.triangle_count(k4).collect()[0].n_triangles == 4
+
+
+def test_triangle_count_star_has_none(spark):
+    # star = worst-case skew, zero triangles; orientation keeps the hub's
+    # out-degree 0 (hub has max degree), so wedges are empty too
+    star = _edges_df(spark, [(0, i) for i in range(1, 30)])
+    assert G.triangle_count(star).collect()[0].n_triangles == 0
+
+
+def test_triangle_count_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = {
+        (a, b)
+        for _ in range(120)
+        for a, b in [sorted(rng.sample(range(18), 2))]
+    }
+    df = _edges_df(spark, pairs)
+    assert (
+        G.triangle_count(df).collect()[0].n_triangles == _brute_triangles(pairs)
+    )
+
+
+def test_triangles_per_node_triangle_plus_tail(spark):
+    # triangle 0-1-2 with a pendant 3: corners get 1 each, pendant absent
+    df = _edges_df(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    rows = {r.node: r.n_triangles for r in G.triangles_per_node(df).collect()}
+    assert rows == {0: 1, 1: 1, 2: 1}
+
+
+def test_degree_histogram(spark):
+    # path 0-1-2-3: degrees 1,2,2,1 → {1: 2, 2: 2}
+    df = _edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    rows = {r.degree: r.n_nodes for r in G.degree_histogram(df).collect()}
+    assert rows == {1: 2, 2: 2}
+
+
+def test_supplier_edges_bounded_fanout_and_dedup(spark):
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 11), (2, 10), (2, 11), (3, 12)],
+        "l_orderkey long, l_suppkey long",
+    )
+    rows = {(r.u, r.v) for r in G.supplier_edges(li).collect()}
+    # duplicate lineitems and the repeated (10,11) pair across orders
+    # collapse to one edge; singleton order 3 contributes nothing
+    assert rows == {(10, 11)}
+
+
+def test_oriented_edges_cap_out_degree(spark):
+    # lollipop: K4 on {0..3} plus hub 0 connected to 10 leaves — the
+    # hub's high degree must orient K4 edges TOWARD it, not from it
+    pairs = list(combinations(range(4), 2)) + [(0, i) for i in range(10, 20)]
+    oe = G.oriented_edges(_edges_df(spark, pairs))
+    out_deg = {
+        r.src: r.n for r in oe.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    # leaves (degree 1) point at the hub; hub (max degree) emits nothing
+    assert 0 not in out_deg

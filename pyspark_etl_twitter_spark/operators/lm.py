@@ -1,0 +1,163 @@
+"""Statistical language-model scoring for training-data curation —
+engine-added family (BASELINE.json north star: text quality at corpus
+scale; the reference has no quality surface at all).
+
+The classic curation signal (CCNet / Gopher lineage) is "how surprising
+is this document under a language model": low per-token log-probability
+marks gibberish, boilerplate, and wrong-language text. A full KenLM is
+out of scope for a pure-Spark engine, but the distributed shape is the
+same for any n-gram order — build a count table, turn counts into
+smoothed log-probabilities, join it back onto exploded tokens, and
+aggregate per document. This module ships the unigram form, exact and
+fully SQL-oracle-able.
+
+Scale notes:
+- The model table is one row per distinct term — a groupBy(term) count
+  whose shuffle carries (term, count) pairs after map-side combine.
+- Scoring joins tokens⋈model on term. The model for web-scale corpora
+  (~10M terms) is usually still broadcastable (~100 MB); pass
+  ``broadcast_model=False`` to fall back to a shuffle join keyed on term
+  when it is not. The token side explodes from an id-repartitioned
+  corpus, so per-doc aggregation after the join reuses that clustering.
+- Scalars (N tokens, V vocab size) travel as broadcast 1-row plans, not
+  driver-side collected constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators.textstats import ws_tokens
+
+
+def unigram_model(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Add-one-smoothed unigram log-probabilities over the corpus:
+    ``logp(t) = ln((c(t) + 1) / (N + V))`` — one row per distinct term,
+    columns ``(term, c, logp)``."""
+    counts = (
+        docs.select(F.explode(ws_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scalars = counts.agg(
+        F.sum("c").cast("double").alias("_n"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    return counts.crossJoin(F.broadcast(scalars)).select(
+        "term",
+        "c",
+        F.log((F.col("c") + 1.0) / (F.col("_n") + F.col("_v"))).alias("logp"),
+    )
+
+
+def _oov_logp(model: DataFrame) -> DataFrame:
+    """1-row frame with the smoothed unseen-term log-probability
+    ``ln(1 / (N + V))`` derived from the model itself."""
+    return model.agg(
+        F.log(1.0 / (F.sum("c").cast("double") + F.count(F.lit(1)).cast("double"))).alias(
+            "oov_logp"
+        )
+    )
+
+
+def doc_logprob(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document mean token log-probability under a unigram model
+    (self-trained on ``docs`` when ``model`` is None — real pipelines
+    pass a model built from a clean reference corpus).
+
+    Returns ``(id, n_tokens, mean_logp, ppl)`` where
+    ``ppl = exp(-mean_logp)``. Zero-token documents keep
+    ``mean_logp = 0.0`` / ``ppl = 1.0`` (left-join + coalesce — same
+    every-doc-scored rule as detect_language)."""
+    if model is None:
+        model = unigram_model(docs, text_col=text_col)
+    model_side = F.broadcast(model) if broadcast_model else model
+    toks = (
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("term"))
+    )
+    scored = (
+        toks.join(model_side.select("term", "logp"), "term", "left")
+        .crossJoin(F.broadcast(_oov_logp(model)))
+        .select(
+            id_col, F.coalesce(F.col("logp"), F.col("oov_logp")).alias("logp")
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_nt"), F.sum("logp").alias("_sum")
+    )
+    mean = F.coalesce(F.col("_sum") / F.col("_nt"), F.lit(0.0))
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_nt"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(mean, 6).alias("mean_logp"),
+            F.round(F.exp(-mean), 4).alias("ppl"),
+        )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus vocabulary
+    of terms seen ≥ ``min_count`` times: ``(id, n_tokens, n_oov,
+    oov_rate)``. The canonical tokenizer-fit signal — documents whose
+    tokens are mostly OOV are noise for any model trained on this corpus.
+
+    Zero-token documents get ``oov_rate = 0.0`` (every-doc-scored rule).
+    The vocab is a 1-column distinct table; a left-anti-style null probe
+    after a left join counts misses in one pass."""
+    vocab = (
+        docs.select(F.explode(ws_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("term", F.lit(1).alias("_in_vocab"))
+    )
+    vocab_side = F.broadcast(vocab) if broadcast_vocab else vocab
+    toks = (
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("term"))
+    )
+    per_doc = (
+        toks.join(vocab_side, "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_nt"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("_noov"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_nt"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("_noov"), F.lit(0)).cast("long").alias("n_oov"),
+            F.round(
+                F.coalesce(
+                    F.col("_noov").cast("double") / F.col("_nt").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -1,0 +1,104 @@
+"""Registry queries for the language-model curation family
+(operators/lm.py) with DuckDB oracle twins.
+
+Tokenization in the oracles matches the engine's ws_tokens exactly:
+string_split on single spaces, empty tokens dropped (documents.text is
+pre-normalized single-space text). Per-doc means are rounded to 6dp on
+BOTH sides before any further aggregation, so the group averages hash
+identically."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators.lm import doc_logprob, vocab_coverage
+from pyspark_etl_twitter_spark.session import pin_oracle_confs
+from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+PPL_THRESHOLD = 32.0  # p90-ish of the synthetic corpus (median ppl ~30, p99 ~34)
+OOV_MIN_COUNT = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_oracle_confs(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def lm_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LM quality: doc count, mean of per-doc mean token
+    log-prob, and how many docs exceed the perplexity gate."""
+    docs = _docs(spark, sf_dir)
+    scored = doc_logprob(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("mean_logp"), 6).alias("avg_logp"),
+        F.sum(F.when(F.col("ppl") > PPL_THRESHOLD, 1).otherwise(0)).alias("n_high_ppl"),
+    )
+
+
+ORACLE_LM_QUALITY_BY_SOURCE = f"""
+WITH tok AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+),
+counts AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+scal AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM counts),
+model AS (SELECT term, ln((c + 1) / (n + v)) AS logp FROM counts, scal),
+per AS (
+  SELECT tok.doc_id, count(*) AS nt, sum(logp) AS s
+  FROM tok JOIN model USING (term) GROUP BY tok.doc_id
+),
+alld AS (
+  SELECT d.doc_id, d.source,
+         round(coalesce(p.s / p.nt, 0.0), 6) AS mean_logp
+  FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(mean_logp), 6) AS avg_logp,
+       CAST(sum(CASE WHEN round(exp(-mean_logp), 4) > {PPL_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high_ppl
+FROM alld GROUP BY source
+"""
+
+
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary coverage against the ≥{min_count}-occurrence
+    corpus vocab: doc count, mean and max per-doc OOV rate."""
+    docs = _docs(spark, sf_dir)
+    cov = vocab_coverage(docs, min_count=OOV_MIN_COUNT).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return cov.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("oov_rate"), 6).alias("avg_oov_rate"),
+        F.round(F.max("oov_rate"), 6).alias("max_oov_rate"),
+    )
+
+
+ORACLE_OOV_RATE_BY_SOURCE = f"""
+WITH tok AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+),
+vocab AS (
+  SELECT term FROM tok GROUP BY term HAVING count(*) >= {OOV_MIN_COUNT}
+),
+per AS (
+  SELECT tok.doc_id, count(*) AS nt,
+         sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS noov
+  FROM tok LEFT JOIN vocab v ON tok.term = v.term
+  GROUP BY tok.doc_id
+),
+alld AS (
+  SELECT d.doc_id, d.source,
+         round(coalesce(CAST(p.noov AS DOUBLE) / p.nt, 0.0), 6) AS oov_rate
+  FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(oov_rate), 6) AS avg_oov_rate,
+       round(max(oov_rate), 6) AS max_oov_rate
+FROM alld GROUP BY source
+"""

@@ -15,6 +15,7 @@ from pyspark_etl_twitter_spark.plans import advanced_queries as AQ
 from pyspark_etl_twitter_spark.plans import bucketed as B
 from pyspark_etl_twitter_spark.plans import curation_queries as CQ
 from pyspark_etl_twitter_spark.plans import graph_queries as GQ
+from pyspark_etl_twitter_spark.plans import lm_queries as LQ
 from pyspark_etl_twitter_spark.plans import relational as R
 from pyspark_etl_twitter_spark.plans import relational2 as R2
 from pyspark_etl_twitter_spark.plans import text_queries as T
@@ -39,14 +40,19 @@ QUERIES: dict[str, QueryFn] = {
     # aggregations
     "pricing_summary": R.pricing_summary,
     "rollup_revenue": R.rollup_revenue,
-    "grouping_sets_revenue": R.grouping_sets_revenue,
     # joins
     "top_revenue_orders": R.top_revenue_orders,
     "revenue_by_nation": R.revenue_by_nation,
     "bucketed_join_revenue": B.bucketed_join_revenue,
     "semi_join_customers": R.semi_join_customers,
-    "outer_join_order_counts": R.outer_join_order_counts,
     "range_join_price_bands": R.range_join_price_bands,
+    # round-3 families: graph analytics + LM curation (one window rep
+    # each; the relational entries they displaced — grouping_sets_revenue,
+    # outer_join_order_counts, orders_with_many_items — hold round-1 green
+    # driver rows and moved to the tail per the ordering contract)
+    "graph_triangle_count": GQ.graph_triangle_count,
+    "lm_quality_by_source": LQ.lm_quality_by_source,
+    "oov_rate_by_source": LQ.oov_rate_by_source,
     # windows / sort / top-k
     "topk_orders_per_customer": R.topk_orders_per_customer,
     "global_top_orders": R.global_top_orders,
@@ -62,7 +68,6 @@ QUERIES: dict[str, QueryFn] = {
     # scalar functions / percentiles / arrays / subqueries / quality
     "percentile_prices": R2.percentile_prices,
     "array_funcs_documents": R2.array_funcs_documents,
-    "orders_with_many_items": R2.orders_with_many_items,
     "data_quality_lineitem": R2.data_quality_lineitem,
     "approx_summary": R2.approx_summary,
     # time windows (batch twin of streaming agg; sliding twin in the tail)
@@ -104,6 +109,9 @@ QUERIES: dict[str, QueryFn] = {
     # its oracle and its round-1 green row.)
     "kmeans_cluster_sizes": AQ.kmeans_cluster_sizes,
     # -- past the window: round-1-verified relational variants -------------
+    "grouping_sets_revenue": R.grouping_sets_revenue,
+    "outer_join_order_counts": R.outer_join_order_counts,
+    "orders_with_many_items": R2.orders_with_many_items,
     "dedup_exact_groups": T.dedup_exact_groups,
     "set_union_active_keys": R.set_union_active_keys,
     "string_funcs_part": R.string_funcs_part,
@@ -164,9 +172,8 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q19_disjunctive_revenue": H.tpch_q19_disjunctive_revenue,
     "tpch_q21_waiting_suppliers": H.tpch_q21_waiting_suppliers,
     "tpch_q22_dormant_customers": H.tpch_q22_dormant_customers,
-    # graph analytics (new family, fully hash-verified incl. triangles)
+    # graph analytics variants (family rep graph_triangle_count in-window)
     "graph_degree_histogram": GQ.graph_degree_histogram,
-    "graph_triangle_count": GQ.graph_triangle_count,
     "graph_triangles_per_node": GQ.graph_triangles_per_node,
 }
 
@@ -279,4 +286,6 @@ ORACLES: dict[str, str] = {
     "graph_degree_histogram": GQ.ORACLE_GRAPH_DEGREE_HISTOGRAM,
     "graph_triangle_count": GQ.ORACLE_GRAPH_TRIANGLE_COUNT,
     "graph_triangles_per_node": GQ.ORACLE_GRAPH_TRIANGLES_PER_NODE,
+    "lm_quality_by_source": LQ.ORACLE_LM_QUALITY_BY_SOURCE,
+    "oov_rate_by_source": LQ.ORACLE_OOV_RATE_BY_SOURCE,
 }

@@ -1,0 +1,88 @@
+"""Unit tests for operators/lm.py: exact smoothed probabilities on a
+hand-computable corpus, OOV handling with a held-out model, and the
+every-doc-scored rule for empty documents."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators.lm import (
+    doc_logprob,
+    unigram_model,
+    vocab_coverage,
+)
+
+
+@pytest.fixture()
+def tiny_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a a b"),
+            (2, "a c"),
+            (3, ""),  # zero tokens — must still be scored
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_unigram_model_exact(spark, tiny_docs):
+    # counts: a=3, b=1, c=1 → N=5, V=3; logp(t) = ln((c+1)/8)
+    rows = {r.term: (r.c, r.logp) for r in unigram_model(tiny_docs).collect()}
+    assert rows["a"][0] == 3
+    assert rows["a"][1] == pytest.approx(math.log(4 / 8), abs=1e-12)
+    assert rows["b"][1] == pytest.approx(math.log(2 / 8), abs=1e-12)
+
+
+def test_doc_logprob_self_model_and_empty_doc(spark, tiny_docs):
+    got = {r.doc_id: r for r in doc_logprob(tiny_docs).collect()}
+    mean1 = (2 * math.log(4 / 8) + math.log(2 / 8)) / 3
+    assert got[1].mean_logp == pytest.approx(round(mean1, 6), abs=1e-9)
+    assert got[1].n_tokens == 3
+    assert got[1].ppl == pytest.approx(round(math.exp(-mean1), 4), abs=1e-6)
+    # empty doc: scored with the neutral defaults, not dropped
+    assert got[3].n_tokens == 0
+    assert got[3].mean_logp == 0.0
+    assert got[3].ppl == 1.0
+
+
+def test_doc_logprob_held_out_model_hits_oov_path(spark, tiny_docs):
+    model = unigram_model(
+        spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    )
+    # model: a=2, b=1 → N=3, V=2; oov logp = ln(1/5)
+    got = {r.doc_id: r for r in doc_logprob(tiny_docs, model).collect()}
+    mean2 = (math.log(3 / 5) + math.log(1 / 5)) / 2  # "a c": c is OOV
+    assert got[2].mean_logp == pytest.approx(round(mean2, 6), abs=1e-9)
+
+
+def test_doc_logprob_shuffle_join_variant_matches(spark, tiny_docs):
+    a = doc_logprob(tiny_docs, broadcast_model=True).collect()
+    b = doc_logprob(tiny_docs, broadcast_model=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_vocab_coverage(spark):
+    docs = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x z"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in vocab_coverage(docs, min_count=2).collect()}
+    # vocab (count ≥ 2) = {x}; doc1: y OOV (1/4); doc2: z OOV (1/2)
+    assert (got[1].n_oov, got[1].oov_rate) == (1, 0.25)
+    assert (got[2].n_oov, got[2].oov_rate) == (1, 0.5)
+    assert (got[3].n_tokens, got[3].n_oov, got[3].oov_rate) == (0, 0, 0.0)
+
+
+def test_lm_plans_are_python_free(spark):
+    from tests.conftest import SF_TINY
+    from tests.test_plans import plan_of
+    from pyspark_etl_twitter_spark.plans.lm_queries import (
+        lm_quality_by_source,
+        oov_rate_by_source,
+    )
+
+    for fn in (lm_quality_by_source, oov_rate_by_source):
+        plan = plan_of(fn(spark, SF_TINY))
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan, fn.__name__

@@ -39,6 +39,10 @@ MUST_BE_IN_WINDOW = {
     "dedup_incremental",
     "repetition_stats",
     "quality_gate_by_source",
+    # round-3 family reps
+    "graph_triangle_count",
+    "lm_quality_by_source",
+    "oov_rate_by_source",
 }
 
 # the only queries allowed to lack a SQL oracle (approximate / hash-seeded

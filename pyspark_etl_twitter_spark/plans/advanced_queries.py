@@ -357,3 +357,40 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.sqrt("dist2")), 6).alias("avg_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join pruning (round 3) — exact join, pruned shuffle
+# --------------------------------------------------------------------------
+
+def bloom_join_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by returnflag for lineitems of 1-URGENT orders, with the
+    lineitem side bloom-pruned (operators/bloom.py) before the join.
+    ~20% of orders are urgent, so ~80% of the fact never enters the join
+    — and the result is EXACT (the equi-join removes false positives),
+    which is why a plain-SQL oracle can verify it. The plan shape (two
+    broadcast semi-joins feeding the main join) is asserted in
+    tests/test_bloom.py."""
+    from pyspark_etl_twitter_spark.operators.bloom import bloom_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = bloom_prefilter_join(li, urgent, "l_orderkey", "o_orderkey")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+ORACLE_BLOOM_JOIN_URGENT_REVENUE = """
+SELECT l_returnflag, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""

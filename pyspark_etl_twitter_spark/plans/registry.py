@@ -175,6 +175,8 @@ QUERIES: dict[str, QueryFn] = {
     # graph analytics variants (family rep graph_triangle_count in-window)
     "graph_degree_histogram": GQ.graph_degree_histogram,
     "graph_triangles_per_node": GQ.graph_triangles_per_node,
+    # bloom-pruned join (join family has 5 in-window reps)
+    "bloom_join_urgent_revenue": AQ.bloom_join_urgent_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -288,4 +290,5 @@ ORACLES: dict[str, str] = {
     "graph_triangles_per_node": GQ.ORACLE_GRAPH_TRIANGLES_PER_NODE,
     "lm_quality_by_source": LQ.ORACLE_LM_QUALITY_BY_SOURCE,
     "oov_rate_by_source": LQ.ORACLE_OOV_RATE_BY_SOURCE,
+    "bloom_join_urgent_revenue": AQ.ORACLE_BLOOM_JOIN_URGENT_REVENUE,
 }

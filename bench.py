@@ -63,12 +63,57 @@ def main() -> None:
     # warm the JVM / codegen paths off the clock
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
+
+    def run_timed(name: str, thunk) -> None:
+        # Fault-isolated: one failing query records null and the run
+        # continues — a single regression must never cost the whole bench.
         start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        try:
+            thunk().write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+
+    for name in HEADLINE:
+        run_timed(name, lambda name=name: QUERIES[name](spark, sf_dir))
+
+    # Stage attribution for the most expensive headline query: time the
+    # candidate-pair stage and the iterative connected-components stage
+    # separately so a regression in either is visible across rounds.
+    # (semantic_dedup_survivors above times the end-to-end pipeline.)
+    try:
+        from pyspark_etl_twitter_spark.operators.dedup import duplicate_clusters
+        from pyspark_etl_twitter_spark.plans.advanced_queries import (
+            SEMANTIC_PLANES,
+            SEMANTIC_SEED,
+            SEMANTIC_TAU,
+        )
+        from pyspark_etl_twitter_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+        from pyspark_etl_twitter_spark.sources.catalog import load_table as _lt
+
+        emb_sd = _lt(spark, sf_dir, "embeddings")
+        pairs_sd = embedding_near_dup_pairs(
+            emb_sd, threshold=SEMANTIC_TAU, n_planes=SEMANTIC_PLANES, seed=SEMANTIC_SEED
+        )
+        start = time.perf_counter()
+        pairs_mat = pairs_sd.localCheckpoint()
+        timings["semantic_dedup_stage_pairs"] = round(time.perf_counter() - start, 3)
+        start = time.perf_counter()
+        duplicate_clusters(pairs_mat, a_col="vec_a", b_col="vec_b").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["semantic_dedup_stage_cc"] = round(time.perf_counter() - start, 3)
+    except Exception as exc:  # noqa: BLE001
+        timings["semantic_dedup_stage_pairs"] = None
+        timings["semantic_dedup_stage_cc"] = None
+        errors["semantic_dedup_stages"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"bench: semantic_dedup_stages FAILED: {errors['semantic_dedup_stages']}", file=sys.stderr)
 
     # Amortized ANN: the index is built ONCE (its cost reported as its own
     # row) and probes are timed index-resident — the shape a 100 TB
@@ -93,32 +138,34 @@ def main() -> None:
     try:
         emb = load_table(spark, sf_dir, "embeddings")
         start = time.perf_counter()
-        build_ivf_index(emb, f"{idx_root}/ivf", n_lists=16)
-        build_lsh_index(emb, f"{idx_root}/lsh", n_planes=8)
-        timings["ann_index_build"] = round(time.perf_counter() - start, 3)
+        try:
+            build_ivf_index(emb, f"{idx_root}/ivf", n_lists=16)
+            build_lsh_index(emb, f"{idx_root}/lsh", n_planes=8)
+            timings["ann_index_build"] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001
+            timings["ann_index_build"] = None
+            errors["ann_index_build"] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: ann_index_build FAILED: {errors['ann_index_build']}", file=sys.stderr)
         for name, fn in (
             ("knn_brute_cosine_100q", lambda: cosine_topk(emb, n_queries=100, k=5)),
             ("knn_ivf_probe_only_100q", lambda: ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=100, k=5, n_probe=4)),
             ("knn_ann_lsh_probe_only_100q", lambda: lsh_probe_indexed(spark, f"{idx_root}/lsh", n_queries=100, k=5)),
         ):
-            start = time.perf_counter()
-            fn().write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 3)
+            run_timed(name, fn)
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    total = round(sum(t for t in timings.values() if t is not None), 3)
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

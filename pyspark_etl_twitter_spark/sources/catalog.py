@@ -42,16 +42,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-        # timestamp type. Read nanos as long, truncate to micros (identical
-        # to DuckDB's nanos→micros truncation on the same file).
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (read as
+        # bigint via nanosAsLong, since Spark has no nanosecond timestamp) and
+        # TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Branch on the dtype that
+        # actually loaded instead of assuming one layout, so schema drift in
+        # the testdata can't break every downstream events query again.
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(table_path(sf_dir, name))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        df = spark.read.parquet(table_path(sf_dir, name))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # legacy nanos layout: truncate to micros (identical to DuckDB's
+            # nanos→micros truncation on the same file).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            # TIMESTAMP_NTZ (or any other flavor) → session-TZ timestamp; the
+            # session TZ is pinned to UTC so the wall-clock value is preserved
+            # and matches DuckDB's naive read of the same file.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

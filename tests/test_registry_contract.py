@@ -43,6 +43,9 @@ MUST_BE_IN_WINDOW = {
     "graph_triangle_count",
     "lm_quality_by_source",
     "oov_rate_by_source",
+    # round-3 TPC-H hard-signal rotation (round-2 verdict ask #6)
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_waiting_suppliers",
 }
 
 # the only queries allowed to lack a SQL oracle (approximate / hash-seeded

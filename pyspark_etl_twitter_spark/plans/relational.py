@@ -511,14 +511,12 @@ WHERE event_type = 'purchase'
 """
 
 
-def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization: lag → gap flag → cumulative sum = session id.
-    Two window passes over one shuffle on user_id; the streaming twin is
-    ``session_window`` (streaming/windows.py)."""
-    ev = _t(spark, sf_dir, "events")
+def sessionize(ev: DataFrame, *, gap_s: int = 1800) -> DataFrame:
+    """DataFrame-level sessionization: lag → gap flag → cumulative sum =
+    session id. Two window passes over one shuffle on user_id."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_sess = F.when(gap.isNull() | (gap >= 1800), 1).otherwise(0)
+    new_sess = F.when(gap.isNull() | (gap >= gap_s), 1).otherwise(0)
     sess = ev.withColumn(
         "session_id",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -528,6 +526,12 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization over the events table; the streaming twin is
+    ``session_window`` (streaming/windows.py)."""
+    return sessionize(_t(spark, sf_dir, "events"))
 
 
 ORACLE_SESSIONIZE_EVENTS = """

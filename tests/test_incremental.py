@@ -15,13 +15,12 @@ from pyspark_etl_twitter_spark.streaming.pipeline import (
 SF_TINY = "/root/testdata/sf0.001"
 
 
-def test_incremental_ingest_exactly_once(spark, tmp_path):
+def test_incremental_ingest_exactly_once(spark, events_tiny, tmp_path):
     src = str(tmp_path / "src")
     dst = str(tmp_path / "dst")
     ckp = str(tmp_path / "ckp")
-    from pyspark_etl_twitter_spark.sources.catalog import load_table
 
-    events = load_table(spark, SF_TINY, "events").limit(600)
+    events = events_tiny.limit(600)
     files = replay_to_json(events, src, n_files=6)
     # hold back the last two files to simulate later arrivals
     hold_dir = str(tmp_path / "held")

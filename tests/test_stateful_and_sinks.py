@@ -15,14 +15,14 @@ from pyspark_etl_twitter_spark.streaming.stateful import running_user_stats
 from tests.conftest import SF_TINY
 
 
-def _replay(spark, tmp_path, n_files=4):
+def _replay(events, tmp_path, n_files=4):
     out = str(tmp_path / "replay")
-    replay_to_json(load_table(spark, SF_TINY, "events"), out, n_files=n_files)
+    replay_to_json(events, out, n_files=n_files)
     return out
 
 
-def test_running_user_stats_final_state_matches_batch(spark, tmp_path):
-    stream = stream_events(spark, _replay(spark, tmp_path), max_files_per_trigger=1)
+def test_running_user_stats_final_state_matches_batch(spark, events_tiny, tmp_path):
+    stream = stream_events(spark, _replay(events_tiny, tmp_path), max_files_per_trigger=1)
     q = (
         running_user_stats(stream)
         .writeStream.outputMode("update")
@@ -44,7 +44,7 @@ def test_running_user_stats_final_state_matches_batch(spark, tmp_path):
     }
     want = {
         r.user_id: (r.n, round(r.s, 6), r.m)
-        for r in load_table(spark, SF_TINY, "events")
+        for r in events_tiny
         .groupBy("user_id")
         .agg(F.count("*").alias("n"), F.sum("value").alias("s"), F.max("ts").alias("m"))
         .collect()
@@ -55,22 +55,22 @@ def test_running_user_stats_final_state_matches_batch(spark, tmp_path):
     assert n_updates > len(want)
 
 
-def test_json_sink_writes_commit_log(spark, tmp_path):
+def test_json_sink_writes_commit_log(spark, events_tiny, tmp_path):
     """S5: append JSON sink with exactly-once via _spark_metadata
     (consumer_local.py:59-66; commit-log evidence SURVEY.md §2.1)."""
-    stream = stream_events(spark, _replay(spark, tmp_path), max_files_per_trigger=2)
+    stream = stream_events(spark, _replay(events_tiny, tmp_path), max_files_per_trigger=2)
     out, ckpt = str(tmp_path / "json_out"), str(tmp_path / "json_ckpt")
     q = json_sink(stream.select("event_id", "event_type"), out, ckpt)
     q.processAllAvailable()
     q.stop()
     assert os.path.isdir(os.path.join(out, "_spark_metadata"))
     back = spark.read.json(out)
-    assert back.count() == 1000
+    assert back.count() == events_tiny.count()
 
 
-def test_console_sink_runs(spark, tmp_path):
+def test_console_sink_runs(spark, events_tiny, tmp_path):
     """S4: console sink, update mode (consumer.py:58-63) — smoke."""
-    stream = stream_events(spark, _replay(spark, tmp_path, n_files=2))
+    stream = stream_events(spark, _replay(events_tiny, tmp_path, n_files=2))
     q = console_sink(stream.groupBy("event_type").count(), output_mode="complete")
     q.processAllAvailable()
     q.stop()

@@ -9,9 +9,9 @@ from pyspark_etl_twitter_spark.streaming.pipeline import replay_to_json, stream_
 from tests.conftest import SF_TINY
 
 
-def test_stream_stream_join_equals_batch(spark, tmp_path):
+def test_stream_stream_join_equals_batch(spark, events_tiny, tmp_path):
     replay = str(tmp_path / "replay")
-    events = load_table(spark, SF_TINY, "events")
+    events = events_tiny
     replay_to_json(events, replay, n_files=4)
 
     stream = stream_events(spark, replay, max_files_per_trigger=1)
@@ -53,7 +53,7 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     assert got == want
 
 
-def test_enrich_stream_static(spark, tmp_path):
+def test_enrich_stream_static(spark, events_tiny, tmp_path):
     """Each micro-batch joins the current static dim; the streamed result
     equals the batch twin."""
     from pyspark_etl_twitter_spark.sources.catalog import load_table
@@ -64,7 +64,7 @@ def test_enrich_stream_static(spark, tmp_path):
         stream_events,
     )
 
-    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    events = events_tiny.limit(500)
     replay = str(tmp_path / "replay")
     replay_to_json(events, replay, n_files=5)
     dim = spark.createDataFrame(

@@ -28,9 +28,9 @@ from tests.conftest import SF_TINY
 
 
 @pytest.fixture(scope="module")
-def events_replay_dir(spark, tmp_path_factory):
+def events_replay_dir(spark, events_tiny, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("events_replay"))
-    replay_to_json(load_table(spark, SF_TINY, "events"), out, n_files=5)
+    replay_to_json(events_tiny, out, n_files=5)
     return out
 
 
@@ -55,10 +55,10 @@ def _run_complete(spark, df, name):
     return spark.sql(f"SELECT * FROM {name}")
 
 
-def test_tumbling_stream_equals_batch(spark, events_replay_dir):
+def test_tumbling_stream_equals_batch(spark, events_tiny, events_replay_dir):
     stream = stream_events(spark, events_replay_dir, max_files_per_trigger=2)
     got = _run_complete(spark, tumbling_counts(stream), "tumbling_out")
-    batch = load_table(spark, SF_TINY, "events")
+    batch = events_tiny
     want = (
         batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
@@ -67,10 +67,10 @@ def test_tumbling_stream_equals_batch(spark, events_replay_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
-def test_sliding_stream_equals_batch(spark, events_replay_dir):
+def test_sliding_stream_equals_batch(spark, events_tiny, events_replay_dir):
     stream = stream_events(spark, events_replay_dir)
     got = _run_complete(spark, sliding_counts(stream), "sliding_out")
-    batch = load_table(spark, SF_TINY, "events")
+    batch = events_tiny
     want = (
         batch.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -79,13 +79,14 @@ def test_sliding_stream_equals_batch(spark, events_replay_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
-def test_session_stream_matches_batch_sessionization(spark, events_replay_dir):
+def test_session_stream_matches_batch_sessionization(spark, events_tiny, events_replay_dir):
     stream = stream_events(spark, events_replay_dir)
     got = _run_complete(spark, session_counts(stream), "session_out")
-    # batch twin: lag+cumsum sessionization (plans/relational.py)
-    from pyspark_etl_twitter_spark.plans.relational import sessionize_events
+    # batch twin: lag+cumsum sessionization (plans/relational.py), applied
+    # to the SAME DataFrame the replay dir was built from
+    from pyspark_etl_twitter_spark.plans.relational import sessionize
 
-    want = sessionize_events(spark, SF_TINY)
+    want = sessionize(events_tiny)
     got_sessions = sorted(
         (r.user_id, r.n_events, r.session_start) for r in got.collect()
     )
@@ -95,7 +96,7 @@ def test_session_stream_matches_batch_sessionization(spark, events_replay_dir):
     assert got_sessions == want_sessions
 
 
-def test_streaming_dedup(spark, events_replay_dir, tmp_path):
+def test_streaming_dedup(spark, events_tiny, events_replay_dir, tmp_path):
     # duplicate the replay dir contents → every event appears twice
     dup_dir = str(tmp_path / "dup")
     os.makedirs(dup_dir)
@@ -115,7 +116,7 @@ def test_streaming_dedup(spark, events_replay_dir, tmp_path):
     q.processAllAvailable()
     q.stop()
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").first()
-    n_events = load_table(spark, SF_TINY, "events").count()
+    n_events = events_tiny.count()
     assert got.n == got.d == n_events
 
 

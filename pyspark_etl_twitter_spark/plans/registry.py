@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark_etl_twitter_spark.plans import advanced_queries as AQ
 from pyspark_etl_twitter_spark.plans import bucketed as B
 from pyspark_etl_twitter_spark.plans import curation_queries as CQ
+from pyspark_etl_twitter_spark.plans import funnel_queries as FQ
 from pyspark_etl_twitter_spark.plans import graph_queries as GQ
 from pyspark_etl_twitter_spark.plans import lm_queries as LQ
 from pyspark_etl_twitter_spark.plans import relational as R
@@ -183,6 +184,9 @@ QUERIES: dict[str, QueryFn] = {
     "graph_triangles_per_node": GQ.graph_triangles_per_node,
     # bloom-pruned join (join family has 5 in-window reps)
     "bloom_join_urgent_revenue": AQ.bloom_join_urgent_revenue,
+    # event analytics: ordered funnel + cohort retention (round 3)
+    "funnel_view_click_purchase": FQ.funnel_view_click_purchase,
+    "cohort_retention_weekly": FQ.cohort_retention_weekly,
 }
 
 ORACLES: dict[str, str] = {
@@ -297,4 +301,6 @@ ORACLES: dict[str, str] = {
     "lm_quality_by_source": LQ.ORACLE_LM_QUALITY_BY_SOURCE,
     "oov_rate_by_source": LQ.ORACLE_OOV_RATE_BY_SOURCE,
     "bloom_join_urgent_revenue": AQ.ORACLE_BLOOM_JOIN_URGENT_REVENUE,
+    "funnel_view_click_purchase": FQ.ORACLE_FUNNEL_VIEW_CLICK_PURCHASE,
+    "cohort_retention_weekly": FQ.ORACLE_COHORT_RETENTION_WEEKLY,
 }

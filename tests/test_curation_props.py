@@ -7,6 +7,7 @@ Invariants that must hold for ANY input, not just fixtures:
   never lowers any document's overlap count).
 """
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -26,6 +27,7 @@ _words = st.lists(
 
 @given(ids=_ids, seed=st.integers(min_value=0, max_value=2**31 - 1))
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_global_row_index_is_the_sort_order(spark, ids, seed):
     df = spark.createDataFrame([(i,) for i in ids], "doc_id long").withColumn(
         "_k", C.shuffle_key("doc_id", seed)
@@ -44,6 +46,7 @@ def test_global_row_index_is_the_sort_order(spark, ids, seed):
     eval_b=st.lists(_words, min_size=1, max_size=3),
 )
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_contamination_monotone_in_eval_set(spark, docs, eval_a, eval_b):
     def mk(rows, base):
         return spark.createDataFrame(

@@ -96,6 +96,7 @@ def test_ivf_results_are_exact_cosines_and_decent_recall(spark, emb_pd):
     assert hits >= 5
 
 
+@pytest.mark.slow
 def test_indexed_probes_match_one_shot(spark, tmp_path):
     """build+probe must return the identical result set as the one-shot
     forms (same centroids / hyperplanes, same rounding, same tiebreaks) —

@@ -2,11 +2,14 @@
 (producer wire encode → stream → decode → score → sink) with the rate
 source standing in for the Twitter firehose (S1)."""
 
+import pytest
+
 from pyspark_etl_twitter_spark.operators.sentiment import load_mllib_weights
 from pyspark_etl_twitter_spark.pipelines import consumer_pipeline
 from pyspark_etl_twitter_spark.sources.streaming_sources import kafka_source, rate_source
 
 
+@pytest.mark.slow
 def test_rate_source_through_consumer_pipeline(spark, tmp_path):
     weights, intercept = load_mllib_weights(spark, "/root/reference/pre_trained_model")
     src = rate_source(spark, rows_per_second=200)

@@ -6,6 +6,7 @@ The quirks under test: unescaped ``.`` in ``www.\\S+``, ``\\n`` retained in
 the keep-class, leftmost-first alternation, empty string → ``[]``.
 """
 
+import pytest
 import re
 
 from hypothesis import given, settings
@@ -79,6 +80,7 @@ def test_tokenize_adversarial(spark):
         max_size=20,
     )
 )
+@pytest.mark.slow
 def test_tokenize_property(spark, texts):
     got = _spark_tokenize(spark, texts)
     want = [python_oracle(t) for t in texts]

@@ -355,3 +355,41 @@ def hash_split(
         acc += w
         out = F.when(bkt < acc, name) if out is None else out.when(bkt < acc, name)
     return df.withColumn(split_name, out)
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    denom: int,
+    id_col: str = "doc_id",
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """Weight-proportional Poisson/Bernoulli sampling, engine-portable.
+
+    Row i is kept with probability ``min(1, weight_i / denom)`` — the
+    standard length/token-weighted corpus sampling a training mix uses
+    (longer documents contribute proportionally more often). Inclusion is
+    decided by EXACT INTEGER arithmetic: a 32-bit uniform from
+    ``md5(id:seed)`` is compared against ``weight * 2^32 // denom``, both
+    bigint, so the same row set is selected on any engine (no float
+    rounding, no RNG state) and assignment is row-local — no shuffle, no
+    sampling pass, stable as the corpus grows (same property as
+    ``hash_split``). Weights must be non-negative integers with
+    ``weight * 2^32`` within int64 (weight < ~2·10^9/denom-free).
+    """
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # integer `div`, not `/`: float division + floor can disagree with true
+    # floor-division at quotients that round to an integer boundary
+    threshold = F.expr(
+        f"CAST({weight_col} AS BIGINT) * 4294967296 div {int(denom)}"
+    )
+    return df.filter(u32 < threshold)

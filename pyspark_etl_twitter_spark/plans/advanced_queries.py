@@ -394,3 +394,64 @@ JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY l_returnflag
 """
+
+
+# --------------------------------------------------------------------------
+# Binned range join (operators/rangejoin.py) — the scale path for interval
+# containment when the interval side is too large to nested-loop
+# --------------------------------------------------------------------------
+
+_N_BANDS = 1200
+_BAND_STEP = 500.0
+_BAND_SPAN = 1500.0
+
+
+def binned_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1,200 OVERLAPPING price bands ([i·500, i·500+1500) — each order
+    matches up to 3) joined to orders via fixed-width bin equi-join
+    (operators/rangejoin.py). At this interval count a BNLJ would do
+    1200× the comparisons; the binned form is one hash join on bin id
+    with an exact containment re-check. Returns per-band order stats."""
+    from pyspark_etl_twitter_spark.operators.rangejoin import binned_interval_join
+
+    pin_oracle_confs(spark)
+    bands = spark.range(_N_BANDS).select(
+        F.concat(F.lit("iv"), F.lpad(F.col("id").cast("string"), 4, "0")).alias(
+            "band"
+        ),
+        (F.col("id") * _BAND_STEP).cast("double").alias("lo"),
+        (F.col("id") * _BAND_STEP + _BAND_SPAN).cast("double").alias("hi"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    joined = binned_interval_join(
+        orders.select("o_orderkey", "o_totalprice"),
+        bands,
+        value_col="o_totalprice",
+        bin_width=_BAND_SPAN,
+    )
+    # avg from an exact integer cents sum: double summation order differs
+    # between engines at 6dp; bigint sums are associative so both sides
+    # divide identical integers (DESIGN.md §5 fixed-point rule)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            / (F.count(F.lit(1)) * 100.0),
+            6,
+        ).alias("avg_price"),
+    )
+
+
+ORACLE_BINNED_RANGE_JOIN_BANDS = f"""
+WITH bands AS (
+  SELECT 'iv' || lpad(CAST(i AS VARCHAR), 4, '0') AS band,
+         i * {_BAND_STEP} AS lo,
+         i * {_BAND_STEP} + {_BAND_SPAN} AS hi
+  FROM range({_N_BANDS}) t(i)
+)
+SELECT band, count(*) AS n_orders,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             / (count(*) * 100.0), 6) AS avg_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""

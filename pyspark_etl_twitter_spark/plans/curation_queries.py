@@ -271,3 +271,40 @@ SELECT CAST(floor(n_chars / 64) * 64 AS BIGINT) AS bin_lo,
 FROM documents
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Weight-proportional sampling (operators/curation.weighted_bernoulli_sample)
+# --------------------------------------------------------------------------
+
+WSAMPLE_SEED = "wsample-v1"
+WSAMPLE_DENOM = 1000
+
+
+def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sample (p = n_chars/1000, capped at 1): the
+    token-weighted mix a training pipeline draws so long documents
+    contribute proportionally. Exact-integer inclusion (md5 u32 vs
+    bigint threshold) → row-local filter, no shuffle before the summary
+    aggregate, identical row set on any engine."""
+    from pyspark_etl_twitter_spark.operators.curation import (
+        weighted_bernoulli_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sample = weighted_bernoulli_sample(
+        docs, weight_col="n_chars", denom=WSAMPLE_DENOM, seed=WSAMPLE_SEED
+    )
+    return sample.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE_BY_LENGTH = f"""
+SELECT source, count(*) AS n_sampled, sum(n_chars) AS sampled_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{WSAMPLE_SEED}'), 1, 8)) AS BIGINT)
+      < (CAST(n_chars AS BIGINT) * 4294967296) // {WSAMPLE_DENOM}
+GROUP BY source
+"""

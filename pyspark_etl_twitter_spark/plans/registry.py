@@ -187,6 +187,10 @@ QUERIES: dict[str, QueryFn] = {
     # event analytics: ordered funnel + cohort retention (round 3)
     "funnel_view_click_purchase": FQ.funnel_view_click_purchase,
     "cohort_retention_weekly": FQ.cohort_retention_weekly,
+    # binned range join: scale path for large interval sides (round 3)
+    "binned_range_join_bands": AQ.binned_range_join_bands,
+    # weight-proportional sampling (round 3)
+    "weighted_sample_by_length": CQ.weighted_sample_by_length,
 }
 
 ORACLES: dict[str, str] = {
@@ -303,4 +307,6 @@ ORACLES: dict[str, str] = {
     "bloom_join_urgent_revenue": AQ.ORACLE_BLOOM_JOIN_URGENT_REVENUE,
     "funnel_view_click_purchase": FQ.ORACLE_FUNNEL_VIEW_CLICK_PURCHASE,
     "cohort_retention_weekly": FQ.ORACLE_COHORT_RETENTION_WEEKLY,
+    "binned_range_join_bands": AQ.ORACLE_BINNED_RANGE_JOIN_BANDS,
+    "weighted_sample_by_length": CQ.ORACLE_WEIGHTED_SAMPLE_BY_LENGTH,
 }

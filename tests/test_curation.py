@@ -156,3 +156,41 @@ def test_length_histogram_partitions_corpus(spark):
     out = C.length_histogram(docs, bin_width=64).collect()
     assert sum(r["n_docs"] for r in out) == docs.count()
     assert all(r["bin_lo"] % 64 == 0 for r in out)
+
+
+def test_weighted_bernoulli_sample_rate_and_stability(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.curation import (
+        weighted_bernoulli_sample,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    sample = weighted_bernoulli_sample(docs, weight_col="n_chars", denom=1000)
+    got = sample.count()
+    expected = docs.select(
+        F.sum(F.least(F.col("n_chars") / 1000.0, F.lit(1.0)))
+    ).first()[0]
+    # binomial-ish tolerance: 5 sigma of sum of independent Bernoullis
+    sigma = (expected * 1.0) ** 0.5
+    assert abs(got - expected) < 5 * sigma + 5
+    # inclusion is row-local: the same ids stay selected in any subset
+    subset_ids = {
+        r.doc_id
+        for r in weighted_bernoulli_sample(
+            docs.filter("doc_id % 2 = 0"), weight_col="n_chars", denom=1000
+        ).collect()
+    }
+    full_even_ids = {
+        r.doc_id for r in sample.filter("doc_id % 2 = 0").collect()
+    }
+    assert subset_ids == full_even_ids
+    # longer docs are sampled proportionally more often
+    rate_long = sample.filter("n_chars >= 400").count() / max(
+        docs.filter("n_chars >= 400").count(), 1
+    )
+    rate_short = sample.filter("n_chars < 200").count() / max(
+        docs.filter("n_chars < 200").count(), 1
+    )
+    assert rate_long > rate_short

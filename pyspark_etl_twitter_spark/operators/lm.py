@@ -161,3 +161,81 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+def bigram_pairs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Explode each document into adjacent token pairs ``(id, w1, w2)``.
+    Pure array arithmetic (zip_with over two slices) — stays in
+    whole-stage codegen; empty/1-token docs contribute no rows."""
+    toks = ws_tokens(text_col)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return (
+        docs.repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, n1),
+                    F.slice(toks, 2, n1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, "bg.w1", "bg.w2")
+    )
+
+
+def bigram_doc_logprob(
+    docs: DataFrame,
+    *,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under an interpolated
+    bigram/unigram model self-trained on the corpus:
+    ``p(w2|w1) = lam * c(w1,w2)/c(w1,·) + (1-lam) * p_addone(w2)``.
+
+    The KenLM-style curation signal one order up from ``doc_logprob``:
+    repeated boilerplate scores HIGH (predictable transitions), word-salad
+    scores LOW even when its unigrams are common. Distributed shape:
+    bigram count table (one groupBy), context table derived from it (tiny
+    second agg), unigram model reused — all three broadcast-joined back
+    onto the exploded pairs, then one per-doc aggregate. Docs with <2
+    tokens score 0.0 (every-doc-scored rule).
+    """
+    pairs = bigram_pairs(docs, id_col=id_col, text_col=text_col)
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    uni = unigram_model(docs, text_col=text_col).select(
+        F.col("term").alias("w2"), F.exp("logp").alias("pu")
+    )
+    b = F.broadcast if broadcast_model else (lambda df: df)
+    scored = (
+        pairs.join(b(c2), ["w1", "w2"])
+        .join(b(c1), "w1")
+        .join(b(uni), "w2")
+        .select(
+            id_col,
+            F.log(
+                F.lit(lam) * (F.col("c2").cast("double") / F.col("c1").cast("double"))
+                + F.lit(1.0 - lam) * F.col("pu")
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_nb"), F.sum("lp").alias("_s")
+    )
+    mean = F.coalesce(F.col("_s") / F.col("_nb"), F.lit(0.0))
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_nb"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(mean, 6).alias("mean_logp2"),
+        )
+    )

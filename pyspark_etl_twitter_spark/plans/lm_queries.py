@@ -102,3 +102,64 @@ SELECT source, count(*) AS n_docs,
        round(max(oov_rate), 6) AS max_oov_rate
 FROM alld GROUP BY source
 """
+
+
+def bigram_lm_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source interpolated bigram-LM quality (operators/lm.py
+    bigram_doc_logprob, lam=0.7): doc count and mean of per-doc mean
+    bigram log-prob."""
+    from pyspark_etl_twitter_spark.operators.lm import bigram_doc_logprob
+
+    docs = _docs(spark, sf_dir)
+    scored = bigram_doc_logprob(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("mean_logp2"), 6).alias("avg_logp2"),
+    )
+
+
+ORACLE_BIGRAM_LM_QUALITY_BY_SOURCE = """
+WITH docsarr AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS arr
+  FROM documents
+),
+bg AS (
+  -- parallel unnests align element-wise: zips the two shifted slices
+  SELECT doc_id,
+         unnest(arr[1:len(arr) - 1]) AS w1,
+         unnest(arr[2:len(arr)]) AS w2
+  FROM docsarr
+  WHERE len(arr) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+tok AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+),
+counts AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+scal AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM counts),
+uni AS (SELECT term, (c + 1) / (n + v) AS pu FROM counts, scal),
+scored AS (
+  SELECT bg.doc_id,
+         ln(0.7 * (CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+            + 0.3 * uni.pu) AS lp
+  FROM bg
+  JOIN c2 USING (w1, w2)
+  JOIN c1 USING (w1)
+  JOIN uni ON bg.w2 = uni.term
+),
+per AS (
+  SELECT doc_id, count(*) AS nb, round(sum(lp) / count(*), 6) AS mean_logp2
+  FROM scored GROUP BY doc_id
+),
+alld AS (
+  SELECT d.doc_id, d.source, coalesce(p.mean_logp2, 0.0) AS mean_logp2
+  FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+)
+SELECT source, count(*) AS n_docs, round(avg(mean_logp2), 6) AS avg_logp2
+FROM alld GROUP BY source
+"""

@@ -191,6 +191,8 @@ QUERIES: dict[str, QueryFn] = {
     "binned_range_join_bands": AQ.binned_range_join_bands,
     # weight-proportional sampling (round 3)
     "weighted_sample_by_length": CQ.weighted_sample_by_length,
+    # bigram interpolated LM scoring (round 3; unigram rep in-window)
+    "bigram_lm_quality_by_source": LQ.bigram_lm_quality_by_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -309,4 +311,5 @@ ORACLES: dict[str, str] = {
     "cohort_retention_weekly": FQ.ORACLE_COHORT_RETENTION_WEEKLY,
     "binned_range_join_bands": AQ.ORACLE_BINNED_RANGE_JOIN_BANDS,
     "weighted_sample_by_length": CQ.ORACLE_WEIGHTED_SAMPLE_BY_LENGTH,
+    "bigram_lm_quality_by_source": LQ.ORACLE_BIGRAM_LM_QUALITY_BY_SOURCE,
 }

@@ -86,3 +86,34 @@ def test_lm_plans_are_python_free(spark):
         plan = plan_of(fn(spark, SF_TINY))
         assert "BatchEvalPython" not in plan, fn.__name__
         assert "BroadcastHashJoin" in plan, fn.__name__
+
+
+def test_bigram_pairs_edges(spark):
+    from pyspark_etl_twitter_spark.operators.lm import bigram_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, ""), (4, "x y")],
+        ["doc_id", "text"],
+    )
+    got = {(r.doc_id, r.w1, r.w2) for r in bigram_pairs(docs).collect()}
+    assert got == {(1, "a", "b"), (1, "b", "c"), (4, "x", "y")}
+
+
+def test_bigram_logprob_separates_predictable_from_salad(spark):
+    from pyspark_etl_twitter_spark.operators.lm import bigram_doc_logprob
+
+    # corpus where "the quick brown fox" is a frozen phrase; salad doc uses
+    # the SAME unigrams in never-seen orders plus one seen bigram so every
+    # pair still scores (self-trained model has no unseen-bigram rows for
+    # pairs absent from the corpus — salad doc itself adds its pairs once)
+    phrase = "the quick brown fox"
+    docs = spark.createDataFrame(
+        [(i, phrase) for i in range(20)] + [(100, "fox the brown quick")],
+        ["doc_id", "text"],
+    )
+    scored = {r.doc_id: r.mean_logp2 for r in bigram_doc_logprob(docs).collect()}
+    assert scored[0] > scored[100]
+    # short docs score 0 with 0 bigrams
+    docs2 = spark.createDataFrame([(1, "one"), (2, "")], ["doc_id", "text"])
+    rows = {r.doc_id: (r.n_bigrams, r.mean_logp2) for r in bigram_doc_logprob(docs2).collect()}
+    assert rows == {1: (0, 0.0), 2: (0, 0.0)}

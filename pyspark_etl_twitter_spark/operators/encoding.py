@@ -122,3 +122,38 @@ def chunk_documents(
         F.size("_chunk").alias("n_chunk_tokens"),
         F.concat_ws(" ", "_chunk").alias("chunk_text"),
     )
+
+
+def chunk_documents_overlap(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking with overlap (stride < chunk_tokens): the
+    shape RAG indexing and long-context pretraining use so no boundary
+    context is lost. Window i covers tokens [i*stride, i*stride+chunk);
+    the last window starts at the largest stride multiple < n, so every
+    token is covered and trailing windows may be short. Empty documents
+    produce no chunks. Same narrow single-pass plan as chunk_documents —
+    the only expansion is posexplode of ~n/stride windows per doc."""
+    if not 0 < stride:
+        raise ValueError("stride must be positive")
+    toks = ws_tokens(text_col)
+    n = F.size(toks)
+    s = F.lit(stride)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), F.floor((n - 1) / s).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(starts, lambda i: F.slice(toks, i * s + 1, chunk_tokens))
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "_chunk"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.size("_chunk").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "_chunk").alias("chunk_text"),
+    )

@@ -193,6 +193,9 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample_by_length": CQ.weighted_sample_by_length,
     # bigram interpolated LM scoring (round 3; unigram rep in-window)
     "bigram_lm_quality_by_source": LQ.bigram_lm_quality_by_source,
+    # sliding-window chunking with overlap (round 3; fixed-chunk rep has
+    # green driver rows)
+    "chunk_documents_overlap_64": T.chunk_documents_overlap_64,
 }
 
 ORACLES: dict[str, str] = {
@@ -312,4 +315,5 @@ ORACLES: dict[str, str] = {
     "binned_range_join_bands": AQ.ORACLE_BINNED_RANGE_JOIN_BANDS,
     "weighted_sample_by_length": CQ.ORACLE_WEIGHTED_SAMPLE_BY_LENGTH,
     "bigram_lm_quality_by_source": LQ.ORACLE_BIGRAM_LM_QUALITY_BY_SOURCE,
+    "chunk_documents_overlap_64": T.ORACLE_CHUNK_DOCUMENTS_OVERLAP_64,
 }

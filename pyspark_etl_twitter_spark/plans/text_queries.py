@@ -968,3 +968,39 @@ SELECT doc_id,
             AS BIGINT) AS fingerprint
 FROM numbered GROUP BY doc_id
 """
+
+
+def chunk_documents_overlap_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, stride 48): every token
+    covered, 16-token overlap between adjacent windows — the RAG/long-
+    context indexing shape (operators/encoding.chunk_documents_overlap)."""
+    from pyspark_etl_twitter_spark.operators.encoding import (
+        chunk_documents_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents_overlap(docs, chunk_tokens=64, stride=48)
+
+
+ORACLE_CHUNK_DOCUMENTS_OVERLAP_64 = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+expanded AS (
+  SELECT doc_id, toks,
+         CAST(unnest(generate_series(0, CAST(floor((len(toks) - 1) / 48.0) AS INTEGER)))
+              AS INTEGER) AS chunk_id
+  FROM base WHERE len(toks) > 0
+),
+sliced AS (
+  SELECT doc_id, chunk_id,
+         list_slice(toks, chunk_id * 48 + 1,
+                    least(chunk_id * 48 + 64, len(toks))) AS chunk
+  FROM expanded
+)
+SELECT doc_id, chunk_id,
+       CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM sliced
+"""

@@ -103,3 +103,29 @@ def test_training_mix_rate_monotonicity(spark):
     lo = {r.doc_id for r in training_mix(docs, {"s": 0.2}).collect()}
     hi = {r.doc_id for r in training_mix(docs, {"s": 0.6}).collect()}
     assert lo < hi
+
+
+def test_chunk_overlap_coverage_and_stride(spark):
+    from pyspark_etl_twitter_spark.operators.encoding import (
+        chunk_documents_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents_overlap(docs, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    # doc 1: windows [0:4),[3:7),[6:10),[9:10) — every token covered, 1-token
+    # overlap between consecutive windows
+    assert [t for _, t in sorted(by_doc[1])] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9",
+    ]
+    assert [t for _, t in sorted(by_doc[2])] == ["a b"]
+    assert 3 not in by_doc  # empty doc → no chunks
+    covered = set()
+    for _, t in by_doc[1]:
+        covered.update(t.split())
+    assert covered == {f"t{i}" for i in range(10)}

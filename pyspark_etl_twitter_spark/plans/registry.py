@@ -196,6 +196,8 @@ QUERIES: dict[str, QueryFn] = {
     # sliding-window chunking with overlap (round 3; fixed-chunk rep has
     # green driver rows)
     "chunk_documents_overlap_64": T.chunk_documents_overlap_64,
+    # statistical aggregates (round 3)
+    "stats_aggregates_lineitem": R2.stats_aggregates_lineitem,
 }
 
 ORACLES: dict[str, str] = {
@@ -316,4 +318,5 @@ ORACLES: dict[str, str] = {
     "weighted_sample_by_length": CQ.ORACLE_WEIGHTED_SAMPLE_BY_LENGTH,
     "bigram_lm_quality_by_source": LQ.ORACLE_BIGRAM_LM_QUALITY_BY_SOURCE,
     "chunk_documents_overlap_64": T.ORACLE_CHUNK_DOCUMENTS_OVERLAP_64,
+    "stats_aggregates_lineitem": R2.ORACLE_STATS_AGGREGATES_LINEITEM,
 }

@@ -429,3 +429,31 @@ SELECT p.p_brand,
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand ORDER BY p.p_brand
 """
+
+
+def stats_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate pack: per-returnflag sample stddev, Pearson
+    correlation, and discounted-share mean. Rounding is magnitude-aware
+    (DESIGN.md §5): corr is in [-1,1] → 6dp; stddev(qty) ~1e1 → 6dp;
+    stddev(price) ~3e4 → 2dp — both engines run numerically stable
+    one-pass moment algorithms that agree far below these scales."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+    )
+
+
+ORACLE_STATS_AGGREGATES_LINEITEM = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(stddev_samp(l_quantity), 6) AS stddev_qty,
+       round(stddev_samp(l_extendedprice), 2) AS stddev_price,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(avg(l_discount), 6) AS avg_discount
+FROM lineitem
+GROUP BY l_returnflag
+"""

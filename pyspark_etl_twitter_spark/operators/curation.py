@@ -59,13 +59,14 @@ def contamination_overlap(
     word ``n``-grams each document shares with ``eval_docs``, and whether
     that count is > 0.
 
-    The eval side reduces to its distinct n-gram set and is broadcast, so
-    the corpus scan is one narrow pass (tokenize → shingle → explode →
-    distinct per doc — the per-doc distinct reuses the id partitioning,
-    no extra exchange) followed by a map-side hash-join probe; only
-    matching (doc, gram) rows — a vanishingly small fraction — reach the
-    per-doc count aggregate. Documents shorter than ``n`` tokens have no
-    n-grams and come back n_shared=0 via the left join.
+    The eval side reduces to its distinct n-gram set and is broadcast; the
+    corpus scan is one fully NARROW pass (tokenize → shingle → explode →
+    map-side hash-join probe) — the broadcast probe runs BEFORE any
+    dedup/shuffle, so only matching (doc, gram) rows — a vanishingly
+    small fraction — are ever exchanged (per-doc distinct + count on the
+    survivors). The corpus itself never shuffles. Documents shorter than
+    ``n`` tokens have no n-grams and come back n_shared=0 via the left
+    join.
 
     ``hash_grams=True`` probes on ``xxhash64(gram)`` instead of the gram
     string, shrinking the broadcast table to 8 bytes/gram — the knob for
@@ -79,15 +80,10 @@ def contamination_overlap(
     probe = (
         (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
     )
-    grams = (
-        docs.repartition(F.col(id_col))
-        .select(
-            F.col(id_col),
-            F.explode(shingle_array(ws_tokens(text_col), n)).alias("_g0"),
-        )
-        .select(F.col(id_col), probe(F.col("_g0")).alias("_gram"))
-        .dropDuplicates([id_col, "_gram"])
-    )
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(shingle_array(ws_tokens(text_col), n)).alias("_g0"),
+    ).select(F.col(id_col), probe(F.col("_g0")).alias("_gram"))
     eval_grams = (
         eval_docs.select(
             F.explode(shingle_array(ws_tokens(text_col), n)).alias("_g0")
@@ -96,7 +92,11 @@ def contamination_overlap(
         .distinct()
     )
     hits = (
+        # probe first (map-side, no exchange), dedup only the matches:
+        # distinct-of-matched ≡ matched-of-distinct, and the match set is
+        # tiny, so the expensive per-doc distinct never sees the full corpus
         grams.join(F.broadcast(eval_grams), "_gram")
+        .dropDuplicates([id_col, "_gram"])
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

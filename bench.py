@@ -51,6 +51,13 @@ HEADLINE = [
     "unpivot_lineitem_measures",
     "semantic_near_dup_pairs",
     "semantic_dedup_survivors",
+    # round-3 families
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "binned_range_join_bands",
+    "bigram_lm_quality_by_source",
+    "weighted_sample_by_length",
+    "stats_aggregates_lineitem",
 ]
 
 

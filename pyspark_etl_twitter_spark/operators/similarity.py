@@ -512,3 +512,46 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def group_centroids(
+    embeddings: DataFrame,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroids: ``(group, n_vectors, centroid)`` with
+    ``centroid[d] = avg(vec[d])`` over the group — the SemDeDup/cluster-
+    pruning primitive (score vectors against their cluster centroid, drop
+    the closest ones as redundant).
+
+    Distributed shape: posexplode to (group, dim, value) → one hash
+    aggregate on (group, dim) — partial aggregation makes the shuffle
+    carry one partial sum per (group, dim, mapper) — → array_agg ordered
+    by dim to reassemble. Parallelism scales with groups × dims, never
+    collects vectors to the driver."""
+    per_dim = (
+        embeddings.select(
+            F.col(group_col).alias("grp"),
+            F.posexplode(F.col(vec_col)).alias("dim", "v"),
+        )
+        .groupBy("grp", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v"), 6).alias("c"),
+        )
+    )
+    return (
+        per_dim.groupBy("grp")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("c")))
+            ).alias("_dc"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_vectors",
+            F.transform("_dc", lambda s: s.c).alias("centroid"),
+        )
+    )

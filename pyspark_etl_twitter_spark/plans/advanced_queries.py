@@ -455,3 +455,32 @@ SELECT band, count(*) AS n_orders,
 FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY band
 """
+
+
+# --------------------------------------------------------------------------
+# Per-group embedding centroids (operators/similarity.group_centroids)
+# --------------------------------------------------------------------------
+
+
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embeddings table — the cluster-pruning /
+    SemDeDup primitive. posexplode → (label, dim) hash aggregate →
+    ordered reassembly; parallelism scales with labels × dims."""
+    from pyspark_etl_twitter_spark.operators.similarity import group_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return group_centroids(emb, group_col="label", vec_col="embedding")
+
+
+def _centroid_oracle() -> str:
+    avgs = ", ".join(
+        f"round(avg(embedding[{d + 1}]), 6)" for d in range(_EMB_DIM)
+    )
+    return f"""
+SELECT label, count(*) AS n_vectors, [{avgs}] AS centroid
+FROM embeddings
+GROUP BY label
+"""
+
+
+ORACLE_EMBEDDING_CENTROIDS_BY_LABEL = _centroid_oracle()

@@ -198,6 +198,8 @@ QUERIES: dict[str, QueryFn] = {
     "chunk_documents_overlap_64": T.chunk_documents_overlap_64,
     # statistical aggregates (round 3)
     "stats_aggregates_lineitem": R2.stats_aggregates_lineitem,
+    # per-group embedding centroids (round 3)
+    "embedding_centroids_by_label": AQ.embedding_centroids_by_label,
 }
 
 ORACLES: dict[str, str] = {
@@ -319,4 +321,5 @@ ORACLES: dict[str, str] = {
     "bigram_lm_quality_by_source": LQ.ORACLE_BIGRAM_LM_QUALITY_BY_SOURCE,
     "chunk_documents_overlap_64": T.ORACLE_CHUNK_DOCUMENTS_OVERLAP_64,
     "stats_aggregates_lineitem": R2.ORACLE_STATS_AGGREGATES_LINEITEM,
+    "embedding_centroids_by_label": AQ.ORACLE_EMBEDDING_CENTROIDS_BY_LABEL,
 }

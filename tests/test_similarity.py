@@ -166,3 +166,22 @@ def test_embedding_near_dup_finds_planted_duplicate(spark):
     pairs = {(r.vec_a, r.vec_b): r.cos_sim for r in embedding_near_dup_pairs(df, threshold=0.999).collect()}
     assert (0, 30) in pairs and pairs[(0, 30)] == 1.0
     assert (1, 31) in pairs
+
+
+def test_group_centroids_matches_numpy(spark):
+    import numpy as np
+
+    from pyspark_etl_twitter_spark.operators.similarity import group_centroids
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (int(i), ["g1", "g2"][i % 2], rng.randn(8).tolist()) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {r.label: (r.n_vectors, r.centroid) for r in group_centroids(emb).collect()}
+    for g in ("g1", "g2"):
+        vecs = np.array([v for _, lbl, v in rows if lbl == g])
+        want = np.round(vecs.mean(axis=0), 6)
+        assert got[g][0] == len(vecs)
+        assert np.allclose(got[g][1], want, atol=1e-9)
+        assert len(got[g][1]) == 8

@@ -484,3 +484,62 @@ GROUP BY label
 
 
 ORACLE_EMBEDDING_CENTROIDS_BY_LABEL = _centroid_oracle()
+
+
+SEMPRUNE_TAU = 0.30
+
+
+def semantic_prune_by_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style centroid pruning: vectors too close to their label
+    centroid (cos ≥ tau) are redundant — the cluster's 'typical' content —
+    and get pruned; far vectors carry diversity and are kept. One
+    posexplode aggregate builds the ~10-row centroid table, which
+    broadcasts back onto the corpus for a narrow per-row cosine — the
+    corpus never shuffles."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        dot,
+        group_centroids,
+        l2_norm,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = group_centroids(emb, group_col="label", vec_col="embedding").select(
+        "label", F.col("centroid").alias("_c")
+    )
+    cos = F.round(
+        dot(F.col("embedding"), F.col("_c"))
+        / (l2_norm(F.col("embedding")) * l2_norm(F.col("_c"))),
+        6,
+    )
+    scored = emb.join(F.broadcast(cents), "label").select(
+        "label", (cos >= SEMPRUNE_TAU).alias("_pruned")
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("_pruned"), 1).otherwise(0)).alias("n_pruned"),
+        F.sum(F.when(F.col("_pruned"), 0).otherwise(1)).alias("n_kept"),
+    )
+
+
+def _semprune_oracle() -> str:
+    avgs = ", ".join(f"avg(embedding[{d + 1}])" for d in range(_EMB_DIM))
+    return f"""
+WITH cent AS (
+  SELECT label, [{avgs}] AS c FROM embeddings GROUP BY label
+),
+scored AS (
+  SELECT e.label,
+         round(list_dot_product(e.embedding::DOUBLE[], cent.c)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(cent.c, cent.c))), 6)
+           >= {SEMPRUNE_TAU} AS pruned
+  FROM embeddings e JOIN cent USING (label)
+)
+SELECT label, count(*) AS n_total,
+       CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(sum(CASE WHEN pruned THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+FROM scored GROUP BY label
+"""
+
+
+ORACLE_SEMANTIC_PRUNE_BY_CENTROID = _semprune_oracle()

@@ -200,6 +200,12 @@ QUERIES: dict[str, QueryFn] = {
     "stats_aggregates_lineitem": R2.stats_aggregates_lineitem,
     # per-group embedding centroids (round 3)
     "embedding_centroids_by_label": AQ.embedding_centroids_by_label,
+    # as-of join direction variants (round 3; backward rep in-window)
+    "asof_forward_next_click": R.asof_forward_next_click,
+    "asof_nearest_click": R.asof_nearest_click,
+    # null-safe join semantics + SemDeDup centroid pruning (round 3)
+    "null_safe_join_segments": R2.null_safe_join_segments,
+    "semantic_prune_by_centroid": AQ.semantic_prune_by_centroid,
 }
 
 ORACLES: dict[str, str] = {
@@ -322,4 +328,8 @@ ORACLES: dict[str, str] = {
     "chunk_documents_overlap_64": T.ORACLE_CHUNK_DOCUMENTS_OVERLAP_64,
     "stats_aggregates_lineitem": R2.ORACLE_STATS_AGGREGATES_LINEITEM,
     "embedding_centroids_by_label": AQ.ORACLE_EMBEDDING_CENTROIDS_BY_LABEL,
+    "asof_forward_next_click": R.ORACLE_ASOF_FORWARD_NEXT_CLICK,
+    "asof_nearest_click": R.ORACLE_ASOF_NEAREST_CLICK,
+    "null_safe_join_segments": R2.ORACLE_NULL_SAFE_JOIN_SEGMENTS,
+    "semantic_prune_by_centroid": AQ.ORACLE_SEMANTIC_PRUNE_BY_CENTROID,
 }

@@ -738,3 +738,86 @@ FROM placed
 WHERE epoch(ts) >= epoch(window_start) AND epoch(ts) < epoch(window_start) + 3600
 GROUP BY window_start
 """
+
+
+def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join, windowed: for each purchase, the EARLIEST
+    strictly-following click by the same user — the mirror of
+    asof_purchase_click over a following frame. Same single-pass shape:
+    one user_id shuffle, running min over a CASE column (SURVEY.md §2.3
+    J8 direction variant)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        ev.withColumn("next_click_ts", F.min(click_ts).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "next_click_ts")
+    )
+
+
+ORACLE_ASOF_FORWARD_NEXT_CLICK = """
+SELECT event_id, user_id, ts, next_click_ts
+FROM (SELECT event_id, user_id, ts, event_type,
+             min(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_click_ts
+      FROM events)
+WHERE event_type = 'purchase'
+"""
+
+
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: for each purchase, whichever click (preceding
+    or following, same user) is closest in time — built from BOTH frame
+    maxima in the SAME window partitioning, so it still costs exactly one
+    user_id exchange. Ties (equidistant clicks) resolve backward, the
+    pandas merge_asof 'nearest' convention."""
+    ev = _t(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wb = base.rowsBetween(Window.unboundedPreceding, -1)
+    wf = base.rowsBetween(1, Window.unboundedFollowing)
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    back_gap = F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")
+    fwd_gap = F.unix_timestamp("next_click_ts") - F.unix_timestamp("ts")
+    nearest = (
+        F.when(F.col("last_click_ts").isNull(), F.col("next_click_ts"))
+        .when(F.col("next_click_ts").isNull(), F.col("last_click_ts"))
+        .when(fwd_gap < back_gap, F.col("next_click_ts"))
+        .otherwise(F.col("last_click_ts"))
+    )
+    return (
+        ev.withColumn("last_click_ts", F.max(click_ts).over(wb))
+        .withColumn("next_click_ts", F.min(click_ts).over(wf))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            nearest.alias("nearest_click_ts"),
+        )
+    )
+
+
+ORACLE_ASOF_NEAREST_CLICK = """
+SELECT event_id, user_id, ts,
+       CASE WHEN b IS NULL THEN f
+            WHEN f IS NULL THEN b
+            WHEN CAST(floor(epoch(f)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT)
+                 < CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(b)) AS BIGINT)
+            THEN f ELSE b END AS nearest_click_ts
+FROM (SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b,
+             min(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS f
+      FROM events)
+WHERE event_type = 'purchase'
+"""

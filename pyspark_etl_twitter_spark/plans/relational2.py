@@ -457,3 +457,28 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+def null_safe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): a nullable
+    derived key joined against its own distinct dimension — the NULL dim
+    row must match the NULL fact rows, which a plain equi-join silently
+    drops. Completes the join-semantics surface (SURVEY.md §2.3)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    )
+    dim = cust.select(F.col("seg").alias("dim_seg")).distinct()
+    return (
+        cust.join(F.broadcast(dim), F.expr("seg <=> dim_seg"))
+        .groupBy("dim_seg")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_NULL_SAFE_JOIN_SEGMENTS = """
+WITH c AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg FROM customer),
+d AS (SELECT DISTINCT seg AS dim_seg FROM c)
+SELECT dim_seg, count(*) AS n_customers
+FROM c JOIN d ON c.seg IS NOT DISTINCT FROM d.dim_seg
+GROUP BY dim_seg
+"""

@@ -125,3 +125,39 @@ def test_repetition_counts_are_partially_aggregated(spark):
     docs = load_table(spark, SF_TINY, "documents")
     plan = plan_of(repetition_columns(docs))
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_asof_nearest_resolves_ties_backward(spark):
+    import datetime
+
+    from pyspark_etl_twitter_spark.plans import relational as R
+
+    # user 1: clicks 1h before AND 1h after the purchase (tie → backward);
+    # user 2: only a following click; user 3: no clicks at all
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 9), 1, "click", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 10), 1, "purchase", 1.0, "{}"),
+        (3, datetime.datetime(2024, 1, 1, 11), 1, "click", 1.0, "{}"),
+        (4, datetime.datetime(2024, 1, 1, 10), 2, "purchase", 1.0, "{}"),
+        (5, datetime.datetime(2024, 1, 1, 12), 2, "click", 1.0, "{}"),
+        (6, datetime.datetime(2024, 1, 1, 10), 3, "purchase", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    ev.createOrReplaceTempView("_asof_ev")
+
+    import pyspark_etl_twitter_spark.sources.catalog as cat
+
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda spark, sf_dir, name: spark.table("_asof_ev")
+        R.load_table = cat.load_table
+        got = {r.user_id: r.nearest_click_ts for r in R.asof_nearest_click(spark, "x").collect()}
+    finally:
+        cat.load_table = orig
+        R.load_table = orig
+    assert got[1] == datetime.datetime(2024, 1, 1, 9)   # tie → backward
+    assert got[2] == datetime.datetime(2024, 1, 1, 12)  # forward only
+    assert got[3] is None                                # no click

@@ -236,3 +236,63 @@ def top_tfidf_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tfidf", "rnk")
     )
+
+
+def bm25_scores(
+    docs,
+    query_terms,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 relevance of every document to a bag-of-terms query:
+    ``(id, score)`` for docs matching ≥1 query term, Lucene idf form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Scale shape: doc length comes from ``size(ws_tokens(text))`` — a
+    narrow per-row expression, no explode of the full corpus. Only tokens
+    MATCHING the (broadcast-literal) query survive the explode, so the
+    tf aggregate's shuffle carries matched rows only; N and avgdl travel
+    as broadcast 1-row frames. Work scales with hits, not corpus."""
+    from pyspark.sql import functions as F
+
+    terms = [t for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    base = docs.select(
+        F.col(id_col),
+        ws_tokens(text_col).alias("_toks"),
+    ).select(
+        id_col, F.size("_toks").cast("double").alias("_dl"), F.col("_toks")
+    )
+    scalars = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    matched = base.select(
+        id_col, "_dl", F.explode("_toks").alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = matched.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("_tf"),
+        F.first("_dl").alias("_dl"),
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            id_col,
+            (
+                F.log(1.0 + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+                * (F.col("_tf") * (k1 + 1.0))
+                / (
+                    F.col("_tf")
+                    + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )

@@ -206,6 +206,8 @@ QUERIES: dict[str, QueryFn] = {
     # null-safe join semantics + SemDeDup centroid pruning (round 3)
     "null_safe_join_segments": R2.null_safe_join_segments,
     "semantic_prune_by_centroid": AQ.semantic_prune_by_centroid,
+    # BM25 ranked retrieval (round 3)
+    "bm25_search_topk": T.bm25_search_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -332,4 +334,5 @@ ORACLES: dict[str, str] = {
     "asof_nearest_click": R.ORACLE_ASOF_NEAREST_CLICK,
     "null_safe_join_segments": R2.ORACLE_NULL_SAFE_JOIN_SEGMENTS,
     "semantic_prune_by_centroid": AQ.ORACLE_SEMANTIC_PRUNE_BY_CENTROID,
+    "bm25_search_topk": T.ORACLE_BM25_SEARCH_TOPK,
 }

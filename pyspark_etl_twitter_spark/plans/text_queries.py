@@ -1004,3 +1004,48 @@ SELECT doc_id, chunk_id,
        array_to_string(chunk, ' ') AS chunk_text
 FROM sliced
 """
+
+
+BM25_QUERY_TERMS = ("join", "hash", "scan")
+
+
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/textstats.bm25_scores): top-20
+    documents for a fixed 3-term query, Lucene idf. Only matching tokens
+    are ever exploded/shuffled — work scales with hits, not corpus — and
+    the final top-k is a TakeOrderedAndProject with doc_id tiebreak."""
+    from pyspark_etl_twitter_spark.operators.textstats import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, BM25_QUERY_TERMS)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+ORACLE_BM25_SEARCH_TOPK = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM base),
+scal AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+m AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+f AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+  FROM m WHERE term IN ('join', 'hash', 'scan')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM f GROUP BY term),
+s AS (
+  SELECT f.doc_id,
+         ln(1.0 + ((n - df) + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)) AS sc
+  FROM f JOIN dfreq USING (term), scal
+)
+SELECT doc_id, round(sum(sc), 6) AS score
+FROM s GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""

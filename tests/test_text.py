@@ -111,3 +111,25 @@ def test_clean_text_scalar(spark):
     df = spark.createDataFrame([Row(t="Visit www.site.com NOW!!")])
     row = df.select(clean_text("t").alias("c")).first()
     assert row.c == re.sub(CLEAN_PATTERN, "", "Visit www.site.com NOW!!".lower().strip())
+
+
+def test_bm25_ranks_denser_matches_higher(spark):
+    from pyspark_etl_twitter_spark.operators.textstats import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "join join join filter"),          # dense in 'join'
+            (2, "join merge sort hash group by"),  # one 'join', longer
+            (3, "scan scan scan scan"),            # no query term
+            (4, "join"),                           # short, one term
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.score for r in bm25_scores(docs, ["join", "merge"]).collect()}
+    assert 3 not in got                 # non-matching doc absent
+    assert all(v > 0 for v in got.values())
+    # same term ('join', df=3): tf=3 in a 4-token doc beats tf=1 — density
+    assert got[1] > got[4]
+    # doc 2 matches the RARE term 'merge' (df=1, high idf) plus 'join':
+    # two-term match with a rare term outranks a dense common-term match
+    assert got[2] > got[1]

@@ -58,6 +58,9 @@ HEADLINE = [
     "bigram_lm_quality_by_source",
     "weighted_sample_by_length",
     "stats_aggregates_lineitem",
+    "bm25_search_topk",
+    "semantic_prune_by_centroid",
+    "asof_nearest_click",
 ]
 
 

@@ -170,3 +170,72 @@ def rolling_range_mean_chunked(
         .filter(~F.col("_helper"))
         .drop("_us", "_chunk", "_helper")
     )
+
+
+def resample_interpolate(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    time_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+    trunc_unit: str = "hour",
+    in_dp: int = 2,
+) -> DataFrame:
+    """Resample onto a regular grid with LINEAR INTERPOLATION across gaps:
+    (group, bucket, value_interp, is_gap). Gap buckets get
+    ``v_prev + (v_next - v_prev) * (t - t_prev)/(t_next - t_prev)``;
+    trailing gaps (no next observation) forward-fill.
+
+    Cross-engine determinism without integer gymnastics: bucket averages
+    are first made EXACT (integer fixed-point, as resample_ffill), so the
+    interpolation inputs are identical doubles on every engine, and
+    +,-,*,/ are IEEE-exact — the full expression is bit-reproducible as
+    long as the oracle mirrors the operation order. Same scale shape as
+    resample_ffill: spine join + two frame windows over ONE group
+    partitioning (one exchange)."""
+    lo_hi = events.groupBy(group_col).agg(
+        F.date_trunc(trunc_unit, F.min(time_col)).alias("_lo"),
+        F.date_trunc(trunc_unit, F.max(time_col)).alias("_hi"),
+    )
+    spine = lo_hi.select(
+        group_col,
+        F.explode(F.sequence("_lo", "_hi", F.expr(f"interval {step}"))).alias(
+            "bucket"
+        ),
+    )
+    actual = events.groupBy(
+        group_col, F.date_trunc(trunc_unit, F.col(time_col)).alias("bucket")
+    ).agg(
+        F.expr(
+            f"sum(cast(round({value_col} * {10**in_dp}) as bigint))"
+            f" * {10 ** (6 - in_dp)} div count(1)"
+        ).alias("_avg_u6")
+    )
+    base = Window.partitionBy(group_col).orderBy("bucket")
+    wb = base.rowsBetween(Window.unboundedPreceding, 0)
+    wf = base.rowsBetween(0, Window.unboundedFollowing)
+    obs_bucket = F.when(F.col("_avg_u6").isNotNull(), F.col("bucket"))
+    joined = (
+        spine.join(actual, [group_col, "bucket"], "left")
+        .withColumn("_vp", F.last("_avg_u6", ignorenulls=True).over(wb))
+        .withColumn("_tp", F.last(obs_bucket, ignorenulls=True).over(wb))
+        .withColumn("_vn", F.first("_avg_u6", ignorenulls=True).over(wf))
+        .withColumn("_tn", F.first(obs_bucket, ignorenulls=True).over(wf))
+    )
+    vp = F.col("_vp").cast("double") / 1000000.0
+    vn = F.col("_vn").cast("double") / 1000000.0
+    tp = F.unix_timestamp("_tp").cast("double")
+    tn = F.unix_timestamp("_tn").cast("double")
+    t = F.unix_timestamp("bucket").cast("double")
+    interp = (
+        F.when(F.col("_avg_u6").isNotNull(), vp)  # observed bucket: vp == v
+        .when(F.col("_vn").isNull(), vp)  # trailing gap: ffill
+        .otherwise(vp + (vn - vp) * ((t - tp) / (tn - tp)))
+    )
+    return joined.select(
+        group_col,
+        "bucket",
+        F.round(interp, 6).alias("value_interp"),
+        F.col("_avg_u6").isNull().alias("is_gap"),
+    )

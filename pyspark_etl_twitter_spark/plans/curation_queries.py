@@ -308,3 +308,63 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{WSAMPLE_SEED}'), 1,
       < (CAST(n_chars AS BIGINT) * 4294967296) // {WSAMPLE_DENOM}
 GROUP BY source
 """
+
+
+def resample_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid with linear interpolation across gaps
+    (operators/timeseries.resample_interpolate); trailing gaps forward-
+    fill. One group exchange: spine join + both frame windows share the
+    partitioning."""
+    from pyspark_etl_twitter_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return resample_interpolate(events)
+
+
+ORACLE_RESAMPLE_INTERPOLATE_HOURLY = """
+WITH bounds AS (
+  SELECT event_type,
+         date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM events GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+),
+actual AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         (sum(CAST(round(value * 100) AS BIGINT)) * 10000) // count(1) AS avg_u6
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT s.event_type, s.bucket, a.avg_u6,
+         last_value(a.avg_u6 IGNORE NULLS) OVER wb AS vp6,
+         last_value(CASE WHEN a.avg_u6 IS NOT NULL THEN s.bucket END IGNORE NULLS)
+           OVER wb AS tp,
+         first_value(a.avg_u6 IGNORE NULLS) OVER wf AS vn6,
+         first_value(CASE WHEN a.avg_u6 IS NOT NULL THEN s.bucket END IGNORE NULLS)
+           OVER wf AS tn
+  FROM spine s
+  LEFT JOIN actual a ON s.event_type = a.event_type AND s.bucket = a.bucket
+  WINDOW wb AS (PARTITION BY s.event_type ORDER BY s.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY s.event_type ORDER BY s.bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket,
+       round(CASE WHEN avg_u6 IS NOT NULL THEN CAST(vp6 AS DOUBLE) / 1000000.0
+                  WHEN vn6 IS NULL THEN CAST(vp6 AS DOUBLE) / 1000000.0
+                  ELSE (CAST(vp6 AS DOUBLE) / 1000000.0)
+                       + ((CAST(vn6 AS DOUBLE) / 1000000.0)
+                          - (CAST(vp6 AS DOUBLE) / 1000000.0))
+                         * ((CAST(floor(epoch(bucket)) AS DOUBLE)
+                             - CAST(floor(epoch(tp)) AS DOUBLE))
+                            / (CAST(floor(epoch(tn)) AS DOUBLE)
+                               - CAST(floor(epoch(tp)) AS DOUBLE)))
+             END, 6) AS value_interp,
+       avg_u6 IS NULL AS is_gap
+FROM j
+"""

@@ -208,6 +208,8 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_prune_by_centroid": AQ.semantic_prune_by_centroid,
     # BM25 ranked retrieval (round 3)
     "bm25_search_topk": T.bm25_search_topk,
+    # linear-interpolation resample (round 3; ffill rep has driver row)
+    "resample_interpolate_hourly": CQ.resample_interpolate_hourly,
 }
 
 ORACLES: dict[str, str] = {
@@ -335,4 +337,5 @@ ORACLES: dict[str, str] = {
     "null_safe_join_segments": R2.ORACLE_NULL_SAFE_JOIN_SEGMENTS,
     "semantic_prune_by_centroid": AQ.ORACLE_SEMANTIC_PRUNE_BY_CENTROID,
     "bm25_search_topk": T.ORACLE_BM25_SEARCH_TOPK,
+    "resample_interpolate_hourly": CQ.ORACLE_RESAMPLE_INTERPOLATE_HOURLY,
 }

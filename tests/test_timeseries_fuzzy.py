@@ -140,3 +140,30 @@ def test_fuzzy_join_is_blocked_equi_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_resample_interpolate_planted_gap(spark):
+    import datetime
+
+    from pyspark_etl_twitter_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    # one group, values 10.0 at 00h and 40.0 at 03h → gaps at 01h, 02h
+    # interpolate to 20.0 and 30.0; trailing gap after last obs ffills
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 30), 1, "g", 10.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 3, 15), 1, "g", 40.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        r.bucket.hour: (r.value_interp, r.is_gap)
+        for r in resample_interpolate(ev).collect()
+    }
+    assert got[0] == (10.0, False)
+    assert got[1] == (20.0, True)
+    assert got[2] == (30.0, True)
+    assert got[3] == (40.0, False)

@@ -1,0 +1,98 @@
+"""Global anti-pattern sweep: EVERY registry query's physical plan is
+checked for the things that kill a 100 TB run — unbatched Python UDF rows
+(BatchEvalPython) anywhere, and unintentional CartesianProduct (a
+non-broadcast cross join shuffles n*m rows). Broadcast cross joins of
+1-row scalar frames / tiny dims are the documented intentional pattern
+(DESIGN.md §3) and appear as BroadcastNestedLoopJoin, which is allowed
+only for the whitelisted queries below."""
+
+import pytest
+
+from pyspark_etl_twitter_spark.plans.registry import QUERIES
+from tests.conftest import SF_TINY
+
+# queries whose plan legitimately contains BroadcastNestedLoopJoin:
+# broadcast-scalar cross joins (1-row frames) or tiny-dim theta joins
+BNLJ_OK = {
+    "range_join_price_bands",   # 5-band broadcast theta join (documented)
+    "knn_brute_cosine",         # broadcast query side (documented baseline)
+    "knn_ann_lsh",
+    "knn_ivf",
+    "embedding_near_dup",
+    "orders_above_avg",         # broadcast 1-row scalar
+    "customers_above_nation_avg",
+    "lm_quality_by_source",     # broadcast 1-row scalars (N, V, oov_logp)
+    "oov_rate_by_source",
+    "bigram_lm_quality_by_source",
+    "bm25_search_topk",         # broadcast 1-row (N, avgdl)
+    "sentiment_classes",
+    "sentiment_doc_scores",
+    "sentiment_weights_head",
+    "decontaminate_counts",
+    "top_terms_per_doc",
+    "semantic_near_dup_pairs",
+    "semantic_dedup_survivors",
+    "semantic_prune_by_centroid",
+    "dedup_jaccard_pairs",
+    "dedup_exact_summary",      # 1-row scalar compare
+    "data_quality_lineitem",
+    "epoch_shuffle_head",
+    "doc_length_histogram",
+    "curation_pipeline_counts",
+    "pack_documents_2048",
+    "pack_documents_salted_2048",
+    "tpch_q8_market_share",     # broadcast 1-row year totals
+    "tpch_q14_promo_effect",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_dormant_customers",
+    "graph_triangle_count",     # 1-row result of count agg
+    "weighted_sample_by_length",
+    "dedup_minhash_pairs",
+    "dedup_simhash_fingerprints",
+    "dedup_clusters_minhash",
+    "embedding_norm_stats",
+}
+
+# queries that EXECUTE during plan building (iterative/driver-bounded):
+# sweeping them would run real jobs, they have their own plan tests
+SKIP = {
+    "kmeans_cluster_sizes",
+    "dedup_clusters",
+    "dedup_clusters_minhash",
+    "dedup_keep_canonical",
+    "semantic_dedup_survivors",
+    "curation_pipeline_counts",
+    "bucketed_join_revenue",    # writes bucketed tables during build
+    "epoch_shuffle_head",       # bounded offset-table collect
+    "knn_ann_lsh",              # derives n_planes via count action
+    "knn_ivf",
+    "embedding_near_dup",
+    "dedup_minhash_pairs",      # star-guard count
+    "semantic_near_dup_pairs",
+    "dedup_incremental",
+}
+
+
+@pytest.mark.slow
+def test_no_cartesian_or_python_udf_in_any_registry_plan(spark):
+    failures = []
+    for name, fn in QUERIES.items():
+        if name in SKIP:
+            continue
+        try:
+            plan = (
+                fn(spark, SF_TINY)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: plan build failed: {exc}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in plan")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-wise Python UDF in plan")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not failures, "\n".join(failures)

@@ -175,6 +175,10 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q12_latency_priority": H.tpch_q12_latency_priority,
     "tpch_q14_promo_effect": H.tpch_q14_promo_effect,
     "tpch_q16_supplier_variety": H.tpch_q16_supplier_variety,
+    "tpch_q5_local_supplier_volume": H.tpch_q5_local_supplier_volume,
+    "tpch_q6_forecast_revenue": H.tpch_q6_forecast_revenue,
+    "tpch_q13_customer_distribution": H.tpch_q13_customer_distribution,
+    "tpch_q15_top_supplier": H.tpch_q15_top_supplier,
     "tpch_q17_small_qty_revenue": H.tpch_q17_small_qty_revenue,
     "tpch_q19_disjunctive_revenue": H.tpch_q19_disjunctive_revenue,
     "tpch_q22_dormant_customers": H.tpch_q22_dormant_customers,
@@ -313,6 +317,10 @@ ORACLES: dict[str, str] = {
     "tpch_q12_latency_priority": H.ORACLE_TPCH_Q12,
     "tpch_q14_promo_effect": H.ORACLE_TPCH_Q14,
     "tpch_q16_supplier_variety": H.ORACLE_TPCH_Q16,
+    "tpch_q5_local_supplier_volume": H.ORACLE_TPCH_Q5,
+    "tpch_q6_forecast_revenue": H.ORACLE_TPCH_Q6,
+    "tpch_q13_customer_distribution": H.ORACLE_TPCH_Q13,
+    "tpch_q15_top_supplier": H.ORACLE_TPCH_Q15,
     "tpch_q17_small_qty_revenue": H.ORACLE_TPCH_Q17,
     "tpch_q18_large_volume_customers": H.ORACLE_TPCH_Q18,
     "tpch_q19_disjunctive_revenue": H.ORACLE_TPCH_Q19,

@@ -64,3 +64,47 @@ def test_q21_is_two_aggregates_no_self_join_explosion(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final × two levels
+
+
+def test_q6_predicates_reach_scan(spark):
+    from pyspark_etl_twitter_spark.plans.tpch import tpch_q6_forecast_revenue
+
+    plan = (
+        tpch_q6_forecast_revenue(spark, SF_TINY)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    # every Q6 predicate column is pushable; the scan must not read
+    # columns beyond the 4 referenced
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q5_broadcasts_all_dims_single_fact_shuffle(spark):
+    from pyspark_etl_twitter_spark.plans.tpch import (
+        tpch_q5_local_supplier_volume,
+    )
+
+    plan = (
+        tpch_q5_local_supplier_volume(spark, SF_TINY)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_max_is_broadcast_one_row(spark):
+    from pyspark_etl_twitter_spark.plans.tpch import tpch_q15_top_supplier
+
+    plan = (
+        tpch_q15_top_supplier(spark, SF_TINY)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # scalar-max side and supplier dim both broadcast; the revenue view
+    # never re-shuffles for the max comparison
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2

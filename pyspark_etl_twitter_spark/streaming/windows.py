@@ -116,3 +116,37 @@ def streaming_content_dedup(
         withsha = withsha.withColumn(tcol, F.current_timestamp())
     out = withsha.withWatermark(tcol, watermark).dropDuplicatesWithinWatermark(["_sha"])
     return out.drop("_sha", *([tcol] if time_col is None else []))
+
+
+def chained_hourly_to_daily(
+    events: DataFrame,
+    *,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """CHAINED stateful aggregation (Spark 4: multiple stateful operators
+    in one append-mode query): hourly per-type counts re-aggregated into
+    daily totals inside the SAME streaming query — the streaming form of
+    ``multi_resolution_rollup``. The first agg emits finalized hourly
+    rows as the watermark passes; the second keys its state on the
+    derived day window via ``window(window_time(...))``. State stays
+    bounded at both levels: (hour, type) then (day, type)."""
+    hourly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_hour"))
+    )
+    return (
+        hourly.groupBy(
+            F.window(F.window_time("w1"), "1 day").alias("w2"), "event_type"
+        )
+        .agg(
+            F.sum("n_hour").alias("n_events"),
+            F.count(F.lit(1)).alias("n_hours_seen"),
+        )
+        .select(
+            F.col("w2.start").alias("day_start"),
+            "event_type",
+            "n_events",
+            "n_hours_seen",
+        )
+    )

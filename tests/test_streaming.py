@@ -165,3 +165,45 @@ def test_streaming_content_dedup(spark, docs_replay_dir, tmp_path):
         load_table(spark, SF_TINY, "documents").select("text").distinct().count()
     )
     assert got.n == got.d == n_distinct
+
+
+def test_chained_stateful_aggregation_matches_batch(spark, events_tiny, events_replay_dir):
+    """Spark-4 chained stateful ops: hourly agg re-aggregated to daily in
+    ONE append-mode streaming query; finalized rows equal the batch
+    double-aggregation of the same data."""
+    from pyspark_etl_twitter_spark.streaming.windows import chained_hourly_to_daily
+
+    stream = stream_events(spark, events_replay_dir, max_files_per_trigger=2)
+    q = (
+        chained_hourly_to_daily(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chained_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.day_start, r.event_type): (r.n_events, r.n_hours_seen)
+        for r in spark.sql("SELECT * FROM chained_out").collect()
+    }
+    want_full = {
+        ((r.day), r.event_type): (r.n, r.h)
+        for r in (
+            events_tiny.groupBy(
+                F.window("ts", "1 hour").alias("w1"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n_hour"))
+            .groupBy(F.window(F.col("w1.start"), "1 day").alias("w2"), "event_type")
+            .agg(F.sum("n_hour").alias("n"), F.count(F.lit(1)).alias("h"))
+            .select(F.col("w2.start").alias("day"), "event_type", "n", "h")
+            .collect()
+        )
+    }
+    # append mode only emits windows finalized by the watermark — every
+    # emitted row must match the batch twin exactly, and most windows
+    # (all but the watermark tail) must have been emitted
+    assert got, "no finalized windows emitted"
+    for k, v in got.items():
+        assert want_full[k] == v, k
+    assert len(got) >= len(want_full) - 2 * events_tiny.select("event_type").distinct().count()

@@ -239,3 +239,59 @@ def resample_interpolate(
         F.round(interp, 6).alias("value_interp"),
         F.col("_avg_u6").isNull().alias("is_gap"),
     )
+
+
+def ewma_by_group(
+    events: DataFrame,
+    *,
+    alpha: float = 0.3,
+    group_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group exponentially weighted moving average — the operator tier
+    where built-in expressions genuinely stop: the recurrence
+    ``e_t = alpha*x_t + (1-alpha)*e_{t-1}`` is sequential, and the closed
+    form needs ``(1-alpha)^(-i)`` factors that overflow doubles for long
+    series. So this is an Arrow-batched ``applyInPandas`` per group
+    (pandas ``ewm``; adjust=False matches the recurrence), NOT a row-wise
+    Python UDF: one hash exchange on the group key, then each group
+    processed as a single vectorized pandas call. Parallelism = number of
+    groups — correct for the many-small-groups shape this targets
+    (per-user/device smoothing); for few huge groups chunk like
+    ``rolling_range_mean_chunked``.
+
+    Output: (group, id, time, value, ewma) sorted within group by
+    (time, id)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField(group_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField(time_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+
+    def _ewma(pdf):
+        pdf = pdf.sort_values([time_col, id_col])
+        out = pdf[[group_col, id_col, time_col, value_col]].copy()
+        out["ewma"] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean().round(6)
+        )
+        return out
+
+    return (
+        events.select(group_col, id_col, time_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(_ewma, schema)
+    )

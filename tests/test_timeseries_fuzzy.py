@@ -167,3 +167,28 @@ def test_resample_interpolate_planted_gap(spark):
     assert got[1] == (20.0, True)
     assert got[2] == (30.0, True)
     assert got[3] == (40.0, False)
+
+
+def test_ewma_matches_pandas_and_is_arrow_batched(spark, events_tiny):
+    import pandas as pd
+
+    from pyspark_etl_twitter_spark.operators.timeseries import ewma_by_group
+
+    df = ewma_by_group(events_tiny, alpha=0.3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan   # Arrow-batched, per group
+    assert "BatchEvalPython" not in plan     # never row-wise Python
+
+    got = df.filter(F.col("user_id").isin([1, 2, 3])).toPandas()
+    src = (
+        events_tiny.filter(F.col("user_id").isin([1, 2, 3]))
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+    )
+    for uid, g in src.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        want = g["value"].ewm(alpha=0.3, adjust=False).mean().round(6).tolist()
+        sub = got[got.user_id == uid].sort_values(["ts", "event_id"])
+        assert sub["ewma"].tolist() == want
+        # recurrence sanity: first ewma equals first value
+        assert sub["ewma"].iloc[0] == round(g["value"].iloc[0], 6)

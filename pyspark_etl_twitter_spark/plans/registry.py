@@ -52,6 +52,13 @@ QUERIES: dict[str, QueryFn] = {
     # in-window reps (pricing_summary for agg; 4 join entries remain).
     "tpch_q18_large_volume_customers": H.tpch_q18_large_volume_customers,
     "tpch_q21_waiting_suppliers": H.tpch_q21_waiting_suppliers,
+    # round-3 new-family reps (hard driver signal): event analytics,
+    # binned range join, BM25 retrieval. Displaced: global_top_orders,
+    # dedup_sha_fingerprints, sentiment_doc_scores — all r1+r2 driver-green
+    # family dupes whose families keep in-window reps; all keep oracles.
+    "funnel_view_click_purchase": FQ.funnel_view_click_purchase,
+    "binned_range_join_bands": AQ.binned_range_join_bands,
+    "bm25_search_topk": T.bm25_search_topk,
     # round-3 families: graph analytics + LM curation (one window rep
     # each; the relational entries they displaced — grouping_sets_revenue,
     # outer_join_order_counts, orders_with_many_items — hold round-1 green
@@ -61,7 +68,6 @@ QUERIES: dict[str, QueryFn] = {
     "oov_rate_by_source": LQ.oov_rate_by_source,
     # windows / sort / top-k
     "topk_orders_per_customer": R.topk_orders_per_customer,
-    "global_top_orders": R.global_top_orders,
     "running_revenue_by_supplier": R.running_revenue_by_supplier,
     "event_gaps": R.event_gaps,
     "asof_purchase_click": R.asof_purchase_click,
@@ -80,11 +86,9 @@ QUERIES: dict[str, QueryFn] = {
     "hourly_event_rollup": R.hourly_event_rollup,
     # sentiment (reference pipeline, native)
     "sentiment_classes": T.sentiment_classes,
-    "sentiment_doc_scores": T.sentiment_doc_scores,
     "sentiment_weights_head": T.sentiment_weights_head,
     # dedup
     "dedup_exact_summary": T.dedup_exact_summary,
-    "dedup_sha_fingerprints": T.dedup_sha_fingerprints,
     "dedup_jaccard_pairs": T.dedup_jaccard_pairs,
     "dedup_minhash_pairs": T.dedup_minhash_pairs,
     "dedup_simhash_fingerprints": T.dedup_simhash_fingerprints,
@@ -115,6 +119,9 @@ QUERIES: dict[str, QueryFn] = {
     # its oracle and its round-1 green row.)
     "kmeans_cluster_sizes": AQ.kmeans_cluster_sizes,
     # -- past the window: round-1/2-verified relational variants -----------
+    "global_top_orders": R.global_top_orders,
+    "dedup_sha_fingerprints": T.dedup_sha_fingerprints,
+    "sentiment_doc_scores": T.sentiment_doc_scores,
     "rollup_revenue": R.rollup_revenue,
     "range_join_price_bands": R.range_join_price_bands,
     "grouping_sets_revenue": R.grouping_sets_revenue,
@@ -188,11 +195,8 @@ QUERIES: dict[str, QueryFn] = {
     "graph_triangles_per_node": GQ.graph_triangles_per_node,
     # bloom-pruned join (join family has 5 in-window reps)
     "bloom_join_urgent_revenue": AQ.bloom_join_urgent_revenue,
-    # event analytics: ordered funnel + cohort retention (round 3)
-    "funnel_view_click_purchase": FQ.funnel_view_click_purchase,
+    # event analytics tail twin (funnel rep is in-window)
     "cohort_retention_weekly": FQ.cohort_retention_weekly,
-    # binned range join: scale path for large interval sides (round 3)
-    "binned_range_join_bands": AQ.binned_range_join_bands,
     # weight-proportional sampling (round 3)
     "weighted_sample_by_length": CQ.weighted_sample_by_length,
     # bigram interpolated LM scoring (round 3; unigram rep in-window)
@@ -210,8 +214,6 @@ QUERIES: dict[str, QueryFn] = {
     # null-safe join semantics + SemDeDup centroid pruning (round 3)
     "null_safe_join_segments": R2.null_safe_join_segments,
     "semantic_prune_by_centroid": AQ.semantic_prune_by_centroid,
-    # BM25 ranked retrieval (round 3)
-    "bm25_search_topk": T.bm25_search_topk,
     # linear-interpolation resample (round 3; ffill rep has driver row)
     "resample_interpolate_hourly": CQ.resample_interpolate_hourly,
 }

@@ -46,6 +46,10 @@ MUST_BE_IN_WINDOW = {
     # round-3 TPC-H hard-signal rotation (round-2 verdict ask #6)
     "tpch_q18_large_volume_customers",
     "tpch_q21_waiting_suppliers",
+    # round-3 new-family reps (displaced entries hold r1+r2 green rows)
+    "funnel_view_click_purchase",
+    "binned_range_join_bands",
+    "bm25_search_topk",
 }
 
 # the only queries allowed to lack a SQL oracle (approximate / hash-seeded

@@ -161,3 +161,83 @@ def resize_meta(media: DataFrame, *, max_side: int = 256) -> DataFrame:
         F.round(w * scale).cast("int").alias("dst_width"),
         F.round(h * scale).cast("int").alias("dst_height"),
     )
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """64-bit average-hash: decode 64 samples per item (8x8 pixel grid in
+    the real-codec analogy), threshold each on the global mean → one bit
+    each. Identical payloads hash equal; near-identical decodes differ in
+    few bits — Hamming-bucketable like SimHash. One narrow mapInPandas
+    from payload to hash; downstream dedup joins carry 8 bytes/item and
+    never touch payloads. With PIL wired in, the same path becomes a real
+    aHash (resize 8x8, threshold on mean) — identical Spark plumbing."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf["payload"]:
+                arr = _fake_decode(p, 64).astype(np.float64)
+                bits = arr > arr.mean()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                # fold into signed int64 (Spark LongType)
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "phash": hashes}
+            )
+
+    return media.mapInPandas(hash_batch, out_schema)
+
+
+def phash_near_dup_pairs(media: DataFrame, *, max_hamming: int = 6) -> DataFrame:
+    """Media near-dup candidates: band the 64-bit perceptual hash into 4
+    16-bit bands, bucket-join on (band_idx, band_value), verify exact
+    Hamming distance via bit_count(xor). Pigeonhole guarantee: ≤3 bit
+    flips leave at least one of 4 bands intact, so recall is exact for
+    hamming ≤ 3; beyond that (up to max_hamming) candidates are
+    best-effort, same structure as SimHash banding (operators/dedup.py).
+    Payload bytes never join — 8-byte hashes only."""
+    hashed = perceptual_hash(media).select("media_id", "phash")
+    bands = hashed.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", "b.band_idx", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["media_a", "media_b"])
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

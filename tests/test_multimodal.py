@@ -64,3 +64,44 @@ def test_resize_preserves_aspect(media):
         assert max(r.dst_width, r.dst_height) <= 256
         if max(r.src_width, r.src_height) <= 256:
             assert (r.dst_width, r.dst_height) == (r.src_width, r.src_height)
+
+
+def test_phash_identical_payloads_collide_and_band_join_finds_them(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_near_dup_pairs,
+        synth_media_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en", "a", 19),
+            (2, "the quick brown fox", "en", "a", 19),   # exact dup payload
+            (3, "a completely different document body", "en", "a", 36),
+            (4, "yet another unrelated text payload here", "en", "a", 39),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    media = synth_media_table(docs)
+    hashes = {r.media_id: r.phash for r in perceptual_hash(media).collect()}
+    assert hashes[1] == hashes[2]
+    assert hashes[1] != hashes[3]
+
+    pairs = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in phash_near_dup_pairs(media, max_hamming=0).collect()
+    }
+    assert (1, 2, 0) in pairs
+    assert all(a == 1 and b == 2 for a, b, _ in pairs)
+
+    # plan: bucket equi-join, no cartesian, no row-wise Python UDF
+    plan = (
+        phash_near_dup_pairs(media)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

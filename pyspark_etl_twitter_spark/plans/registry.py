@@ -206,6 +206,9 @@ QUERIES: dict[str, QueryFn] = {
     "chunk_documents_overlap_64": T.chunk_documents_overlap_64,
     # statistical aggregates (round 3)
     "stats_aggregates_lineitem": R2.stats_aggregates_lineitem,
+    # selector aggregates + exact-quota stratified sampling (round 3)
+    "minmax_by_orders": R2.minmax_by_orders,
+    "stratified_exact_n_docs": R2.stratified_exact_n_docs,
     # per-group embedding centroids (round 3)
     "embedding_centroids_by_label": AQ.embedding_centroids_by_label,
     # as-of join direction variants (round 3; backward rep in-window)
@@ -341,6 +344,8 @@ ORACLES: dict[str, str] = {
     "bigram_lm_quality_by_source": LQ.ORACLE_BIGRAM_LM_QUALITY_BY_SOURCE,
     "chunk_documents_overlap_64": T.ORACLE_CHUNK_DOCUMENTS_OVERLAP_64,
     "stats_aggregates_lineitem": R2.ORACLE_STATS_AGGREGATES_LINEITEM,
+    "minmax_by_orders": R2.ORACLE_MINMAX_BY_ORDERS,
+    "stratified_exact_n_docs": R2.ORACLE_STRATIFIED_EXACT_N_DOCS,
     "embedding_centroids_by_label": AQ.ORACLE_EMBEDDING_CENTROIDS_BY_LABEL,
     "asof_forward_next_click": R.ORACLE_ASOF_FORWARD_NEXT_CLICK,
     "asof_nearest_click": R.ORACLE_ASOF_NEAREST_CLICK,

@@ -5,7 +5,7 @@ sides, total orders everywhere)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_etl_twitter_spark.session import pin_oracle_confs
@@ -481,4 +481,77 @@ d AS (SELECT DISTINCT seg AS dim_seg FROM c)
 SELECT dim_seg, count(*) AS n_customers
 FROM c JOIN d ON c.seg IS NOT DISTINCT FROM d.dim_seg
 GROUP BY dim_seg
+"""
+
+
+def minmax_by_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector-aggregate pack: max_by/min_by (argmax/argmin without a
+    window or self-join — one hash aggregate carries the (key, value)
+    pair) plus count_if. Per order priority: which order carries the
+    max/min total price, and how many high-value orders exist. Tie-safe:
+    o_totalprice has duplicates, so selectors pick among ties by max/min
+    orderkey via a packed struct comparison."""
+    orders = _t(spark, sf_dir, "orders")
+    # pack (price-cents, orderkey) into one BIGINT so ties resolve
+    # deterministically on both engines (DuckDB's arg_max rejects struct
+    # keys): cents*1e10 + orderkey, exact for orderkeys < 1e10
+    key = F.expr(
+        "cast(round(o_totalprice * 100) as bigint) * 10000000000 + o_orderkey"
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("max_price_orderkey"),
+        F.min_by("o_orderkey", key).alias("min_price_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.count_if(F.col("o_totalprice") > 300000).alias("n_high_value"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_MINMAX_BY_ORDERS = """
+SELECT o_orderpriority,
+       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey) AS max_price_orderkey,
+       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey) AS min_price_orderkey,
+       round(max(o_totalprice), 2) AS max_price,
+       count(*) FILTER (WHERE o_totalprice > 300000) AS n_high_value,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def stratified_exact_n_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling: rank docs within each source by a
+    deterministic md5 order and keep the first 10 — the fixed-quota
+    variant of training_mix (rate-based). One window over the stratum
+    partitioning; selection is stable for a given corpus (adding docs can
+    change ranks, unlike the rate-based variant — use training_mix for
+    incremental stability, this for exact quotas)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("strat-v1"))),
+        "doc_id",
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_STRATIFIED_EXACT_N_DOCS = """
+SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM (
+  SELECT source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat-v1'), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 10
+GROUP BY source
 """

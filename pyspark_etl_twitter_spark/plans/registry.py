@@ -209,6 +209,7 @@ QUERIES: dict[str, QueryFn] = {
     # selector aggregates + exact-quota stratified sampling (round 3)
     "minmax_by_orders": R2.minmax_by_orders,
     "stratified_exact_n_docs": R2.stratified_exact_n_docs,
+    "profile_orders_columns": R2.profile_orders_columns,
     # per-group embedding centroids (round 3)
     "embedding_centroids_by_label": AQ.embedding_centroids_by_label,
     # as-of join direction variants (round 3; backward rep in-window)
@@ -346,6 +347,7 @@ ORACLES: dict[str, str] = {
     "stats_aggregates_lineitem": R2.ORACLE_STATS_AGGREGATES_LINEITEM,
     "minmax_by_orders": R2.ORACLE_MINMAX_BY_ORDERS,
     "stratified_exact_n_docs": R2.ORACLE_STRATIFIED_EXACT_N_DOCS,
+    "profile_orders_columns": R2.ORACLE_PROFILE_ORDERS_COLUMNS,
     "embedding_centroids_by_label": AQ.ORACLE_EMBEDDING_CENTROIDS_BY_LABEL,
     "asof_forward_next_click": R.ORACLE_ASOF_FORWARD_NEXT_CLICK,
     "asof_nearest_click": R.ORACLE_ASOF_NEAREST_CLICK,

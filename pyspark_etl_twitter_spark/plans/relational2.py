@@ -555,3 +555,65 @@ FROM (
 WHERE rn <= 10
 GROUP BY source
 """
+
+
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile (the data-engineering 'describe table'
+    that drives partition/broadcast planning): per column null count,
+    exact distinct count, and range — computed in a SINGLE aggregate scan
+    (Catalyst expands the distincts via one Expand node), then unpivoted
+    to (column, metric rows) for a stable narrow schema."""
+    orders = _t(spark, sf_dir, "orders")
+    prof = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).alias(
+            "nulls_priority"
+        ),
+        F.countDistinct("o_orderpriority").alias("nd_priority"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return prof.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("metric"), F.col(m).cast("double").alias("value")
+                    )
+                    for m in [
+                        "n_rows",
+                        "nulls_priority",
+                        "nd_priority",
+                        "nd_status",
+                        "nd_custkey",
+                        "min_price",
+                        "max_price",
+                    ]
+                ]
+            )
+        ).alias("s")
+    ).select("s.metric", "s.value")
+
+
+ORACLE_PROFILE_ORDERS_COLUMNS = """
+WITH prof AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           AS nulls_priority,
+         CAST(count(DISTINCT o_orderpriority) AS DOUBLE) AS nd_priority,
+         CAST(count(DISTINCT o_orderstatus) AS DOUBLE) AS nd_status,
+         CAST(count(DISTINCT o_custkey) AS DOUBLE) AS nd_custkey,
+         round(min(o_totalprice), 2) AS min_price,
+         round(max(o_totalprice), 2) AS max_price
+  FROM orders
+)
+SELECT 'n_rows' AS metric, n_rows AS value FROM prof
+UNION ALL SELECT 'nulls_priority', nulls_priority FROM prof
+UNION ALL SELECT 'nd_priority', nd_priority FROM prof
+UNION ALL SELECT 'nd_status', nd_status FROM prof
+UNION ALL SELECT 'nd_custkey', nd_custkey FROM prof
+UNION ALL SELECT 'min_price', min_price FROM prof
+UNION ALL SELECT 'max_price', max_price FROM prof
+"""

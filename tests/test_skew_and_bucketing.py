@@ -96,3 +96,55 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's runtime skew-join handling: a planted hot key (90% of the
+    fact side) makes one shuffle partition dwarf the rest; with
+    skewJoin enabled and thresholds lowered to testdata scale, AQE must
+    split the hot partition (OptimizeSkewedJoin) — the runtime half of
+    the skew story next to the manual salting operators above."""
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        # force a sort-merge join (skew handling targets shuffle joins)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            (F.col("id") * 2).alias("v"),
+        )
+        dim = spark.range(50_000).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+        )
+        joined = fact.join(dim, "k")
+        # AQE decisions appear only in THIS DataFrame's executed plan —
+        # count() would build (and adapt) a separate aggregate plan
+        rows = joined.collect()
+        assert len(rows) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not mark the skewed join"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -157,3 +157,59 @@ def chunk_documents_overlap(
         F.size("_chunk").alias("n_chunk_tokens"),
         F.concat_ws(" ", "_chunk").alias("chunk_text"),
     )
+
+
+def bpe_encode_documents(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE merge list to every document: (id, tokens)
+    where each whitespace word is split to characters and greedily merged
+    by lowest merge rank (the standard BPE-apply loop, e.g. the published
+    GPT-2 tokenizer algorithm).
+
+    Training the merges is an offline global loop and stays out of the
+    engine; APPLYING them is per-row and embarrassingly parallel — but
+    the inner loop (repeated lowest-rank pair merge until fixpoint) is
+    sequential per word and inexpressible in Catalyst expressions, so
+    this is the Arrow-batched escape hatch (mapInPandas): the merge
+    table broadcasts to every task as a plain dict via closure capture
+    (ranks are ints; typical GPT-scale tables are ~50k rows ≈ 1 MB),
+    rows stream through in columnar batches, no shuffle anywhere."""
+    from pyspark.sql import types as T
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def _word(word: str) -> list[str]:
+        parts = list(word)
+        while len(parts) > 1:
+            best, best_rank = None, None
+            for i in range(len(parts) - 1):
+                r = ranks.get((parts[i], parts[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            parts[best : best + 2] = [parts[best] + parts[best + 1]]
+        return parts
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            toks = [
+                [t for w in (txt or "").split() for t in _word(w)]
+                for txt in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "tokens": toks})
+
+    return docs.select(id_col, text_col).mapInPandas(encode, out_schema)

@@ -129,3 +129,35 @@ def test_chunk_overlap_coverage_and_stride(spark):
     for _, t in by_doc[1]:
         covered.update(t.split())
     assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_bpe_encode_matches_reference_algorithm(spark):
+    from pyspark_etl_twitter_spark.operators.encoding import bpe_encode_documents
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")]
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "hello low"), (3, "")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.tokens for r in bpe_encode_documents(docs, merges).collect()}
+    # 'low' merges fully; 'lower' = low+er merged by rank 4; 'lowest' has
+    # no (low,e)/(e,s) merges → low e s t
+    assert got[1] == ["low", "lower", "low", "e", "s", "t"]
+    assert got[2] == ["h", "e", "l", "lo", "low"]
+    assert got[3] == []
+
+    # merge priority: rank order, not left-to-right — ('e','r') fires
+    # inside 'lower' before ('lo','w') would block it? verify greedy
+    # lowest-rank semantics on a crafted word
+    merges2 = [("a", "b"), ("b", "c")]
+    docs2 = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    got2 = bpe_encode_documents(docs2, merges2).collect()[0].tokens
+    assert got2 == ["ab", "c"]  # rank 0 wins over rank 1
+
+    plan = (
+        bpe_encode_documents(docs, merges)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan and "Exchange" not in plan

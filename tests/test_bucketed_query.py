@@ -50,3 +50,35 @@ def test_bucketed_tables_reused_across_calls(spark):
     assert {
         t.name for t in spark.catalog.listTables() if t.name.startswith("bkt_")
     } == names
+
+
+def test_bucket_pruning_on_key_filter(spark):
+    """Filtering a bucketed table on its bucket key must prune buckets at
+    the scan (SelectedBucketsCount < total) — the read-side payoff of
+    bucketing beyond zero-exchange joins: a point lookup touches 1/k of
+    the files."""
+    from pyspark_etl_twitter_spark.plans.bucketed import _ensure_bucketed
+
+    t = _ensure_bucketed(spark, SF_TINY, "orders", "o_orderkey")
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    old_auto = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+    )
+    try:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+        # without a join/agg needing the distribution, the planner falls
+        # back to a plain scan; force the bucketed read so pruning applies
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        df = spark.table(t).filter(F.col("o_orderkey") == 7)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", old_auto
+        )
+    assert "SelectedBucketsCount: 1 out of" in plan
+    # and the filter still returns the right rows
+    keys = {r.o_orderkey for r in df.collect()}
+    assert keys <= {7}

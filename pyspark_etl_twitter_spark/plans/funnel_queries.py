@@ -9,6 +9,7 @@ formulation in ANSI SQL, so the family is fully hash-verified."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pyspark_etl_twitter_spark.operators.funnel import cohort_retention, funnel_reach
 from pyspark_etl_twitter_spark.session import pin_oracle_confs
@@ -72,4 +73,72 @@ SELECT CAST(cohort_week AS DATE) AS cohort_week,
        count(DISTINCT user_id) AS n_users
 FROM c
 GROUP BY 1, 2
+"""
+
+
+def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized conversion: of all user sessions (30-min gap rule, the
+    sessionize operator), how many contain a purchase — per event-volume
+    band of the session. Composes sessionization with conditional
+    aggregation; one user_id exchange for the windows, one tiny band
+    aggregate."""
+    from pyspark_etl_twitter_spark.plans.relational import sessionize
+
+    ev = _ev(spark, sf_dir)
+    labeled = sessionize(ev)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("pts"))
+    )
+    conv = labeled.join(
+        purchases,
+        (labeled.user_id == purchases.user_id)
+        & (F.col("pts") >= F.col("session_start"))
+        & (F.col("pts") <= F.col("session_end")),
+        "left_semi",
+    )
+    band = F.when(F.col("n_events") == 1, "single").when(
+        F.col("n_events") == 2, "double"
+    ).otherwise("multi")
+    total = labeled.groupBy(band.alias("session_band")).agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    converted = conv.groupBy(band.alias("session_band")).agg(
+        F.count(F.lit(1)).alias("n_converted")
+    )
+    return total.join(converted, "session_band", "left").select(
+        "session_band",
+        "n_sessions",
+        F.coalesce("n_converted", F.lit(0)).alias("n_converted"),
+    )
+
+
+ORACLE_SESSION_CONVERSION_RATE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+              AS INTEGER) AS converted
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT CASE WHEN n_events = 1 THEN 'single'
+            WHEN n_events = 2 THEN 'double'
+            ELSE 'multi' END AS session_band,
+       count(*) AS n_sessions,
+       CAST(sum(converted) AS BIGINT) AS n_converted
+FROM sessions
+GROUP BY 1
 """

@@ -210,6 +210,8 @@ QUERIES: dict[str, QueryFn] = {
     "minmax_by_orders": R2.minmax_by_orders,
     "stratified_exact_n_docs": R2.stratified_exact_n_docs,
     "profile_orders_columns": R2.profile_orders_columns,
+    "referential_integrity_audit": R2.referential_integrity_audit,
+    "session_conversion_rate": FQ.session_conversion_rate,
     # per-group embedding centroids (round 3)
     "embedding_centroids_by_label": AQ.embedding_centroids_by_label,
     # as-of join direction variants (round 3; backward rep in-window)
@@ -348,6 +350,8 @@ ORACLES: dict[str, str] = {
     "minmax_by_orders": R2.ORACLE_MINMAX_BY_ORDERS,
     "stratified_exact_n_docs": R2.ORACLE_STRATIFIED_EXACT_N_DOCS,
     "profile_orders_columns": R2.ORACLE_PROFILE_ORDERS_COLUMNS,
+    "referential_integrity_audit": R2.ORACLE_REFERENTIAL_INTEGRITY_AUDIT,
+    "session_conversion_rate": FQ.ORACLE_SESSION_CONVERSION_RATE,
     "embedding_centroids_by_label": AQ.ORACLE_EMBEDDING_CENTROIDS_BY_LABEL,
     "asof_forward_next_click": R.ORACLE_ASOF_FORWARD_NEXT_CLICK,
     "asof_nearest_click": R.ORACLE_ASOF_NEAREST_CLICK,

@@ -617,3 +617,54 @@ UNION ALL SELECT 'nd_custkey', nd_custkey FROM prof
 UNION ALL SELECT 'min_price', min_price FROM prof
 UNION ALL SELECT 'max_price', max_price FROM prof
 """
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphan counts for every
+    FK edge of the star (lineitem→orders/part/supplier, orders→customer)
+    as left-anti probes in one result row. Each anti-join broadcasts the
+    key side when small or shuffles on the key — either way the audit
+    never materializes matched rows, only counts misses."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+
+    def orphans(fact, key, dim, dim_key):
+        return (
+            fact.select(F.col(key))
+            .join(dim.select(F.col(dim_key).alias(key)), key, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    a = orphans(li, "l_orderkey", orders, "o_orderkey").select(
+        F.col("n").alias("li_orphan_orders")
+    )
+    b = orphans(li, "l_partkey", part, "p_partkey").select(
+        F.col("n").alias("li_orphan_parts")
+    )
+    c = orphans(li, "l_suppkey", supp, "s_suppkey").select(
+        F.col("n").alias("li_orphan_supps")
+    )
+    d = orphans(orders, "o_custkey", cust, "c_custkey").select(
+        F.col("n").alias("ord_orphan_custs")
+    )
+    return a.crossJoin(b).crossJoin(c).crossJoin(d)
+
+
+ORACLE_REFERENTIAL_INTEGRITY_AUDIT = """
+SELECT
+  (SELECT count(*) FROM lineitem l
+     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE l.l_orderkey = o.o_orderkey))
+    AS li_orphan_orders,
+  (SELECT count(*) FROM lineitem l
+     WHERE NOT EXISTS (SELECT 1 FROM part p WHERE l.l_partkey = p.p_partkey))
+    AS li_orphan_parts,
+  (SELECT count(*) FROM lineitem l
+     WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE l.l_suppkey = s.s_suppkey))
+    AS li_orphan_supps,
+  (SELECT count(*) FROM orders o
+     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey))
+    AS ord_orphan_custs
+"""

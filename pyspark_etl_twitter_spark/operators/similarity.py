@@ -555,3 +555,59 @@ def group_centroids(
             F.transform("_dc", lambda s: s.c).alias("centroid"),
         )
     )
+
+
+def ivf_index_append(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index WITHOUT
+    rebuilding: assign the new batch to the EXISTING centroids (broadcast
+    k-row table, narrow codegen argmin — identical math to the original
+    assignment) and append into the partitioned assignments layout. The
+    on-disk inverted lists grow in place; probes see the union
+    immediately. Centroids drift as the corpus grows — re-run
+    ``build_ivf_index`` on a schedule to re-center (the standard
+    IVF maintenance tradeoff: cheap appends between periodic rebuilds)."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    base = new_embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    joined = base.crossJoin(F.broadcast(centroids))
+    sim = dot(F.col("emb"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
+    assigned = (
+        joined.withColumn("_sim", sim)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("_sim"), F.asc("list_id")
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", "emb", "nrm", "list_id")
+    )
+    # conform to the EXISTING index schema before writing: a batch whose
+    # vector type differs (array<double> vs the index's array<float>)
+    # would otherwise produce mixed-type parquet files that fail
+    # non-deterministically at scan time depending on which file the
+    # reader samples for the merged schema
+    existing = {
+        f.name: f.dataType
+        for f in spark.read.parquet(f"{path}/assignments").schema.fields
+    }
+    assigned = assigned.select(
+        *[F.col(c).cast(existing[c]).alias(c) for c in ("vec_id", "emb", "nrm", "list_id")]
+    )
+    assigned.write.mode("append").partitionBy("list_id").parquet(
+        f"{path}/assignments"
+    )
+    # in-place append also invalidates any cached file listing for the path
+    spark.catalog.refreshByPath(f"{path}/assignments")

@@ -185,3 +185,44 @@ def test_group_centroids_matches_numpy(spark):
         assert got[g][0] == len(vecs)
         assert np.allclose(got[g][1], want, atol=1e-9)
         assert len(got[g][1]) == 8
+
+
+def test_ivf_index_append_extends_lists_and_probes_see_new_vectors(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_probe_indexed,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_lists=8)
+    n0 = spark.read.parquet(f"{idx}/assignments").count()
+
+    # append: a planted near-duplicate of query vector 0 plus 49 others
+    q0 = emb.filter(F.col("vec_id") == 0).first()
+    dup = [(1_000_000, [v * 1.0001 for v in q0.embedding], q0.label)]
+    others = [
+        (1_000_001 + i, r.embedding, r.label)
+        for i, r in enumerate(
+            emb.filter(F.col("vec_id").between(200, 248)).collect()
+        )
+    ]
+    new = spark.createDataFrame(dup + others, ["vec_id", "embedding", "label"])
+    ivf_index_append(spark, idx, new)
+
+    after = spark.read.parquet(f"{idx}/assignments")
+    assert after.count() == n0 + 50
+    # every appended vector landed in exactly one existing list
+    lists = {r.list_id for r in after.filter(F.col("vec_id") >= 1_000_000).collect()}
+    assert lists <= {r.list_id for r in spark.read.parquet(f"{idx}/centroids").collect()}
+    # the planted near-dup of q0 must now be q0's top indexed neighbor
+    top = (
+        ivf_probe_indexed(spark, idx, n_queries=1, k=1, n_probe=2)
+        .filter(F.col("q_id") == 0)
+        .first()
+    )
+    assert top.neighbor_id == 1_000_000

@@ -611,3 +611,37 @@ def ivf_index_append(
     )
     # in-place append also invalidates any cached file listing for the path
     spark.catalog.refreshByPath(f"{path}/assignments")
+
+
+def lsh_index_append(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 7,
+) -> None:
+    """Incrementally add vectors to a persisted LSH index: bucket the new
+    batch with the SAME seeded hyperplanes (pass the build-time n_planes/
+    seed — bucketing is stateless, so unlike IVF there is no drift and no
+    periodic rebuild needed) and append into the bucket-partitioned
+    corpus, conformed to the existing schema (see ivf_index_append)."""
+    dim = len(new_embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = new_embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    existing = {
+        f.name: f.dataType
+        for f in spark.read.parquet(f"{path}/corpus").schema.fields
+    }
+    base = base.select(
+        *[F.col(c).cast(existing[c]).alias(c) for c in ("vec_id", "emb", "nrm", "bucket")]
+    )
+    base.write.mode("append").partitionBy("bucket").parquet(f"{path}/corpus")
+    spark.catalog.refreshByPath(f"{path}/corpus")

@@ -226,3 +226,33 @@ def test_ivf_index_append_extends_lists_and_probes_see_new_vectors(spark, tmp_pa
         .first()
     )
     assert top.neighbor_id == 1_000_000
+
+
+def test_lsh_index_append_planted_duplicate_found(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_append,
+        lsh_probe_indexed,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(emb, idx, n_planes=6)
+    n0 = spark.read.parquet(f"{idx}/corpus").count()
+
+    q0 = emb.filter(F.col("vec_id") == 0).first()
+    new = spark.createDataFrame(
+        [(2_000_000, [v * 1.0001 for v in q0.embedding], q0.label)],
+        ["vec_id", "embedding", "label"],
+    )
+    lsh_index_append(spark, idx, new, n_planes=6)
+    assert spark.read.parquet(f"{idx}/corpus").count() == n0 + 1
+    top = (
+        lsh_probe_indexed(spark, idx, n_queries=1, k=1)
+        .filter(F.col("q_id") == 0)
+        .first()
+    )
+    assert top.neighbor_id == 2_000_000

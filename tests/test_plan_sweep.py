@@ -51,6 +51,7 @@ BNLJ_OK = {
     "dedup_simhash_fingerprints",
     "dedup_clusters_minhash",
     "embedding_norm_stats",
+    "referential_integrity_audit",  # four 1-row orphan counts cross-joined
 }
 
 # queries that EXECUTE during plan building (iterative/driver-bounded):

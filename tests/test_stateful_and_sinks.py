@@ -75,3 +75,36 @@ def test_console_sink_runs(spark, events_tiny, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert q.lastProgress is not None
+
+
+def test_streaming_funnel_final_state_matches_batch(spark, events_tiny, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.funnel import funnel_reach
+    from pyspark_etl_twitter_spark.streaming.stateful import streaming_funnel
+
+    stream = stream_events(spark, _replay(events_tiny, tmp_path), max_files_per_trigger=1)
+    q = (
+        streaming_funnel(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_state")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last update per user = final funnel position
+    final = spark.sql(
+        """SELECT user_id, furthest_step FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+                                          ORDER BY furthest_step DESC) AS rn
+             FROM funnel_state) WHERE rn = 1"""
+    )
+    got = {
+        i: final.filter(F.col("furthest_step") >= i).count() for i in (1, 2, 3)
+    }
+    want = {
+        r.step_index + 1: r.n_users
+        for r in funnel_reach(events_tiny, ["view", "click", "purchase"]).collect()
+    }
+    assert got == want

@@ -183,3 +183,24 @@ def files_touched_by_box(
         if hit:
             n += 1
     return n
+
+
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Idempotent partition backfill: dynamic partition overwrite replaces
+    ONLY the partitions present in ``df`` and leaves every other partition
+    untouched — the correction/backfill primitive a partitioned lake needs
+    (static overwrite mode would wipe the whole table; append would
+    duplicate). Re-running the same backfill is a no-op in content terms
+    (exactly-once per partition by construction)."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    spark.catalog.refreshByPath(path)

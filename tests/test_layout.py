@@ -102,3 +102,33 @@ def test_zorder_write_preserves_rows(spark, tmp_path):
     got = back.agg(F.sum("payload")).first()[0]
     want = df.agg(F.sum("payload")).first()[0]
     assert abs(got - want) < 1e-3  # double sum order differs post-shuffle
+
+
+def test_backfill_overwrites_only_target_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.layout import backfill_partitions
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("d1", "d2", "d3") for i in range(10)],
+        ["day", "k", "v"],
+    )
+    base.write.partitionBy("day").parquet(path)
+
+    # backfill d2 with corrected values (half the rows, v*10)
+    fix = spark.createDataFrame(
+        [("d2", i, float(i) * 10) for i in range(5)], ["day", "k", "v"]
+    )
+    backfill_partitions(fix, path, ["day"])
+
+    after = spark.read.parquet(path)
+    assert after.filter("day = 'd1'").count() == 10        # untouched
+    assert after.filter("day = 'd3'").count() == 10        # untouched
+    d2 = after.filter("day = 'd2'")
+    assert d2.count() == 5                                  # replaced, not appended
+    assert d2.agg(F.sum("v")).first()[0] == sum(i * 10 for i in range(5))
+
+    # idempotence: re-running the same backfill changes nothing
+    backfill_partitions(fix, path, ["day"])
+    assert spark.read.parquet(path).count() == 25

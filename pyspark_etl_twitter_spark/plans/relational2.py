@@ -668,3 +668,49 @@ SELECT
      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey))
     AS ord_orphan_custs
 """
+
+
+def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue: aggregate first (orders → weekly cents,
+    exact bigint), THEN window over the tiny aggregate output — the
+    window's single partition holds one row per week, so the
+    'no-partition window' warning that matters on fact tables is
+    irrelevant here (≤ a few hundred rows at any scale). WoW delta in
+    exact per-mille (integer div on cents) keeps the hash cross-engine
+    stable."""
+    orders = _t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week")
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("_cents")
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("_cents").over(w)
+    return weekly.select(
+        "week",
+        (F.col("_cents") / F.lit(100.0)).alias("revenue"),
+        # floor (not cast) on both sides: Spark's bigint cast truncates
+        # toward zero while DuckDB's rounds — floor agrees everywhere
+        F.when(
+            prev.isNotNull(),
+            F.floor(((F.col("_cents") - prev) * 1000) / prev),
+        )
+        .cast("bigint")
+        .alias("wow_permille"),
+    )
+
+
+ORACLE_WEEKLY_REVENUE_WOW = """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT week,
+       cents / 100.0 AS revenue,
+       CASE WHEN lag(cents) OVER (ORDER BY week) IS NOT NULL
+            THEN CAST(floor(((cents - lag(cents) OVER (ORDER BY week)) * 1000)
+                            / lag(cents) OVER (ORDER BY week)) AS BIGINT)
+       END AS wow_permille
+FROM weekly
+"""

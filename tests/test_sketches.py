@@ -1,0 +1,66 @@
+"""Count-Min Sketch properties: never undercounts, bounded overcount,
+merge ≡ build-on-union, fixed output size."""
+
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def _tokens(spark):
+    from pyspark_etl_twitter_spark.operators.textstats import ws_tokens
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    return docs.select(F.explode(ws_tokens("text")).alias("term"))
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    toks = _tokens(spark).localCheckpoint()
+    n_total = toks.count()
+    truth = {r.term: r.c for r in toks.groupBy("term").agg(F.count("*").alias("c")).collect()}
+    width, depth = 2048, 4
+    sketch = cms_build(toks, "term", width=width, depth=depth)
+    assert sketch.count() <= width * depth
+    items = spark.createDataFrame([(t,) for t in list(truth)[:200]], ["term"])
+    est = {
+        r.term: r.est_count
+        for r in cms_estimate(sketch, items, "term", width=width, depth=depth).collect()
+    }
+    eps_n = 2.718 / width * n_total
+    for t, e in est.items():
+        assert e >= truth[t], f"undercount for {t}"
+        assert e <= truth[t] + 4 * eps_n, f"overcount beyond bound for {t}"
+
+
+def test_cms_merge_equals_build_on_union(spark):
+    toks = _tokens(spark)
+    half_a = toks.filter(F.length("term") <= 5)
+    half_b = toks.filter(F.length("term") > 5)
+    merged = cms_merge(
+        cms_build(half_a, "term", width=512, depth=3),
+        cms_build(half_b, "term", width=512, depth=3),
+    )
+    direct = cms_build(toks, "term", width=512, depth=3)
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
+
+
+def test_cms_heavy_hitter_dominates(spark):
+    rows = [("hot",)] * 5000 + [(f"cold{i}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["term"])
+    sketch = cms_build(df, "term", width=1024, depth=4)
+    items = spark.createDataFrame([("hot",), ("cold7",), ("absent",)], ["term"])
+    est = {
+        r.term: r.est_count
+        for r in cms_estimate(sketch, items, "term", width=1024, depth=4).collect()
+    }
+    assert est["hot"] >= 5000
+    assert est["cold7"] >= 1
+    assert est["hot"] > 100 * est["cold7"]
+    # absent items may collide but must stay far below the heavy hitter
+    assert est["absent"] < 100

@@ -64,3 +64,27 @@ def test_cms_heavy_hitter_dominates(spark):
     assert est["hot"] > 100 * est["cold7"]
     # absent items may collide but must stay far below the heavy hitter
     assert est["absent"] < 100
+
+
+def test_native_hll_sketch_lifecycle_persist_and_merge(spark, tmp_path):
+    """The 100 TB sketch-table pattern with Spark's NATIVE HLL: per-shard
+    hll_sketch_agg binaries persisted to parquet, later merged with
+    hll_union_agg — distinct counts over arbitrary shard unions without
+    rescanning raw data. Estimate must stay within HLL's ~2% band."""
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    shards = str(tmp_path / "hll_shards")
+    (
+        li.groupBy("l_returnflag")
+        .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+        .write.parquet(shards)
+    )
+    merged_est = (
+        spark.read.parquet(shards)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("nd"))
+        .first()
+        .nd
+    )
+    truth = li.select("l_partkey").distinct().count()
+    assert abs(merged_est - truth) / truth < 0.05

@@ -714,3 +714,36 @@ SELECT week,
        END AS wow_permille
 FROM weekly
 """
+
+
+def hof_funcs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function pack over token arrays: exists / forall /
+    filter+size / aggregate (fold) — all lambda expressions evaluated
+    JVM-side inside codegen, zero Python. Complements
+    array_funcs_documents (slice/sort/contains pack)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    toks = F.filter(toks, lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.exists(toks, lambda t: F.length(t) > 8).alias("has_long_token"),
+        F.forall(toks, lambda t: F.length(t) < 20).alias("all_short"),
+        F.size(F.filter(toks, lambda t: F.length(t) >= 5)).alias("n_5plus"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).alias("total_chars"),
+    )
+
+
+ORACLE_HOF_FUNCS_DOCUMENTS = """
+SELECT doc_id,
+       len(list_filter(toks, t -> length(t) > 8)) > 0 AS has_long_token,
+       len(list_filter(toks, t -> length(t) >= 20)) = 0 AS all_short,
+       CAST(len(list_filter(toks, t -> length(t) >= 5)) AS INTEGER) AS n_5plus,
+       CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT)
+         AS total_chars
+FROM (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+)
+"""

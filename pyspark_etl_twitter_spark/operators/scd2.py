@@ -78,3 +78,37 @@ def scd2_apply(
         .unionByName(closed.select(cols))
         .unionByName(new_current.select(cols))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+):
+    """Reconcile two table snapshots: full outer join on the key, compare
+    a sha2 fingerprint of the tracked columns, classify every key as
+    added / removed / changed / unchanged. The fingerprint keeps the
+    shuffle payload at key + 32 bytes regardless of row width — the same
+    trick incremental_dedup uses. Returns (key..., change_type)."""
+    from pyspark.sql import functions as F
+
+    def fp(df):
+        return df.select(
+            *key_cols,
+            F.sha2(
+                F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare_cols]),
+                256,
+            ).alias("_fp"),
+        )
+
+    o = fp(old).withColumnRenamed("_fp", "_fp_old")
+    n = fp(new).withColumnRenamed("_fp", "_fp_new")
+    joined = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_fp_old").isNull(), "added")
+        .when(F.col("_fp_new").isNull(), "removed")
+        .when(F.col("_fp_old") != F.col("_fp_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(*key_cols, change.alias("change_type"))

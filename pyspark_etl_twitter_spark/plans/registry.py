@@ -214,6 +214,7 @@ QUERIES: dict[str, QueryFn] = {
     "session_conversion_rate": FQ.session_conversion_rate,
     "weekly_revenue_wow": R2.weekly_revenue_wow,
     "hof_funcs_documents": R2.hof_funcs_documents,
+    "snapshot_diff_counts": R2.snapshot_diff_counts,
     # per-group embedding centroids (round 3)
     "embedding_centroids_by_label": AQ.embedding_centroids_by_label,
     # as-of join direction variants (round 3; backward rep in-window)
@@ -356,6 +357,7 @@ ORACLES: dict[str, str] = {
     "session_conversion_rate": FQ.ORACLE_SESSION_CONVERSION_RATE,
     "weekly_revenue_wow": R2.ORACLE_WEEKLY_REVENUE_WOW,
     "hof_funcs_documents": R2.ORACLE_HOF_FUNCS_DOCUMENTS,
+    "snapshot_diff_counts": R2.ORACLE_SNAPSHOT_DIFF_COUNTS,
     "embedding_centroids_by_label": AQ.ORACLE_EMBEDDING_CENTROIDS_BY_LABEL,
     "asof_forward_next_click": R.ORACLE_ASOF_FORWARD_NEXT_CLICK,
     "asof_nearest_click": R.ORACLE_ASOF_NEAREST_CLICK,

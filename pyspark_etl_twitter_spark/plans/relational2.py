@@ -747,3 +747,62 @@ FROM (
   FROM documents
 )
 """
+
+
+def snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation demo on deterministic synthetic drift: the
+    'new' snapshot drops ~2% of orders (md5 bucket) and bumps ~2% of
+    prices. One full-outer join on the key with 32-byte fingerprints —
+    row width never shuffles (operators/scd2.snapshot_diff)."""
+    from pyspark_etl_twitter_spark.operators.scd2 import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    bkt = F.conv(
+        F.substring(F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":snap"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 100
+    new = (
+        orders.withColumn("_b", bkt)
+        .filter(F.col("_b") >= 2)  # drop 2%
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("_b") < 4, F.round(F.col("o_totalprice") + 1.0, 2)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .drop("_b")
+    )
+    diff = snapshot_diff(
+        orders, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+ORACLE_SNAPSHOT_DIFF_COUNTS = """
+WITH bkt AS (
+  SELECT *, CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':snap'), 1, 8)) AS BIGINT) % 100 AS b
+  FROM orders
+),
+new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN b < 4 THEN round(o_totalprice + 1.0, 2) ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM bkt WHERE b >= 2
+),
+o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+         o.o_orderkey IS NULL AS is_added,
+         n.o_orderkey IS NULL AS is_removed,
+         o.o_totalprice IS DISTINCT FROM n.o_totalprice
+           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS is_changed
+  FROM o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+)
+SELECT CASE WHEN is_added THEN 'added'
+            WHEN is_removed THEN 'removed'
+            WHEN is_changed THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       count(*) AS n_keys
+FROM j GROUP BY 1
+"""

@@ -70,3 +70,21 @@ def test_scd2_apply_is_idempotent_on_reapply(spark):
     twice = scd2_apply(once, updates, key="k")
     finals = [r for r in twice.collect() if r.is_current]
     assert len(finals) == 1 and finals[0].attr == "new"
+
+
+def test_snapshot_diff_classification(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.scd2 import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)], ["k", "s", "v"]
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}

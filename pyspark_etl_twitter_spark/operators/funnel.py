@@ -89,16 +89,19 @@ def cohort_retention(
     distinct users with any activity in that offset week. Returns
     (cohort_week, week_offset, n_users)."""
     w = Window.partitionBy(user_col)
+    # Offset via calendar-day datediff of the truncated weeks, floor-div 7:
+    # TZ/DST-safe, unlike an epoch-seconds subtraction which is only an
+    # exact multiple of 604800 when the session timezone is UTC.
     df = events.withColumn(
         "_cohort", F.date_trunc("week", F.min(F.col(ts_col)).over(w))
     ).withColumn(
         "_offset",
-        (
-            (
-                F.unix_timestamp(F.date_trunc("week", F.col(ts_col)))
-                - F.unix_timestamp("_cohort")
+        F.floor(
+            F.datediff(
+                F.date_trunc("week", F.col(ts_col)).cast("date"),
+                F.col("_cohort").cast("date"),
             )
-            / (7 * 86400)
+            / 7
         ).cast("bigint"),
     )
     if max_offset is not None:

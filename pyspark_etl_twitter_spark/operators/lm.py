@@ -194,6 +194,7 @@ def bigram_doc_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_model: bool = True,
+    broadcast_bigrams: bool = False,
 ) -> DataFrame:
     """Per-document mean bigram log-probability under an interpolated
     bigram/unigram model self-trained on the corpus:
@@ -203,9 +204,13 @@ def bigram_doc_logprob(
     repeated boilerplate scores HIGH (predictable transitions), word-salad
     scores LOW even when its unigrams are common. Distributed shape:
     bigram count table (one groupBy), context table derived from it (tiny
-    second agg), unigram model reused — all three broadcast-joined back
-    onto the exploded pairs, then one per-doc aggregate. Docs with <2
-    tokens score 0.0 (every-doc-scored rule).
+    second agg), unigram model reused. ``broadcast_model`` controls the
+    *vocabulary-sized* tables (c1 contexts + unigram probs — bounded by
+    distinct terms, broadcast-safe). The bigram table c2 grows roughly
+    with corpus token count, so it shuffle-joins by default; set
+    ``broadcast_bigrams=True`` only for corpora known to have a small
+    distinct-bigram count. Docs with <2 tokens score 0.0
+    (every-doc-scored rule).
     """
     pairs = bigram_pairs(docs, id_col=id_col, text_col=text_col)
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
@@ -214,8 +219,9 @@ def bigram_doc_logprob(
         F.col("term").alias("w2"), F.exp("logp").alias("pu")
     )
     b = F.broadcast if broadcast_model else (lambda df: df)
+    b2 = F.broadcast if broadcast_bigrams else (lambda df: df)
     scored = (
-        pairs.join(b(c2), ["w1", "w2"])
+        pairs.join(b2(c2), ["w1", "w2"])
         .join(b(c1), "w1")
         .join(b(uni), "w2")
         .select(

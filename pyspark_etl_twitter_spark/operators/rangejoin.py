@@ -31,15 +31,22 @@ def binned_interval_join(
     lo_col: str = "lo",
     hi_col: str = "hi",
     bin_width: float,
-    how: str = "inner",
 ) -> DataFrame:
     """Join fact rows to interval rows with ``lo <= value < hi`` via
     fixed-width bin equi-join. Exact: candidates from shared bins are
     re-filtered on the true predicate, so results equal the theta join.
+    Inner semantics only — the post-join containment filter makes any
+    null-extended outer row vanish, so offering outer modes would lie.
 
-    The interval side explodes into ``sequence(floor(lo/w), floor((hi-ε)/w))``
+    The interval side explodes into ``sequence(floor(lo/w), floor(hi/w))``
     bin ids; the fact side computes ``floor(value/w)`` — a narrow projection,
-    no data movement until the single hash shuffle on bin id.
+    no data movement until the single hash shuffle on bin id. The upper
+    bound deliberately over-includes one bin when ``hi`` sits exactly on a
+    bin boundary (hi is exclusive): the exact re-filter discards those
+    candidates, and over-inclusion is robust at any value granularity,
+    unlike an epsilon subtraction. Degenerate intervals (``hi <= lo``)
+    match nothing and are dropped before the explode — without the guard,
+    ``sequence`` would raise or fabricate a descending bin list.
     """
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
@@ -48,19 +55,12 @@ def binned_interval_join(
     def _bin(c: Column) -> Column:
         return F.floor(c / w).cast("bigint")
 
-    iv = intervals.withColumn(
+    iv = intervals.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
         "_bin",
-        F.explode(
-            F.sequence(
-                _bin(F.col(lo_col)),
-                # hi is exclusive: a bin is only relevant if [lo, hi) overlaps
-                # it, so the last bin holds the largest value strictly < hi
-                _bin(F.col(hi_col) - F.lit(1e-9)),
-            )
-        ),
+        F.explode(F.sequence(_bin(F.col(lo_col)), _bin(F.col(hi_col)))),
     )
     fx = facts.withColumn("_bin", _bin(F.col(value_col)))
-    joined = fx.join(iv, "_bin", how).filter(
+    joined = fx.join(iv, "_bin", "inner").filter(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     )
     return joined.drop("_bin")

@@ -90,14 +90,29 @@ def snapshot_diff(
     a sha2 fingerprint of the tracked columns, classify every key as
     added / removed / changed / unchanged. The fingerprint keeps the
     shuffle payload at key + 32 bytes regardless of row width — the same
-    trick incremental_dedup uses. Returns (key..., change_type)."""
+    trick incremental_dedup uses. Returns (key..., change_type).
+
+    NULL handling: each column is coalesced to a sentinel (``\\x00<NULL>``)
+    before concatenation so NULL is distinguishable from empty string and
+    from a value shifting between columns — ``concat_ws`` alone silently
+    drops NULLs, which would hash ('a', NULL) and (NULL, 'a') identically.
+    This matches ``IS DISTINCT FROM`` per-column semantics (the DuckDB
+    oracle's comparison)."""
     from pyspark.sql import functions as F
+
+    _NULL = "\x00<NULL>"
 
     def fp(df):
         return df.select(
             *key_cols,
             F.sha2(
-                F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare_cols]),
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+                        for c in compare_cols
+                    ],
+                ),
                 256,
             ).alias("_fp"),
         )

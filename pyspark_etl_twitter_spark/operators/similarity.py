@@ -627,8 +627,12 @@ def lsh_index_append(
     batch with the SAME seeded hyperplanes (pass the build-time n_planes/
     seed — bucketing is stateless, so unlike IVF there is no drift and no
     periodic rebuild needed) and append into the bucket-partitioned
-    corpus, conformed to the existing schema (see ivf_index_append)."""
-    dim = len(new_embeddings.select(vec_col).first()[0])
+    corpus, conformed to the existing schema (see ivf_index_append).
+    An empty batch is a no-op (nothing to bucket, nothing to write)."""
+    probe = new_embeddings.select(vec_col).first()
+    if probe is None or probe[0] is None:
+        return
+    dim = len(probe[0])
     planes = _hyperplanes(dim, n_planes, seed)
     base = new_embeddings.select(
         F.col(id_col).alias("vec_id"),

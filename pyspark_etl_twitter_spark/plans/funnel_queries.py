@@ -68,7 +68,8 @@ WITH c AS (
   FROM events
 )
 SELECT CAST(cohort_week AS DATE) AS cohort_week,
-       CAST((epoch(date_trunc('week', ts)) - epoch(cohort_week)) / 604800
+       CAST(floor(date_diff('day', CAST(cohort_week AS DATE),
+                            CAST(date_trunc('week', ts) AS DATE)) / 7.0)
             AS BIGINT) AS week_offset,
        count(DISTINCT user_id) AS n_users
 FROM c

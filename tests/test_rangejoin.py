@@ -61,3 +61,23 @@ def test_binned_join_output_drops_helper_column(spark):
     facts, intervals = _data(spark)
     out = binned_interval_join(facts, intervals, value_col="v", bin_width=250.0)
     assert "_bin" not in out.columns
+
+
+def test_binned_interval_join_degenerate_intervals_dropped(spark):
+    """hi <= lo intervals match nothing (instead of exploding a bogus
+    descending bin sequence)."""
+    facts = spark.createDataFrame([(i, float(i)) for i in range(10)], ["fid", "v"])
+    intervals = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 7.0, 3.0), (3, 2.0, 4.0)], ["iid", "lo", "hi"]
+    )
+    out = binned_interval_join(facts, intervals, value_col="v", bin_width=2.0)
+    got = sorted((r.iid, r.fid) for r in out.collect())
+    assert got == [(3, 2), (3, 3)]
+
+
+def test_binned_interval_join_boundary_hi_on_bin_edge(spark):
+    """hi exactly on a bin boundary stays exclusive at any granularity."""
+    facts = spark.createDataFrame([(1, 4.0), (2, 3.999999999999)], ["fid", "v"])
+    intervals = spark.createDataFrame([(1, 0.0, 4.0)], ["iid", "lo", "hi"])
+    out = binned_interval_join(facts, intervals, value_col="v", bin_width=2.0)
+    assert [r.fid for r in out.collect()] == [2]

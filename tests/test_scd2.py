@@ -88,3 +88,23 @@ def test_snapshot_diff_classification(spark):
         for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
     }
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_null_shift_detected(spark):
+    """NULL moving between columns, or NULL vs empty string, must classify
+    as 'changed' — concat_ws alone would silently hash them identically."""
+    from pyspark_etl_twitter_spark.operators.scd2 import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, None, "x"), (3, "", None)],
+        "k long, s string, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "x"), (3, None, None)],
+        "k long, s string, v string",
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {1: "changed", 2: "unchanged", 3: "changed"}

@@ -256,3 +256,18 @@ def test_lsh_index_append_planted_duplicate_found(spark, tmp_path):
         .first()
     )
     assert top.neighbor_id == 2_000_000
+
+
+def test_lsh_index_append_empty_batch_is_noop(spark, tmp_path):
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_append,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "lsh_empty")
+    build_lsh_index(emb, idx, n_planes=6)
+    n0 = spark.read.parquet(f"{idx}/corpus").count()
+    lsh_index_append(spark, idx, emb.limit(0), n_planes=6)
+    assert spark.read.parquet(f"{idx}/corpus").count() == n0

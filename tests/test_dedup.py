@@ -194,3 +194,46 @@ def test_lsh_star_guard_preserves_components(spark):
     # and the guard changes no component assignment anywhere
     assert all(clus_g[i] == 0 for i in range(100))
     assert clus_g == clus_f
+
+
+def test_duplicate_clusters_random_graph_matches_union_find(spark):
+    """Cross-partition stress for the contraction CC: a random graph mixing
+    long chains, cliques, and singleton-ish stars, spread across many
+    partitions, must match a driver-side union-find exactly."""
+    import random
+
+    from pyspark_etl_twitter_spark.operators.dedup import duplicate_clusters
+
+    rng = random.Random(42)
+    edges = []
+    # long chains (the diameter stress that defeats per-hop propagation)
+    base = 0
+    for chain_len in (50, 80):
+        edges += [(base + i, base + i + 1) for i in range(chain_len)]
+        base += chain_len + 1
+    # cliques
+    for size in (5, 8):
+        nodes = list(range(base, base + size))
+        edges += [(a, b) for a in nodes for b in nodes if a < b]
+        base += size
+    # random sparse edges among a fresh block
+    block = list(range(base, base + 200))
+    edges += [tuple(sorted(rng.sample(block, 2))) for _ in range(120)]
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"]).repartition(16)
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == expect

@@ -6,6 +6,19 @@ Queries execute fully via the noop writer (no driver-side materialization
 cost polluting the numbers). The headline set spans the engine's surface:
 scan-agg, multi-join, window/top-k, sessionization, the native sentiment
 pipeline, dedup (exact + MinHash-LSH), similarity top-k, text analytics.
+
+Timing methodology: each query gets $SPARK_GRAFT_BENCH_WARMUP (default 1)
+untimed warmup execution, then the MEDIAN of $SPARK_GRAFT_BENCH_REPS
+(default 3) timed executions is reported — a cold single-shot in a
+40+-query session conflates JVM/codegen-cache pressure with plan cost
+(the source of the uniform apparent drift between early rounds). The
+one-time ANN index build stays single-shot (it is a write job; cold IS
+its realistic cost).
+
+Each run also writes BENCH_PLANS.json: a normalized fingerprint (sha256
+of the formatted physical plan with expression ids, paths, and sizes
+stripped) per headline query, so cross-round timing diffs can be
+attributed to plan changes vs environment.
 """
 
 from __future__ import annotations
@@ -64,10 +77,41 @@ HEADLINE = [
 ]
 
 
+_FP_NOISE = [
+    (re.compile(r"#\d+L?"), "#x"),
+    (re.compile(r"\[id=#\d+\]"), "[id=#x]"),
+    (re.compile(r"file:[^\s,\]\)]+"), "file:x"),
+    (re.compile(r"/root/testdata[^\s,\]\)]*"), "sfdir"),
+    (re.compile(r"/tmp/[^\s,\]\)]*"), "tmpdir"),
+    (re.compile(r"Statistics\([^)]*\)"), "Statistics(x)"),
+    (re.compile(r"size=\d+"), "size=x"),
+    (re.compile(r"rowCount=\d+"), "rowCount=x"),
+]
+
+
+def plan_fingerprint(df) -> str:
+    """sha256 of the formatted physical plan with per-run noise
+    (expression ids, file paths, stats) normalized out — equal hash means
+    Catalyst picked the same operator tree and strategies."""
+    import contextlib
+    import hashlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    text = buf.getvalue()
+    for pat, repl in _FP_NOISE:
+        text = pat.sub(repl, text)
+    return hashlib.sha256(text.encode()).hexdigest()[:16]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     spark = get_session(app_name="bench")
     # warm the JVM / codegen paths off the clock
@@ -75,14 +119,20 @@ def main() -> None:
 
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
+    fingerprints: dict[str, str] = {}
 
-    def run_timed(name: str, thunk) -> None:
+    def run_timed(name: str, thunk, *, n_warmup: int = None, n_reps: int = None) -> None:
         # Fault-isolated: one failing query records null and the run
         # continues — a single regression must never cost the whole bench.
-        start = time.perf_counter()
         try:
-            thunk().write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 3)
+            for _ in range(warmup if n_warmup is None else n_warmup):
+                thunk().write.format("noop").mode("overwrite").save()
+            times = []
+            for _ in range(max(1, reps if n_reps is None else n_reps)):
+                start = time.perf_counter()
+                thunk().write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - start)
+            timings[name] = round(sorted(times)[len(times) // 2], 3)
         except Exception as exc:  # noqa: BLE001
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -90,6 +140,10 @@ def main() -> None:
 
     for name in HEADLINE:
         run_timed(name, lambda name=name: QUERIES[name](spark, sf_dir))
+        try:
+            fingerprints[name] = plan_fingerprint(QUERIES[name](spark, sf_dir))
+        except Exception:  # noqa: BLE001
+            pass
 
     # Stage attribution for the most expensive headline query: time the
     # candidate-pair stage and the iterative connected-components stage
@@ -111,14 +165,12 @@ def main() -> None:
         pairs_sd = embedding_near_dup_pairs(
             emb_sd, threshold=SEMANTIC_TAU, n_planes=SEMANTIC_PLANES, seed=SEMANTIC_SEED
         )
-        start = time.perf_counter()
+        run_timed("semantic_dedup_stage_pairs", lambda: pairs_sd)
         pairs_mat = pairs_sd.localCheckpoint()
-        timings["semantic_dedup_stage_pairs"] = round(time.perf_counter() - start, 3)
-        start = time.perf_counter()
-        duplicate_clusters(pairs_mat, a_col="vec_a", b_col="vec_b").write.format(
-            "noop"
-        ).mode("overwrite").save()
-        timings["semantic_dedup_stage_cc"] = round(time.perf_counter() - start, 3)
+        run_timed(
+            "semantic_dedup_stage_cc",
+            lambda: duplicate_clusters(pairs_mat, a_col="vec_a", b_col="vec_b"),
+        )
     except Exception as exc:  # noqa: BLE001
         timings["semantic_dedup_stage_pairs"] = None
         timings["semantic_dedup_stage_cc"] = None
@@ -164,6 +216,13 @@ def main() -> None:
             run_timed(name, fn)
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
+
+    try:
+        Path(__file__).resolve().parent.joinpath("BENCH_PLANS.json").write_text(
+            json.dumps(fingerprints, indent=1, sort_keys=True) + "\n"
+        )
+    except OSError:
+        pass
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
     out = {

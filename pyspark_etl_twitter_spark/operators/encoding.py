@@ -36,7 +36,12 @@ def build_vocab(
 ) -> DataFrame:
     """Frequency-ranked vocabulary: (term, vocab_id, n_occurrences,
     n_docs). vocab_id 0 is the most frequent term; ties break by term so
-    the mapping is deterministic across runs and engines."""
+    the mapping is deterministic across runs and engines. Ranking is the
+    two-phase distributed rank (operators/ranking.py) — no
+    single-partition window, so the vocab table itself can be
+    arbitrarily large."""
+    from pyspark_etl_twitter_spark.operators.ranking import with_global_rank
+
     counts = (
         docs.repartition(F.col(id_col))
         .select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("term"))
@@ -47,10 +52,9 @@ def build_vocab(
         )
         .filter(F.col("n_occurrences") >= min_count)
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
-    return counts.withColumn("vocab_id", F.row_number().over(w) - 1).select(
-        "term", "vocab_id", "n_occurrences", "n_docs"
-    )
+    return with_global_rank(
+        counts, [F.col("n_occurrences").desc(), F.col("term")], rank_col="vocab_id"
+    ).select("term", "vocab_id", "n_occurrences", "n_docs")
 
 
 def encode_documents(

@@ -86,9 +86,10 @@ def build_weight_table(
     for trained LR coefficients so both Spark and the DuckDB oracle can
     derive the identical table from the data alone.
 
-    The single-partition window for idx assignment is fine: the *vocabulary*
-    is bounded (≈262k terms in the reference model) no matter how large the
-    corpus — a classic small-dimension / huge-fact split.
+    idx assignment uses the two-phase distributed rank (operators/
+    ranking.py) — identical total order, no single-partition WindowExec,
+    so vocabulary construction itself scales past the ≈262k-term
+    reference model.
     """
     n_docs = documents.count()
     toks = tokens_column(text_col, stop=stop)
@@ -97,9 +98,12 @@ def build_weight_table(
         .groupBy("term")
         .agg(F.countDistinct(id_col).alias("df"))
     )
-    w = Window.orderBy(F.col("df").desc(), F.col("term"))
+    from pyspark_etl_twitter_spark.operators.ranking import with_global_rank
+
     return (
-        term_df.withColumn("idx", F.row_number().over(w) - F.lit(1))
+        with_global_rank(
+            term_df, [F.col("df").desc(), F.col("term")], rank_col="idx"
+        )
         .withColumn(
             "idf",
             F.when(F.col("df") < min_doc_freq, F.lit(0.0)).otherwise(
@@ -203,9 +207,12 @@ def fit_and_score(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    w = Window.orderBy(F.col("df").desc(), F.col("term"))
+    from pyspark_etl_twitter_spark.operators.ranking import with_global_rank
+
     weights = (
-        term_df.withColumn("idx", F.row_number().over(w) - F.lit(1))
+        with_global_rank(
+            term_df, [F.col("df").desc(), F.col("term")], rank_col="idx"
+        )
         .withColumn(
             "idf",
             F.when(F.col("df") < min_doc_freq, F.lit(0.0)).otherwise(

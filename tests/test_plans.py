@@ -161,3 +161,52 @@ def test_asof_nearest_resolves_ties_backward(spark):
     assert got[1] == datetime.datetime(2024, 1, 1, 9)   # tie → backward
     assert got[2] == datetime.datetime(2024, 1, 1, 12)  # forward only
     assert got[3] is None                                # no click
+
+
+def test_vocab_ranking_has_no_single_partition_window(spark):
+    """The two-phase distributed rank (operators/ranking.py) must keep
+    vocabulary/weight construction free of Exchange SinglePartition — the
+    100 TB ceiling the old global row_number imposed."""
+    from pyspark_etl_twitter_spark.operators.encoding import build_vocab
+    from pyspark_etl_twitter_spark.operators.sentiment import build_weight_table
+    from pyspark_etl_twitter_spark.plans.registry import QUERIES
+
+    docs = load_table(spark, SF_TINY, "documents")
+    for df in (
+        build_vocab(docs),
+        build_weight_table(docs),
+        QUERIES["vocab_head"](spark, SF_TINY),
+        QUERIES["encoded_docs"](spark, SF_TINY),
+        QUERIES["sentiment_weights_head"](spark, SF_TINY),
+    ):
+        assert "SinglePartition" not in plan_of(df)
+
+
+def test_with_global_rank_matches_global_row_number(spark):
+    """Two-phase rank ≡ single-partition row_number under the same total
+    order, including duplicate sort values with unique tiebreaks."""
+    from pyspark.sql import Window
+
+    from pyspark_etl_twitter_spark.operators.ranking import with_global_rank
+
+    df = spark.createDataFrame(
+        [(i % 7, f"t{i:03d}") for i in range(500)], ["n", "term"]
+    ).repartition(13)
+    order = [F.col("n").desc(), F.col("term")]
+    got = {
+        r.term: r.rank0
+        for r in with_global_rank(df, order, rank_col="rank0").collect()
+    }
+    w = Window.orderBy(*order)
+    expect = {
+        r.term: r.rank0
+        for r in df.withColumn("rank0", F.row_number().over(w) - 1).collect()
+    }
+    assert got == expect
+
+
+def test_with_global_rank_empty_input(spark):
+    from pyspark_etl_twitter_spark.operators.ranking import with_global_rank
+
+    df = spark.createDataFrame([], "n long, term string")
+    assert with_global_rank(df, [F.col("n")], rank_col="r").count() == 0

@@ -197,6 +197,7 @@ def main() -> None:
     from pyspark_etl_twitter_spark.sources.catalog import load_table
 
     idx_root = tempfile.mkdtemp(prefix="spark_graft_ann_idx_")
+    recall: dict[str, float] = {}
     try:
         emb = load_table(spark, sf_dir, "embeddings")
         start = time.perf_counter()
@@ -214,6 +215,23 @@ def main() -> None:
             ("knn_ann_lsh_probe_only_100q", lambda: lsh_probe_indexed(spark, f"{idx_root}/lsh", n_queries=100, k=5)),
         ):
             run_timed(name, fn)
+        # Recall@5 vs exact for the SAME 100-query probe workloads — every
+        # ANN speed row above ships with its accuracy number.
+        try:
+            from pyspark_etl_twitter_spark.operators.similarity import (
+                ann_recall_at_k,
+            )
+
+            exact = cosine_topk(emb, n_queries=100, k=5).localCheckpoint()
+            recall = {}
+            for rname, adf in (
+                ("knn_ivf_probe_only_100q", ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=100, k=5, n_probe=4)),
+                ("knn_ann_lsh_probe_only_100q", lsh_probe_indexed(spark, f"{idx_root}/lsh", n_queries=100, k=5)),
+            ):
+                recall[rname] = ann_recall_at_k(adf, exact, k=5).first()["recall_at_k"]
+        except Exception as exc:  # noqa: BLE001
+            recall = {}
+            errors["ann_recall"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 
@@ -232,6 +250,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if recall:
+        out["recall_at_5"] = recall
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -163,6 +163,26 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _probe_buckets(bucket: Column, n_planes: int, probe_bits: int) -> Column:
+    """Multi-probe LSH bucket expansion: the array of bucket ids within
+    hamming distance ≤ ``probe_bits`` of ``bucket``. Sign-bit LSH puts a
+    true neighbor in the EXACT same bucket only when all planes agree —
+    for k-NN (as opposed to near-dup detection at cosine ≥ 0.95) that
+    probability is tiny, so single-probe recall collapses (measured 0.01
+    at 8 planes). Probing the 1+P+P(P-1)/2 buckets within 2 flipped bits
+    trades a bounded candidate-set growth for most of the lost recall —
+    the standard multi-probe LSH move, expressed as a literal array the
+    query side explodes (the big corpus side is untouched)."""
+    from itertools import combinations
+
+    masks = [0]
+    if probe_bits >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if probe_bits >= 2:
+        masks += [(1 << i) | (1 << j) for i, j in combinations(range(n_planes), 2)]
+    return F.array(*[bucket.bitwiseXOR(F.lit(m)) for m in masks])
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     *,
@@ -173,12 +193,14 @@ def ann_lsh_topk(
     n_planes: int = 8,
     seed: int = 7,
     round_dp: int = 6,
+    probe_bits: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    and its multi-probe neighborhood (``probe_bits``, see _probe_buckets).
 
     The bucket equi-join replaces the cross join — at 100 TB this turns
-    O(corpus × queries) into O(corpus/2^planes × queries) per bucket with a
-    plain shuffle-hash join. May return fewer than k rows per query
+    O(corpus × queries) into O(corpus·buckets_probed/2^planes × queries)
+    with a plain shuffle-hash join. May return fewer than k rows per query
     (recall tradeoff); not oracle-SQL checked (approximate by design)."""
     dim = len(embeddings.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
@@ -192,7 +214,9 @@ def ann_lsh_topk(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
-        F.col("bucket").alias("q_bucket"),
+        F.explode(
+            _probe_buckets(F.col("bucket"), n_planes, probe_bits)
+        ).alias("q_bucket"),
     )
     pairs = base.join(
         F.broadcast(queries),
@@ -438,13 +462,23 @@ def lsh_probe_indexed(
     n_queries: int = 10,
     k: int = 5,
     round_dp: int = 6,
+    n_planes: int = 8,
+    probe_bits: int = 2,
 ) -> DataFrame:
     """Probe-only LSH top-k against a ``build_lsh_index`` layout: broadcast
-    the query block and equi-join on the bucket partition column — only the
-    queries' buckets are scanned."""
+    the query block (multi-probe expanded, see _probe_buckets — pass the
+    build-time ``n_planes``) and equi-join on the bucket partition column —
+    only the probed buckets are scanned."""
     corpus = spark.read.parquet(f"{path}/corpus")
     queries = spark.read.parquet(f"{path}/queries").filter(
         F.col("q_id") < n_queries
+    ).select(
+        "q_id",
+        "q_emb",
+        "q_nrm",
+        F.explode(
+            _probe_buckets(F.col("q_bucket"), n_planes, probe_bits)
+        ).alias("q_bucket"),
     )
     pairs = corpus.join(
         F.broadcast(queries),
@@ -649,3 +683,35 @@ def lsh_index_append(
     )
     base.write.mode("append").partitionBy("bucket").parquet(f"{path}/corpus")
     spark.catalog.refreshByPath(f"{path}/corpus")
+
+
+def ann_recall_at_k(approx: DataFrame, exact: DataFrame, *, k: int = 5) -> DataFrame:
+    """Recall@k of an approximate neighbor result against the exact one —
+    the number every ANN speed claim must ship with. Per query:
+    |approx ∩ exact| / |exact| over the rank ≤ k rows (exact is the
+    denominator, so queries where the approximate path returned fewer
+    than k candidates are penalized, not excused). Returns one row
+    ``(n_queries, recall_at_k)``; distributed (semi-join + two tiny
+    aggregates), no driver-side set math."""
+    a = approx.filter(F.col("rank") <= k).select("q_id", "neighbor_id")
+    e = exact.filter(F.col("rank") <= k).select("q_id", "neighbor_id")
+    hits = (
+        e.join(a, ["q_id", "neighbor_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_q = (
+        e.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), 4).alias("recall_at_k"),
+    )

@@ -271,3 +271,33 @@ def test_lsh_index_append_empty_batch_is_noop(spark, tmp_path):
     n0 = spark.read.parquet(f"{idx}/corpus").count()
     lsh_index_append(spark, idx, emb.limit(0), n_planes=6)
     assert spark.read.parquet(f"{idx}/corpus").count() == n0
+
+
+def test_ann_recall_floors(spark):
+    """ANN speed claims ship with accuracy: multi-probe LSH (2 flipped
+    bits) and IVF (4/16 lists) must clear measured recall floors vs exact
+    brute-force on the same queries. Floors sit ~0.1 under the measured
+    sf0.01/sf0.1 values (DESIGN.md §16) to absorb corpus drift, and the
+    single-probe collapse (recall ~0.02) stays caught."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_recall_at_k,
+        cosine_topk,
+        ivf_topk,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = cosine_topk(emb, n_queries=50, k=5).localCheckpoint()
+
+    lsh = ann_lsh_topk(emb, n_queries=50, k=5, n_planes=8, probe_bits=2)
+    r_lsh = ann_recall_at_k(lsh, exact, k=5).first()
+    assert r_lsh.n_queries == 50
+    assert r_lsh.recall_at_k >= 0.25
+
+    ivf = ivf_topk(emb, n_queries=50, k=5, n_lists=16, n_probe=4)
+    r_ivf = ann_recall_at_k(ivf, exact, k=5).first()
+    assert r_ivf.recall_at_k >= 0.45
+
+    # recall of exact against itself is 1.0 by construction
+    assert ann_recall_at_k(exact, exact, k=5).first().recall_at_k == 1.0

@@ -235,6 +235,26 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 
+    # Streaming throughput (S1→M5 end-to-end): the one number directly
+    # comparable to the reference's only quantitative figure — BASELINE.md's
+    # derived ~32 rows/s Kafka-consumer scoring rate. File-replay Kafka
+    # stand-in → foreachBatch broadcast scoring → noop sink; reported as
+    # rows/s, not seconds, so it rides outside the headline total.
+    streaming: dict = {}
+    try:
+        from pyspark_etl_twitter_spark.streaming.pipeline import (
+            streaming_score_throughput,
+        )
+
+        streaming = streaming_score_throughput(spark, sf_dir)
+        streaming["baseline_ref_rows_per_sec"] = 32.0
+    except Exception as exc:  # noqa: BLE001
+        errors["streaming_throughput"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(
+            f"bench: streaming_throughput FAILED: {errors['streaming_throughput']}",
+            file=sys.stderr,
+        )
+
     try:
         Path(__file__).resolve().parent.joinpath("BENCH_PLANS.json").write_text(
             json.dumps(fingerprints, indent=1, sort_keys=True) + "\n"
@@ -252,6 +272,8 @@ def main() -> None:
     }
     if recall:
         out["recall_at_5"] = recall
+    if streaming:
+        out["streaming_score_throughput"] = streaming
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

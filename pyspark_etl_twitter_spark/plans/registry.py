@@ -44,7 +44,6 @@ QUERIES: dict[str, QueryFn] = {
     "top_revenue_orders": R.top_revenue_orders,
     "revenue_by_nation": R.revenue_by_nation,
     "bucketed_join_revenue": B.bucketed_join_revenue,
-    "semi_join_customers": R.semi_join_customers,
     # TPC-H hard-signal rotation (round-2 verdict ask #6): the two hardest
     # join/decorrelation shapes of the suite get driver rows; the agg-family
     # dupes they displaced (rollup_revenue, range_join_price_bands) hold
@@ -52,6 +51,22 @@ QUERIES: dict[str, QueryFn] = {
     # in-window reps (pricing_summary for agg; 4 join entries remain).
     "tpch_q18_large_volume_customers": H.tpch_q18_large_volume_customers,
     "tpch_q21_waiting_suppliers": H.tpch_q21_waiting_suppliers,
+    # round-4 TPC-H completion: q20 (semi-join-on-correlated-agg, the
+    # hardest remaining decorrelation shape, over the derived partsupp)
+    # takes the driver row per the r3 verdict ask #5; q2/q11 sit in the
+    # tail with full oracles. Displaced: semi_join_customers (r1-r3 green;
+    # 4 join reps + 3 TPC-H join suites remain in-window).
+    "tpch_q20_excess_stock": H.tpch_q20_excess_stock,
+    # round-4 rotation (r3 verdict ask #8): round-3 tail families earn
+    # hard driver rows. Displaced (all r1-r3 driver-green, all keep
+    # oracles + tail slots, every family keeps an in-window rep):
+    # dedup_jaccard_pairs, array_funcs_documents, embedding_norm_stats,
+    # lang_token_stats, pack_documents_salted_2048.
+    "snapshot_diff_counts": R2.snapshot_diff_counts,
+    "weekly_revenue_wow": R2.weekly_revenue_wow,
+    "hof_funcs_documents": R2.hof_funcs_documents,
+    "profile_orders_columns": R2.profile_orders_columns,
+    "referential_integrity_audit": R2.referential_integrity_audit,
     # round-3 new-family reps (hard driver signal): event analytics,
     # binned range join, BM25 retrieval. Displaced: global_top_orders,
     # dedup_sha_fingerprints, sentiment_doc_scores — all r1+r2 driver-green
@@ -79,7 +94,6 @@ QUERIES: dict[str, QueryFn] = {
     "pii_pseudonymize_customers": CQ.pii_pseudonymize_customers,
     # scalar functions / percentiles / arrays / subqueries / quality
     "percentile_prices": R2.percentile_prices,
-    "array_funcs_documents": R2.array_funcs_documents,
     "data_quality_lineitem": R2.data_quality_lineitem,
     "approx_summary": R2.approx_summary,
     # time windows (batch twin of streaming agg; sliding twin in the tail)
@@ -89,7 +103,6 @@ QUERIES: dict[str, QueryFn] = {
     "sentiment_weights_head": T.sentiment_weights_head,
     # dedup
     "dedup_exact_summary": T.dedup_exact_summary,
-    "dedup_jaccard_pairs": T.dedup_jaccard_pairs,
     "dedup_minhash_pairs": T.dedup_minhash_pairs,
     "dedup_simhash_fingerprints": T.dedup_simhash_fingerprints,
     "dedup_clusters": T.dedup_clusters,
@@ -100,25 +113,32 @@ QUERIES: dict[str, QueryFn] = {
     "knn_ann_lsh": T.knn_ann_lsh,
     "knn_ivf": T.knn_ivf,
     "embedding_near_dup": T.embedding_near_dup,
-    "embedding_norm_stats": T.embedding_norm_stats,
     # text analytics
     "text_quality_by_source": T.text_quality_by_source,
     "repetition_stats": T.repetition_stats,
     "quality_gate_by_source": T.quality_gate_by_source,
-    "lang_token_stats": T.lang_token_stats,
     "lang_detect_counts": T.lang_detect_counts,
     "token_counts": T.token_counts,
     "doc_fingerprints": T.doc_fingerprints,
     # training-data pipeline ops
     "pack_documents_2048": T.pack_documents_2048,
-    "pack_documents_salted_2048": T.pack_documents_salted_2048,
     "multi_resolution_rollup": T.multi_resolution_rollup,
     # k-means (iterative → rows-only; must sit inside the window so the
     # driver's rows-only check is its hard signal — tail entries carry
     # oracles. dedup_exact_groups moved to the tail to make room; it keeps
     # its oracle and its round-1 green row.)
     "kmeans_cluster_sizes": AQ.kmeans_cluster_sizes,
-    # -- past the window: round-1/2-verified relational variants -----------
+    # -- past the window: round-1/2/3-verified variants --------------------
+    # round-4 displacements (all r1-r3 driver-green, oracles retained)
+    "semi_join_customers": R.semi_join_customers,
+    "dedup_jaccard_pairs": T.dedup_jaccard_pairs,
+    "array_funcs_documents": R2.array_funcs_documents,
+    "embedding_norm_stats": T.embedding_norm_stats,
+    "lang_token_stats": T.lang_token_stats,
+    "pack_documents_salted_2048": T.pack_documents_salted_2048,
+    # round-4 TPC-H completion over derived partsupp (q20 in-window)
+    "tpch_q2_min_cost_supplier": H.tpch_q2_min_cost_supplier,
+    "tpch_q11_important_stock": H.tpch_q11_important_stock,
     "global_top_orders": R.global_top_orders,
     "dedup_sha_fingerprints": T.dedup_sha_fingerprints,
     "sentiment_doc_scores": T.sentiment_doc_scores,
@@ -209,12 +229,10 @@ QUERIES: dict[str, QueryFn] = {
     # selector aggregates + exact-quota stratified sampling (round 3)
     "minmax_by_orders": R2.minmax_by_orders,
     "stratified_exact_n_docs": R2.stratified_exact_n_docs,
-    "profile_orders_columns": R2.profile_orders_columns,
-    "referential_integrity_audit": R2.referential_integrity_audit,
     "session_conversion_rate": FQ.session_conversion_rate,
-    "weekly_revenue_wow": R2.weekly_revenue_wow,
-    "hof_funcs_documents": R2.hof_funcs_documents,
-    "snapshot_diff_counts": R2.snapshot_diff_counts,
+    # (profile_orders_columns, referential_integrity_audit,
+    #  weekly_revenue_wow, hof_funcs_documents, snapshot_diff_counts
+    #  rotated into the driver window in round 4)
     # per-group embedding centroids (round 3)
     "embedding_centroids_by_label": AQ.embedding_centroids_by_label,
     # as-of join direction variants (round 3; backward rep in-window)
@@ -337,6 +355,9 @@ ORACLES: dict[str, str] = {
     "tpch_q19_disjunctive_revenue": H.ORACLE_TPCH_Q19,
     "tpch_q21_waiting_suppliers": H.ORACLE_TPCH_Q21,
     "tpch_q22_dormant_customers": H.ORACLE_TPCH_Q22,
+    "tpch_q2_min_cost_supplier": H.ORACLE_TPCH_Q2,
+    "tpch_q11_important_stock": H.ORACLE_TPCH_Q11,
+    "tpch_q20_excess_stock": H.ORACLE_TPCH_Q20,
     "graph_degree_histogram": GQ.ORACLE_GRAPH_DEGREE_HISTOGRAM,
     "graph_triangle_count": GQ.ORACLE_GRAPH_TRIANGLE_COUNT,
     "graph_triangles_per_node": GQ.ORACLE_GRAPH_TRIANGLES_PER_NODE,

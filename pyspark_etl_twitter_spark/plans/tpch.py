@@ -834,3 +834,252 @@ FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 ORDER BY s_suppkey
 """
+
+
+# --------------------------------------------------------------------------
+# Derived partsupp: the driver testdata ships no partsupp table
+# (TESTDATA.md), which blocked Q2/Q11/Q20 through round 3. Rather than
+# synthesize parquet we can't write next to the read-only testdata, the
+# relation is DERIVED deterministically from part × supplier-count with the
+# TPC-H spec's supplier-assignment formula (4 distinct suppliers per part:
+# ps_suppkey = ((ps_partkey + j*(S div 4)) mod S) + 1, j = 0..3 —
+# the spec's extra (ps_partkey-1)/S rotation term is dropped because it
+# breaks 4-distinctness at tiny supplier counts (S=10 at sf0.001 makes
+# the step 5, and j*5 mod 10 collides); j*(S div 4) < S is strictly
+# increasing for j<=3, so the four residues are always distinct for
+# S >= 4) plus integer-arithmetic availqty/supplycost. The SAME closed
+# form is emitted as a CTE in the DuckDB oracles, so all three queries are
+# fully hash-verified despite the missing table.
+#
+# Scale stance: partsupp is 4×|part| rows built by an explode over the
+# part scan with a 1-row broadcast (supplier count) — no shuffle, no
+# driver action, linear in |part|, and Catalyst pushes part-side filters
+# below the generate.
+# --------------------------------------------------------------------------
+
+_PS_CTE = """
+WITH scnt AS (SELECT count(*) AS s FROM supplier),
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         CAST(((p_partkey + j * (s // 4)) % s) + 1 AS BIGINT) AS ps_suppkey,
+         CAST(((p_partkey * 7 + j * 13) % 9999) + 1 AS BIGINT) AS ps_availqty,
+         round(CAST((p_partkey * 31 + j * 17) % 99900 AS DOUBLE) / 100.0 + 1.0, 2) AS ps_supplycost
+  FROM part, scnt, (VALUES (0),(1),(2),(3)) AS g(j)
+)
+"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp relation; twin of the `_PS_CTE` DuckDB CTE.
+
+    |supplier| enters as a 1-row broadcast (whitelisted scalar BNLJ), so
+    the build is a single narrow pass over `part`."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    scnt = _t(spark, sf_dir, "supplier").agg(F.count("*").alias("s"))
+    return (
+        part.join(F.broadcast(scnt))
+        .select("p_partkey", "s", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            (
+                ((F.col("p_partkey") + F.col("j") * F.expr("s div 4")) % F.col("s"))
+                + 1
+            ).cast("long").alias("ps_suppkey"),
+            (((F.col("p_partkey") * 7 + F.col("j") * 13) % 9999) + 1)
+            .cast("long")
+            .alias("ps_availqty"),
+            F.round(
+                ((F.col("p_partkey") * 31 + F.col("j") * 17) % 99900).cast("double")
+                / 100.0
+                + 1.0,
+                2,
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier: correlated MIN subquery → per-part min join
+# --------------------------------------------------------------------------
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (trimmed schema: no p_mfgr/s_address/s_phone;
+    p_size <= 15 AND p_type = 'STANDARD' stands in for the spec's
+    size/type pick so every SF yields rows).
+
+    The correlated `ps_supplycost = (SELECT min(...) WHERE same part,
+    region)` decorrelates into ONE regional partsupp relation used twice:
+    a groupBy(ps_partkey).min aggregate joined back on (part, cost).
+    Every join side except the derived partsupp is a broadcast dim, and
+    partsupp itself never shuffles — the only exchange is the min-agg's
+    partial/final pair on ps_partkey."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    europe_ps = (
+        derived_partsupp(spark, sf_dir)
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    min_cost = europe_ps.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("mc_cost")
+    )
+    return (
+        europe_ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("mc_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "ps_supplycost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+ORACLE_TPCH_Q2 = _PS_CTE + """
+SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, ps_supplycost
+FROM partsupp
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN part     ON ps_partkey = p_partkey
+WHERE r_name = 'EUROPE' AND p_size <= 15 AND p_type = 'STANDARD'
+  AND ps_supplycost = (
+    SELECT min(ps2.ps_supplycost) FROM partsupp ps2
+    JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = partsupp.ps_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock: group-HAVING against a scalar fraction of total
+# --------------------------------------------------------------------------
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape. The scalar `sum(...) * fraction` subquery becomes
+    a 1-row broadcast joined under a non-equi filter (whitelisted scalar
+    BNLJ); the nation-filtered partsupp relation is computed once and
+    reused for both the per-part aggregate and the grand total, so the
+    fact side is scanned twice but shuffled only for the two aggregates."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_12", "NATION_17", "NATION_22")
+    )
+    ps = (
+        derived_partsupp(spark, sf_dir)
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
+    )
+    per_part = ps.groupBy("ps_partkey").agg(F.sum("v").alias("_sv"))
+    threshold = ps.agg((F.sum("v") * F.lit(0.001)).alias("_thr"))
+    return (
+        per_part.join(F.broadcast(threshold), F.col("_sv") > F.col("_thr"))
+        .select("ps_partkey", F.round(F.col("_sv"), 2).alias("stock_value"))
+        .orderBy(F.desc("stock_value"), "ps_partkey")
+        .limit(100)
+    )
+
+
+ORACLE_TPCH_Q11 = _PS_CTE + """
+SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 2) AS stock_value
+FROM partsupp
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_7', 'NATION_12', 'NATION_17', 'NATION_22')
+GROUP BY ps_partkey
+HAVING sum(ps_supplycost * ps_availqty) > (
+  SELECT sum(ps_supplycost * ps_availqty) * 0.001
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_7', 'NATION_12', 'NATION_17', 'NATION_22'))
+ORDER BY stock_value DESC, ps_partkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 — excess stock: semi-join on a correlated aggregate (hardest
+# remaining decorrelation shape)
+# --------------------------------------------------------------------------
+
+def tpch_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in given nations holding more than half
+    a year's shipped quantity of 'red%' parts.
+
+    Decorrelation: the correlated `0.5 * sum(l_quantity) WHERE same
+    (part, supplier)` aggregate becomes ONE grouped aggregate over the
+    date-filtered lineitem, inner-joined to the part-filtered partsupp on
+    (partkey, suppkey) — TPC-H NULL semantics (`>` against an empty
+    correlated sum is false) drop pairs with no shipments, which the
+    inner join reproduces exactly. The availqty comparison then prunes,
+    and a left-semi join carries the surviving suppkeys to supplier.
+    lineitem shuffles once on the (partkey, suppkey) agg; partsupp is
+    4×|part| and broadcastable."""
+    red_parts = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    ps = derived_partsupp(spark, sf_dir).join(
+        F.broadcast(red_parts.select("p_partkey")),
+        F.col("ps_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("_half_qty"))
+    )
+    excess = (
+        ps.join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("_half_qty"))
+        .select("ps_suppkey")
+    )
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_13", "NATION_18")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+ORACLE_TPCH_Q20 = _PS_CTE + """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_13', 'NATION_18')
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND ps_availqty > (
+        SELECT 0.5 * sum(l_quantity) FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'))
+ORDER BY s_name
+"""

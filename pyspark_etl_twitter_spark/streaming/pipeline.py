@@ -148,3 +148,84 @@ def json_sink(df: DataFrame, path: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def streaming_score_throughput(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    replicate: int = 20,
+    n_files: int = 10,
+    max_files_per_trigger: int = 2,
+    tmp_root: str | None = None,
+) -> dict:
+    """End-to-end streaming sentiment throughput: the reference's whole
+    consumer topology (S1 source → P1-P4 projection → M2-M5 scoring →
+    sink) as ONE measured number, comparable to BASELINE.md's derived
+    ~32 rows/s (2,815 predictions / ~88 s, consumer.py end-to-end).
+
+    The corpus is the sf documents table replicated ``replicate``× via an
+    explode (no driver materialization), written once as a JSON replay
+    directory (the Kafka stand-in, same as the streaming tests), then
+    streamed with ``maxFilesPerTrigger`` batching through foreachBatch →
+    broadcast-weight scoring → noop sink. Returns
+    ``{rows, batches, elapsed_sec, rows_per_sec}`` where elapsed covers
+    first trigger to drain (``processAllAvailable``).
+
+    Scale stance: the per-batch plan is the batch scorer unchanged
+    (stream-static broadcast join, one doc-id shuffle); throughput grows
+    with executors because no stage is driver-bound."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark_etl_twitter_spark.operators.sentiment import (
+        build_weight_table,
+        score_documents,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    weights = build_weight_table(docs).localCheckpoint()
+    rep = (
+        docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("_r"), "*"
+        )
+        .withColumn("doc_id", F.col("doc_id") * replicate + F.col("_r"))
+        .drop("_r")
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_bench_", dir=tmp_root)
+    try:
+        replay = os.path.join(root, "replay")
+        rep.repartition(n_files).write.mode("overwrite").json(replay)
+        total = rep.count()
+
+        def _score_batch(batch_df: DataFrame, _epoch: int) -> None:
+            score_documents(batch_df, weights).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        stream = stream_documents(
+            spark, replay, max_files_per_trigger=max_files_per_trigger
+        )
+        start = time.perf_counter()
+        query = (
+            stream.writeStream.foreachBatch(_score_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .queryName("throughput_bench")
+            .start()
+        )
+        query.processAllAvailable()
+        elapsed = time.perf_counter() - start
+        batches = len([p for p in query.recentProgress if p["numInputRows"] > 0])
+        query.stop()
+        return {
+            "rows": total,
+            "batches": batches,
+            "elapsed_sec": round(elapsed, 3),
+            "rows_per_sec": round(total / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -52,6 +52,11 @@ BNLJ_OK = {
     "dedup_clusters_minhash",
     "embedding_norm_stats",
     "referential_integrity_audit",  # four 1-row orphan counts cross-joined
+    # derived partsupp carries a 1-row broadcast supplier-count scalar
+    # (plans/tpch.py:derived_partsupp); q11 adds the 1-row threshold join
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q20_excess_stock",
 }
 
 # queries that EXECUTE during plan building (iterative/driver-bounded):

@@ -207,3 +207,24 @@ def test_chained_stateful_aggregation_matches_batch(spark, events_tiny, events_r
     for k, v in got.items():
         assert want_full[k] == v, k
     assert len(got) >= len(want_full) - 2 * events_tiny.select("event_type").distinct().count()
+
+
+def test_streaming_score_throughput_smoke(spark, tmp_path):
+    """The bench's S1→M5 throughput row: replayed corpus drains fully,
+    every row is scored exactly once, and the figure is positive."""
+    from pyspark_etl_twitter_spark.streaming.pipeline import (
+        streaming_score_throughput,
+    )
+
+    res = streaming_score_throughput(
+        spark,
+        SF_TINY,
+        replicate=2,
+        n_files=3,
+        max_files_per_trigger=1,
+        tmp_root=str(tmp_path),
+    )
+    n_docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").count()
+    assert res["rows"] == 2 * n_docs
+    assert res["batches"] >= 2
+    assert res["rows_per_sec"] > 0

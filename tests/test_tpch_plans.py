@@ -108,3 +108,47 @@ def test_q15_max_is_broadcast_one_row(spark):
     # scalar-max side and supplier dim both broadcast; the revenue view
     # never re-shuffles for the max comparison
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_derived_partsupp_properties(spark):
+    """4 distinct suppliers per part, keys within [1, |supplier|], fully
+    deterministic — and the build plan has no shuffle exchange (one narrow
+    pass over part with a 1-row broadcast)."""
+    from pyspark.sql import functions as F
+
+    ps = H.derived_partsupp(spark, SF_TINY)
+    chk = ps.groupBy("ps_partkey").agg(
+        F.countDistinct("ps_suppkey").alias("n"),
+        F.min("ps_suppkey").alias("lo"),
+        F.max("ps_suppkey").alias("hi"),
+    )
+    bad = chk.filter((F.col("n") != 4) | (F.col("lo") < 1)).count()
+    assert bad == 0
+    n_supp = ps.sparkSession.read.parquet(f"{SF_TINY}/supplier.parquet").count()
+    assert ps.agg(F.max("ps_suppkey")).first()[0] <= n_supp
+    plan = plan_of(ps)
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_q2_decorrelates_to_single_min_agg(spark):
+    # the correlated min subquery becomes one groupBy(ps_partkey).min —
+    # exactly one aggregate-exchange pair, every dim a broadcast
+    plan = plan_of(H.tpch_q2_min_cost_supplier(spark, SF_TINY))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q11_threshold_is_one_row_broadcast(spark):
+    plan = plan_of(H.tpch_q11_important_stock(spark, SF_TINY))
+    # per-part agg + grand total; threshold compare rides a broadcast,
+    # never a shuffle of the per-part relation against itself
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_semi_join_carries_only_suppkeys(spark):
+    plan = plan_of(H.tpch_q20_excess_stock(spark, SF_TINY))
+    assert "LeftSemi" in plan
+    # the shipdate window reaches the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan

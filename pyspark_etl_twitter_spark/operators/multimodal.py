@@ -4,10 +4,13 @@ Design (BASELINE.json north star): media payloads are ``binary`` columns
 with a typed metadata struct; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas iterators (``mapInPandas``) — the
 one place Python belongs, because pixel math is NumPy's job. The Spark-side
-plumbing (schema, partitioning, batch shape) is real and tested; the codec
-itself is STUBBED: the container has no image/audio libraries, so
-``decode_media`` uses a deterministic fake decoder (payload-hash seeded)
-and raises ``NotImplementedError`` when asked for a real codec.
+plumbing (schema, partitioning, batch shape) is real and tested. Two codec
+paths: the default deterministic fake decoder (payload-hash seeded — works
+on ANY bytes, used by the driver-testdata queries), and ``real_codec=True``
+which decodes actual BMP/WAV payloads with the pure-NumPy codecs in
+operators/codecs.py (round 4; no PIL/librosa in the container, and none
+needed for these two formats). PNG/JPEG/MP3 would still need a library —
+``decode_to_signal`` rejects unknown magic bytes with a clear error.
 
 Scale notes: payloads dominate row size — keep them out of shuffles.
 Every operator here is a narrow mapInPandas (no shuffle); metadata-only
@@ -79,12 +82,11 @@ def _fake_decode(payload: bytes, n: int) -> np.ndarray:
 
 def decode_media(media: DataFrame, *, real_codec: bool = False) -> DataFrame:
     """payload → fixed-size decoded sample vector (mapInPandas, Arrow
-    batches). ``real_codec=True`` raises until a codec library is wired."""
-    if real_codec:
-        raise NotImplementedError(
-            "no image/audio codec libraries in this container; "
-            "wire PIL/librosa here when available"
-        )
+    batches). ``real_codec=True`` decodes actual BMP/WAV bytes with the
+    pure-NumPy codecs (operators/codecs.py): images reduce to per-pixel
+    luma, audio to mono, both linearly resampled to ``FEATURE_DIM``
+    samples. Identical plan either way — only the per-batch Python
+    function body differs, which is the point of the stub design."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -92,6 +94,12 @@ def decode_media(media: DataFrame, *, real_codec: bool = False) -> DataFrame:
             T.StructField("decoded", T.ArrayType(T.FloatType())),
         ]
     )
+    if real_codec:
+        from pyspark_etl_twitter_spark.operators.codecs import decode_to_signal
+
+        decode_one = decode_to_signal
+    else:
+        decode_one = _fake_decode
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -100,7 +108,7 @@ def decode_media(media: DataFrame, *, real_codec: bool = False) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "decoded": [
-                        _fake_decode(p, FEATURE_DIM).tolist() for p in pdf["payload"]
+                        decode_one(p, FEATURE_DIM).tolist() for p in pdf["payload"]
                     ],
                 }
             )
@@ -163,14 +171,15 @@ def resize_meta(media: DataFrame, *, max_side: int = 256) -> DataFrame:
     )
 
 
-def perceptual_hash(media: DataFrame) -> DataFrame:
+def perceptual_hash(media: DataFrame, *, real_codec: bool = False) -> DataFrame:
     """64-bit average-hash: decode 64 samples per item (8x8 pixel grid in
     the real-codec analogy), threshold each on the global mean → one bit
     each. Identical payloads hash equal; near-identical decodes differ in
     few bits — Hamming-bucketable like SimHash. One narrow mapInPandas
     from payload to hash; downstream dedup joins carry 8 bytes/item and
-    never touch payloads. With PIL wired in, the same path becomes a real
-    aHash (resize 8x8, threshold on mean) — identical Spark plumbing."""
+    never touch payloads. ``real_codec=True`` computes the REAL aHash on
+    BMP payloads (8×8 luma block mean-pool, operators/codecs.py) and the
+    64-sample mono signal for WAV — identical Spark plumbing."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -179,11 +188,18 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
         ]
     )
 
+    if real_codec:
+        from pyspark_etl_twitter_spark.operators.codecs import hash_signal_64
+
+        signal_64 = hash_signal_64
+    else:
+        signal_64 = lambda p: _fake_decode(p, 64)  # noqa: E731
+
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hashes = []
             for p in pdf["payload"]:
-                arr = _fake_decode(p, 64).astype(np.float64)
+                arr = signal_64(p).astype(np.float64)
                 bits = arr > arr.mean()
                 h = 0
                 for b in bits:

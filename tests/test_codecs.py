@@ -1,0 +1,125 @@
+"""Pure-NumPy BMP/WAV codec tests (operators/codecs.py) + the real-codec
+decode path end-to-end through Spark (mapInPandas) on bytes the tests
+themselves synthesize — closes the last non-network environment gate
+(round-3 VERDICT.md ask #7)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_etl_twitter_spark.operators.codecs import (
+    decode_bmp,
+    decode_to_signal,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    hash_signal_64,
+    sniff_format,
+)
+from pyspark_etl_twitter_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_media,
+    perceptual_hash,
+)
+
+
+def _gradient_image(h=17, w=23):
+    # odd width → exercises the 4-byte row padding
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 11) % 256, (y * 7) % 256, (x + y) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+def _sine_wave(n=1000, ch=2):
+    t = np.arange(n) / 16_000
+    mono = 0.5 * np.sin(2 * np.pi * 440 * t)
+    return np.stack([mono, 0.25 * np.sin(2 * np.pi * 880 * t)], axis=1)[:, :ch]
+
+
+def test_bmp_round_trip_exact():
+    img = _gradient_image()
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_bmp_rejects_garbage_and_truncation():
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bitmap")
+    full = encode_bmp(_gradient_image())
+    with pytest.raises(ValueError):
+        decode_bmp(full[: len(full) // 2])
+
+
+def test_wav_round_trip_within_quantization():
+    wave = _sine_wave()
+    decoded, rate = decode_wav(encode_wav(wave, 16_000))
+    assert rate == 16_000
+    assert decoded.shape == wave.shape
+    # PCM16 quantization error ≤ 1/32767 per sample
+    assert np.abs(decoded - wave).max() < 1.0 / 32000
+
+
+def test_wav_skips_unknown_chunks():
+    raw = encode_wav(_sine_wave(), 8_000)
+    # splice a LIST metadata chunk between fmt and data
+    import struct
+
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 6) + b"INFOab"
+    patched = raw[:fmt_end] + junk + raw[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    decoded, rate = decode_wav(patched)
+    assert rate == 8_000 and decoded.shape == _sine_wave().shape
+
+
+def test_sniff_and_signal_shapes():
+    bmp, wav = encode_bmp(_gradient_image()), encode_wav(_sine_wave())
+    assert sniff_format(bmp) == "bmp" and sniff_format(wav) == "wav"
+    assert sniff_format(b"\x00\x01") == "unknown"
+    for payload in (bmp, wav):
+        sig = decode_to_signal(payload, FEATURE_DIM)
+        assert sig.shape == (FEATURE_DIM,) and sig.dtype == np.float32
+    assert hash_signal_64(bmp).shape == (64,)
+
+
+def test_real_codec_decode_media_end_to_end(spark):
+    """Spark mapInPandas over real synthesized payloads: decoded vectors
+    match the local codec exactly (same bytes → same floats)."""
+    bmp, wav = encode_bmp(_gradient_image()), encode_wav(_sine_wave())
+    rows = [
+        (0, "image", bytearray(bmp), (23, 17, None, "bmp")),
+        (1, "audio", bytearray(wav), (None, None, 62, "wav")),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                        T.StructField("duration_ms", T.IntegerType()),
+                        T.StructField("format", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    media = spark.createDataFrame(rows, schema)
+    got = {r.media_id: np.array(r.decoded) for r in decode_media(media, real_codec=True).collect()}
+    np.testing.assert_allclose(got[0], decode_to_signal(bmp, FEATURE_DIM), rtol=1e-6)
+    np.testing.assert_allclose(got[1], decode_to_signal(wav, FEATURE_DIM), rtol=1e-6)
+
+    # real aHash: identical images collide, a 1-pixel tweak stays within
+    # a few bits; audio hashes don't collide with image hashes
+    img2 = _gradient_image()
+    img2[0, 0] = [255, 255, 255]
+    rows2 = rows + [(2, "image", bytearray(encode_bmp(img2)), (23, 17, None, "bmp"))]
+    media2 = spark.createDataFrame(rows2, schema)
+    ph = {r.media_id: r.phash for r in perceptual_hash(media2, real_codec=True).collect()}
+    assert ph[0] != ph[1]
+    assert bin((ph[0] ^ ph[2]) & ((1 << 64) - 1)).count("1") <= 4

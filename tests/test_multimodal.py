@@ -35,9 +35,11 @@ def test_decode_deterministic(media):
     assert all(len(v) == FEATURE_DIM for v in a.values())
 
 
-def test_real_codec_is_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        decode_media(media, real_codec=True)
+def test_real_codec_rejects_unknown_magic(media):
+    # synth_media_table payloads are raw utf-8 text, not BMP/WAV — the
+    # real-codec path must fail loudly, not silently fake-decode
+    with pytest.raises(Exception, match="unknown media format"):
+        decode_media(media, real_codec=True).collect()
 
 
 def test_extract_features(media):

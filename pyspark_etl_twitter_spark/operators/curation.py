@@ -393,3 +393,146 @@ def weighted_bernoulli_sample(
         f"CAST({weight_col} AS BIGINT) * 4294967296 div {int(denom)}"
     )
     return df.filter(u32 < threshold)
+
+
+# --------------------------------------------------------------------------
+# Round 4: fuzzy decontamination, budgeted selection, temperature mixing
+# --------------------------------------------------------------------------
+
+
+def jaccard_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document MAX shingle-Jaccard against any eval document —
+    the fuzzy upgrade of ``contamination_overlap`` (which only counts
+    shared grams): near-paraphrased eval leakage scores high even when no
+    single doc contains many eval grams verbatim.
+
+    Returns (id_col, max_jaccard, best_eval_id) for documents with at
+    least one shared shingle; callers left-join and coalesce(0) like the
+    exact variant. Scale shape: the eval side reduces to
+    (eval_id, gram, eval_size) and BROADCASTS (eval sets are tiny by
+    definition); the corpus makes one narrow pass — shingle → explode →
+    broadcast probe — so only matching (doc, eval, gram) rows (a
+    vanishingly small fraction) are ever aggregated, and the corpus never
+    shuffles. Jaccard = inter / (|a| + |b| - inter) needs per-doc shingle
+    counts, which ride the same single aggregate."""
+    doc_grams = (
+        docs.repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.explode(shingle_array(ws_tokens(text_col), shingle_n)).alias("g"),
+        )
+        .dropDuplicates([id_col, "g"])
+    )
+    doc_sizes = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("_asz"))
+    eval_grams = (
+        eval_docs.select(
+            F.col(id_col).alias("_eid"),
+            F.explode(shingle_array(ws_tokens(text_col), shingle_n)).alias("g"),
+        )
+        .dropDuplicates(["_eid", "g"])
+    )
+    eval_sized = eval_grams.join(
+        eval_grams.groupBy("_eid").agg(F.count(F.lit(1)).alias("_bsz")), "_eid"
+    )
+    inter = (
+        doc_grams.join(F.broadcast(eval_sized), "g")
+        .groupBy(id_col, "_eid", "_bsz")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    scored = inter.join(doc_sizes, id_col).select(
+        F.col(id_col),
+        F.col("_eid"),
+        F.round(
+            F.col("_inter")
+            / (F.col("_asz") + F.col("_bsz") - F.col("_inter")).cast("double"),
+            6,
+        ).alias("_j"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max("_j").alias("max_jaccard"),
+        F.max_by("_eid", F.struct(F.col("_j"), -F.col("_eid"))).alias("best_eval_id"),
+    )
+
+
+def select_within_budget(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    size_col: str = "n_chars",
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budgeted corpus selection: keep each group's largest documents
+    until the running total of ``size_col`` reaches ``budget`` (the
+    standard per-source token/char budget a training mix enforces).
+    Deterministic order (size desc, id asc); a document is kept while the
+    PRECEDING documents' total stays under budget, so the first
+    over-budget doc is included — matching SQL's
+    ``sum() OVER (... ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    Scale: the window partitions by group — parallel across groups, and
+    per-group volume is budget-bounded by construction upstream
+    (size-desc order means the scan can stop early under AQE top-k
+    pushdown; for a group too large to window, pre-filter with the
+    two-phase rank in operators/ranking.py)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(size_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = docs.withColumn("_prev", F.coalesce(F.sum(size_col).over(w), F.lit(0)))
+    return running.filter(F.col("_prev") < budget).drop("_prev")
+
+
+def temperature_mix_sample(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    scale: int = 50,
+    id_col: str = "doc_id",
+    seed: str = "tmix-v1",
+) -> DataFrame:
+    """√-temperature (T = 0.5) mixture sampling: group g is kept with
+    probability ``min(1, scale / sqrt(n_g))`` — small sources are kept
+    (near-)whole, large sources downsampled toward √n_g, flattening the
+    mixture the way multilingual / multi-corpus training mixes do.
+
+    Determinism across engines: inclusion compares the ``md5(id:seed)``
+    32-bit uniform (see ``hash_split``) against
+    ``floor(2^32 * scale / sqrt(n_g))``. ``sqrt`` and division are
+    IEEE-754 correctly-rounded in both the JVM and DuckDB, so the
+    threshold — and therefore the selected row set — is bit-identical
+    (this is why T is pinned to 0.5: a general ``pow(n, T)`` is NOT
+    correctly rounded and could flip rows at rounding boundaries).
+
+    Scale: one tiny per-group count aggregate broadcast back; the fact
+    table's filter is row-local."""
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    rates = counts.select(
+        group_col,
+        F.least(
+            F.lit(float(2**32)),
+            F.floor(F.lit(2**32) * F.lit(float(scale)) / F.sqrt(F.col("_n"))),
+        ).cast("long").alias("_thr"),
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .filter(u32 < F.col("_thr"))
+        .drop("_thr")
+    )

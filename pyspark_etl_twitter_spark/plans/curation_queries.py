@@ -368,3 +368,133 @@ SELECT event_type, bucket,
        avg_u6 IS NULL AS is_gap
 FROM j
 """
+
+
+# --------------------------------------------------------------------------
+# Round 4: fuzzy (Jaccard) decontamination, budgeted selection,
+# temperature mixing
+# --------------------------------------------------------------------------
+
+FUZZY_N = 3
+FUZZY_TAU = 0.2
+
+
+def fuzzy_decontaminate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source counts of training docs whose MAX shingle-Jaccard
+    against any eval doc clears FUZZY_TAU — catches near-paraphrased eval
+    leakage the exact shared-gram count underweights. Eval side broadcast;
+    corpus never shuffles (operators/curation.jaccard_contamination)."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    scored = C.jaccard_contamination(train, eval_docs, shingle_n=FUZZY_N)
+    joined = train.join(scored, "doc_id", "left").withColumn(
+        "max_jaccard", F.coalesce("max_jaccard", F.lit(0.0))
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("max_jaccard") >= FUZZY_TAU, 1)).alias("n_fuzzy_hits"),
+        F.round(F.max("max_jaccard"), 6).alias("max_jaccard"),
+    )
+
+
+ORACLE_FUZZY_DECONTAMINATE_COUNTS = f"""
+WITH {_grams_cte(FUZZY_N)},
+doc_sizes AS (SELECT doc_id, count(*) AS asz FROM grams GROUP BY doc_id),
+eval_grams AS (
+  SELECT doc_id AS eid, g FROM grams WHERE doc_id % {EVAL_MOD} = 0
+),
+eval_sizes AS (SELECT eid, count(*) AS bsz FROM eval_grams GROUP BY eid),
+inter AS (
+  SELECT gr.doc_id, eg.eid, count(*) AS n_inter
+  FROM grams gr JOIN eval_grams eg USING (g)
+  WHERE gr.doc_id % {EVAL_MOD} <> 0
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT i.doc_id,
+         max(round(CAST(n_inter AS DOUBLE)
+                   / CAST(ds.asz + es.bsz - n_inter AS DOUBLE), 6)) AS mj
+  FROM inter i
+  JOIN doc_sizes ds ON ds.doc_id = i.doc_id
+  JOIN eval_sizes es ON es.eid = i.eid
+  GROUP BY 1
+),
+train AS (SELECT doc_id, source FROM documents WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT source,
+       count(*) AS n_docs,
+       count(CASE WHEN coalesce(mj, 0) >= {FUZZY_TAU} THEN 1 END) AS n_fuzzy_hits,
+       round(max(coalesce(mj, 0)), 6) AS max_jaccard
+FROM train LEFT JOIN best USING (doc_id)
+GROUP BY source
+"""
+
+
+BUDGET_CHARS = 40_000
+
+
+def budget_selection_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source char-budget selection (largest-first): how much of each
+    source survives a 40k-char budget — the mix-shaping step before
+    packing. Window cumsum partitioned by source (parallel across
+    sources; see operators/curation.select_within_budget for the
+    too-large-group escape)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = C.select_within_budget(docs, budget=BUDGET_CHARS)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("n_chars").alias("smallest_kept"),
+    )
+
+
+ORACLE_BUDGET_SELECTION_BY_SOURCE = f"""
+WITH running AS (
+  SELECT source, doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_kept,
+       sum(n_chars) AS kept_chars,
+       min(n_chars) AS smallest_kept
+FROM running
+WHERE prev < {BUDGET_CHARS}
+GROUP BY source
+"""
+
+
+TMIX_SCALE = 25
+TMIX_SEED = "tmix-v1"
+
+
+def temperature_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """√-temperature mixture sampling summary: per-source kept counts
+    under p = min(1, scale/√n) — engine-portable determinism argument in
+    operators/curation.temperature_mix_sample."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = C.temperature_mix_sample(docs, scale=TMIX_SCALE, seed=TMIX_SEED)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )
+
+
+ORACLE_TEMPERATURE_MIX_COUNTS = f"""
+WITH thr AS (
+  SELECT source,
+         CAST(least(4294967296.0,
+                    floor(4294967296.0 * {TMIX_SCALE}.0 / sqrt(count(*))))
+              AS BIGINT) AS t
+  FROM documents GROUP BY source
+)
+SELECT d.source,
+       count(*) AS n_sampled,
+       sum(n_chars) AS sampled_chars
+FROM documents d JOIN thr USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{TMIX_SEED}'), 1, 8)) AS BIGINT) < t
+GROUP BY d.source
+"""

@@ -243,6 +243,12 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_prune_by_centroid": AQ.semantic_prune_by_centroid,
     # linear-interpolation resample (round 3; ffill rep has driver row)
     "resample_interpolate_hourly": CQ.resample_interpolate_hourly,
+    # round-4 curation additions: fuzzy (Jaccard) decontamination,
+    # char-budget selection, √-temperature mixture sampling (families
+    # decontaminate_counts / pack / training_mix have in-window reps)
+    "fuzzy_decontaminate_counts": CQ.fuzzy_decontaminate_counts,
+    "budget_selection_by_source": CQ.budget_selection_by_source,
+    "temperature_mix_counts": CQ.temperature_mix_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -368,6 +374,9 @@ ORACLES: dict[str, str] = {
     "cohort_retention_weekly": FQ.ORACLE_COHORT_RETENTION_WEEKLY,
     "binned_range_join_bands": AQ.ORACLE_BINNED_RANGE_JOIN_BANDS,
     "weighted_sample_by_length": CQ.ORACLE_WEIGHTED_SAMPLE_BY_LENGTH,
+    "fuzzy_decontaminate_counts": CQ.ORACLE_FUZZY_DECONTAMINATE_COUNTS,
+    "budget_selection_by_source": CQ.ORACLE_BUDGET_SELECTION_BY_SOURCE,
+    "temperature_mix_counts": CQ.ORACLE_TEMPERATURE_MIX_COUNTS,
     "bigram_lm_quality_by_source": LQ.ORACLE_BIGRAM_LM_QUALITY_BY_SOURCE,
     "chunk_documents_overlap_64": T.ORACLE_CHUNK_DOCUMENTS_OVERLAP_64,
     "stats_aggregates_lineitem": R2.ORACLE_STATS_AGGREGATES_LINEITEM,

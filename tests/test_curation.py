@@ -194,3 +194,70 @@ def test_weighted_bernoulli_sample_rate_and_stability(spark):
         docs.filter("n_chars < 200").count(), 1
     )
     assert rate_long > rate_short
+
+
+# -- round 4: fuzzy decontamination, budget selection, temperature mix ----
+
+
+def test_jaccard_contamination_planted(spark):
+    train = _docs(
+        spark,
+        [
+            # 4/6 distinct unigram-shingles shared with eval 100 at n=1;
+            # with n=3 grams shift — plant an exact 5-token overlap
+            (1, "alpha beta gamma delta epsilon zeta", "s"),
+            (2, "one two three four five six", "s"),
+        ],
+    )
+    eval_docs = _docs(spark, [(100, "alpha beta gamma delta epsilon omega", "e")])
+    got = {
+        r["doc_id"]: (r["max_jaccard"], r["best_eval_id"])
+        for r in C.jaccard_contamination(train, eval_docs, shingle_n=3).collect()
+    }
+    # doc 1: 3-shingles {abg, bgd, gde, dez} vs eval {abg, bgd, gde, deo}
+    # → inter 3, union 5 → 0.6; doc 2: no shared shingle → absent
+    assert got[1] == (0.6, 100)
+    assert 2 not in got
+
+
+def test_jaccard_contamination_broadcasts_eval_side(spark):
+    docs = load_table(spark, SF_TINY, "documents")
+    eval_docs = docs.filter("doc_id % 97 = 0")
+    plan = plan_of(C.jaccard_contamination(docs, eval_docs))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_select_within_budget_exact_boundary(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", 30), (2, "a", 20), (3, "a", 10), (4, "b", 100)],
+        "doc_id long, source string, n_chars long",
+    )
+    kept = C.select_within_budget(docs, budget=50, size_col="n_chars")
+    got = sorted(r.doc_id for r in kept.collect())
+    # source a: 30 (prev 0) kept, 20 (prev 30) kept, 10 (prev 50) dropped;
+    # source b: first doc always kept even when it alone exceeds budget
+    assert got == [1, 2, 4]
+
+
+def test_temperature_mix_flattens_sources(spark):
+    docs = load_table(spark, SF_TINY, "documents")
+    kept = C.temperature_mix_sample(docs, scale=10)
+    n_by_src = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    k_by_src = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # expected keep rate ~ 10/sqrt(n): larger sources keep a SMALLER share
+    big = max(n_by_src, key=n_by_src.get)
+    small = min(n_by_src, key=n_by_src.get)
+    if n_by_src[big] > 2 * n_by_src[small]:
+        assert (
+            k_by_src.get(big, 0) / n_by_src[big]
+            <= k_by_src.get(small, 0) / n_by_src[small] + 0.2
+        )
+    # determinism: same seed → same set
+    again = {r.doc_id for r in C.temperature_mix_sample(docs, scale=10).collect()}
+    assert again == {r.doc_id for r in kept.collect()}

@@ -296,3 +296,81 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.round(F.sum("_s"), 6).alias("score"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: char-entropy quality signal + cross-doc repeated span detection
+# --------------------------------------------------------------------------
+
+
+def char_entropy(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Shannon entropy (bits/char) of each document's character
+    distribution — the compression-ratio-style quality signal (gibberish
+    and boilerplate both sit at distribution extremes; natural text
+    clusters in a narrow band).
+
+    Plan: explode to (doc, char) → map-side-combined count → one
+    aggregate computing H = log2(n) - Σ c·log2(c) / n from the per-char
+    counts (the algebraic form avoids a second pass for p_i). Shuffle
+    carries (doc, char, count) — at most |alphabet| rows per doc
+    regardless of document length, so the exchange is bounded by
+    docs × ~100, not corpus bytes."""
+    counts = (
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy(id_col, "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_chars_counted"),
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            6,
+        ).alias("entropy_bits"),
+    )
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_spans: bool = False,
+) -> DataFrame:
+    """Cross-document repeated spans: word ``n``-grams appearing in at
+    least ``min_docs`` DISTINCT documents, with how many docs carry each —
+    the span-level dedup diagnostic (boilerplate headers, licence blocks,
+    templated text) that document-level dedup misses.
+
+    Returns (span, n_docs, n_occurrences). Scale: one explode →
+    distinct-per-doc → groupBy(span) count chain; the shuffle key is the
+    span (or its 8-byte xxhash64 with ``hash_spans=True`` — the knob for
+    when raw span strings dominate exchange bytes; collisions merge spans
+    at ~2⁻⁶⁴ odds, acceptable for the diagnostic, NOT for removal).
+    Hot spans (a licence block in half the corpus) are a groupBy skew
+    concern, not a pair blowup — counts, never pairs, are emitted, so the
+    worst case is AQE splitting one hot reducer."""
+    from pyspark_etl_twitter_spark.operators.dedup import shingle_array
+
+    span = F.explode(shingle_array(ws_tokens(text_col), n)).alias("span")
+    per_doc = (
+        docs.repartition(F.col(id_col))
+        .select(F.col(id_col), span)
+        .groupBy(id_col, "span")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    if hash_spans:
+        per_doc = per_doc.select(
+            id_col, F.xxhash64("span").alias("span"), "occ"
+        )
+    return (
+        per_doc.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -249,6 +249,9 @@ QUERIES: dict[str, QueryFn] = {
     "fuzzy_decontaminate_counts": CQ.fuzzy_decontaminate_counts,
     "budget_selection_by_source": CQ.budget_selection_by_source,
     "temperature_mix_counts": CQ.temperature_mix_counts,
+    # round-4 corpus analytics: char-entropy quality + boilerplate spans
+    "char_entropy_by_source": T.char_entropy_by_source,
+    "repeated_spans_top": T.repeated_spans_top,
 }
 
 ORACLES: dict[str, str] = {
@@ -377,6 +380,8 @@ ORACLES: dict[str, str] = {
     "fuzzy_decontaminate_counts": CQ.ORACLE_FUZZY_DECONTAMINATE_COUNTS,
     "budget_selection_by_source": CQ.ORACLE_BUDGET_SELECTION_BY_SOURCE,
     "temperature_mix_counts": CQ.ORACLE_TEMPERATURE_MIX_COUNTS,
+    "char_entropy_by_source": T.ORACLE_CHAR_ENTROPY_BY_SOURCE,
+    "repeated_spans_top": T.ORACLE_REPEATED_SPANS_TOP,
     "bigram_lm_quality_by_source": LQ.ORACLE_BIGRAM_LM_QUALITY_BY_SOURCE,
     "chunk_documents_overlap_64": T.ORACLE_CHUNK_DOCUMENTS_OVERLAP_64,
     "stats_aggregates_lineitem": R2.ORACLE_STATS_AGGREGATES_LINEITEM,

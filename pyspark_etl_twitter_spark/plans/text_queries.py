@@ -1049,3 +1049,93 @@ FROM s GROUP BY doc_id
 ORDER BY score DESC, doc_id
 LIMIT 20
 """
+
+
+# --------------------------------------------------------------------------
+# Round 4: char-entropy quality + cross-doc repeated spans
+# --------------------------------------------------------------------------
+
+
+def char_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-entropy profile (avg/min/max bits per char) —
+    the compression-style quality signal. Exchange bounded by
+    docs × alphabet, never corpus bytes (operators/textstats.char_entropy)."""
+    from pyspark_etl_twitter_spark.operators.textstats import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    ent = char_entropy(docs)
+    return (
+        docs.select("doc_id", "source")
+        .join(ent, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("entropy_bits"), 6).alias("avg_entropy"),
+            F.round(F.min("entropy_bits"), 6).alias("min_entropy"),
+            F.round(F.max("entropy_bits"), 6).alias("max_entropy"),
+        )
+    )
+
+
+ORACLE_CHAR_ENTROPY_BY_SOURCE = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch <> '' GROUP BY 1, 2
+),
+ent AS (
+  SELECT doc_id,
+         round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+  FROM counts GROUP BY doc_id
+)
+SELECT source,
+       round(avg(entropy_bits), 6) AS avg_entropy,
+       round(min(entropy_bits), 6) AS min_entropy,
+       round(max(entropy_bits), 6) AS max_entropy
+FROM documents JOIN ent USING (doc_id)
+GROUP BY source
+"""
+
+
+SPAN_N = 8
+SPAN_MIN_DOCS = 3
+
+
+def repeated_spans_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-repeated cross-document 8-grams (boilerplate detector): spans
+    in ≥ SPAN_MIN_DOCS distinct docs, heaviest first. Counts, never
+    pairs, so a corpus-wide boilerplate block is a one-reducer skew (AQE
+    splits it), not a pair blowup."""
+    from pyspark_etl_twitter_spark.operators.textstats import (
+        repeated_ngram_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = repeated_ngram_spans(docs, n=SPAN_N, min_docs=SPAN_MIN_DOCS)
+    return spans.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span")
+    ).limit(50)
+
+
+ORACLE_REPEATED_SPANS_TOP = f"""
+WITH tokd AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, greatest(len(t) - {SPAN_N} + 2, 1)),
+             i -> array_to_string(t[i:i+{SPAN_N - 1}], ' '))) AS span
+  FROM tokd
+),
+per_doc AS (
+  SELECT doc_id, span, count(*) AS occ FROM spans GROUP BY 1, 2
+)
+SELECT span, count(*) AS n_docs, sum(occ) AS n_occurrences
+FROM per_doc
+GROUP BY span
+HAVING count(*) >= {SPAN_MIN_DOCS}
+ORDER BY n_docs DESC, n_occurrences DESC, span ASC
+LIMIT 50
+"""

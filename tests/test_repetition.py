@@ -62,3 +62,47 @@ def test_top_tfidf_terms(spark):
     # doc 2: cherry beats common; empty doc 3 emits no rows
     assert got[(2, 1)][0] == "cherry"
     assert (3, 1) not in got
+
+
+# -- round 4: char entropy + repeated spans -------------------------------
+
+
+def test_char_entropy_known_values(spark):
+    from pyspark_etl_twitter_spark.operators.textstats import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),        # one symbol → H = 0
+            (2, "abab"),        # two equiprobable symbols → H = 1
+            (3, "abcd"),        # four equiprobable symbols → H = 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_chars_counted, r.entropy_bits) for r in char_entropy(docs).collect()}
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, 1.0)
+    assert got[3] == (4, 2.0)
+
+
+def test_repeated_ngram_spans_planted(spark):
+    from pyspark_etl_twitter_spark.operators.textstats import (
+        repeated_ngram_spans,
+    )
+
+    boiler = "all rights reserved by the original author"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique one"),
+            (2, boiler + " unique two"),
+            (3, boiler + " unique three"),
+            (4, "completely different text with no shared spans at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.span: (r.n_docs, r.n_occurrences) for r in repeated_ngram_spans(docs, n=7, min_docs=3).collect()}
+    assert out[boiler] == (3, 3)
+    # nothing from doc 4 and no sub-threshold span leaks through
+    assert all(n >= 3 for n, _ in out.values())
+    # hashed variant: same group count survives the 8-byte key swap
+    hashed = repeated_ngram_spans(docs, n=7, min_docs=3, hash_spans=True)
+    assert hashed.count() == len(out)

@@ -74,6 +74,13 @@ HEADLINE = [
     "bm25_search_topk",
     "semantic_prune_by_centroid",
     "asof_nearest_click",
+    # round-4 families
+    "tpch_q20_excess_stock",
+    "fuzzy_decontaminate_counts",
+    "budget_selection_by_source",
+    "temperature_mix_counts",
+    "char_entropy_by_source",
+    "repeated_spans_top",
 ]
 
 

@@ -123,3 +123,46 @@ def test_real_codec_decode_media_end_to_end(spark):
     ph = {r.media_id: r.phash for r in perceptual_hash(media2, real_codec=True).collect()}
     assert ph[0] != ph[1]
     assert bin((ph[0] ^ ph[2]) & ((1 << 64) - 1)).count("1") <= 4
+
+
+# -- property fuzz: round-trips hold for arbitrary payloads ---------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import hypothesis.extra.numpy as hnp
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        hnp.arrays(
+            np.uint8,
+            st.tuples(
+                st.integers(1, 12), st.integers(1, 12), st.just(3)
+            ),
+        )
+    )
+    def test_bmp_round_trip_fuzz(img):
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        hnp.arrays(
+            np.float64,
+            st.tuples(st.integers(1, 64), st.integers(1, 2)),
+            elements=st.floats(-1.0, 1.0, width=64),
+        ),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def test_wav_round_trip_fuzz(wave, rate):
+        decoded, got_rate = decode_wav(encode_wav(wave, rate))
+        assert got_rate == rate
+        assert decoded.shape == wave.shape
+        # encode scales by 32767, decode divides by 32768 (the common
+        # PCM16 convention): error ≤ (0.5 + |x|)/32768
+        assert np.abs(decoded - wave).max() <= 1.51 / 32768

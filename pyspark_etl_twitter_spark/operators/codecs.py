@@ -131,8 +131,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= end:
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + clen > end:
+            raise ValueError(
+                f"truncated {cid!r} chunk (declares {clen} bytes past payload end)"
+            )
         body = payload[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("fmt chunk too short")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -142,6 +148,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     audio_format, ch, sample_rate, _byte_rate, _block_align, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"only PCM16 supported (format={audio_format}, bits={bits})")
+    if ch < 1:
+        raise ValueError("fmt chunk declares 0 channels")
     ints = np.frombuffer(data, dtype="<i2")
     n = len(ints) // ch
     return (ints[: n * ch].reshape(n, ch).astype(np.float32) / 32768.0), sample_rate

@@ -422,31 +422,33 @@ def jaccard_contamination(
     vanishingly small fraction) are ever aggregated, and the corpus never
     shuffles. Jaccard = inter / (|a| + |b| - inter) needs per-doc shingle
     counts, which ride the same single aggregate."""
-    doc_grams = (
-        docs.repartition(F.col(id_col))
-        .select(
-            F.col(id_col),
-            F.explode(shingle_array(ws_tokens(text_col), shingle_n)).alias("g"),
-        )
-        .dropDuplicates([id_col, "g"])
+    # distinct-shingle sets dedup ROW-LOCALLY (array_distinct before the
+    # explode) and each exploded gram carries its document's set size, so
+    # the corpus is scanned exactly once with no dedup exchange and no
+    # second sizes aggregate (the round-4 review caught the two-branch
+    # formulation re-running the whole explode for doc_sizes)
+    doc_set = F.array_distinct(shingle_array(ws_tokens(text_col), shingle_n))
+    doc_grams = docs.repartition(F.col(id_col)).select(
+        F.col(id_col),
+        F.size(doc_set).alias("_asz"),
+        F.explode(doc_set).alias("g"),
     )
-    doc_sizes = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("_asz"))
-    eval_grams = (
-        eval_docs.select(
-            F.col(id_col).alias("_eid"),
-            F.explode(shingle_array(ws_tokens(text_col), shingle_n)).alias("g"),
-        )
-        .dropDuplicates(["_eid", "g"])
-    )
-    eval_sized = eval_grams.join(
-        eval_grams.groupBy("_eid").agg(F.count(F.lit(1)).alias("_bsz")), "_eid"
+    eval_set = F.array_distinct(shingle_array(ws_tokens(text_col), shingle_n))
+    eval_sized = eval_docs.select(
+        F.col(id_col).alias("_eid"),
+        F.size(eval_set).alias("_bsz"),
+        F.explode(eval_set).alias("g"),
     )
     inter = (
         doc_grams.join(F.broadcast(eval_sized), "g")
-        .groupBy(id_col, "_eid", "_bsz")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        .groupBy(id_col, "_eid")
+        .agg(
+            F.first("_asz").alias("_asz"),
+            F.first("_bsz").alias("_bsz"),
+            F.count(F.lit(1)).alias("_inter"),
+        )
     )
-    scored = inter.join(doc_sizes, id_col).select(
+    scored = inter.select(
         F.col(id_col),
         F.col("_eid"),
         F.round(
@@ -455,9 +457,15 @@ def jaccard_contamination(
             6,
         ).alias("_j"),
     )
+    # min_by over (−jaccard, eval_id) ⇒ max jaccard, ties → smallest eval
+    # id. Only _j is negated (always double); _eid is compared as its own
+    # type, so string/UUID eval ids keep a deterministic tiebreak (a
+    # negated non-numeric id would cast to NULL and break determinism).
     return scored.groupBy(id_col).agg(
         F.max("_j").alias("max_jaccard"),
-        F.max_by("_eid", F.struct(F.col("_j"), -F.col("_eid"))).alias("best_eval_id"),
+        F.min_by("_eid", F.struct((-F.col("_j")).alias("nj"), F.col("_eid").alias("e"))).alias(
+            "best_eval_id"
+        ),
     )
 
 

@@ -329,6 +329,18 @@ def duplicate_clusters(
     label class, rooted at its minimum node id (the minimum maps to
     itself, and a one-class component inherits its label).
     """
+    # the partition-local NumPy solve and its Arrow schema are integral;
+    # reject non-integral ids up front (the pre-contraction propagation
+    # was type-generic — string/UUID ids would now fail deep inside Arrow
+    # with an opaque cast error; map such ids to longs, e.g. xxhash64 or
+    # a dense rank, before clustering)
+    for c in (a_col, b_col):
+        dt = pairs.schema[c].dataType.typeName()
+        if dt not in ("long", "integer", "short", "byte"):
+            raise TypeError(
+                f"duplicate_clusters requires integral ids; {c} is {dt} — "
+                "pre-map ids to longs (xxhash64 / dense rank) first"
+            )
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     sym = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -5,26 +5,51 @@ relation to one partition — fine for a 30-row demo, a ceiling for a
 multi-million-term vocabulary. ``with_global_rank`` produces the identical
 total-order rank in three scale-safe steps, the same scheme
 ``RDD.zipWithIndex`` uses internally (Spark core, zipWithIndex: one
-count-per-partition job, offsets broadcast back):
+count-per-partition job, offsets folded back):
 
 1. range-partition by the sort key, so partition *i* holds only keys that
    sort before everything in partition *i+1*;
 2. count rows per partition and fold the counts into per-partition start
-   offsets — the only driver-side data is ONE ROW PER PARTITION, O(shuffle
-   partitions), independent of data size;
+   offsets — the offset relation is ONE ROW PER PARTITION, O(shuffle
+   partitions) P, independent of data size; the prefix sum is a broadcast
+   theta self-join over those P rows (P² pairs, trivially small), chosen
+   over a global-window cumsum so NO stage anywhere in the plan is
+   Exchange SinglePartition (the invariant tests/test_plans.py pins);
 3. per-partition ``row_number`` (partitioned window — parallel) plus the
    broadcast offset.
 
 The order must be total (include a unique tiebreak column); with a total
-order the result is byte-identical to the single-partition form. The
-input is localCheckpoint-ed before the counting job so the upstream plan
-(typically an aggregate) computes once, not once per downstream action.
+order the result is byte-identical to the single-partition form.
+
+Laziness contract: the whole computation is DEFERRED — building the plan
+runs no jobs (the round-4 review found the original localCheckpoint +
+collect here executed vocabulary jobs whenever a consumer query's plan
+was merely constructed, which the plan sweep and bench fingerprint pass
+do constantly). `_pid` must agree between the count branch and the rank
+branch even though range-boundary sampling is seeded per execution; the
+lazily persist()-ed relation (keep-at-most-one registry, as in
+sentiment.py) guarantees it by EXECUTION ORDER: the offsets land on the
+broadcast side of the final join, and broadcast exchanges materialize
+before the probe stage runs — so the count branch populates the entire
+cache first and the rank branch reads the same cached partitions. The
+registry releases the previous call's cache, never the current one.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# The most recent with_global_rank persisted range-partitioned relation.
+# Each new call releases the previous one (at most ONE cached relation per
+# session); `release_cache()` frees the last.
+_LAST_PART: list = []
+
+
+def release_cache() -> None:
+    """Unpersist the relation cached by the most recent with_global_rank."""
+    while _LAST_PART:
+        _LAST_PART.pop().unpersist()
 
 
 def with_global_rank(
@@ -35,28 +60,27 @@ def with_global_rank(
 ) -> DataFrame:
     """Append 0-based global rank ``rank_col`` under the total order
     ``order_cols`` (pass sort expressions, e.g. ``F.col("df").desc()``)
-    with no single-partition stage."""
+    with no single-partition stage over the data and no eager jobs."""
     part = (
         df.repartitionByRange(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .persist()
     )
-    counts = {
-        r["_pid"]: r["n"]
-        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        offsets or [(0, 0)], "_pid int, _off long"
+    release_cache()
+    _LAST_PART.append(part)
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    prior = counts.select(
+        F.col("_pid").alias("_qid"), F.col("_n").alias("_qn")
+    )
+    off = (
+        counts.join(F.broadcast(prior), F.col("_qid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_qn"), F.lit(0)).alias("_off"))
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
         part.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(off_df), "_pid", "left")
+        .join(F.broadcast(off), "_pid", "left")
         .withColumn(rank_col, F.coalesce("_off", F.lit(0)) + F.col("_rn") - 1)
         .drop("_pid", "_rn", "_off")
     )

@@ -175,11 +175,13 @@ def _probe_buckets(bucket: Column, n_planes: int, probe_bits: int) -> Column:
     query side explodes (the big corpus side is untouched)."""
     from itertools import combinations
 
+    if not 0 <= probe_bits <= n_planes:
+        raise ValueError(f"probe_bits must be in [0, n_planes]; got {probe_bits}")
     masks = [0]
-    if probe_bits >= 1:
-        masks += [1 << i for i in range(n_planes)]
-    if probe_bits >= 2:
-        masks += [(1 << i) | (1 << j) for i, j in combinations(range(n_planes), 2)]
+    for r in range(1, probe_bits + 1):
+        masks += [
+            sum(1 << i for i in bits) for bits in combinations(range(n_planes), r)
+        ]
     return F.array(*[bucket.bitwiseXOR(F.lit(m)) for m in masks])
 
 
@@ -606,9 +608,12 @@ def ivf_index_append(
     on-disk inverted lists grow in place; probes see the union
     immediately. Centroids drift as the corpus grows — re-run
     ``build_ivf_index`` on a schedule to re-center (the standard
-    IVF maintenance tradeoff: cheap appends between periodic rebuilds)."""
+    IVF maintenance tradeoff: cheap appends between periodic rebuilds).
+    NULL vectors are dropped (they cannot be assigned to a list and must
+    not be written as corrupt entries); an all-NULL/empty batch appends
+    nothing."""
     centroids = spark.read.parquet(f"{path}/centroids")
-    base = new_embeddings.select(
+    base = new_embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("emb"),
         l2_norm(F.col(vec_col)).alias("nrm"),
@@ -662,9 +667,14 @@ def lsh_index_append(
     seed — bucketing is stateless, so unlike IVF there is no drift and no
     periodic rebuild needed) and append into the bucket-partitioned
     corpus, conformed to the existing schema (see ivf_index_append).
-    An empty batch is a no-op (nothing to bucket, nothing to write)."""
+    An empty batch is a no-op (nothing to bucket, nothing to write).
+    NULL vectors are dropped FIRST — a NULL-vector first row must not
+    masquerade as an empty batch (silently skipping the real rows), and
+    NULL rows in any position must not be written as corrupt bucket
+    entries."""
+    new_embeddings = new_embeddings.filter(F.col(vec_col).isNotNull())
     probe = new_embeddings.select(vec_col).first()
-    if probe is None or probe[0] is None:
+    if probe is None:
         return
     dim = len(probe[0])
     planes = _hyperplanes(dim, n_planes, seed)

@@ -975,40 +975,63 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row broadcast joined under a non-equi filter (whitelisted scalar
     BNLJ); the nation-filtered partsupp relation is computed once and
     reused for both the per-part aggregate and the grand total, so the
-    fact side is scanned twice but shuffled only for the two aggregates."""
+    fact side is scanned twice but shuffled only for the two aggregates.
+
+    Determinism: ps_supplycost has exactly 2 decimals, so stock values
+    sum as BIGINT CENTS and the HAVING comparison is pure integer
+    arithmetic — a double sum's partial-aggregation order varies between
+    engines and runs, and a part within ulps of the threshold would flip
+    the hash-verified result (DESIGN.md §5 fixed-point convention).
+    Scale-adaptivity: the spec scales its fraction by 1/SF because the
+    per-part share shrinks as parts multiply; here the threshold is
+    2× the average per-part share (part_cents · n_parts > 2 · total),
+    which keeps the result non-trivial at every SF with integers only."""
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_7", "NATION_12", "NATION_17", "NATION_22")
+    )
+    cents = (
+        F.round(F.col("ps_supplycost") * 100).cast("long") * F.col("ps_availqty")
     )
     ps = (
         derived_partsupp(spark, sf_dir)
         .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
+        .select("ps_partkey", cents.alias("v"))
     )
     per_part = ps.groupBy("ps_partkey").agg(F.sum("v").alias("_sv"))
-    threshold = ps.agg((F.sum("v") * F.lit(0.001)).alias("_thr"))
+    threshold = ps.agg(
+        F.sum("v").alias("_total"),
+        F.count_distinct(F.col("ps_partkey")).alias("_nparts"),
+    )
     return (
-        per_part.join(F.broadcast(threshold), F.col("_sv") > F.col("_thr"))
-        .select("ps_partkey", F.round(F.col("_sv"), 2).alias("stock_value"))
+        per_part.join(
+            F.broadcast(threshold),
+            F.col("_sv") * F.col("_nparts") > F.col("_total") * 2,
+        )
+        .select(
+            "ps_partkey",
+            F.round(F.col("_sv").cast("double") / 100.0, 2).alias("stock_value"),
+        )
         .orderBy(F.desc("stock_value"), "ps_partkey")
         .limit(100)
     )
 
 
 ORACLE_TPCH_Q11 = _PS_CTE + """
-SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 2) AS stock_value
-FROM partsupp
-JOIN supplier ON ps_suppkey = s_suppkey
-JOIN nation   ON s_nationkey = n_nationkey
-WHERE n_name IN ('NATION_7', 'NATION_12', 'NATION_17', 'NATION_22')
-GROUP BY ps_partkey
-HAVING sum(ps_supplycost * ps_availqty) > (
-  SELECT sum(ps_supplycost * ps_availqty) * 0.001
+, nation_ps AS (
+  SELECT ps_partkey,
+         CAST(round(ps_supplycost * 100) AS BIGINT) * ps_availqty AS v
   FROM partsupp
   JOIN supplier ON ps_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
-  WHERE n_name IN ('NATION_7', 'NATION_12', 'NATION_17', 'NATION_22'))
+  WHERE n_name IN ('NATION_7', 'NATION_12', 'NATION_17', 'NATION_22')
+)
+SELECT ps_partkey, round(CAST(sum(v) AS DOUBLE) / 100.0, 2) AS stock_value
+FROM nation_ps
+GROUP BY ps_partkey
+HAVING sum(v) * (SELECT count(DISTINCT ps_partkey) FROM nation_ps)
+       > (SELECT sum(v) FROM nation_ps) * 2
 ORDER BY stock_value DESC, ps_partkey
 LIMIT 100
 """

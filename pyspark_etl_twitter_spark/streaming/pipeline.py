@@ -200,7 +200,8 @@ def streaming_score_throughput(
     try:
         replay = os.path.join(root, "replay")
         rep.repartition(n_files).write.mode("overwrite").json(replay)
-        total = rep.count()
+        # exact by construction — avoids re-running the explode just to count
+        total = docs.count() * replicate
 
         def _score_batch(batch_df: DataFrame, _epoch: int) -> None:
             score_documents(batch_df, weights).write.format("noop").mode(

@@ -166,3 +166,16 @@ if HAVE_HYPOTHESIS:
         # encode scales by 32767, decode divides by 32768 (the common
         # PCM16 convention): error ≤ (0.5 + |x|)/32768
         assert np.abs(decoded - wave).max() <= 1.51 / 32768
+
+
+def test_wav_rejects_zero_channels_and_oversized_data():
+    import struct
+
+    raw = bytearray(encode_wav(_sine_wave(), 8_000))
+    # fmt channels field sits at offset 12 (RIFF hdr) + 8 (chunk hdr) + 2
+    bad_ch = bytes(raw[:22]) + struct.pack("<H", 0) + bytes(raw[24:])
+    with pytest.raises(ValueError, match="0 channels"):
+        decode_wav(bad_ch)
+    # data chunk declaring more bytes than the payload holds
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(bytes(raw[: len(raw) - 100]))

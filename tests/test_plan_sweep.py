@@ -57,6 +57,12 @@ BNLJ_OK = {
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",
     "tpch_q20_excess_stock",
+    # with_global_rank's offset prefix-sum is a broadcast theta self-join
+    # over O(shuffle partitions) count rows (operators/ranking.py) —
+    # chosen over a global-window cumsum to keep Exchange SinglePartition
+    # out of every rank-consumer plan
+    "vocab_head",
+    "encoded_docs",
 }
 
 # queries that EXECUTE during plan building (iterative/driver-bounded):

@@ -127,3 +127,100 @@ def snapshot_diff(
         .otherwise("unchanged")
     )
     return joined.select(*key_cols, change.alias("change_type"))
+
+
+# --------------------------------------------------------------------------
+# Round 4: snapshot-isolated parquet MERGE (the Delta-sink twin, upgraded)
+# --------------------------------------------------------------------------
+
+# Versioned-snapshot table layout:
+#   <path>/v=<N>/...parquet     immutable snapshot N
+#   <path>/_latest              text file holding "<N> <epoch_marker>"
+# Readers resolve _latest then read exactly one immutable snapshot dir —
+# they see version N or N+1, never a partial write (the parquet files of
+# N+1 are fully written BEFORE the pointer moves, and the pointer write is
+# an atomic rename). This is the minimal shape of what Delta's commit log
+# provides; it exists because the container has no delta-spark
+# (COVERAGE.md environment gates) and the foreachBatch parquet twin
+# (sources/sinks.py) needed a MERGE-capable, replay-idempotent target.
+# Single-writer by contract (like one streaming query per sink).
+
+
+def _read_latest_pointer(spark, path: str):
+    import os
+
+    ptr = os.path.join(path, "_latest")
+    if not os.path.exists(ptr):
+        return None, None
+    raw = open(ptr).read().split()
+    return int(raw[0]), (raw[1] if len(raw) > 1 else None)
+
+
+def read_snapshot_table(spark, path: str) -> DataFrame | None:
+    """Current contents of a versioned-snapshot table (None if empty)."""
+    version, _ = _read_latest_pointer(spark, path)
+    if version is None:
+        return None
+    return spark.read.parquet(f"{path}/v={version}")
+
+
+def merge_upsert_snapshot(
+    spark,
+    path: str,
+    updates: DataFrame,
+    *,
+    key: str,
+    epoch_id: int | None = None,
+) -> int:
+    """MERGE INTO emulation with snapshot isolation: rows in ``updates``
+    replace current rows with the same ``key``; everything else carries
+    over unchanged (classic anti-join + union — no row-level file
+    rewrites, the whole next snapshot is written immutably, then the
+    pointer swaps atomically). Returns the new version number.
+
+    Idempotent replay (the foreachBatch contract): when ``epoch_id`` is
+    given and equals the marker recorded with the CURRENT pointer, the
+    epoch already committed — the merge is a no-op returning the current
+    version, so Structured Streaming retry semantics (same epoch
+    re-delivered after a crash between sink write and checkpoint commit)
+    cannot double-apply a batch.
+
+    Scale: one key-partitioned anti-join per merge; at 100 TB the
+    snapshot dirs would be partitioned by a key prefix so the anti-join
+    co-locates and untouched partitions hard-link forward — the pointer
+    mechanism is unchanged by that optimization."""
+    import os
+    import tempfile
+
+    current_version, current_epoch = _read_latest_pointer(spark, path)
+    if epoch_id is not None and current_epoch == str(epoch_id):
+        return current_version
+    if current_version is None:
+        new_version = 0
+        merged = updates
+    else:
+        new_version = current_version + 1
+        current = spark.read.parquet(f"{path}/v={current_version}")
+        merged = updates.unionByName(
+            current.join(updates.select(key).distinct(), key, "left_anti")
+        )
+    merged.write.mode("errorifexists").parquet(f"{path}/v={new_version}")
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="_latest.")
+    with os.fdopen(fd, "w") as f:
+        f.write(f"{new_version} {epoch_id if epoch_id is not None else '-'}")
+    os.replace(tmp, os.path.join(path, "_latest"))  # atomic pointer swap
+    return new_version
+
+
+def foreach_batch_merge(path: str, *, key: str):
+    """foreachBatch callback factory: streaming MERGE sink with
+    exactly-once via the epoch marker (the consumer_delta.py:11 pattern
+    with the single-arg defect fixed AND real upsert semantics, which the
+    plain parquet-append twin lacks)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_upsert_snapshot(
+            batch_df.sparkSession, path, batch_df, key=key, epoch_id=epoch_id
+        )
+
+    return write_batch

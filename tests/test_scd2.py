@@ -108,3 +108,59 @@ def test_snapshot_diff_null_shift_detected(spark):
         for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
     }
     assert got == {1: "changed", 2: "unchanged", 3: "changed"}
+
+
+# -- round 4: snapshot-isolated MERGE (Delta-sink twin) -------------------
+
+
+def test_merge_upsert_snapshot_lifecycle(spark, tmp_path):
+    from pyspark_etl_twitter_spark.operators.scd2 import (
+        merge_upsert_snapshot,
+        read_snapshot_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    v0 = merge_upsert_snapshot(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        key="k",
+    )
+    assert v0 == 0
+    # update key 2, insert key 3
+    v1 = merge_upsert_snapshot(
+        spark,
+        path,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+        key="k",
+    )
+    assert v1 == 1
+    got = {r.k: r.v for r in read_snapshot_table(spark, path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # prior snapshot is immutable and still readable (time travel)
+    old = {r.k: r.v for r in spark.read.parquet(f"{path}/v=0").collect()}
+    assert old == {1: "a", 2: "b"}
+
+
+def test_merge_upsert_epoch_replay_is_noop(spark, tmp_path):
+    from pyspark_etl_twitter_spark.operators.scd2 import (
+        foreach_batch_merge,
+        merge_upsert_snapshot,
+        read_snapshot_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    batch = spark.createDataFrame([(1, "a")], "k long, v string")
+    write = foreach_batch_merge(path, key="k")
+    write(batch, 7)
+    write(batch, 7)  # crash-replay of the SAME epoch
+    assert read_snapshot_table(spark, path).count() == 1
+    # a NEW epoch with the same rows still applies (only replays dedupe)
+    v = merge_upsert_snapshot(spark, path, batch, key="k", epoch_id=8)
+    assert v == 1

@@ -544,3 +544,49 @@ def temperature_mix_sample(
         .filter(u32 < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def source_vocab_overlap(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mixing
+    diagnostic (two sources with near-identical vocabularies add less
+    diversity than their row counts suggest; near-zero overlap flags a
+    language/domain outlier in the mix).
+
+    Scale shape: one pass reduces the corpus to DISTINCT (group, term)
+    rows — the shuffle is bounded by groups × vocabulary, independent of
+    corpus row count — then per-group set sizes broadcast back and the
+    pair intersection is an equi-join ON TERM (never a group×group cross
+    of term sets). Output is |groups|² rows at most: a diagnostic table,
+    not a data product."""
+    terms = (
+        docs.select(F.col(group_col).alias("g"), F.explode(ws_tokens(text_col)).alias("t"))
+        .dropDuplicates(["g", "t"])
+    )
+    sizes = terms.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
+    a = terms.select(F.col("g").alias("ga"), "t")
+    b = terms.select(F.col("g").alias("gb"), "t")
+    inter = (
+        a.join(b, "t")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.select(F.col("g").alias("ga"), F.col("sz").alias("_sa"))), "ga")
+        .join(F.broadcast(sizes.select(F.col("g").alias("gb"), F.col("sz").alias("_sb"))), "gb")
+        .select(
+            "ga",
+            "gb",
+            "n_inter",
+            F.round(
+                F.col("n_inter")
+                / (F.col("_sa") + F.col("_sb") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )

@@ -498,3 +498,38 @@ FROM documents d JOIN thr USING (source)
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{TMIX_SEED}'), 1, 8)) AS BIGINT) < t
 GROUP BY d.source
 """
+
+
+def source_vocab_overlap_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-overlapping source pairs by vocabulary Jaccard (corpus-mix
+    diagnostic; operators/curation.source_vocab_overlap). Shuffle bounded
+    by groups × vocabulary, intersection via equi-join on term."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        C.source_vocab_overlap(docs)
+        .orderBy(F.desc("vocab_jaccard"), "ga", "gb")
+        .limit(25)
+    )
+
+
+ORACLE_SOURCE_VOCAB_OVERLAP_TOP = """
+WITH terms AS (
+  SELECT DISTINCT source AS g, t.term
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents) t
+  WHERE t.term <> ''
+),
+sizes AS (SELECT g, count(*) AS sz FROM terms GROUP BY g),
+inter AS (
+  SELECT a.g AS ga, b.g AS gb, count(*) AS n_inter
+  FROM terms a JOIN terms b ON a.term = b.term AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT ga, gb, n_inter,
+       round(CAST(n_inter AS DOUBLE)
+             / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS vocab_jaccard
+FROM inter
+JOIN sizes sa ON sa.g = ga
+JOIN sizes sb ON sb.g = gb
+ORDER BY vocab_jaccard DESC, ga, gb
+LIMIT 25
+"""

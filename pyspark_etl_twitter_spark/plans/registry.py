@@ -250,8 +250,10 @@ QUERIES: dict[str, QueryFn] = {
     "budget_selection_by_source": CQ.budget_selection_by_source,
     "temperature_mix_counts": CQ.temperature_mix_counts,
     # round-4 corpus analytics: char-entropy quality + boilerplate spans
+    # + source-pair vocabulary overlap
     "char_entropy_by_source": T.char_entropy_by_source,
     "repeated_spans_top": T.repeated_spans_top,
+    "source_vocab_overlap_top": CQ.source_vocab_overlap_top,
 }
 
 ORACLES: dict[str, str] = {
@@ -382,6 +384,7 @@ ORACLES: dict[str, str] = {
     "temperature_mix_counts": CQ.ORACLE_TEMPERATURE_MIX_COUNTS,
     "char_entropy_by_source": T.ORACLE_CHAR_ENTROPY_BY_SOURCE,
     "repeated_spans_top": T.ORACLE_REPEATED_SPANS_TOP,
+    "source_vocab_overlap_top": CQ.ORACLE_SOURCE_VOCAB_OVERLAP_TOP,
     "bigram_lm_quality_by_source": LQ.ORACLE_BIGRAM_LM_QUALITY_BY_SOURCE,
     "chunk_documents_overlap_64": T.ORACLE_CHUNK_DOCUMENTS_OVERLAP_64,
     "stats_aggregates_lineitem": R2.ORACLE_STATS_AGGREGATES_LINEITEM,

@@ -261,3 +261,20 @@ def test_temperature_mix_flattens_sources(spark):
     # determinism: same seed → same set
     again = {r.doc_id for r in C.temperature_mix_sample(docs, scale=10).collect()}
     assert again == {r.doc_id for r in kept.collect()}
+
+
+def test_source_vocab_overlap_planted(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma", "s1"),
+            (2, "alpha beta delta", "s2"),   # 2/4 shared with s1
+            (3, "zz yy xx", "s3"),           # disjoint
+        ],
+    )
+    got = {
+        (r.ga, r.gb): (r.n_inter, r.vocab_jaccard)
+        for r in C.source_vocab_overlap(docs).collect()
+    }
+    assert got[("s1", "s2")] == (2, 0.5)
+    assert ("s1", "s3") not in got  # zero-intersection pairs are absent

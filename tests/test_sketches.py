@@ -88,3 +88,53 @@ def test_native_hll_sketch_lifecycle_persist_and_merge(spark, tmp_path):
     )
     truth = li.select("l_partkey").distinct().count()
     assert abs(merged_est - truth) / truth < 0.05
+
+
+def test_streaming_incremental_cms_equals_batch_build(spark, tmp_path):
+    """Streaming sketch maintenance: a foreachBatch loop that cms_builds
+    each micro-batch and MERGES it into a persisted sketch table yields
+    the cell-identical sketch of a one-shot batch build — the mergeability
+    property carried through the real streaming lifecycle (replay source →
+    foreachBatch → persisted state), so a 100 TB deployment can keep
+    sketches current per-batch without rescans."""
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+    from pyspark_etl_twitter_spark.streaming.pipeline import (
+        replay_to_json,
+        stream_documents,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    replay = str(tmp_path / "replay")
+    replay_to_json(docs, replay, n_files=4, order_col="doc_id")
+
+    sketch_dir = str(tmp_path / "sketch")
+
+    def update_sketch(batch_df, epoch_id):
+        import os
+
+        delta = cms_build(batch_df, "source", width=64, depth=4)
+        if os.path.exists(sketch_dir):
+            merged = cms_merge(spark.read.parquet(sketch_dir), delta)
+        else:
+            merged = delta
+        # write-then-swap: localCheckpoint breaks the read-own-input cycle
+        merged.localCheckpoint().write.mode("overwrite").parquet(sketch_dir)
+
+    q = (
+        stream_documents(spark, replay, max_files_per_trigger=1)
+        .writeStream.foreachBatch(update_sketch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.row, r.bucket): r.cnt
+        for r in spark.read.parquet(sketch_dir).collect()
+    }
+    want = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_build(docs, "source", width=64, depth=4).collect()
+    }
+    assert got == want

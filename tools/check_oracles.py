@@ -49,6 +49,9 @@ def main() -> int:
 
     spark = get_session(app_name="check_oracles", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
+    # spill outside the repo: a big oracle join (e.g. the dense sf0.1
+    # wedge enumeration) otherwise writes tens of GB under ./.tmp
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

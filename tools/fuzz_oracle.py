@@ -424,6 +424,9 @@ def main() -> int:
 
     spark = get_session(app_name="fuzz_oracle", master="local[16]", shuffle_partitions=16)
     con = duckdb.connect()
+    # spill outside the repo: a big oracle join (e.g. the dense sf0.1
+    # wedge enumeration) otherwise writes tens of GB under ./.tmp
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     stats: dict[str, dict] = {}
     for t, spec in TABLES.items():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

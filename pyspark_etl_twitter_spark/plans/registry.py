@@ -254,6 +254,8 @@ QUERIES: dict[str, QueryFn] = {
     "char_entropy_by_source": T.char_entropy_by_source,
     "repeated_spans_top": T.repeated_spans_top,
     "source_vocab_overlap_top": CQ.source_vocab_overlap_top,
+    # round-4 robust statistics (percentile-clip)
+    "winsorized_price_stats": R2.winsorized_price_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -385,6 +387,7 @@ ORACLES: dict[str, str] = {
     "char_entropy_by_source": T.ORACLE_CHAR_ENTROPY_BY_SOURCE,
     "repeated_spans_top": T.ORACLE_REPEATED_SPANS_TOP,
     "source_vocab_overlap_top": CQ.ORACLE_SOURCE_VOCAB_OVERLAP_TOP,
+    "winsorized_price_stats": R2.ORACLE_WINSORIZED_PRICE_STATS,
     "bigram_lm_quality_by_source": LQ.ORACLE_BIGRAM_LM_QUALITY_BY_SOURCE,
     "chunk_documents_overlap_64": T.ORACLE_CHUNK_DOCUMENTS_OVERLAP_64,
     "stats_aggregates_lineitem": R2.ORACLE_STATS_AGGREGATES_LINEITEM,

@@ -806,3 +806,49 @@ SELECT CASE WHEN is_added THEN 'added'
        count(*) AS n_keys
 FROM j GROUP BY 1
 """
+
+
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (percentile-clipped) robust statistics per return flag —
+    the outlier-tolerant aggregate a quality pipeline uses where a raw
+    mean is hostage to extreme rows. Group [p05, p95] bounds come from
+    one exact-percentile aggregate over ≤ |groups| rows and broadcast
+    back; the clip itself is a row-local least/greatest, so the fact
+    table shuffles only for the two aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("_lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("_hi"),
+    )
+    clipped = li.join(F.broadcast(pct), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.least(
+            F.greatest(F.col("l_extendedprice"), F.col("_lo")), F.col("_hi")
+        ).alias("_w"),
+        ((F.col("l_extendedprice") < F.col("_lo"))
+         | (F.col("l_extendedprice") > F.col("_hi"))).alias("_clip"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.round(F.avg("_w"), 6).alias("winsorized_avg"),
+        F.round(F.stddev_samp("_w"), 6).alias("winsorized_std"),
+        F.count(F.when(F.col("_clip"), 1)).alias("n_clipped"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_WINSORIZED_PRICE_STATS = """
+WITH pct AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       round(avg(least(greatest(l_extendedprice, lo), hi)), 6) AS winsorized_avg,
+       round(stddev_samp(least(greatest(l_extendedprice, lo), hi)), 6) AS winsorized_std,
+       count(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi THEN 1 END) AS n_clipped,
+       count(*) AS n_rows
+FROM lineitem l JOIN pct USING (l_returnflag)
+GROUP BY l.l_returnflag
+"""

@@ -407,6 +407,7 @@ def jaccard_contamination(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Per-document MAX shingle-Jaccard against any eval document —
     the fuzzy upgrade of ``contamination_overlap`` (which only counts
@@ -432,7 +433,15 @@ def jaccard_contamination(
     # size(doc_set) in one projection makes Catalyst re-evaluate the
     # whole tokenize→shingle→distinct pipeline per EXPLODED row (measured:
     # 137 s vs 6 s at sf0.1 for the same logical result).
+    # hash_grams: probe/aggregate on xxhash64 of each shingle — 8-byte
+    # keys instead of strings in the broadcast and groupBy (the 100 TB
+    # knob, same contract as contamination_overlap: collisions can only
+    # inflate an intersection at ~|a|·|b|/2⁶⁴ odds; set sizes are taken
+    # BEFORE hashing so |a|, |b| are exact). The string form stays the
+    # default and the oracle twin.
     doc_set = F.array_distinct(shingle_array(ws_tokens(text_col), shingle_n))
+    if hash_grams:
+        doc_set = F.transform(doc_set, lambda g: F.xxhash64(g))
     doc_grams = (
         docs.repartition(F.col(id_col))
         .select(F.col(id_col), doc_set.alias("_gs"))

@@ -278,3 +278,14 @@ def test_source_vocab_overlap_planted(spark):
     }
     assert got[("s1", "s2")] == (2, 0.5)
     assert ("s1", "s3") not in got  # zero-intersection pairs are absent
+
+
+def test_jaccard_contamination_hashed_matches_string_probe(spark):
+    docs = load_table(spark, SF_TINY, "documents")
+    ev = docs.filter("doc_id % 97 = 0")
+    tr = docs.filter("doc_id % 97 != 0")
+    s = {(r.doc_id, r.max_jaccard, r.best_eval_id)
+         for r in C.jaccard_contamination(tr, ev, shingle_n=3).collect()}
+    h = {(r.doc_id, r.max_jaccard, r.best_eval_id)
+         for r in C.jaccard_contamination(tr, ev, shingle_n=3, hash_grams=True).collect()}
+    assert s == h

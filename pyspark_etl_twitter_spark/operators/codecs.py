@@ -125,7 +125,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     (word-aligned), so files with LIST/INFO metadata decode too."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, end = 12, len(payload)
+    # bound the chunk walk at the RIFF-declared size: trailing non-chunk
+    # bytes after the container (tagger appendages) are outside the RIFF
+    # payload and must not be parsed as chunk headers — but a declared
+    # size past the actual payload still fails per-chunk below
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    pos, end = 12, min(len(payload), 8 + riff_size)
     fmt = None
     data = None
     while pos + 8 <= end:

@@ -579,13 +579,22 @@ def source_vocab_overlap(
 
     Scale shape: one pass reduces the corpus to DISTINCT (group, term)
     rows — the shuffle is bounded by groups × vocabulary, independent of
-    corpus row count — then per-group set sizes broadcast back and the
-    pair intersection is an equi-join ON TERM (never a group×group cross
-    of term sets). Output is |groups|² rows at most: a diagnostic table,
-    not a data product."""
-    terms = (
-        docs.select(F.col(group_col).alias("g"), F.explode(ws_tokens(text_col)).alias("t"))
-        .dropDuplicates(["g", "t"])
+    corpus row count (the relation is persisted via the bounded cache
+    registry so its three consumers — both join sides and the sizes —
+    share one computation) — then per-group set sizes broadcast back and
+    the pair intersection is an equi-join ON TERM (never a group×group
+    cross of term sets). Output is |groups|² rows at most: a diagnostic
+    table, not a data product. CONTRACT: pairs with ZERO shared terms
+    are ABSENT from the output (inner intersection join — the DuckDB
+    oracle twin matches); a consumer hunting disjoint-vocabulary
+    outliers must anti-join the group list against the result rather
+    than scan for low jaccard values."""
+    from pyspark_etl_twitter_spark.operators.cachereg import keep_cached
+
+    terms = keep_cached(
+        docs.select(
+            F.col(group_col).alias("g"), F.explode(ws_tokens(text_col)).alias("t")
+        ).dropDuplicates(["g", "t"])
     )
     sizes = terms.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
     a = terms.select(F.col("g").alias("ga"), "t")

@@ -27,12 +27,12 @@ collect here executed vocabulary jobs whenever a consumer query's plan
 was merely constructed, which the plan sweep and bench fingerprint pass
 do constantly). `_pid` must agree between the count branch and the rank
 branch even though range-boundary sampling is seeded per execution; the
-lazily persist()-ed relation (keep-at-most-one registry, as in
-sentiment.py) guarantees it by EXECUTION ORDER: the offsets land on the
+lazily persist()-ed relation (bounded keep-recent registry,
+operators/cachereg.py) guarantees it by EXECUTION ORDER: the offsets land on the
 broadcast side of the final join, and broadcast exchanges materialize
 before the probe stage runs — so the count branch populates the entire
-cache first and the rank branch reads the same cached partitions. The
-registry releases the previous call's cache, never the current one.
+cache first and the rank branch reads the same cached partitions. The registry keeps the last several calls' caches live (CACHE_KEEP),
+so interleaved build-then-execute patterns stay covered.
 """
 
 from __future__ import annotations
@@ -40,16 +40,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# The most recent with_global_rank persisted range-partitioned relation.
-# Each new call releases the previous one (at most ONE cached relation per
-# session); `release_cache()` frees the last.
-_LAST_PART: list = []
+from pyspark_etl_twitter_spark.operators.cachereg import keep_cached, release_all
 
 
 def release_cache() -> None:
-    """Unpersist the relation cached by the most recent with_global_rank."""
-    while _LAST_PART:
-        _LAST_PART.pop().unpersist()
+    """Unpersist relations cached by recent with_global_rank calls."""
+    release_all()
 
 
 def with_global_rank(
@@ -61,13 +57,11 @@ def with_global_rank(
     """Append 0-based global rank ``rank_col`` under the total order
     ``order_cols`` (pass sort expressions, e.g. ``F.col("df").desc()``)
     with no single-partition stage over the data and no eager jobs."""
-    part = (
-        df.repartitionByRange(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    part = keep_cached(
+        df.repartitionByRange(*order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
-    release_cache()
-    _LAST_PART.append(part)
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     prior = counts.select(
         F.col("_pid").alias("_qid"), F.col("_n").alias("_qn")

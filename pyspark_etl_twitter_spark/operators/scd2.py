@@ -185,6 +185,19 @@ def merge_upsert_snapshot(
     re-delivered after a crash between sink write and checkpoint commit)
     cannot double-apply a batch.
 
+    Crash safety: a crash BETWEEN the snapshot write and the pointer swap
+    leaves an orphan ``v=N+1`` dir that no pointer references; the retry
+    detects the same target version and overwrites the orphan (mode
+    ``overwrite`` scoped to that one uncommitted dir — committed snapshots
+    are never targeted because the version counter always moves past
+    them), so replay converges instead of wedging on ``errorifexists``.
+
+    Duplicate keys in one batch violate MERGE semantics (which row wins?)
+    — exact duplicate ROWS collapse via ``dropDuplicates``, but two
+    conflicting rows for one key raise (Delta's multiple-source-match
+    error), because silently writing both would hand every downstream
+    consumer a key-uniqueness violation.
+
     Scale: one key-partitioned anti-join per merge; at 100 TB the
     snapshot dirs would be partitioned by a key prefix so the anti-join
     co-locates and untouched partitions hard-link forward — the pointer
@@ -195,6 +208,16 @@ def merge_upsert_snapshot(
     current_version, current_epoch = _read_latest_pointer(spark, path)
     if epoch_id is not None and current_epoch == str(epoch_id):
         return current_version
+    updates = updates.dropDuplicates()
+    conflicts = (
+        updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if conflicts:
+        raise ValueError(
+            f"updates batch has conflicting rows for one {key!r} — "
+            "MERGE requires a unique winner per key (pre-compact with "
+            "upsert_latest)"
+        )
     if current_version is None:
         new_version = 0
         merged = updates
@@ -204,7 +227,7 @@ def merge_upsert_snapshot(
         merged = updates.unionByName(
             current.join(updates.select(key).distinct(), key, "left_anti")
         )
-    merged.write.mode("errorifexists").parquet(f"{path}/v={new_version}")
+    merged.write.mode("overwrite").parquet(f"{path}/v={new_version}")
     fd, tmp = tempfile.mkstemp(dir=path, prefix="_latest.")
     with os.fdopen(fd, "w") as f:
         f.write(f"{new_version} {epoch_id if epoch_id is not None else '-'}")

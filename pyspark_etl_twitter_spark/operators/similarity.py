@@ -175,8 +175,21 @@ def _probe_buckets(bucket: Column, n_planes: int, probe_bits: int) -> Column:
     query side explodes (the big corpus side is untouched)."""
     from itertools import combinations
 
+    import math
+
     if not 0 <= probe_bits <= n_planes:
         raise ValueError(f"probe_bits must be in [0, n_planes]; got {probe_bits}")
+    n_masks = sum(math.comb(n_planes, r) for r in range(probe_bits + 1))
+    if n_masks > 4096:
+        # the probe set is a literal array the query side explodes; past a
+        # few thousand buckets the expression tree itself is the problem
+        # (and the probe would touch most of the corpus anyway — at that
+        # point brute force is the honest plan)
+        raise ValueError(
+            f"probe_bits={probe_bits} over {n_planes} planes expands to "
+            f"{n_masks} probe buckets (> 4096); lower probe_bits or use "
+            "cosine_topk"
+        )
     masks = [0]
     for r in range(1, probe_bits + 1):
         masks += [

@@ -179,3 +179,18 @@ def test_wav_rejects_zero_channels_and_oversized_data():
     # data chunk declaring more bytes than the payload holds
     with pytest.raises(ValueError, match="truncated"):
         decode_wav(bytes(raw[: len(raw) - 100]))
+
+
+def test_wav_tolerates_trailing_bytes_after_container():
+    raw = encode_wav(_sine_wave(), 8_000)
+    decoded, rate = decode_wav(raw + b"TAGGARBAGE12345678")
+    assert rate == 8_000 and decoded.shape == _sine_wave().shape
+
+
+def test_probe_bits_blowup_rejected():
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.similarity import _probe_buckets
+
+    with pytest.raises(ValueError, match="4096"):
+        _probe_buckets(F.lit(0), n_planes=24, probe_bits=12)

@@ -164,3 +164,54 @@ def test_merge_upsert_epoch_replay_is_noop(spark, tmp_path):
     # a NEW epoch with the same rows still applies (only replays dedupe)
     v = merge_upsert_snapshot(spark, path, batch, key="k", epoch_id=8)
     assert v == 1
+
+
+def test_merge_upsert_recovers_from_orphan_snapshot(spark, tmp_path):
+    """Crash between snapshot write and pointer swap leaves an orphan
+    v=N+1 dir; the replay must overwrite it and converge, not wedge."""
+    from pyspark_etl_twitter_spark.operators.scd2 import (
+        merge_upsert_snapshot,
+        read_snapshot_table,
+    )
+    import os
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path, exist_ok=True)
+    merge_upsert_snapshot(
+        spark, path, spark.createDataFrame([(1, "a")], "k long, v string"), key="k"
+    )
+    # simulate the crash: v=1 written, pointer never moved
+    spark.createDataFrame([(9, "orphan")], "k long, v string").write.parquet(
+        f"{path}/v=1"
+    )
+    v = merge_upsert_snapshot(
+        spark, path, spark.createDataFrame([(2, "b")], "k long, v string"), key="k"
+    )
+    assert v == 1
+    got = {r.k: r.v for r in read_snapshot_table(spark, path).collect()}
+    assert got == {1: "a", 2: "b"}  # orphan content fully replaced
+
+
+def test_merge_upsert_rejects_conflicting_duplicate_keys(spark, tmp_path):
+    from pyspark_etl_twitter_spark.operators.scd2 import merge_upsert_snapshot
+    import os
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path, exist_ok=True)
+    # exact duplicate rows collapse silently
+    v = merge_upsert_snapshot(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a"), (1, "a")], "k long, v string"),
+        key="k",
+    )
+    assert v == 0
+    # conflicting rows for one key raise
+    with _pytest.raises(ValueError, match="conflicting"):
+        merge_upsert_snapshot(
+            spark,
+            path,
+            spark.createDataFrame([(2, "x"), (2, "y")], "k long, v string"),
+            key="k",
+        )

@@ -210,3 +210,25 @@ def test_with_global_rank_empty_input(spark):
 
     df = spark.createDataFrame([], "n long, term string")
     assert with_global_rank(df, [F.col("n")], rank_col="r").count() == 0
+
+
+def test_with_global_rank_interleaved_build_then_execute(spark):
+    """The review scenario the bounded cache registry exists for: build
+    several rank plans, then execute an EARLIER one — its persisted
+    relation must still be live so both branches read one computation
+    and ranks stay exact."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.ranking import with_global_rank
+
+    df = spark.range(5000).select((F.col("id") * 13 % 997).alias("k"), "id")
+    first = with_global_rank(df, [F.col("k").asc(), F.col("id").asc()], rank_col="r")
+    for i in range(3):  # later builds must not evict the first plan's cache
+        with_global_rank(df, [F.col("k").desc(), F.col("id").asc()])
+    want = df.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("k").asc(), F.col("id").asc())) - 1,
+    )
+    bad = first.alias("a").join(want.alias("b"), ["k", "id"]).filter("a.r != b.r")
+    assert bad.count() == 0

@@ -236,8 +236,10 @@ QUERIES: dict[str, QueryFn] = {
     # per-group embedding centroids (round 3)
     "embedding_centroids_by_label": AQ.embedding_centroids_by_label,
     # as-of join direction variants (round 3; backward rep in-window)
+    # + tolerance-bounded variant (round 4, pandas merge_asof semantics)
     "asof_forward_next_click": R.asof_forward_next_click,
     "asof_nearest_click": R.asof_nearest_click,
+    "asof_tolerance_click": R.asof_tolerance_click,
     # null-safe join semantics + SemDeDup centroid pruning (round 3)
     "null_safe_join_segments": R2.null_safe_join_segments,
     "semantic_prune_by_centroid": AQ.semantic_prune_by_centroid,
@@ -388,6 +390,7 @@ ORACLES: dict[str, str] = {
     "repeated_spans_top": T.ORACLE_REPEATED_SPANS_TOP,
     "source_vocab_overlap_top": CQ.ORACLE_SOURCE_VOCAB_OVERLAP_TOP,
     "winsorized_price_stats": R2.ORACLE_WINSORIZED_PRICE_STATS,
+    "asof_tolerance_click": R.ORACLE_ASOF_TOLERANCE_CLICK,
     "bigram_lm_quality_by_source": LQ.ORACLE_BIGRAM_LM_QUALITY_BY_SOURCE,
     "chunk_documents_overlap_64": T.ORACLE_CHUNK_DOCUMENTS_OVERLAP_64,
     "stats_aggregates_lineitem": R2.ORACLE_STATS_AGGREGATES_LINEITEM,

@@ -821,3 +821,43 @@ FROM (SELECT event_id, user_id, ts, event_type,
       FROM events)
 WHERE event_type = 'purchase'
 """
+
+
+def asof_tolerance_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas ``merge_asof`` tolerance
+    semantics): the latest strictly-preceding click, but only if it
+    happened within 30 minutes of the purchase — an older match returns
+    NULL, not a stale event. Same single-pass windowed plan as the
+    unbounded variant (one user_id shuffle, running max over a CASE
+    column); the tolerance is one row-local comparison on top."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    last = F.max(click_ts).over(w)
+    within = (
+        F.unix_timestamp("ts") - F.unix_timestamp(last) <= F.lit(1800)
+    )
+    return (
+        ev.withColumn("last_click_ts", F.when(within, last))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+ORACLE_ASOF_TOLERANCE_CLICK = """
+SELECT event_id, user_id, ts,
+       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(last_click_ts)) AS BIGINT) <= 1800
+            THEN last_click_ts END AS last_click_ts
+FROM (SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM events)
+WHERE event_type = 'purchase'
+"""

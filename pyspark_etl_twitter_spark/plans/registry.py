@@ -258,6 +258,7 @@ QUERIES: dict[str, QueryFn] = {
     "source_vocab_overlap_top": CQ.source_vocab_overlap_top,
     # round-4 robust statistics (percentile-clip)
     "winsorized_price_stats": R2.winsorized_price_stats,
+    "equidepth_price_deciles": R2.equidepth_price_deciles,
 }
 
 ORACLES: dict[str, str] = {
@@ -391,6 +392,7 @@ ORACLES: dict[str, str] = {
     "source_vocab_overlap_top": CQ.ORACLE_SOURCE_VOCAB_OVERLAP_TOP,
     "winsorized_price_stats": R2.ORACLE_WINSORIZED_PRICE_STATS,
     "asof_tolerance_click": R.ORACLE_ASOF_TOLERANCE_CLICK,
+    "equidepth_price_deciles": R2.ORACLE_EQUIDEPTH_PRICE_DECILES,
     "bigram_lm_quality_by_source": LQ.ORACLE_BIGRAM_LM_QUALITY_BY_SOURCE,
     "chunk_documents_overlap_64": T.ORACLE_CHUNK_DOCUMENTS_OVERLAP_64,
     "stats_aggregates_lineitem": R2.ORACLE_STATS_AGGREGATES_LINEITEM,

@@ -852,3 +852,59 @@ SELECT l.l_returnflag,
 FROM lineitem l JOIN pct USING (l_returnflag)
 GROUP BY l.l_returnflag
 """
+
+
+def equidepth_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order totals WITHOUT a global
+    ntile window (which single-partitions the table): the nine interior
+    decile boundaries come from one exact-percentile aggregate (1-row
+    broadcast), bin assignment is a row-local comparison chain, and the
+    per-bin stats are one grouped aggregate. Ties across a boundary land
+    in the lower bin on both engines (<= comparisons), so bins are
+    deterministic even though raw ntile's row-split of ties would not
+    be."""
+    orders = _t(spark, sf_dir, "orders")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = orders.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q})").alias(f"_b{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    bin_col = F.lit(10)
+    for i in range(9, 0, -1):
+        bin_col = F.when(
+            F.col("o_totalprice") <= F.col(f"_b{i}"), F.lit(i)
+        ).otherwise(bin_col)
+    return (
+        orders.join(F.broadcast(bounds))
+        .select(bin_col.alias("decile"), "o_totalprice")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_EQUIDEPTH_PRICE_DECILES = """
+WITH bounds AS (
+  SELECT {bs} FROM orders
+)
+SELECT CASE {cases} ELSE 10 END AS decile,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders, bounds
+GROUP BY 1
+ORDER BY decile
+""".format(
+    bs=", ".join(
+        f"quantile_cont(o_totalprice, {i / 10.0}) AS b{i}" for i in range(1, 10)
+    ),
+    cases=" ".join(
+        f"WHEN o_totalprice <= b{i} THEN {i}" for i in range(1, 10)
+    ),
+)

@@ -63,6 +63,8 @@ BNLJ_OK = {
     # out of every rank-consumer plan
     "vocab_head",
     "encoded_docs",
+    # 1-row percentile-boundary broadcast (equi-depth binning)
+    "equidepth_price_deciles",
 }
 
 # queries that EXECUTE during plan building (iterative/driver-bounded):

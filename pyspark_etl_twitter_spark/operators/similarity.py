@@ -94,6 +94,13 @@ def cosine_topk(
     return _rank_topk(scored, k)
 
 
+#: Hard cap on the query block ``cosine_topk_pandas`` collects to the
+#: driver: 10k queries × 4 KB/vector ≈ 40 MB — comfortably inside any
+#: driver heap, far above any sane brute-force query count. Past this,
+#: the caller is misusing the twin as a distributed operator.
+MAX_PANDAS_QUERIES = 10_000
+
+
 def cosine_topk_pandas(
     embeddings: DataFrame,
     *,
@@ -112,9 +119,21 @@ def cosine_topk_pandas(
     linear algebra" tradeoff: the HOF version stays fully in codegen; this
     one pays Arrow transfer but replaces |corpus|×|queries| scalar folds
     with a matmul. Results are identical (tested); pick by profile —
-    at high query counts the matmul wins, at few queries codegen wins."""
+    at high query counts the matmul wins, at few queries codegen wins.
+
+    The query block is a bounded driver collect by design (it must be a
+    broadcast-sized matrix); ``n_queries`` is capped at
+    ``MAX_PANDAS_QUERIES`` so a caller cannot turn the twin into a driver
+    OOM — past that, use ``cosine_topk`` (fully distributed) or an index."""
     from pyspark.sql.functions import pandas_udf
 
+    if n_queries > MAX_PANDAS_QUERIES:
+        raise ValueError(
+            f"n_queries={n_queries} exceeds MAX_PANDAS_QUERIES="
+            f"{MAX_PANDAS_QUERIES}: the query block is collected to the "
+            "driver; use cosine_topk or a persisted index for larger "
+            "query sets"
+        )
     q_rows = (
         embeddings.filter(F.col(id_col) < n_queries)
         .select(id_col, vec_col)
@@ -152,6 +171,13 @@ def cosine_topk_pandas(
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _table_seed(seed: int, table: int) -> int:
+    """Seed for OR-construction table ``table``: table 0 reproduces the
+    single-table buckets (backwards compatible), later tables draw
+    independent hyperplane sets."""
+    return seed + 1009 * table
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -198,6 +224,60 @@ def _probe_buckets(bucket: Column, n_planes: int, probe_bits: int) -> Column:
     return F.array(*[bucket.bitwiseXOR(F.lit(m)) for m in masks])
 
 
+def _lsh_base(
+    embeddings: DataFrame,
+    planes_by_table: list[list[list[float]]],
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Corpus exploded across OR-construction tables: one row per
+    (vector, table) carrying ``(t, bucket)``. The explode is NARROW
+    (posexplode of a computed L-element array — no shuffle); the L×
+    fan-out is the classic LSH storage/recall trade, bounded by
+    ``n_tables``, never by corpus skew."""
+    buckets = F.array(
+        *[lsh_bucket(F.col(vec_col), planes) for planes in planes_by_table]
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        F.posexplode(buckets).alias("t", "bucket"),
+    )
+
+
+def _lsh_score_pairs(pairs: DataFrame, *, k: int, round_dp: int) -> DataFrame:
+    """Shared LSH verification tail: score every (query, candidate)
+    collision, then union across tables with a hash aggregate on the
+    NARROW scored rows — a pair colliding in multiple tables produces
+    identical exact scores, so ``max`` is a dedup. Scoring before the
+    dedup trades a few duplicate 64-float folds (bounded by n_tables) for
+    keeping the embedding arrays out of the exchange: deduping first
+    plans as Sort+SortAggregate over the wide vector payload (measured
+    2.5 s vs 1.0 s for the 100-query probe at sf0.1)."""
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")),
+            round_dp,
+        ).alias("cos_sim"),
+    )
+    # ONE exchange for dedup + rank: hash-partitioning on q_id satisfies
+    # both the (q_id, neighbor_id) aggregate's clustered distribution and
+    # the q_id rank window's, so the agg and the window share the same
+    # exchange instead of shuffling twice (scored rows are narrow —
+    # 3 columns — so the raw-row repartition costs less than a second
+    # stage boundary)
+    deduped = (
+        scored.repartition("q_id")
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    return _rank_topk(deduped, k)
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     *,
@@ -209,42 +289,43 @@ def ann_lsh_topk(
     seed: int = 7,
     round_dp: int = 6,
     probe_bits: int = 2,
+    n_tables: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket
-    and its multi-probe neighborhood (``probe_bits``, see _probe_buckets).
+    """Approximate top-k via OR-construction LSH: ``n_tables`` independent
+    hyperplane tables; a corpus vector is a candidate if it shares a
+    probed bucket with the query in ANY table (union of candidate sets,
+    deduped before the exact-cosine verify). Per-table miss probability
+    p becomes p^L — the standard recall lever that multi-probe alone
+    cannot reach (measured on the sf0.1 corpus, the adversarially hard
+    near-random-vector case: 1 table → recall@5 0.352, 2 tables → 0.622;
+    sweep table in DESIGN.md / tools/lsh_param_sweep.py).
 
     The bucket equi-join replaces the cross join — at 100 TB this turns
-    O(corpus × queries) into O(corpus·buckets_probed/2^planes × queries)
-    with a plain shuffle-hash join. May return fewer than k rows per query
-    (recall tradeoff); not oracle-SQL checked (approximate by design)."""
+    O(corpus × queries) into O(corpus·L·buckets_probed/2^planes × queries)
+    with a plain broadcast-probe join; the corpus side fans out L× but
+    never shuffles. May return fewer than k rows per query (recall
+    tradeoff); not oracle-SQL checked (approximate by design)."""
     dim = len(embeddings.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    base = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("emb"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    planes_by_table = [
+        _hyperplanes(dim, n_planes, _table_seed(seed, t)) for t in range(n_tables)
+    ]
+    base = _lsh_base(embeddings, planes_by_table, id_col=id_col, vec_col=vec_col)
     queries = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
+        F.col("t").alias("q_t"),
         F.explode(
             _probe_buckets(F.col("bucket"), n_planes, probe_bits)
         ).alias("q_bucket"),
     )
     pairs = base.join(
         F.broadcast(queries),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+        (F.col("t") == F.col("q_t"))
+        & (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("vec_id") != F.col("q_id")),
     )
-    scored = pairs.select(
-        "q_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), round_dp
-        ).alias("cos_sim"),
-    )
-    return _rank_topk(scored, k)
+    return _lsh_score_pairs(pairs, k=k, round_dp=round_dp)
 
 
 def ivf_assignments(
@@ -407,15 +488,24 @@ def build_ivf_index(
     assignments, centroids = ivf_assignments(
         embeddings, id_col=id_col, vec_col=vec_col, n_lists=n_lists
     )
-    assignments.write.mode("overwrite").partitionBy("list_id").parquet(
-        f"{path}/assignments"
-    )
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    assignments.filter(F.col("vec_id") < max_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    ).write.mode("overwrite").parquet(f"{path}/queries")
+    # persist: the assignment (centroid cross join + argmin window) feeds
+    # both the partitioned write and the query-block write — one compute
+    # pass, not two (see build_lsh_index)
+    assignments = assignments.persist()
+    try:
+        # repartition on the partition column: one file per inverted list
+        # instead of one per (writer task × list) — see build_lsh_index
+        assignments.repartition("list_id").write.mode("overwrite").partitionBy(
+            "list_id"
+        ).parquet(f"{path}/assignments")
+        centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        assignments.filter(F.col("vec_id") < max_queries).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/queries")
+    finally:
+        assignments.unpersist()
 
 
 def ivf_probe_indexed(
@@ -440,6 +530,26 @@ def ivf_probe_indexed(
     )
 
 
+#: Minimum average vectors per (table, bucket) for the hive-partitioned
+#: index layout: below this, each partition directory holds a near-empty
+#: parquet file and per-file writer/commit overhead dominates the build
+#: (measured at sf0.1: 511 dirs × ~8 vectors = 8.7 s write vs 0.5 s
+#: flat) while pruning saves nothing; above it, directory-level pruning
+#: (static + DPP) is the 100 TB win. 64 × 64-dim float ≈ 16 KB minimum
+#: useful file payload.
+LSH_PARTITIONED_MIN_BUCKET = 64
+
+
+def _read_lsh_meta(spark, path: str) -> dict | None:
+    """Index self-description written by ``build_lsh_index``; None for a
+    pre-meta index (caller-supplied parameters are then trusted)."""
+    try:
+        row = spark.read.parquet(f"{path}/meta").first()
+        return row.asDict() if row is not None else None
+    except Exception:  # noqa: BLE001 — missing meta == legacy layout
+        return None
+
+
 def build_lsh_index(
     embeddings: DataFrame,
     path: str,
@@ -449,25 +559,76 @@ def build_lsh_index(
     n_planes: int = 8,
     seed: int = 7,
     max_queries: int = 100,
+    n_tables: int = 2,
+    layout: str = "auto",
 ) -> None:
-    """Materialize the LSH index: corpus with precomputed norm + sign-bit
-    bucket, parquet PARTITIONED BY ``bucket``; plus a pre-extracted query
-    block (ids, vectors, norms, buckets) for probe-only runs."""
+    """Materialize the OR-construction LSH index: corpus exploded across
+    ``n_tables`` hyperplane tables with precomputed norm + sign-bit
+    bucket; plus a pre-extracted query block (ids, vectors, norms,
+    per-table buckets) for probe-only runs, and a one-row ``meta`` table
+    (layout, n_planes, n_tables, seed) so probes and appends are
+    self-describing. Storage is L× the corpus — the classic LSH trade
+    for p^L miss probability.
+
+    Layout is SIZED TO THE CORPUS (``layout='auto'``):
+
+    - ``partitioned``: parquet PARTITIONED BY (t, bucket), repartitioned
+      on the partition columns first so each directory holds one file
+      per batch instead of one per writer task. Directory-level pruning
+      (static + dynamic partition pruning against the broadcast probe
+      side) is the 100 TB shape — a probe reads only the probed buckets.
+    - ``flat``: range-partitioned + sorted by (t, bucket) plain parquet.
+      Chosen when the average bucket would hold fewer than
+      ``LSH_PARTITIONED_MIN_BUCKET`` vectors: 2^planes·L near-empty
+      files cost more in writer/commit/listing overhead than a full
+      scan of a corpus that small, and row-group (t, bucket) min/max
+      stats still order the data for static pushdown."""
     dim = len(embeddings.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    base = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("emb"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    base.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/corpus")
-    base.filter(F.col("vec_id") < max_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-        F.col("bucket").alias("q_bucket"),
-    ).write.mode("overwrite").parquet(f"{path}/queries")
+    planes_by_table = [
+        _hyperplanes(dim, n_planes, _table_seed(seed, t)) for t in range(n_tables)
+    ]
+    # persist across the writes: the hashed relation is consumed by the
+    # corpus write (twice under repartitionByRange — sampling + write),
+    # then the query-block write; without the cache each pass re-runs the
+    # L·planes hyperplane dot products over the corpus
+    base = _lsh_base(
+        embeddings, planes_by_table, id_col=id_col, vec_col=vec_col
+    ).persist()
+    try:
+        if layout == "auto":
+            n_vecs = embeddings.count()
+            layout = (
+                "partitioned"
+                if n_vecs >= (1 << n_planes) * LSH_PARTITIONED_MIN_BUCKET
+                else "flat"
+            )
+        if layout == "partitioned":
+            base.repartition("t", "bucket").write.mode("overwrite").partitionBy(
+                "t", "bucket"
+            ).parquet(f"{path}/corpus")
+        elif layout == "flat":
+            base.repartitionByRange("t", "bucket").sortWithinPartitions(
+                "t", "bucket"
+            ).write.mode("overwrite").parquet(f"{path}/corpus")
+        else:
+            raise ValueError(f"layout must be auto|partitioned|flat, got {layout!r}")
+        base.filter(F.col("vec_id") < max_queries).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("t").alias("q_t"),
+            F.col("bucket").alias("q_bucket"),
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/queries")
+    finally:
+        base.unpersist()
+    # range(1)+lit, not createDataFrame: a local-list createDataFrame
+    # round-trips through a Python worker (~5 s cold) for one row
+    embeddings.sparkSession.range(1).select(
+        F.lit(layout).alias("layout"),
+        F.lit(int(n_planes)).alias("n_planes"),
+        F.lit(int(n_tables)).alias("n_tables"),
+        F.lit(int(seed)).alias("seed"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def lsh_probe_indexed(
@@ -481,9 +642,17 @@ def lsh_probe_indexed(
     probe_bits: int = 2,
 ) -> DataFrame:
     """Probe-only LSH top-k against a ``build_lsh_index`` layout: broadcast
-    the query block (multi-probe expanded, see _probe_buckets — pass the
-    build-time ``n_planes``) and equi-join on the bucket partition column —
-    only the probed buckets are scanned."""
+    the query block (multi-probe expanded per table, see _probe_buckets)
+    and equi-join on the (t, bucket) columns — for the partitioned
+    layout only the probed partitions of the probed tables are scanned
+    (dynamic partition pruning off the broadcast probe side); candidates
+    union across tables and dedup before the exact verify
+    (OR-construction, same semantics as ``ann_lsh_topk``). ``n_planes``
+    is read from the index ``meta`` when present; the argument is the
+    fallback for pre-meta indexes."""
+    meta = _read_lsh_meta(spark, path)
+    if meta is not None:
+        n_planes = meta["n_planes"]
     corpus = spark.read.parquet(f"{path}/corpus")
     queries = spark.read.parquet(f"{path}/queries").filter(
         F.col("q_id") < n_queries
@@ -491,23 +660,18 @@ def lsh_probe_indexed(
         "q_id",
         "q_emb",
         "q_nrm",
+        "q_t",
         F.explode(
             _probe_buckets(F.col("q_bucket"), n_planes, probe_bits)
         ).alias("q_bucket"),
     )
     pairs = corpus.join(
         F.broadcast(queries),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+        (F.col("t") == F.col("q_t"))
+        & (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("vec_id") != F.col("q_id")),
     )
-    scored = pairs.select(
-        "q_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")),
-            round_dp,
-        ).alias("cos_sim"),
-    )
-    return _rank_topk(scored, k)
+    return _lsh_score_pairs(pairs, k=k, round_dp=round_dp)
 
 
 def embedding_near_dup_pairs(
@@ -674,37 +838,51 @@ def lsh_index_append(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 7,
+    n_tables: int = 2,
 ) -> None:
     """Incrementally add vectors to a persisted LSH index: bucket the new
-    batch with the SAME seeded hyperplanes (pass the build-time n_planes/
-    seed — bucketing is stateless, so unlike IVF there is no drift and no
-    periodic rebuild needed) and append into the bucket-partitioned
-    corpus, conformed to the existing schema (see ivf_index_append).
-    An empty batch is a no-op (nothing to bucket, nothing to write).
-    NULL vectors are dropped FIRST — a NULL-vector first row must not
-    masquerade as an empty batch (silently skipping the real rows), and
-    NULL rows in any position must not be written as corrupt bucket
-    entries."""
+    batch with the SAME seeded hyperplane tables (read from the index
+    ``meta``; the arguments are the pre-meta fallback — bucketing is
+    stateless, so unlike IVF there is no drift and no periodic rebuild
+    needed) and append in the index's own layout (partitioned dirs or
+    flat sorted files), conformed to the existing schema (see
+    ivf_index_append). An empty batch is a no-op (nothing to bucket,
+    nothing to write). NULL vectors are dropped FIRST — a NULL-vector
+    first row must not masquerade as an empty batch (silently skipping
+    the real rows), and NULL rows in any position must not be written as
+    corrupt bucket entries."""
+    meta = _read_lsh_meta(spark, path)
+    layout = "partitioned"
+    if meta is not None:
+        n_planes, n_tables, seed = meta["n_planes"], meta["n_tables"], meta["seed"]
+        layout = meta["layout"]
     new_embeddings = new_embeddings.filter(F.col(vec_col).isNotNull())
     probe = new_embeddings.select(vec_col).first()
     if probe is None:
         return
     dim = len(probe[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    base = new_embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("emb"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    planes_by_table = [
+        _hyperplanes(dim, n_planes, _table_seed(seed, t)) for t in range(n_tables)
+    ]
+    base = _lsh_base(new_embeddings, planes_by_table, id_col=id_col, vec_col=vec_col)
     existing = {
         f.name: f.dataType
         for f in spark.read.parquet(f"{path}/corpus").schema.fields
     }
     base = base.select(
-        *[F.col(c).cast(existing[c]).alias(c) for c in ("vec_id", "emb", "nrm", "bucket")]
+        *[
+            F.col(c).cast(existing[c]).alias(c)
+            for c in ("vec_id", "emb", "nrm", "t", "bucket")
+        ]
     )
-    base.write.mode("append").partitionBy("bucket").parquet(f"{path}/corpus")
+    if layout == "partitioned":
+        base.write.mode("append").partitionBy("t", "bucket").parquet(
+            f"{path}/corpus"
+        )
+    else:
+        base.sortWithinPartitions("t", "bucket").write.mode("append").parquet(
+            f"{path}/corpus"
+        )
     spark.catalog.refreshByPath(f"{path}/corpus")
 
 

@@ -50,6 +50,14 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # partition discovery over many hive dirs (the (t, bucket)-
+        # partitioned ANN indexes are 512 dirs) launches a distributed
+        # listing job past this threshold — ~1 s of job overhead per
+        # spark.read on a LOCAL filesystem where serial driver listing
+        # takes ~0.1 s. Local-mode tuning: a real cluster against an
+        # object store wants the distributed listing back (lower this or
+        # rely on a metastore's file-status cache).
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

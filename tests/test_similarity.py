@@ -249,7 +249,9 @@ def test_lsh_index_append_planted_duplicate_found(spark, tmp_path):
         ["vec_id", "embedding", "label"],
     )
     lsh_index_append(spark, idx, new, n_planes=6)
-    assert spark.read.parquet(f"{idx}/corpus").count() == n0 + 1
+    # one appended vector = one corpus row per OR-construction table
+    appended = spark.read.parquet(f"{idx}/corpus").count() - n0
+    assert appended == spark.read.parquet(f"{idx}/corpus").select("t").distinct().count()
     top = (
         lsh_probe_indexed(spark, idx, n_queries=1, k=1)
         .filter(F.col("q_id") == 0)
@@ -273,12 +275,50 @@ def test_lsh_index_append_empty_batch_is_noop(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/corpus").count() == n0
 
 
+def test_lsh_flat_and_partitioned_layouts_agree(spark, tmp_path):
+    """The adaptive index layout (flat range-sorted files for small
+    corpora, hive (t, bucket) dirs for large) changes WHERE bytes live,
+    never the probe answer; meta makes the probe self-describing in both."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_probe_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    flat, part = str(tmp_path / "flat"), str(tmp_path / "part")
+    build_lsh_index(emb, flat, n_planes=6)  # auto → flat at 500 vectors
+    build_lsh_index(emb, part, n_planes=6, layout="partitioned")
+    import os
+
+    assert not any(d.startswith("t=") for d in os.listdir(f"{flat}/corpus"))
+    assert any(d.startswith("t=") for d in os.listdir(f"{part}/corpus"))
+    a = sorted(map(tuple, lsh_probe_indexed(spark, flat, n_queries=10, k=5).collect()))
+    b = sorted(map(tuple, lsh_probe_indexed(spark, part, n_queries=10, k=5).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_pandas_twin_query_cap(spark):
+    """The BLAS twin's driver collect is bounded: past MAX_PANDAS_QUERIES
+    it must refuse instead of OOMing the driver."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        MAX_PANDAS_QUERIES,
+        cosine_topk_pandas,
+    )
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    with pytest.raises(ValueError, match="MAX_PANDAS_QUERIES"):
+        cosine_topk_pandas(emb, n_queries=MAX_PANDAS_QUERIES + 1)
+
+
 def test_ann_recall_floors(spark):
-    """ANN speed claims ship with accuracy: multi-probe LSH (2 flipped
-    bits) and IVF (4/16 lists) must clear measured recall floors vs exact
-    brute-force on the same queries. Floors sit ~0.1 under the measured
-    sf0.01/sf0.1 values (DESIGN.md §16) to absorb corpus drift, and the
-    single-probe collapse (recall ~0.02) stays caught."""
+    """ANN speed claims ship with accuracy: OR-construction LSH (2 tables,
+    2 flipped probe bits) and IVF (4/16 lists) must clear measured recall
+    floors vs exact brute-force on the same queries. Runs on the sf0.1
+    corpus — the scale the bench's recall bar (≥ 0.6 at 100 queries) is
+    defined at; floors sit ~0.15 under the measured values (L=2: 0.668 at
+    50 queries, sweep in tools/lsh_param_sweep.py / DESIGN.md) to absorb
+    corpus drift, and both the single-probe collapse (recall ~0.02) and
+    the single-table regression (0.352 at 100q) stay caught."""
     from pyspark_etl_twitter_spark.operators.similarity import (
         ann_lsh_topk,
         ann_recall_at_k,
@@ -287,13 +327,13 @@ def test_ann_recall_floors(spark):
     )
     from pyspark_etl_twitter_spark.sources.catalog import load_table
 
-    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
     exact = cosine_topk(emb, n_queries=50, k=5).localCheckpoint()
 
     lsh = ann_lsh_topk(emb, n_queries=50, k=5, n_planes=8, probe_bits=2)
     r_lsh = ann_recall_at_k(lsh, exact, k=5).first()
     assert r_lsh.n_queries == 50
-    assert r_lsh.recall_at_k >= 0.25
+    assert r_lsh.recall_at_k >= 0.5
 
     ivf = ivf_topk(emb, n_queries=50, k=5, n_lists=16, n_probe=4)
     r_ivf = ann_recall_at_k(ivf, exact, k=5).first()

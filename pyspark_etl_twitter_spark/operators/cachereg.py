@@ -19,23 +19,36 @@ everything (test teardown / memory pressure)."""
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 CACHE_KEEP = 8
 
 _RECENT: list[DataFrame] = []
+# registry mutations are lock-guarded: plan building is legal from
+# multiple driver threads (streaming foreachBatch callbacks, thread-pool
+# query fan-out), and an unguarded append/pop race could unpersist a
+# relation another thread just registered
+_LOCK = threading.Lock()
 
 
 def keep_cached(df: DataFrame) -> DataFrame:
     """persist() ``df`` and register it, releasing the oldest registered
     relation beyond ``CACHE_KEEP``. Lazy — no job runs here."""
     df.persist()
-    _RECENT.append(df)
-    while len(_RECENT) > CACHE_KEEP:
-        _RECENT.pop(0).unpersist()
+    evicted: list[DataFrame] = []
+    with _LOCK:
+        _RECENT.append(df)
+        while len(_RECENT) > CACHE_KEEP:
+            evicted.append(_RECENT.pop(0))
+    for old in evicted:  # unpersist outside the lock (it can RPC)
+        old.unpersist()
     return df
 
 
 def release_all() -> None:
-    while _RECENT:
-        _RECENT.pop().unpersist()
+    with _LOCK:
+        drained, _RECENT[:] = _RECENT[:], []
+    for df in drained:
+        df.unpersist()

@@ -77,6 +77,12 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError("unsupported BMP header")
     if bpp != 24 or compression != 0:
         raise ValueError(f"only uncompressed 24-bpp BMP supported (bpp={bpp})")
+    # malformed dimensions/offset must surface as the ValueError contract,
+    # not an opaque numpy reshape error downstream
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
+    if offset < _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size:
+        raise ValueError(f"BMP pixel-data offset {offset} inside header")
     bottom_up = h > 0
     h = abs(h)
     row_len = (w * 3 + 3) & ~3

@@ -39,7 +39,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pyspark_etl_twitter_spark.operators.dedup import shingle_array
+from pyspark_etl_twitter_spark.operators.fanout import fan_out_if_narrow
 from pyspark_etl_twitter_spark.operators.textstats import token_count, ws_tokens
+
 
 # --------------------------------------------------------------------------
 # Decontamination
@@ -279,11 +281,14 @@ def ngram_profile(
     text_col: str = "text",
 ) -> DataFrame:
     """Top-``k`` corpus ``n``-grams by occurrence count (ties broken by
-    gram text). Explode is pre-partitioned by doc id so shingles fan out
-    without shuffling bodies; the count aggregate map-side combines; the
-    top-k is ``orderBy().limit()`` → TakeOrderedAndProject, never a global
-    sort materialization."""
-    grams = docs.repartition(F.col(id_col)).select(
+    gram text). The only aggregate groups by GRAM, and partial (map-side)
+    aggregation already shrinks the gram shuffle to distinct grams per
+    mapper — so the corpus must NOT be shuffled first: the explode runs
+    in place on the scan partitions (``fan_out_if_narrow`` repartitions
+    only a below-parallelism local input). The top-k is
+    ``orderBy().limit()`` → TakeOrderedAndProject, never a global sort
+    materialization."""
+    grams = fan_out_if_narrow(docs, F.col(id_col)).select(
         F.explode(shingle_array(ws_tokens(text_col), n)).alias("gram")
     )
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -442,8 +447,15 @@ def jaccard_contamination(
     doc_set = F.array_distinct(shingle_array(ws_tokens(text_col), shingle_n))
     if hash_grams:
         doc_set = F.transform(doc_set, lambda g: F.xxhash64(g))
+    # NO unconditional corpus shuffle: the broadcast probe runs on the
+    # scan partitions and only MATCHED (doc, eval, gram) rows — a
+    # vanishingly small fraction — reach the groupBy exchange, so
+    # repartitioning the raw corpus first would move 100 TB to save a
+    # kilobyte-scale aggregate (the round-4 slowest-bench-query finding).
+    # fan_out_if_narrow keeps the one real benefit: spreading a
+    # single-file local input across cores.
     doc_grams = (
-        docs.repartition(F.col(id_col))
+        fan_out_if_narrow(docs, F.col(id_col))
         .select(F.col(id_col), doc_set.alias("_gs"))
         .select(
             F.col(id_col),

@@ -25,6 +25,8 @@ from operator import add
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_etl_twitter_spark.operators.fanout import fan_out
+
 from pyspark_etl_twitter_spark.operators.sentiment import tokens_column
 
 # --------------------------------------------------------------------------
@@ -113,7 +115,7 @@ def _distinct_terms(docs: DataFrame, id_col: str, text_col: str, shingle_n: int)
     # clustering is satisfied by id-partitioning, so shingles themselves are
     # never shuffled (and single-file local inputs fan out across cores)
     return (
-        docs.repartition(F.col(id_col))
+        fan_out(docs, F.col(id_col))
         .select(F.col(id_col).alias("_id"), term.alias("term"))
         .dropDuplicates(["_id", "term"])
     )
@@ -455,7 +457,7 @@ def simhash_fingerprints(
     integer-sum aggregates — all codegen, shuffle carries 63 longs/doc."""
     toks = tokens_column(text_col, stop=False)
     tf = (
-        docs.repartition(F.col(id_col))
+        fan_out(docs, F.col(id_col))
         .select(F.col(id_col).alias("_id"), F.explode(toks).alias("term"))
         .groupBy("_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))

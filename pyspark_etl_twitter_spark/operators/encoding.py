@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark_etl_twitter_spark.operators.fanout import fan_out
+
 from pyspark_etl_twitter_spark.operators.textstats import ws_tokens
 
 OOV_ID = -1
@@ -43,7 +45,7 @@ def build_vocab(
     from pyspark_etl_twitter_spark.operators.ranking import with_global_rank
 
     counts = (
-        docs.repartition(F.col(id_col))
+        fan_out(docs, F.col(id_col))
         .select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("term"))
         .groupBy("term")
         .agg(
@@ -71,7 +73,7 @@ def encode_documents(
     The vocab join is left (OOV-safe) on the exploded (id, pos, term)
     stream; order is restored with sort_array over (pos, id) structs —
     an exact, engine-portable re-assembly."""
-    exploded = docs.repartition(F.col(id_col)).select(
+    exploded = fan_out(docs, F.col(id_col)).select(
         F.col(id_col), F.posexplode(ws_tokens(text_col)).alias("pos", "term")
     )
     joined = exploded.join(vocab.select("term", "vocab_id"), "term", "left").select(

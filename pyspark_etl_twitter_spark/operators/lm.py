@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_etl_twitter_spark.operators.fanout import fan_out
+
 from pyspark_etl_twitter_spark.operators.textstats import ws_tokens
 
 
@@ -83,7 +85,7 @@ def doc_logprob(
         model = unigram_model(docs, text_col=text_col)
     model_side = F.broadcast(model) if broadcast_model else model
     toks = (
-        docs.repartition(F.col(id_col))
+        fan_out(docs, F.col(id_col))
         .select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("term"))
     )
     scored = (
@@ -134,7 +136,7 @@ def vocab_coverage(
     )
     vocab_side = F.broadcast(vocab) if broadcast_vocab else vocab
     toks = (
-        docs.repartition(F.col(id_col))
+        fan_out(docs, F.col(id_col))
         .select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("term"))
     )
     per_doc = (
@@ -172,7 +174,7 @@ def bigram_pairs(
     toks = ws_tokens(text_col)
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     return (
-        docs.repartition(F.col(id_col))
+        fan_out(docs, F.col(id_col))
         .select(
             F.col(id_col),
             F.explode(

@@ -21,18 +21,23 @@ count-per-partition job, offsets folded back):
 The order must be total (include a unique tiebreak column); with a total
 order the result is byte-identical to the single-partition form.
 
-Laziness contract: the whole computation is DEFERRED — building the plan
-runs no jobs (the round-4 review found the original localCheckpoint +
-collect here executed vocabulary jobs whenever a consumer query's plan
-was merely constructed, which the plan sweep and bench fingerprint pass
-do constantly). `_pid` must agree between the count branch and the rank
-branch even though range-boundary sampling is seeded per execution; the
-lazily persist()-ed relation (bounded keep-recent registry,
-operators/cachereg.py) guarantees it by EXECUTION ORDER: the offsets land on the
-broadcast side of the final join, and broadcast exchanges materialize
-before the probe stage runs — so the count branch populates the entire
-cache first and the rank branch reads the same cached partitions. The registry keeps the last several calls' caches live (CACHE_KEEP),
-so interleaved build-then-execute patterns stay covered.
+Consistency contract: ``_pid`` must agree between the count branch and
+the rank branch even though range-boundary sampling is seeded per
+execution. The partitioned relation is a LAZY ``localCheckpoint``
+(``eager=False``): building the plan runs no jobs (the round-4 review's
+requirement — plan sweeps and bench fingerprint passes construct these
+plans constantly), the first action materializes the partitions exactly
+once, and both branches read that one materialization because the
+checkpoint TRUNCATES LINEAGE — there is no recompute path left that
+could re-sample boundaries. If checkpoint blocks are lost (executor
+death), Spark FAILS THE JOB loudly instead of silently recomputing with
+different boundaries — precisely the failure mode the round-4 advisory
+flagged against the persist()+cache-registry design, whose correctness
+silently depended on cache retention (eviction → two independent
+boundary samples → wrong ranks). The bounded cache registry
+(operators/cachereg.py) remains for PERFORMANCE-only reuse
+(source_vocab_overlap), where eviction costs recompute, never
+correctness.
 """
 
 from __future__ import annotations
@@ -40,11 +45,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyspark_etl_twitter_spark.operators.cachereg import keep_cached, release_all
-
 
 def release_cache() -> None:
-    """Unpersist relations cached by recent with_global_rank calls."""
+    """Unpersist relations cached by recent operator calls (the rank no
+    longer registers caches — kept as the public release hook for the
+    registry's remaining perf-only users)."""
+    from pyspark_etl_twitter_spark.operators.cachereg import release_all
+
     release_all()
 
 
@@ -57,10 +64,10 @@ def with_global_rank(
     """Append 0-based global rank ``rank_col`` under the total order
     ``order_cols`` (pass sort expressions, e.g. ``F.col("df").desc()``)
     with no single-partition stage over the data and no eager jobs."""
-    part = keep_cached(
-        df.repartitionByRange(*order_cols).withColumn(
-            "_pid", F.spark_partition_id()
-        )
+    part = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     prior = counts.select(

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark_etl_twitter_spark.operators.fanout import fan_out
+
 from pyspark_etl_twitter_spark.functions.text import remove_stopwords, tokenize
 
 # Reference model intercept: pre_trained_model/stages/
@@ -137,7 +139,7 @@ def score_documents(
     """
     toks = tokens_column(text_col, stop=stop, reference_clean=reference_clean)
     tf = (
-        documents.repartition(F.col(id_col))
+        fan_out(documents, F.col(id_col))
         .select(F.col(id_col), F.explode_outer(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -189,7 +191,7 @@ def fit_and_score(
     (b) single-file local inputs still fan out across all cores."""
     toks = tokens_column(text_col, stop=stop)
     tf = (
-        documents.repartition(F.col(id_col))
+        fan_out(documents, F.col(id_col))
         .select(F.col(id_col), F.explode_outer(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))

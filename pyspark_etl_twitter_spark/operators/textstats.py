@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_etl_twitter_spark.operators.fanout import fan_out
+
 from pyspark_etl_twitter_spark.functions.stopwords import ENGLISH_STOPWORDS
 
 # Small deterministic marker-word profiles for the language-ID heuristic.
@@ -94,7 +96,7 @@ def doc_fingerprints(
     content signature that is also expressible in ANSI SQL (oracle-able,
     unlike xxhash64). posexplode + one groupBy(id) sum."""
     toks = ws_tokens(text_col)
-    exploded = docs.repartition(F.col(id_col)).select(
+    exploded = fan_out(docs, F.col(id_col)).select(
         F.col(id_col), F.posexplode(toks).alias("pos", "term")
     )
     contrib = (F.col("pos") + 1).cast("long") * (
@@ -123,7 +125,7 @@ def repetition_columns(
     from pyspark_etl_twitter_spark.operators.dedup import shingle_array
 
     toks = ws_tokens(text_col)
-    base = docs.repartition(F.col(id_col)).select(
+    base = fan_out(docs, F.col(id_col)).select(
         F.col(id_col), toks.alias("_toks")
     )
     uni = (
@@ -212,7 +214,7 @@ def top_tfidf_terms(
 
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     tf = (
-        docs.repartition(F.col(id_col))
+        fan_out(docs, F.col(id_col))
         .select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -316,7 +318,7 @@ def char_entropy(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "te
     regardless of document length, so the exchange is bounded by
     docs × ~100, not corpus bytes."""
     counts = (
-        docs.repartition(F.col(id_col))
+        fan_out(docs, F.col(id_col))
         .select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch"))
         .filter(F.col("ch") != "")
         .groupBy(id_col, "ch")
@@ -357,7 +359,7 @@ def repeated_ngram_spans(
 
     span = F.explode(shingle_array(ws_tokens(text_col), n)).alias("span")
     per_doc = (
-        docs.repartition(F.col(id_col))
+        fan_out(docs, F.col(id_col))
         .select(F.col(id_col), span)
         .groupBy(id_col, "span")
         .agg(F.count(F.lit(1)).alias("occ"))

@@ -203,7 +203,14 @@ def streaming_score_throughput(
         # exact by construction — avoids re-running the explode just to count
         total = docs.count() * replicate
 
+        # batch count is tracked inside the callback: recentProgress caps
+        # at ~100 entries, so replays with many triggers (large n_files /
+        # small max_files_per_trigger) would undercount from progress
+        n_batches = [0]
+
         def _score_batch(batch_df: DataFrame, _epoch: int) -> None:
+            if not batch_df.isEmpty():
+                n_batches[0] += 1
             score_documents(batch_df, weights).write.format("noop").mode(
                 "overwrite"
             ).save()
@@ -220,7 +227,7 @@ def streaming_score_throughput(
         )
         query.processAllAvailable()
         elapsed = time.perf_counter() - start
-        batches = len([p for p in query.recentProgress if p["numInputRows"] > 0])
+        batches = n_batches[0]
         query.stop()
         return {
             "rows": total,

@@ -51,6 +51,29 @@ def test_bmp_rejects_garbage_and_truncation():
         decode_bmp(full[: len(full) // 2])
 
 
+def test_bmp_rejects_malformed_header_fields():
+    """w <= 0, h == 0, and in-header pixel offsets must hit the ValueError
+    contract, not an opaque numpy frombuffer/reshape error."""
+    import struct
+
+    full = bytearray(encode_bmp(_gradient_image()))
+
+    bad_w = bytearray(full)
+    struct.pack_into("<i", bad_w, 18, -5)  # width field of the info header
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_bmp(bytes(bad_w))
+
+    bad_h = bytearray(full)
+    struct.pack_into("<i", bad_h, 22, 0)  # height field
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_bmp(bytes(bad_h))
+
+    bad_off = bytearray(full)
+    struct.pack_into("<I", bad_off, 10, 4)  # pixel offset inside the header
+    with pytest.raises(ValueError, match="offset"):
+        decode_bmp(bytes(bad_off))
+
+
 def test_wav_round_trip_within_quantization():
     wave = _sine_wave()
     decoded, rate = decode_wav(encode_wav(wave, 16_000))

@@ -289,3 +289,39 @@ def test_jaccard_contamination_hashed_matches_string_probe(spark):
     h = {(r.doc_id, r.max_jaccard, r.best_eval_id)
          for r in C.jaccard_contamination(tr, ev, shingle_n=3, hash_grams=True).collect()}
     assert s == h
+
+
+def test_fan_out_gate_skips_corpus_shuffle_on_wide_input(spark):
+    """ngram_profile / jaccard_contamination must NOT shuffle the raw
+    corpus when the scan already has cluster-level parallelism — the
+    doc-id repartition exists only to fan a single local file across
+    cores. Pin by counting doc_id hash exchanges in the physical plan:
+    the wide-input plan has exactly one fewer than the narrow-input plan."""
+
+    def n_docid_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning(doc_id")
+
+    docs = load_table(spark, SF_TINY, "documents")
+    par = spark.sparkContext.defaultParallelism
+    wide = docs.repartition(par)
+    ev = docs.filter("doc_id % 97 = 0")
+
+    # ngram_profile: the only aggregate keys on gram, so the wide plan has
+    # ZERO doc_id exchanges (explode runs on the scan partitions); narrow
+    # gets exactly the one fan-out repartition
+    assert n_docid_exchanges(C.ngram_profile(wide, n=2, k=10)) == 0
+    assert n_docid_exchanges(C.ngram_profile(docs, n=2, k=10)) == 1
+
+    # jaccard_contamination: the wide plan's two doc_id-keyed exchanges
+    # ((id,_eid) agg + (id) agg) carry only MATCHED probe rows — tiny by
+    # contract — while the narrow plan's single exchange is the fan-out of
+    # the raw corpus (acceptable only because narrow == one local file;
+    # unconditional, it was the round-4 slowest bench query)
+    assert n_docid_exchanges(C.jaccard_contamination(wide, ev, shingle_n=3)) == 2
+    assert n_docid_exchanges(C.jaccard_contamination(docs, ev, shingle_n=3)) == 1
+
+    # and the gated queries still return identical results either way
+    a = sorted(map(tuple, C.ngram_profile(wide, n=2, k=10).collect()))
+    b = sorted(map(tuple, C.ngram_profile(docs, n=2, k=10).collect()))
+    assert a == b

@@ -215,3 +215,21 @@ def test_merge_upsert_rejects_conflicting_duplicate_keys(spark, tmp_path):
             spark.createDataFrame([(2, "x"), (2, "y")], "k long, v string"),
             key="k",
         )
+
+
+def test_snapshot_table_rejects_remote_uri_paths(spark):
+    """os.path-based pointer ops silently see hdfs://-style paths as
+    empty; the table must refuse them loudly instead of resetting to v=0."""
+    import pytest
+
+    from pyspark_etl_twitter_spark.operators.scd2 import (
+        merge_upsert_snapshot,
+        read_snapshot_table,
+    )
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    for bad in ("hdfs://nn/warehouse/t", "s3a://bucket/t"):
+        with pytest.raises(ValueError, match="local-filesystem-only"):
+            merge_upsert_snapshot(spark, bad, df, key="k")
+        with pytest.raises(ValueError, match="local-filesystem-only"):
+            read_snapshot_table(spark, bad)

@@ -262,6 +262,27 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Stateful streaming throughput (r4 verdict ask #6): the watermarked
+    # windowed aggregate and the applyInPandasWithState funnel over the
+    # full events replay — so the streaming claims carry numbers for the
+    # stateful surfaces, not just the stateless scoring topology.
+    streaming_stateful: dict = {}
+    try:
+        from pyspark_etl_twitter_spark.streaming.pipeline import (
+            streaming_events_throughput,
+        )
+
+        for kind in ("window", "funnel"):
+            streaming_stateful[kind] = streaming_events_throughput(
+                spark, sf_dir, kind=kind
+            )
+    except Exception as exc:  # noqa: BLE001
+        errors["streaming_stateful"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(
+            f"bench: streaming_stateful FAILED: {errors['streaming_stateful']}",
+            file=sys.stderr,
+        )
+
     try:
         Path(__file__).resolve().parent.joinpath("BENCH_PLANS.json").write_text(
             json.dumps(fingerprints, indent=1, sort_keys=True) + "\n"
@@ -281,6 +302,8 @@ def main() -> None:
         out["recall_at_5"] = recall
     if streaming:
         out["streaming_score_throughput"] = streaming
+    if streaming_stateful:
+        out["streaming_stateful_throughput"] = streaming_stateful
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -57,16 +57,23 @@ QUERIES: dict[str, QueryFn] = {
     # tail with full oracles. Displaced: semi_join_customers (r1-r3 green;
     # 4 join reps + 3 TPC-H join suites remain in-window).
     "tpch_q20_excess_stock": H.tpch_q20_excess_stock,
-    # round-4 rotation (r3 verdict ask #8): round-3 tail families earn
-    # hard driver rows. Displaced (all r1-r3 driver-green, all keep
+    # round-5 rotation (r4 verdict ask #3): round-4 tail families earn
+    # hard driver rows. Displaced (all r1-r4 driver-green, all keep
     # oracles + tail slots, every family keeps an in-window rep):
-    # dedup_jaccard_pairs, array_funcs_documents, embedding_norm_stats,
-    # lang_token_stats, pack_documents_salted_2048.
-    "snapshot_diff_counts": R2.snapshot_diff_counts,
-    "weekly_revenue_wow": R2.weekly_revenue_wow,
-    "hof_funcs_documents": R2.hof_funcs_documents,
-    "profile_orders_columns": R2.profile_orders_columns,
-    "referential_integrity_audit": R2.referential_integrity_audit,
+    # snapshot_diff_counts, weekly_revenue_wow, hof_funcs_documents,
+    # profile_orders_columns, referential_integrity_audit (r4 rotation
+    # cohort — one green driver round each), asof_purchase_click
+    # (family rep continues via asof_tolerance_click), event_gaps
+    # (window family keeps 3 reps), percentile_prices (percentile family
+    # rep continues via winsorized/equi-depth).
+    "fuzzy_decontaminate_counts": CQ.fuzzy_decontaminate_counts,
+    "budget_selection_by_source": CQ.budget_selection_by_source,
+    "temperature_mix_counts": CQ.temperature_mix_counts,
+    "char_entropy_by_source": T.char_entropy_by_source,
+    "repeated_spans_top": T.repeated_spans_top,
+    "asof_tolerance_click": R.asof_tolerance_click,
+    "winsorized_price_stats": R2.winsorized_price_stats,
+    "equidepth_price_deciles": R2.equidepth_price_deciles,
     # round-3 new-family reps (hard driver signal): event analytics,
     # binned range join, BM25 retrieval. Displaced: global_top_orders,
     # dedup_sha_fingerprints, sentiment_doc_scores — all r1+r2 driver-green
@@ -84,16 +91,13 @@ QUERIES: dict[str, QueryFn] = {
     # windows / sort / top-k
     "topk_orders_per_customer": R.topk_orders_per_customer,
     "running_revenue_by_supplier": R.running_revenue_by_supplier,
-    "event_gaps": R.event_gaps,
-    "asof_purchase_click": R.asof_purchase_click,
     "sessionize_events": R.sessionize_events,
     # curation: decontamination + PII (new families → inside the window;
     # the set-op and string-func family reps they displaced earned green
     # driver rows in round 1 and moved to the tail)
     "decontaminate_counts": CQ.decontaminate_counts,
     "pii_pseudonymize_customers": CQ.pii_pseudonymize_customers,
-    # scalar functions / percentiles / arrays / subqueries / quality
-    "percentile_prices": R2.percentile_prices,
+    # scalar functions / arrays / subqueries / quality
     "data_quality_lineitem": R2.data_quality_lineitem,
     "approx_summary": R2.approx_summary,
     # time windows (batch twin of streaming agg; sliding twin in the tail)
@@ -239,26 +243,25 @@ QUERIES: dict[str, QueryFn] = {
     # + tolerance-bounded variant (round 4, pandas merge_asof semantics)
     "asof_forward_next_click": R.asof_forward_next_click,
     "asof_nearest_click": R.asof_nearest_click,
-    "asof_tolerance_click": R.asof_tolerance_click,
     # null-safe join semantics + SemDeDup centroid pruning (round 3)
     "null_safe_join_segments": R2.null_safe_join_segments,
     "semantic_prune_by_centroid": AQ.semantic_prune_by_centroid,
     # linear-interpolation resample (round 3; ffill rep has driver row)
     "resample_interpolate_hourly": CQ.resample_interpolate_hourly,
-    # round-4 curation additions: fuzzy (Jaccard) decontamination,
-    # char-budget selection, √-temperature mixture sampling (families
-    # decontaminate_counts / pack / training_mix have in-window reps)
-    "fuzzy_decontaminate_counts": CQ.fuzzy_decontaminate_counts,
-    "budget_selection_by_source": CQ.budget_selection_by_source,
-    "temperature_mix_counts": CQ.temperature_mix_counts,
-    # round-4 corpus analytics: char-entropy quality + boilerplate spans
-    # + source-pair vocabulary overlap
-    "char_entropy_by_source": T.char_entropy_by_source,
-    "repeated_spans_top": T.repeated_spans_top,
+    # (round-5 rotation moved fuzzy_decontaminate_counts,
+    # budget_selection_by_source, temperature_mix_counts,
+    # char_entropy_by_source, repeated_spans_top, winsorized_price_stats,
+    # equidepth_price_deciles into the driver window)
     "source_vocab_overlap_top": CQ.source_vocab_overlap_top,
-    # round-4 robust statistics (percentile-clip)
-    "winsorized_price_stats": R2.winsorized_price_stats,
-    "equidepth_price_deciles": R2.equidepth_price_deciles,
+    # round-5 displacements (all r1-r4 driver-green, oracles retained)
+    "snapshot_diff_counts": R2.snapshot_diff_counts,
+    "weekly_revenue_wow": R2.weekly_revenue_wow,
+    "hof_funcs_documents": R2.hof_funcs_documents,
+    "profile_orders_columns": R2.profile_orders_columns,
+    "referential_integrity_audit": R2.referential_integrity_audit,
+    "asof_purchase_click": R.asof_purchase_click,
+    "event_gaps": R.event_gaps,
+    "percentile_prices": R2.percentile_prices,
 }
 
 ORACLES: dict[str, str] = {

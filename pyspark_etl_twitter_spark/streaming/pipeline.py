@@ -237,3 +237,72 @@ def streaming_score_throughput(
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_events_throughput(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    kind: str = "window",
+    n_files: int = 10,
+    max_files_per_trigger: int = 2,
+    tmp_root: str | None = None,
+) -> dict:
+    """Throughput of the STATEFUL streaming surfaces over the full events
+    table replay (100k rows at sf0.1), the companion numbers to
+    ``streaming_score_throughput`` (which measures the stateless scoring
+    topology):
+
+    - ``kind='window'``: watermarked tumbling-window aggregate
+      (streaming/windows.tumbling_counts) — state bounded by
+      (windows × event types), the shuffle is the windowed groupBy.
+    - ``kind='funnel'``: per-user ordered-funnel progress via
+      ``applyInPandasWithState`` (streaming/stateful.streaming_funnel) —
+      state is 24 bytes/user; the Arrow-batched Python stage is the
+      documented slow path this row prices.
+
+    Returns ``{rows, elapsed_sec, rows_per_sec}`` measured from query
+    start to ``processAllAvailable`` drain against the noop sink."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+    from pyspark_etl_twitter_spark.streaming.stateful import streaming_funnel
+    from pyspark_etl_twitter_spark.streaming.windows import tumbling_counts
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_events_", dir=tmp_root)
+    try:
+        replay = os.path.join(root, "replay")
+        replay_to_json(events, replay, n_files=n_files)
+        total = events.count()
+        stream = stream_events(
+            spark, replay, max_files_per_trigger=max_files_per_trigger
+        )
+        if kind == "window":
+            out, mode = tumbling_counts(stream), "append"
+        elif kind == "funnel":
+            out, mode = streaming_funnel(stream), "update"
+        else:
+            raise ValueError(f"kind must be window|funnel, got {kind!r}")
+        start = time.perf_counter()
+        query = (
+            out.writeStream.outputMode(mode)
+            .format("noop")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .queryName(f"events_throughput_{kind}")
+            .start()
+        )
+        query.processAllAvailable()
+        elapsed = time.perf_counter() - start
+        query.stop()
+        return {
+            "rows": total,
+            "elapsed_sec": round(elapsed, 3),
+            "rows_per_sec": round(total / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -48,17 +48,21 @@ MUST_BE_IN_WINDOW = {
     "binned_range_join_bands",
     "bm25_search_topk",
     # round-4 rotation (r3 verdict asks #5/#8): TPC-H q20 over derived
-    # partsupp + round-3 tail families earn hard driver rows. The
-    # displaced entries (embedding_norm_stats, lang_token_stats,
-    # pack_documents_salted_2048, dedup_jaccard_pairs,
-    # array_funcs_documents, semi_join_customers) hold r1-r3 green
-    # driver rows and keep oracles in the tail.
+    # partsupp earned its driver row; the round-4 cohort
+    # (snapshot_diff_counts, weekly_revenue_wow, hof_funcs_documents,
+    # profile_orders_columns, referential_integrity_audit) got its green
+    # round-4 rows and rotated to the tail in round 5.
     "tpch_q20_excess_stock",
-    "snapshot_diff_counts",
-    "weekly_revenue_wow",
-    "hof_funcs_documents",
-    "profile_orders_columns",
-    "referential_integrity_audit",
+    # round-5 rotation (r4 verdict ask #3): round-4 tail families earn
+    # hard driver rows; displacees hold r1-r4 green rows + tail oracles.
+    "fuzzy_decontaminate_counts",
+    "budget_selection_by_source",
+    "temperature_mix_counts",
+    "char_entropy_by_source",
+    "repeated_spans_top",
+    "asof_tolerance_click",
+    "winsorized_price_stats",
+    "equidepth_price_deciles",
 }
 
 # the only queries allowed to lack a SQL oracle (approximate / hash-seeded

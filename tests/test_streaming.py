@@ -228,3 +228,25 @@ def test_streaming_score_throughput_smoke(spark, tmp_path):
     assert res["rows"] == 2 * n_docs
     assert res["batches"] >= 2
     assert res["rows_per_sec"] > 0
+
+
+def test_streaming_events_throughput_smoke(spark, tmp_path):
+    """The bench's stateful-surface throughput rows: the windowed
+    aggregate and the applyInPandasWithState funnel both drain the full
+    events replay and report positive figures."""
+    from pyspark_etl_twitter_spark.streaming.pipeline import (
+        streaming_events_throughput,
+    )
+
+    n_events = spark.read.parquet(f"{SF_TINY}/events.parquet").count()
+    for kind in ("window", "funnel"):
+        res = streaming_events_throughput(
+            spark,
+            SF_TINY,
+            kind=kind,
+            n_files=3,
+            max_files_per_trigger=1,
+            tmp_root=str(tmp_path),
+        )
+        assert res["rows"] == n_events
+        assert res["rows_per_sec"] > 0

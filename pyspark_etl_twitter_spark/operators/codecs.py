@@ -1,4 +1,4 @@
-"""Pure-NumPy media codecs: BMP (24-bit uncompressed) and WAV (PCM16).
+"""Pure-stdlib media codecs: BMP (24-bit), PNG (8-bit, zlib), WAV (PCM16).
 
 Closes the last environment gate in the multimodal path: the container has
 no PIL/librosa/ffmpeg, but these two formats are simple enough to decode
@@ -11,6 +11,10 @@ would ride.
 Formats are implemented from their public specifications:
 - BMP: BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER (40 B), 24 bpp BGR,
   rows padded to 4-byte boundaries, bottom-up when height > 0.
+- PNG: 8-byte signature + CRC-checked chunks; IHDR geometry, IDAT zlib
+  inflate, the five scanline filters (None/Sub/Up/Average/Paeth); 8-bit
+  gray / gray+alpha / RGB / RGBA, non-interlaced (palette and Adam7
+  rejected loudly).
 - WAV: RIFF container, ``fmt `` chunk (PCM, 16-bit), ``data`` chunk of
   interleaved little-endian int16 frames; unknown chunks are skipped by
   walking the chunk list (word-aligned), as the spec requires.
@@ -167,14 +171,187 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 # --------------------------------------------------------------------------
+# PNG (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced)
+# --------------------------------------------------------------------------
+#
+# Implemented from the public PNG specification with the stdlib only:
+# 8-byte signature, length+type+data+CRC chunks, IHDR geometry, IDAT
+# zlib-inflate, and the five scanline filters (None/Sub/Up/Average/Paeth).
+# Palette (color type 3), 16-bit depths, and Adam7 interlace are rejected
+# explicitly — they are not needed to exercise real compressed-image bytes
+# through the multimodal path, and rejecting loudly beats mis-decoding.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """uint8 array → PNG bytes. Shapes: (h, w) gray, (h, w, 2) gray+alpha,
+    (h, w, 3) RGB, (h, w, 4) RGBA. ``filter_type`` applies one scanline
+    filter (0-4) to every row — the knob tests use to exercise each
+    decoder unfilter path against real deflate streams."""
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"expected (h, w[, 1|2|3|4]) uint8 array, got {arr.shape}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"filter_type must be 0-4, got {filter_type}")
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = arr.reshape(h, w * ch).astype(np.int16)
+    prev = np.zeros(w * ch, dtype=np.int16)
+    lines = bytearray()
+    for y in range(h):
+        row = raw[y]
+        left = np.concatenate([np.zeros(ch, dtype=np.int16), row[:-ch]])
+        ul = np.concatenate([np.zeros(ch, dtype=np.int16), prev[:-ch]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            filt = row - (left + prev) // 2
+        else:
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, ul)],
+                dtype=np.int16,
+            )
+            filt = row - pred
+        lines.append(filter_type)
+        lines += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array: (h, w) for grayscale, (h, w, ch) for
+    2/3/4-channel images. 8-bit depth, color types 0/2/4/6,
+    non-interlaced; CRC-checked chunk walk; all five scanline filters."""
+    import zlib
+
+    if len(payload) < len(_PNG_SIG) or payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + clen > len(payload):
+            raise ValueError(f"truncated {ctype!r} chunk")
+        data = payload[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat or not seen_iend:
+        raise ValueError("missing IHDR/IDAT/IEND chunk")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type} (palette?)")
+    if comp != 0 or filt_method != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlace not supported")
+    if w == 0 or h == 0:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("IDAT length does not match IHDR geometry")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int16)
+        if ftype == 0:
+            row = line
+        elif ftype == 2:
+            row = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            row = np.empty(stride, dtype=np.int16)
+            pv = prev.astype(np.int16)
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                if ftype == 1:
+                    row[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    row[i] = (line[i] + (a + int(pv[i])) // 2) & 0xFF
+                else:
+                    c = int(pv[i - ch]) if i >= ch else 0
+                    row[i] = (line[i] + _paeth(int(a), int(pv[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG scanline filter {ftype}")
+        out[y] = row.astype(np.uint8)
+        prev = out[y]
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def _png_luma(img: np.ndarray) -> np.ndarray:
+    """Luma plane of a decode_png result (alpha ignored, gray passthrough)."""
+    if img.ndim == 2:
+        return img.astype(np.float32)
+    rgb = img[:, :, :3] if img.shape[2] >= 3 else np.repeat(img[:, :, :1], 3, axis=2)
+    return rgb.astype(np.float32) @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+
+
+# --------------------------------------------------------------------------
 # Dispatch: payload sniffing + fixed-size signal extraction
 # --------------------------------------------------------------------------
 
 
 def sniff_format(payload: bytes) -> str:
-    """'bmp' | 'wav' | 'unknown' by magic bytes."""
+    """'bmp' | 'png' | 'wav' | 'unknown' by magic bytes."""
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return "unknown"
@@ -189,11 +366,13 @@ def decode_to_signal(payload: bytes, n: int) -> np.ndarray:
     if kind == "bmp":
         px = decode_bmp(payload).astype(np.float32)
         sig = (px @ np.array([0.299, 0.587, 0.114], dtype=np.float32)).ravel() / 255.0
+    elif kind == "png":
+        sig = _png_luma(decode_png(payload)).ravel() / 255.0
     elif kind == "wav":
         samples, _rate = decode_wav(payload)
         sig = samples.mean(axis=1)
     else:
-        raise ValueError("unknown media format (expected BMP or WAV magic)")
+        raise ValueError("unknown media format (expected BMP, PNG, or WAV magic)")
     if len(sig) == 0:
         return np.zeros(n, dtype=np.float32)
     xs = np.linspace(0.0, 1.0, num=n)
@@ -206,9 +385,13 @@ def hash_signal_64(payload: bytes) -> np.ndarray:
     8×8 2-D block mean-pooling of the luma plane (the classic aHash grid
     — spatially aware, unlike a 1-D resample), audio uses the 64-sample
     resampled mono signal."""
-    if sniff_format(payload or b"") == "bmp":
-        px = decode_bmp(payload).astype(np.float32)
-        luma = px @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    kind = sniff_format(payload or b"")
+    if kind in ("bmp", "png"):
+        if kind == "bmp":
+            px = decode_bmp(payload).astype(np.float32)
+            luma = px @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+        else:
+            luma = _png_luma(decode_png(payload))
         h, w = luma.shape
         ys = (np.arange(9) * h) // 8
         xs = (np.arange(9) * w) // 8

@@ -7,10 +7,11 @@ one place Python belongs, because pixel math is NumPy's job. The Spark-side
 plumbing (schema, partitioning, batch shape) is real and tested. Two codec
 paths: the default deterministic fake decoder (payload-hash seeded — works
 on ANY bytes, used by the driver-testdata queries), and ``real_codec=True``
-which decodes actual BMP/WAV payloads with the pure-NumPy codecs in
-operators/codecs.py (round 4; no PIL/librosa in the container, and none
-needed for these two formats). PNG/JPEG/MP3 would still need a library —
-``decode_to_signal`` rejects unknown magic bytes with a clear error.
+which decodes actual BMP/PNG/WAV payloads with the pure-stdlib codecs in
+operators/codecs.py (rounds 4-5; no PIL/librosa in the container, and none
+needed — PNG is zlib inflate + the five scanline filters, both public
+spec). JPEG/MP3 would still need a library — ``decode_to_signal`` rejects
+unknown magic bytes with a clear error.
 
 Scale notes: payloads dominate row size — keep them out of shuffles.
 Every operator here is a narrow mapInPandas (no shuffle); metadata-only
@@ -82,7 +83,7 @@ def _fake_decode(payload: bytes, n: int) -> np.ndarray:
 
 def decode_media(media: DataFrame, *, real_codec: bool = False) -> DataFrame:
     """payload → fixed-size decoded sample vector (mapInPandas, Arrow
-    batches). ``real_codec=True`` decodes actual BMP/WAV bytes with the
+    batches). ``real_codec=True`` decodes actual BMP/PNG/WAV bytes with the
     pure-NumPy codecs (operators/codecs.py): images reduce to per-pixel
     luma, audio to mono, both linearly resampled to ``FEATURE_DIM``
     samples. Identical plan either way — only the per-batch Python

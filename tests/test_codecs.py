@@ -217,3 +217,95 @@ def test_probe_bits_blowup_rejected():
 
     with pytest.raises(ValueError, match="4096"):
         _probe_buckets(F.lit(0), n_planes=24, probe_bits=12)
+
+
+# --------------------------------------------------------------------------
+# PNG
+# --------------------------------------------------------------------------
+
+
+def _rgb_image(h=13, w=17, ch=3):
+    rng = np.random.RandomState(42)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    return rng.randint(0, 256, size=shape, dtype=np.uint8)
+
+
+def test_png_round_trip_all_filters_and_channels():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) and every
+    supported channel count round-trips exactly through real deflate."""
+    from pyspark_etl_twitter_spark.operators.codecs import decode_png, encode_png
+
+    for ch in (1, 2, 3, 4):
+        img = _rgb_image(ch=ch)
+        for ftype in range(5):
+            got = decode_png(encode_png(img, filter_type=ftype))
+            assert got.shape == img.shape, (ch, ftype)
+            assert np.array_equal(got, img), (ch, ftype)
+
+
+def test_png_rejects_malformed():
+    from pyspark_etl_twitter_spark.operators.codecs import decode_png, encode_png
+
+    full = encode_png(_rgb_image())
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"garbage")
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(full[: len(full) // 2])
+    # flip a byte inside the IDAT payload -> CRC must catch it
+    corrupt = bytearray(full)
+    corrupt[60] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|truncated|zlib|invalid"):
+        decode_png(bytes(corrupt))
+    # Adam7 interlace flag rejected loudly
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    chunk = _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr + _s.pack(
+        ">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    sig = b"\x89PNG\r\n\x1a\n"
+    with pytest.raises(ValueError, match="interlace|missing"):
+        decode_png(sig + chunk)
+
+
+def test_png_decode_to_signal_and_sniff():
+    from pyspark_etl_twitter_spark.operators.codecs import (
+        decode_to_signal,
+        encode_png,
+        sniff_format,
+    )
+
+    png = encode_png(_rgb_image(), filter_type=2)
+    assert sniff_format(png) == "png"
+    sig = decode_to_signal(png, 32)
+    assert sig.shape == (32,) and sig.dtype == np.float32
+    assert 0.0 <= sig.min() and sig.max() <= 1.0
+
+
+def test_png_real_ahash_near_dup(spark):
+    """perceptual_hash(real_codec=True) on real PNG bytes: a PNG and a
+    near-identical PNG (one pixel nudged, different scanline filter so
+    the BYTES differ completely) hash within a few bits, while an
+    inverted image lands far away."""
+    from pyspark_etl_twitter_spark.operators.codecs import encode_png
+    from pyspark_etl_twitter_spark.operators.multimodal import perceptual_hash
+
+    base = _rgb_image(h=16, w=16)
+    nudged = base.copy()
+    nudged[0, 0] = (nudged[0, 0].astype(int) + 3) % 256
+    other = 255 - base
+    rows = [
+        (1, "image", bytearray(encode_png(base))),
+        (2, "image", bytearray(encode_png(nudged, filter_type=4))),
+        (3, "image", bytearray(encode_png(other))),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    ph = {
+        r.media_id: r.phash & ((1 << 64) - 1)
+        for r in perceptual_hash(media, real_codec=True).collect()
+    }
+    assert bin(ph[1] ^ ph[2]).count("1") <= 4
+    assert bin(ph[1] ^ ph[3]).count("1") > 16

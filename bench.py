@@ -219,6 +219,7 @@ def main() -> None:
         for name, fn in (
             ("knn_brute_cosine_100q", lambda: cosine_topk(emb, n_queries=100, k=5)),
             ("knn_ivf_probe_only_100q", lambda: ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=100, k=5, n_probe=4)),
+            ("knn_ivf_probe6_100q", lambda: ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=100, k=5, n_probe=6)),
             ("knn_ann_lsh_probe_only_100q", lambda: lsh_probe_indexed(spark, f"{idx_root}/lsh", n_queries=100, k=5)),
         ):
             run_timed(name, fn)
@@ -233,6 +234,7 @@ def main() -> None:
             recall = {}
             for rname, adf in (
                 ("knn_ivf_probe_only_100q", ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=100, k=5, n_probe=4)),
+                ("knn_ivf_probe6_100q", ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=100, k=5, n_probe=6)),
                 ("knn_ann_lsh_probe_only_100q", lsh_probe_indexed(spark, f"{idx_root}/lsh", n_queries=100, k=5)),
             ):
                 recall[rname] = ann_recall_at_k(adf, exact, k=5).first()["recall_at_k"]

@@ -528,6 +528,59 @@ def sessionize(ev: DataFrame, *, gap_s: int = 1800) -> DataFrame:
     )
 
 
+def sessionize_chunked(
+    ev: DataFrame, *, gap_s: int = 1800, chunk_s: int = 86_400
+) -> DataFrame:
+    """``sessionize`` for SKEWED/HUGE users: identical output, but the
+    row-level window partitions by (user, time chunk) so one zipfian user
+    holding 20% of the corpus no longer serializes 20% of the work into
+    one window partition (AQE skew handling splits joins, never windows —
+    this is the wired fallback the skew harness measures,
+    tools/scale_evidence_r5.py).
+
+    Same boundary trick as ``rolling_range_mean_chunked``: sessions are
+    computed locally per chunk, then chunk-local session PIECES (one row
+    per piece — bounded by session count, not event count) are merged
+    with a per-user window: a piece continues the previous piece's
+    session iff the time gap between them is < ``gap_s``. Pieces two or
+    more chunks apart can never merge because ``chunk_s >= gap_s``
+    guarantees their gap >= gap_s, so the lag-1 check is complete.
+    Global session numbering is chronological per user — byte-identical
+    to ``sessionize`` (asserted in tests)."""
+    if chunk_s < gap_s:
+        raise ValueError("chunk_s must be >= gap_s for boundary merging")
+    base = ev.withColumn("_sec", F.unix_timestamp("ts")).withColumn(
+        "_chunk", F.floor(F.col("_sec") / chunk_s)
+    )
+    w = Window.partitionBy("user_id", "_chunk").orderBy("ts", "event_id")
+    gap = F.col("_sec") - F.lag("_sec").over(w)
+    new_local = F.when(gap.isNull() | (gap >= gap_s), 1).otherwise(0)
+    rows = base.withColumn(
+        "_ls", F.sum(new_local).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    pieces = rows.groupBy("user_id", "_chunk", "_ls").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("ts").alias("_start"),
+        F.max("ts").alias("_end"),
+        F.min("_sec").alias("_s_sec"),
+        F.max("_sec").alias("_e_sec"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("_chunk", "_ls")
+    prev_end = F.lag("_e_sec").over(w2)
+    new_glob = F.when(
+        prev_end.isNull() | (F.col("_s_sec") - prev_end >= gap_s), 1
+    ).otherwise(0)
+    numbered = pieces.withColumn(
+        "session_id",
+        F.sum(new_glob).over(w2.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.sum("_n").alias("n_events"),
+        F.min("_start").alias("session_start"),
+        F.max("_end").alias("session_end"),
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization over the events table; the streaming twin is
     ``session_window`` (streaming/windows.py)."""

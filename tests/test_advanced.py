@@ -192,3 +192,89 @@ def test_near_dup_auto_planes(spark):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+def test_sessionize_chunked_equals_plain(spark):
+    """The skew-proof chunked sessionizer must be byte-identical to the
+    plain one — including session numbering — for chunk sizes down to the
+    gap itself, on real data and on a synthetic boundary-straddling user."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.plans.relational import (
+        sessionize,
+        sessionize_chunked,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_TINY, "events")
+    want = sorted(map(tuple, sessionize(ev).collect()))
+    for chunk_s in (86_400, 7_200, 1_800):
+        got = sorted(map(tuple, sessionize_chunked(ev, chunk_s=chunk_s).collect()))
+        assert got == want, chunk_s
+
+    # synthetic: one user with events every 10 min for 3 days (one long
+    # session spanning many chunks) plus a gap-separated second session
+    rows = [(i, i // 200, "view", 0.0) for i in range(600)]
+    base = spark.createDataFrame(rows, "event_id long, _d long, event_type string, value double")
+    ev2 = base.select(
+        "event_id",
+        F.lit(7).alias("user_id"),
+        "event_type",
+        "value",
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+            mins=F.col("event_id") * 10 + F.when(F.col("event_id") >= 500, 600).otherwise(0)
+        )).alias("ts"),
+    ).drop("_d")
+    a = sorted(map(tuple, sessionize(ev2).collect()))
+    b = sorted(map(tuple, sessionize_chunked(ev2, chunk_s=3_600).collect()))
+    assert a == b
+    assert len(a) == 2  # the +10h jump at event 500 splits exactly once
+
+
+def test_cumulative_sum_chunked_equals_plain_window(spark):
+    """The skew-proof chunked running sum must equal the single-window
+    form exactly (integer cents make regrouping associative)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.timeseries import (
+        cumulative_sum_chunked,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_TINY, "lineitem")
+    cents = F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+    )
+    order = [
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+    ]
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = sorted(
+        map(
+            tuple,
+            li.select(
+                "l_suppkey", "l_orderkey", "l_linenumber",
+                F.sum(cents).over(w).alias("running_cents"),
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            cumulative_sum_chunked(
+                li,
+                partition_col="l_suppkey",
+                order_cols=order,
+                value_cents_expr=cents,
+                chunk_expr=F.trunc("l_shipdate", "month"),
+            )
+            .select("l_suppkey", "l_orderkey", "l_linenumber", "running_cents")
+            .collect(),
+        )
+    )
+    assert got == want

@@ -53,3 +53,51 @@ def incremental_ingest(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+EMBEDDINGS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def streaming_lsh_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    timeout_s: int = 120,
+) -> None:
+    """Streaming maintenance of a persisted LSH ANN index: every arriving
+    embedding batch is bucketed with the index's own hyperplanes (read
+    from its ``meta`` table) and appended into its layout via
+    ``lsh_index_append`` — probes see new vectors as soon as their batch
+    commits. ``availableNow`` + checkpoint give exactly-once file intake
+    across scheduled runs (see ``incremental_ingest``); the append itself
+    is idempotent only per-run, so the checkpoint IS the dedup layer —
+    never delete it independently of the index.
+
+    This is the end-to-end shape of a production embedding pipeline:
+    embed upstream, stream vectors in, append to inverted/bucketed
+    storage, re-center (rebuild) on a schedule. LSH needs no re-center —
+    bucketing is stateless — which is why it, not IVF, is the streaming
+    append target (IVF appends assign against drifting centroids;
+    ``ivf_index_append`` documents that tradeoff)."""
+    from pyspark_etl_twitter_spark.operators.similarity import lsh_index_append
+
+    stream = spark.readStream.schema(EMBEDDINGS_STREAM_SCHEMA).json(src_dir)
+
+    def append_batch(batch_df: DataFrame, _epoch: int) -> None:
+        lsh_index_append(spark, index_path, batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

@@ -54,3 +54,62 @@ def test_incremental_ingest_exactly_once(spark, events_tiny, tmp_path):
     # third run with nothing new: no-op
     incremental_ingest(spark, src, dst, ckp, **kw)
     assert spark.read.parquet(dst).count() == 600
+
+
+def test_streaming_lsh_ingest_planted_neighbor(spark, tmp_path):
+    """Stream embeddings into a persisted LSH index via foreachBatch:
+    after the availableNow run drains, a probe finds a planted near-dup
+    that only ever existed in the streamed batches; a second run over the
+    same files appends nothing (checkpoint = exactly-once intake)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_probe_indexed,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+    from pyspark_etl_twitter_spark.streaming.incremental import (
+        streaming_lsh_ingest,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(emb, idx, n_planes=6)
+    n0 = spark.read.parquet(f"{idx}/corpus").count()
+
+    # stream two files: one noise batch, one containing the planted dup of
+    # query vector 0
+    q0 = emb.filter(F.col("vec_id") == 0).first()
+    src = tmp_path / "incoming"
+    src.mkdir()
+    noise = [
+        {"vec_id": 5_000_000 + i, "embedding": [float(i % 7) - 3.0] * len(q0.embedding), "label": 0}
+        for i in range(5)
+    ]
+    planted = {
+        "vec_id": 9_000_000,
+        "embedding": [v * 1.0001 for v in q0.embedding],
+        "label": 0,
+    }
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in noise))
+    (src / "b.json").write_text(json.dumps(planted))
+
+    ckpt = str(tmp_path / "ckpt")
+    streaming_lsh_ingest(spark, str(src), idx, ckpt)
+    n1 = spark.read.parquet(f"{idx}/corpus").count()
+    n_tables = spark.read.parquet(f"{idx}/meta").first()["n_tables"]
+    assert n1 == n0 + 6 * n_tables
+
+    top = (
+        lsh_probe_indexed(spark, idx, n_queries=1, k=1)
+        .filter(F.col("q_id") == 0)
+        .first()
+    )
+    assert top.neighbor_id == 9_000_000
+
+    # replaying the same directory must be a no-op (offsets committed)
+    streaming_lsh_ingest(spark, str(src), idx, ckpt)
+    assert spark.read.parquet(f"{idx}/corpus").count() == n1

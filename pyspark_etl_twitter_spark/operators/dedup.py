@@ -523,3 +523,31 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def normalize_for_dedup(text) -> "Column":
+    """Casefold/whitespace/punctuation-insensitive canonical form: lower,
+    collapse every non-alphanumeric run to one space, trim. Catches the
+    near-duplicates exact dedup misses (re-encoded whitespace, trailing
+    punctuation, case drift) WITHOUT fuzzy matching cost — still a pure
+    narrow expression, still an exact groupBy downstream. Identical
+    semantics in the DuckDB oracle (same lower/regexp_replace/trim
+    pipeline; the class [^a-z0-9]+ is engine-portable RE2/Java)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def normalized_dedup_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplication profile under the normalized form, beside the raw
+    one: (n_docs, n_distinct_norm, n_norm_dup_docs, n_extra_vs_exact) —
+    the last column is how many duplicates normalization finds that raw
+    exact dedup misses, the number that justifies running it."""
+    norm = normalize_for_dedup(text_col)
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(norm).alias("n_distinct_norm"),
+        (F.count(F.lit(1)) - F.countDistinct(norm)).alias("n_norm_dup_docs"),
+        (F.countDistinct(F.col(text_col)) - F.countDistinct(norm)).alias(
+            "n_extra_vs_exact"
+        ),
+    )

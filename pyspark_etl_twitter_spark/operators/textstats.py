@@ -376,3 +376,51 @@ def repeated_ngram_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+# --------------------------------------------------------------------------
+# Script / character-class profile (round 5)
+# --------------------------------------------------------------------------
+
+#: (name, regex character class) — identical syntax in Java regex (Spark)
+#: and RE2 (DuckDB oracle): literal ranges only, no \p{} properties (whose
+#: unicode tables differ across engines).
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("cjk", "[一-鿿]"),
+)
+
+
+def script_fractions(text: Column | str) -> list[Column]:
+    """Per-character-class fraction columns ``frac_<name>`` — the script/
+    charset signal a multilingual curation mix keys on (a "lang=en" doc
+    that is 40% CJK by characters is mislabeled; a high digit fraction
+    flags tables/logs). Implemented as length-difference after class
+    removal — narrow codegen string ops, zero shuffle, and expressible
+    verbatim in the DuckDB oracle."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    out = []
+    for name, cls in SCRIPT_CLASSES:
+        frac = F.when(n > 0, (n - F.length(F.regexp_replace(c, cls, ""))) / n).otherwise(
+            F.lit(0.0)
+        )
+        out.append(F.round(frac, 6).alias(f"frac_{name}"))
+    return out
+
+
+def script_profile(
+    docs: DataFrame, *, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group mean script fractions + doc count: one narrow projection
+    and one hash aggregate — shuffle carries |groups| × 5 doubles."""
+    per_doc = docs.select(F.col(group_col), *script_fractions(text_col))
+    return per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.round(F.avg(f"frac_{name}"), 6).alias(f"avg_frac_{name}")
+            for name, _ in SCRIPT_CLASSES
+        ],
+    )

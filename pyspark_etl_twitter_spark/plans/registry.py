@@ -262,6 +262,10 @@ QUERIES: dict[str, QueryFn] = {
     "asof_purchase_click": R.asof_purchase_click,
     "event_gaps": R.event_gaps,
     "percentile_prices": R2.percentile_prices,
+    # round-5 additions: script/charset profile + normalization-insensitive
+    # dedup (text-analysis / dedup families keep in-window reps)
+    "script_profile_by_source": T.script_profile_by_source,
+    "dedup_normalized_summary": T.dedup_normalized_summary,
 }
 
 ORACLES: dict[str, str] = {
@@ -414,4 +418,6 @@ ORACLES: dict[str, str] = {
     "semantic_prune_by_centroid": AQ.ORACLE_SEMANTIC_PRUNE_BY_CENTROID,
     "bm25_search_topk": T.ORACLE_BM25_SEARCH_TOPK,
     "resample_interpolate_hourly": CQ.ORACLE_RESAMPLE_INTERPOLATE_HOURLY,
+    "script_profile_by_source": T.ORACLE_SCRIPT_PROFILE_BY_SOURCE,
+    "dedup_normalized_summary": T.ORACLE_DEDUP_NORMALIZED_SUMMARY,
 }

@@ -1139,3 +1139,58 @@ HAVING count(*) >= {SPAN_MIN_DOCS}
 ORDER BY n_docs DESC, n_occurrences DESC, span ASC
 LIMIT 50
 """
+
+
+def script_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source script/character-class profile (round 5): mean latin/
+    digit/cyrillic/CJK character fractions — the charset sanity signal a
+    multilingual mix keys on."""
+    return TS.script_profile(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_SCRIPT_PROFILE_BY_SOURCE = """
+WITH per_doc AS (
+  SELECT source,
+         CASE WHEN length(text) > 0
+              THEN round((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / length(text), 6)
+              ELSE 0.0 END AS frac_latin,
+         CASE WHEN length(text) > 0
+              THEN round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text), 6)
+              ELSE 0.0 END AS frac_digit,
+         CASE WHEN length(text) > 0
+              THEN round((length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g'))) * 1.0 / length(text), 6)
+              ELSE 0.0 END AS frac_cyrillic,
+         CASE WHEN length(text) > 0
+              THEN round((length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))) * 1.0 / length(text), 6)
+              ELSE 0.0 END AS frac_cjk
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(frac_latin), 6) AS avg_frac_latin,
+       round(avg(frac_digit), 6) AS avg_frac_digit,
+       round(avg(frac_cyrillic), 6) AS avg_frac_cyrillic,
+       round(avg(frac_cjk), 6) AS avg_frac_cjk
+FROM per_doc GROUP BY source
+"""
+
+
+def dedup_normalized_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-insensitive duplication profile (round 5): how many
+    duplicates casefold/whitespace/punctuation normalization finds beyond
+    raw exact dedup."""
+    return D.normalized_dedup_summary(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_NORMALIZED_SUMMARY = """
+WITH n AS (
+  SELECT text,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT norm) AS n_distinct_norm,
+       CAST(count(*) - count(DISTINCT norm) AS BIGINT) AS n_norm_dup_docs,
+       CAST(count(DISTINCT text) - count(DISTINCT norm) AS BIGINT) AS n_extra_vs_exact
+FROM n
+"""

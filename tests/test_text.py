@@ -133,3 +133,45 @@ def test_bm25_ranks_denser_matches_higher(spark):
     # doc 2 matches the RARE term 'merge' (df=1, high idf) plus 'join':
     # two-term match with a rare term outranks a dense common-term match
     assert got[2] > got[1]
+
+
+def test_script_profile_planted_scripts(spark):
+    """Cyrillic/CJK/digit fractions computed on planted non-ASCII docs."""
+    from pyspark_etl_twitter_spark.operators.textstats import script_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world", "a"),
+            (2, "привет мир", "b"),
+            (3, "你好世界", "c"),
+            (4, "12345", "d"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in script_profile(docs).collect()}
+    assert got["a"].avg_frac_latin == 0.909091  # 10 letters / 11 chars
+    assert got["b"].avg_frac_cyrillic == 0.9  # 9 cyrillic / 10 chars
+    assert got["b"].avg_frac_latin == 0.0
+    assert got["c"].avg_frac_cjk == 1.0
+    assert got["d"].avg_frac_digit == 1.0
+
+
+def test_normalized_dedup_finds_case_and_punct_dupes(spark):
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        normalized_dedup_summary,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO WORLD."),
+            (4, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    row = normalized_dedup_summary(docs).first()
+    assert row.n_docs == 4
+    assert row.n_distinct_norm == 2  # {hello world, goodbye world}
+    assert row.n_norm_dup_docs == 2
+    assert row.n_extra_vs_exact == 2  # raw texts were all distinct (4) - 2

@@ -479,14 +479,27 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_lists: int = 16,
     max_queries: int = 100,
+    train_iters: int = 0,
 ) -> None:
     """Materialize the IVF index: assignments parquet PARTITIONED BY
     ``list_id`` (so a probe of p lists reads p/n_lists of the bytes —
     partition pruning, the on-disk analogue of an inverted list), plus the
     tiny centroid table and a pre-extracted query block (first
-    ``max_queries`` vectors) so probes never scan the corpus for queries."""
+    ``max_queries`` vectors) so probes never scan the corpus for queries.
+
+    ``train_iters > 0`` refines the centroids with that many Lloyd's
+    iterations before assignment (deterministic — probes against the
+    trained index stay equal to the one-shot form with the same iters).
+    Measured at sf0.1 (100q, recall@5 vs exact): iters 0 → 0.592/0.710
+    at n_probe 4/6, iters 3 → 0.618/0.750, iters 8 → 0.654/0.782 — each
+    iteration is one pass over the corpus, so the default stays 0 and
+    training is the periodic-rebuild knob (see ``ivf_index_append``)."""
     assignments, centroids = ivf_assignments(
-        embeddings, id_col=id_col, vec_col=vec_col, n_lists=n_lists
+        embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_lists=n_lists,
+        train_iters=train_iters,
     )
     # persist: the assignment (centroid cross join + argmin window) feeds
     # both the partitioned write and the query-block write — one compute

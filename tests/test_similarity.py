@@ -341,3 +341,39 @@ def test_ann_recall_floors(spark):
 
     # recall of exact against itself is 1.0 by construction
     assert ann_recall_at_k(exact, exact, k=5).first().recall_at_k == 1.0
+
+
+@pytest.mark.slow
+def test_trained_ivf_index_probe_matches_one_shot(spark, tmp_path):
+    """A k-means-trained IVF index (train_iters > 0) must probe
+    identically to the one-shot form with the same training — the
+    refinement is deterministic (first-k init + Lloyd's)."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        _ivf_probe,
+        build_ivf_index,
+        ivf_assignments,
+        ivf_probe_indexed,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_trained")
+    build_ivf_index(emb, idx, n_lists=8, train_iters=2)
+    got = sorted(
+        map(tuple, ivf_probe_indexed(spark, idx, n_queries=10, k=5, n_probe=3).collect())
+    )
+    assignments, centroids = ivf_assignments(emb, n_lists=8, train_iters=2)
+    queries = assignments.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            _ivf_probe(
+                assignments, centroids, queries, k=5, n_probe=3, round_dp=6
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0

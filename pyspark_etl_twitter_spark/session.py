@@ -58,6 +58,21 @@ def get_session(
         # object store wants the distributed listing back (lower this or
         # rely on a metastore's file-status cache).
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
+        # InferFiltersFromGenerate duplicates the generator expression
+        # into an inferred size()>0/isnotnull filter; when the exploded
+        # array is a COMPUTED pipeline (tokenize → shingle → distinct —
+        # this engine's universal explode shape), that filter re-runs the
+        # whole pipeline per row, and filter pushdown parks it below the
+        # fan-out exchange on the narrow pre-shuffle side. Measured on
+        # jaccard_contamination at sf0.1: 3.4 s → 0.63 s with the rule
+        # excluded. The rule only ever skips rows whose generator input
+        # is empty/null (a no-op for correctness); its benefit case — a
+        # cheap attribute input with mostly-empty arrays — does not occur
+        # here. DESIGN.md §19 records the full analysis.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
@@ -80,6 +95,12 @@ def pin_oracle_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # see get_session: the inferred generate-filter re-runs computed
+    # explode pipelines per row (3.4 s → 0.63 s on the fuzzy-decon query)
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     if spark.conf.get("spark.sql.shuffle.partitions") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
     return spark

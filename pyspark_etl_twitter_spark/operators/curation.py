@@ -82,7 +82,11 @@ def contamination_overlap(
     probe = (
         (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
     )
-    grams = docs.select(
+    # gated fan-out (see fan_out_if_narrow): a single-file local input
+    # would run the shingle explode on one core; at scale the scan is
+    # already parallel and the corpus must not shuffle (the aggregates
+    # below only ever see broadcast-probe MATCHES)
+    grams = fan_out_if_narrow(docs, F.col(id_col)).select(
         F.col(id_col),
         F.explode(shingle_array(ws_tokens(text_col), n)).alias("_g0"),
     ).select(F.col(id_col), probe(F.col("_g0")).alias("_gram"))

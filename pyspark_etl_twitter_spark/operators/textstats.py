@@ -424,3 +424,53 @@ def script_profile(
             for name, _ in SCRIPT_CLASSES
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality signal (round 5)
+# --------------------------------------------------------------------------
+
+
+def compression_ratio(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    boilerplate/repetition signal (highly compressible text is template
+    or repeated content; near-incompressible text is often binary salad
+    or hash dumps). Returns (id_col, n_bytes, n_compressed, ratio) with
+    ratio = compressed/raw rounded to 6 dp; empty docs get ratio 1.0.
+
+    Arrow-batched ``mapInPandas`` — the sanctioned Python path: zlib is
+    a C core, per-batch overhead is one Arrow exchange, and nothing
+    here is expressible as a Catalyst expression (DEFLATE is not SQL).
+    No oracle twin for the same reason; parity is pytest vs local zlib
+    byte-for-byte. Narrow (no shuffle); pair it with
+    ``quality_columns``/``repetition_columns`` thresholds downstream."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+    )
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n_bytes = raw.str.len()
+            n_comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            ratio = (n_comp / n_bytes.where(n_bytes > 0)).fillna(1.0).round(6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n_bytes,
+                    "n_compressed": n_comp,
+                    "ratio": ratio,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)

@@ -175,3 +175,28 @@ def test_normalized_dedup_finds_case_and_punct_dupes(spark):
     assert row.n_distinct_norm == 2  # {hello world, goodbye world}
     assert row.n_norm_dup_docs == 2
     assert row.n_extra_vs_exact == 2  # raw texts were all distinct (4) - 2
+
+
+def test_compression_ratio_matches_local_zlib(spark):
+    """mapInPandas zlib ratios must equal local zlib byte-for-byte, and
+    discriminate boilerplate (repetitive => low ratio) from word salad."""
+    import zlib
+
+    from pyspark_etl_twitter_spark.operators.textstats import compression_ratio
+
+    rows = [
+        (1, "spam ham " * 200),          # highly compressible
+        (2, " ".join(f"w{i}x{i*7%97}" for i in range(400))),  # salad
+        (3, ""),                          # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    for doc_id, text in rows:
+        raw = text.encode("utf-8")
+        assert got[doc_id].n_bytes == len(raw)
+        if raw:
+            assert got[doc_id].n_compressed == len(zlib.compress(raw, 6))
+            assert got[doc_id].ratio == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        else:
+            assert got[doc_id].ratio == 1.0
+    assert got[1].ratio < 0.05 < got[2].ratio

@@ -266,6 +266,10 @@ QUERIES: dict[str, QueryFn] = {
     # dedup (text-analysis / dedup families keep in-window reps)
     "script_profile_by_source": T.script_profile_by_source,
     "dedup_normalized_summary": T.dedup_normalized_summary,
+    # round-5 skew fallbacks, driver-verified against the PLAIN-window
+    # oracles (chunked ≡ plain is the whole contract)
+    "sessionize_events_chunked": R.sessionize_events_chunked,
+    "running_revenue_chunked": R.running_revenue_chunked,
 }
 
 ORACLES: dict[str, str] = {
@@ -420,4 +424,6 @@ ORACLES: dict[str, str] = {
     "resample_interpolate_hourly": CQ.ORACLE_RESAMPLE_INTERPOLATE_HOURLY,
     "script_profile_by_source": T.ORACLE_SCRIPT_PROFILE_BY_SOURCE,
     "dedup_normalized_summary": T.ORACLE_DEDUP_NORMALIZED_SUMMARY,
+    "sessionize_events_chunked": R.ORACLE_SESSIONIZE_EVENTS_CHUNKED,
+    "running_revenue_chunked": R.ORACLE_RUNNING_REVENUE_CHUNKED,
 }

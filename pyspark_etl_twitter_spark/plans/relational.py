@@ -914,3 +914,54 @@ FROM (SELECT event_id, user_id, ts, event_type,
       FROM events)
 WHERE event_type = 'purchase'
 """
+
+
+def sessionize_events_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-proof chunked sessionizer as a driver-verified query: its
+    oracle is the PLAIN single-window SQL, so the hash check proves
+    chunked ≡ plain on real data (the same equality tests pin down to
+    chunk = gap)."""
+    return sessionize_chunked(_t(spark, sf_dir, "events"))
+
+
+ORACLE_SESSIONIZE_EVENTS_CHUNKED = ORACLE_SESSIONIZE_EVENTS
+
+
+def running_revenue_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-proof chunked running sum as a driver-verified query:
+    revenue in exact integer cents (associative regrouping), chunked by
+    ship month; the oracle is the plain single-window cumulative sum."""
+    from pyspark_etl_twitter_spark.operators.timeseries import (
+        cumulative_sum_chunked,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+    )
+    return cumulative_sum_chunked(
+        li,
+        partition_col="l_suppkey",
+        order_cols=[
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_discount",
+        ],
+        value_cents_expr=cents,
+        chunk_expr=F.trunc("l_shipdate", "month"),
+        out_col="running_cents",
+    ).select("l_suppkey", "l_orderkey", "l_linenumber", "running_cents")
+
+
+ORACLE_RUNNING_REVENUE_CHUNKED = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                        l_extendedprice, l_discount
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS running_cents
+FROM lineitem
+"""

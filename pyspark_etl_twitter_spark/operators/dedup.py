@@ -252,7 +252,14 @@ def near_dup_pairs_minhash(
     star_bucket_threshold: int | None = 64,
 ) -> DataFrame:
     """Full near-dup flow: LSH candidates → exact-Jaccard verify on the
-    candidate set only. Returns (doc_a, doc_b, jaccard)."""
+    candidate set only. Returns (doc_a, doc_b, jaccard).
+
+    The distinct-shingle relation feeds four plan branches (signatures,
+    per-doc sizes, both verify-join sides), all rooted at the SAME
+    dropDuplicates exchange — Spark's ReuseExchange materializes that
+    shuffle once and the other branches read its files, so no explicit
+    persist is needed (measured: adding one cost +0.4 s of block writes
+    at sf0.1 for zero savings)."""
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_n=shingle_n
     )

@@ -267,3 +267,32 @@ def foreach_batch_merge(path: str, *, key: str):
         )
 
     return write_batch
+
+
+def vacuum_snapshots(spark, path: str, *, keep_last: int = 2) -> list[int]:
+    """Retention for versioned-snapshot tables: delete snapshot dirs older
+    than the ``keep_last`` most recent versions at or below the CURRENT
+    pointer. Orphan dirs ABOVE the pointer (a crash between snapshot
+    write and pointer swap) are never touched — the next merge
+    overwrites them (the documented recovery path). Never deletes the
+    current version; returns the removed version numbers. The analogue
+    of Delta's VACUUM against this table's commit-log twin: time travel
+    back past the horizon becomes impossible, which is the explicit
+    trade retention always is."""
+    import os
+    import re
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the current version stays)")
+    current, _ = _read_latest_pointer(spark, path)
+    if current is None:
+        return []
+    root = path.removeprefix("file://")
+    removed = []
+    for name in os.listdir(root):
+        m = re.fullmatch(r"v=(\d+)", name)
+        if m and int(m.group(1)) <= current - keep_last:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            removed.append(int(m.group(1)))
+    return sorted(removed)

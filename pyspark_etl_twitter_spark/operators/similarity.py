@@ -929,3 +929,44 @@ def ann_recall_at_k(approx: DataFrame, exact: DataFrame, *, k: int = 5) -> DataF
         F.count(F.lit(1)).alias("n_queries"),
         F.round(F.avg("recall"), 4).alias("recall_at_k"),
     )
+
+
+def compact_lsh_index(spark, path: str) -> tuple[int, int]:
+    """Compact a persisted LSH index after incremental appends: every
+    ``lsh_index_append`` / ``streaming_lsh_ingest`` batch adds files, and
+    probe latency is footer-read-bound — periodic compaction is the
+    maintenance half of the append story (exactly what OPTIMIZE does for
+    a Delta table). Rewrites the corpus in its own layout (partitioned
+    dirs → one file per (t, bucket); flat → range-sorted files), leaving
+    buckets, meta, and probe results untouched (equality tested).
+
+    The corpus is localCheckpoint-ed first so the rewrite never reads
+    the files it is overwriting (lineage to the old files is severed
+    before the overwrite starts). Single-writer by contract, like every
+    sink in this package. Returns (files_before, files_after)."""
+
+    def _count_files() -> int:
+        import os
+
+        root = f"{path.removeprefix('file://')}/corpus"
+        return sum(
+            1
+            for _dir, _sub, files in os.walk(root)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    meta = _read_lsh_meta(spark, path)
+    layout = meta["layout"] if meta is not None else "partitioned"
+    before = _count_files()
+    corpus = spark.read.parquet(f"{path}/corpus").localCheckpoint()
+    if layout == "partitioned":
+        corpus.repartition("t", "bucket").write.mode("overwrite").partitionBy(
+            "t", "bucket"
+        ).parquet(f"{path}/corpus")
+    else:
+        corpus.repartitionByRange("t", "bucket").sortWithinPartitions(
+            "t", "bucket"
+        ).write.mode("overwrite").parquet(f"{path}/corpus")
+    spark.catalog.refreshByPath(f"{path}/corpus")
+    return before, _count_files()

@@ -233,3 +233,34 @@ def test_snapshot_table_rejects_remote_uri_paths(spark):
             merge_upsert_snapshot(spark, bad, df, key="k")
         with pytest.raises(ValueError, match="local-filesystem-only"):
             read_snapshot_table(spark, bad)
+
+
+def test_vacuum_snapshots_retention(spark, tmp_path):
+    """Vacuum deletes only versions past the retention horizon; the
+    current version and above-pointer orphans survive; reads keep
+    working; vacuumed time travel fails loudly (missing path)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.scd2 import (
+        merge_upsert_snapshot,
+        read_snapshot_table,
+        vacuum_snapshots,
+    )
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    for ver in range(4):  # v=0..3
+        df = spark.range(5).select(
+            F.col("id").alias("k"), F.lit(ver).alias("val")
+        )
+        merge_upsert_snapshot(spark, path, df, key="k")
+    # plant an above-pointer orphan (crash between write and swap)
+    os.makedirs(os.path.join(path, "v=9"))
+
+    removed = vacuum_snapshots(spark, path, keep_last=2)
+    assert removed == [0, 1]
+    dirs = {d for d in os.listdir(path) if d.startswith("v=")}
+    assert dirs == {"v=2", "v=3", "v=9"}
+    assert read_snapshot_table(spark, path).agg(F.max("val")).first()[0] == 3

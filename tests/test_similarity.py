@@ -377,3 +377,34 @@ def test_trained_ivf_index_probe_matches_one_shot(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_compact_lsh_index_preserves_probes(spark, tmp_path):
+    """After several appends the index accumulates files; compaction must
+    shrink the file count without changing any probe result."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_lsh_index,
+        compact_lsh_index,
+        lsh_index_append,
+        lsh_probe_indexed,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(emb, idx, n_planes=6)
+    for batch in range(3):
+        newv = emb.filter(F.col("vec_id") % 7 == batch).select(
+            (F.col("vec_id") + 1_000_000 * (batch + 1)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        lsh_index_append(spark, idx, newv)
+
+    want = sorted(map(tuple, lsh_probe_indexed(spark, idx, n_queries=10, k=5).collect()))
+    before, after = compact_lsh_index(spark, idx)
+    assert after < before
+    got = sorted(map(tuple, lsh_probe_indexed(spark, idx, n_queries=10, k=5).collect()))
+    assert got == want

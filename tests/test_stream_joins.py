@@ -96,3 +96,94 @@ def test_enrich_stream_static(spark, events_tiny, tmp_path):
     assert got.filter(F.col("category").isNull()).count() == want.filter(
         F.col("category").isNull()
     ).count()
+
+
+def test_outer_stream_stream_join_equals_batch(spark, events_tiny, tmp_path):
+    """LEFT OUTER stream-stream join: purchases WITH a click match the
+    inner join; purchases WITHOUT one appear with NULL click columns once
+    the watermark passes — a far-future sentinel click (dummy user)
+    advances the watermark so every trailing unmatched purchase flushes
+    before the replay drains."""
+    from pyspark_etl_twitter_spark.streaming.joins import (
+        purchase_attribution_outer,
+    )
+
+    import json
+    import os
+    import time as _time
+
+    events = events_tiny
+    max_ts = events.agg(F.max("ts")).first()[0]
+    replay = str(tmp_path / "replay_outer")
+    paths = replay_to_json(events, replay, n_files=4)
+    # two sentinel files AFTER the data: the first advances the event-time
+    # high-water mark past every purchase's join bound, the second gives
+    # Spark the follow-up trigger in which that new watermark actually
+    # evicts state and emits the NULL-matched rows
+    last_mtime = os.path.getmtime(paths[-1])
+    import datetime
+
+    for i in range(2):
+        ts = (max_ts + datetime.timedelta(days=30 + i)).strftime(
+            "%Y-%m-%dT%H:%M:%S.000000"
+        )
+        p = os.path.join(replay, f"sentinel_{i}.json")
+        # BOTH a click and a purchase: the global watermark is the MIN of
+        # every per-stream watermark, so each filtered side needs its own
+        # high-water event or eviction never happens
+        with open(p, "w") as f:
+            for j, etype in enumerate(("click", "purchase")):
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": 999_999_900 + 10 * i + j,
+                            "ts": ts,
+                            "user_id": -1,
+                            "event_type": etype,
+                            "value": 0.0,
+                            "props": "{}",
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(p, times=(last_mtime + 1 + i, last_mtime + 1 + i))
+
+    stream = stream_events(spark, replay, max_files_per_trigger=1)
+    q = (
+        purchase_attribution_outer(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attribution_outer_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql(
+            "SELECT * FROM attribution_outer_out WHERE user_id != -1"
+        ).collect()
+    }
+
+    clicks = events.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+            "left_outer",
+        ).collect()
+    }
+    assert got == want
+    assert any(c is None for _, c in want)  # the outer rows are exercised

@@ -970,3 +970,29 @@ def compact_lsh_index(spark, path: str) -> tuple[int, int]:
         ).write.mode("overwrite").parquet(f"{path}/corpus")
     spark.catalog.refreshByPath(f"{path}/corpus")
     return before, _count_files()
+
+
+def compact_ivf_index(spark, path: str) -> tuple[int, int]:
+    """IVF twin of ``compact_lsh_index``: rewrite the list_id-partitioned
+    assignments after ``ivf_index_append`` batches accumulate files —
+    one file per inverted list again. Centroids/queries are single-file
+    already. Returns (files_before, files_after)."""
+
+    def _count_files() -> int:
+        import os
+
+        root = f"{path.removeprefix('file://')}/assignments"
+        return sum(
+            1
+            for _dir, _sub, files in os.walk(root)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = _count_files()
+    assignments = spark.read.parquet(f"{path}/assignments").localCheckpoint()
+    assignments.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/assignments")
+    spark.catalog.refreshByPath(f"{path}/assignments")
+    return before, _count_files()

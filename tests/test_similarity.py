@@ -408,3 +408,31 @@ def test_compact_lsh_index_preserves_probes(spark, tmp_path):
     assert after < before
     got = sorted(map(tuple, lsh_probe_indexed(spark, idx, n_queries=10, k=5).collect()))
     assert got == want
+
+
+def test_compact_ivf_index_preserves_probes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_append,
+        ivf_probe_indexed,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_lists=8)
+    for batch in range(2):
+        newv = emb.filter(F.col("vec_id") % 5 == batch).select(
+            (F.col("vec_id") + 1_000_000 * (batch + 1)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        ivf_index_append(spark, idx, newv)
+    want = sorted(map(tuple, ivf_probe_indexed(spark, idx, n_queries=10, k=5, n_probe=3).collect()))
+    before, after = compact_ivf_index(spark, idx)
+    assert after < before
+    got = sorted(map(tuple, ivf_probe_indexed(spark, idx, n_queries=10, k=5, n_probe=3).collect()))
+    assert got == want

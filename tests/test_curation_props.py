@@ -68,3 +68,43 @@ def test_contamination_monotone_in_eval_set(spark, docs, eval_a, eval_b):
     }
     assert a.keys() == b.keys()
     assert all(b[k] >= a[k] for k in a)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abzAZ059 .,!?-_") + list("привет你好世界и界")
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
+def test_script_fractions_match_python_re(spark, texts):
+    """Spark's script/charset fractions must equal a Python re oracle on
+    mixed latin/cyrillic/CJK/digit text — the literal character classes
+    are engine-portable by construction."""
+    import re
+
+    from pyspark_etl_twitter_spark.operators.textstats import (
+        SCRIPT_CLASSES,
+        script_fractions,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.asDict()
+        for r in docs.select("doc_id", *script_fractions("text")).collect()
+    }
+    for i, t in enumerate(texts):
+        for name, cls in SCRIPT_CLASSES:
+            want = (
+                round(len(re.findall(cls, t)) / len(t), 6) if len(t) > 0 else 0.0
+            )
+            assert got[i][f"frac_{name}"] == want, (t, name)

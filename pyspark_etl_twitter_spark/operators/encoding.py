@@ -219,3 +219,101 @@ def bpe_encode_documents(
             yield pd.DataFrame({id_col: pdf[id_col], "tokens": toks})
 
     return docs.select(id_col, text_col).mapInPandas(encode, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Feature-hashed document embeddings (round 5)
+# --------------------------------------------------------------------------
+
+
+def hashed_term_features(
+    docs: DataFrame,
+    *,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flat signed feature-hashing rows: (id, bucket, val) where
+    ``bucket = md5_u32(term) % dim`` and each occurrence adds ±1 by a
+    second md5 bit (the classic hashing trick: collisions cancel in
+    expectation). md5, not xxhash64, ON PURPOSE: the arithmetic is
+    reproducible in ANSI SQL, so the embedding math itself is
+    oracle-verifiable (the engine's only fully hash-checked text→vector
+    path). One explode + one map-side-combined groupBy(id, bucket);
+    shuffle carries ≤ dim rows per doc."""
+    term = F.explode(ws_tokens(text_col)).alias("term")
+    h = F.md5(F.col("term"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim
+    sign = (F.conv(F.substring(h, 9, 1), 16, 10) % 2 * 2 - 1).cast("double")
+    return (
+        fan_out(docs, F.col(id_col))
+        .select(F.col(id_col), term)
+        .select(F.col(id_col), bucket.alias("bucket"), sign.alias("_s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_s").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+def hashed_embedding(
+    docs: DataFrame,
+    *,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """(id, embedding array<float>) via the hashing trick — the bridge
+    from the text corpus to every embedding operator in this engine
+    (cosine top-k, LSH/IVF indexes, semantic dedup) WITHOUT any ML
+    library: near-identical documents get near-identical vectors, so
+    text near-dup detection can ride the embedding path end-to-end
+    (tested: a one-word edit stays the nearest neighbor through a
+    persisted LSH index).
+
+    Dense assembly is the group_centroids trick: sparse (id, bucket,
+    val) rows → map per doc → ``transform(sequence(0, dim-1))`` fills
+    the zeros — no collect, no UDF. ``normalize`` divides by the L2
+    norm (zero-vector docs — empty text or full cancellation — keep
+    their zero vector rather than NaN)."""
+    sparse = hashed_term_features(
+        docs, dim=dim, id_col=id_col, text_col=text_col
+    )
+    assembled = sparse.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("val")))
+        ).alias("_m")
+    )
+    # element_at on a map is an exact-key lookup; buckets are 0-based longs
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("long")), F.lit(0.0)
+        ),
+    )
+    out = assembled.select(F.col(id_col), dense.alias("_v"))
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x)
+        )
+        out = out.select(
+            F.col(id_col),
+            F.when(nrm > 0, F.transform("_v", lambda x: x / nrm))
+            .otherwise(F.col("_v"))
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+    else:
+        out = out.select(
+            F.col(id_col), F.col("_v").cast("array<float>").alias("embedding")
+        )
+    # docs with no surviving features (empty text / total cancellation)
+    # still get a zero vector — every doc must survive embedding
+    zeros = F.array_repeat(F.lit(0.0), dim).cast("array<float>")
+    return (
+        docs.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            F.col(id_col), F.coalesce("embedding", zeros).alias("embedding")
+        )
+    )

@@ -270,6 +270,9 @@ QUERIES: dict[str, QueryFn] = {
     # oracles (chunked ≡ plain is the whole contract)
     "sessionize_events_chunked": R.sessionize_events_chunked,
     "running_revenue_chunked": R.running_revenue_chunked,
+    # round-5: md5 feature-hashed text->vector bridge (flat-row math
+    # hash-verified; dense assembly + ANN integration pytest-covered)
+    "hashed_embedding_profile": T.hashed_embedding_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -426,4 +429,5 @@ ORACLES: dict[str, str] = {
     "dedup_normalized_summary": T.ORACLE_DEDUP_NORMALIZED_SUMMARY,
     "sessionize_events_chunked": R.ORACLE_SESSIONIZE_EVENTS_CHUNKED,
     "running_revenue_chunked": R.ORACLE_RUNNING_REVENUE_CHUNKED,
+    "hashed_embedding_profile": T.ORACLE_HASHED_EMBEDDING_PROFILE,
 }

@@ -1194,3 +1194,58 @@ SELECT count(*) AS n_docs,
        CAST(count(DISTINCT text) - count(DISTINCT norm) AS BIGINT) AS n_extra_vs_exact
 FROM n
 """
+
+
+def hashed_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source profile of the md5 feature-hashed document embeddings
+    (round 5): doc count, mean nonzero-bucket count, mean pre-normalization
+    L2 norm — the bridge-path sanity stats, computed from the FLAT
+    (doc, bucket, val) rows so the hashing-trick arithmetic itself is
+    hash-verified against DuckDB (the dense-array assembly and the ANN
+    integration are pytest-covered)."""
+    from pyspark_etl_twitter_spark.operators.encoding import (
+        hashed_term_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sparse = hashed_term_features(docs, dim=64)
+    per_doc = sparse.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_nnz"),
+        F.sum(F.col("val") * F.col("val")).alias("_ss"),
+    )
+    joined = docs.select("doc_id", "source").join(per_doc, "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.coalesce("_nnz", F.lit(0))), 6).alias("avg_nnz"),
+        F.round(
+            F.avg(F.sqrt(F.coalesce("_ss", F.lit(0.0)))), 6
+        ).alias("avg_norm"),
+    )
+
+
+ORACLE_HASHED_EMBEDDING_PROFILE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS bucket,
+         CAST(CAST(('0x' || substr(md5(term), 9, 1)) AS BIGINT) % 2 * 2 - 1
+              AS DOUBLE) AS s
+  FROM tok WHERE term <> ''
+),
+sparse AS (
+  SELECT doc_id, bucket, sum(s) AS val
+  FROM feat GROUP BY doc_id, bucket HAVING sum(s) <> 0
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS nnz, sum(val * val) AS ss
+  FROM sparse GROUP BY doc_id
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       round(avg(coalesce(p.nnz, 0)), 6) AS avg_nnz,
+       round(avg(sqrt(coalesce(p.ss, 0.0))), 6) AS avg_norm
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.source
+"""

@@ -161,3 +161,78 @@ def test_bpe_encode_matches_reference_algorithm(spark):
         .toString()
     )
     assert "MapInPandas" in plan and "Exchange" not in plan
+
+
+def test_hashed_embedding_matches_python_oracle(spark):
+    """The md5 hashing-trick embedding must equal a pure-Python
+    recomputation (bucket, sign, tf accumulation, L2 normalization)."""
+    import hashlib
+    import math
+
+    from pyspark_etl_twitter_spark.operators.encoding import hashed_embedding
+
+    texts = {
+        1: "alpha beta gamma alpha",
+        2: "delta",
+        3: "",  # zero vector
+        4: "alpha beta gamma alpha",  # duplicate of 1
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    dim = 16
+    got = {
+        r.doc_id: list(r.embedding)
+        for r in hashed_embedding(docs, dim=dim).collect()
+    }
+
+    def py_embed(text):
+        v = [0.0] * dim
+        for term in [t for t in text.split(" ") if t]:
+            h = hashlib.md5(term.encode()).hexdigest()
+            v[int(h[:8], 16) % dim] += (int(h[8], 16) % 2) * 2 - 1
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else v
+
+    for doc_id, text in texts.items():
+        want = py_embed(text)
+        assert len(got[doc_id]) == dim
+        for a, b in zip(got[doc_id], want):
+            assert abs(a - b) < 1e-6, (doc_id, text)
+    assert got[1] == got[4]  # determinism: identical text -> identical vector
+
+
+def test_hashed_embedding_feeds_the_ann_index(spark, tmp_path):
+    """End-to-end text -> embed -> persisted LSH index -> probe: a one-word
+    edit of a document stays its nearest indexed neighbor."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.encoding import hashed_embedding
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_probe_indexed,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    base = docs.filter(F.col("doc_id") == 0).first()
+    edited = spark.createDataFrame(
+        [(10_000, base.text + " zzedit", "en", "synthetic", len(base.text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = hashed_embedding(docs.unionByName(edited), dim=64).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    idx = str(tmp_path / "textlsh")
+    build_lsh_index(emb, idx, n_planes=6, max_queries=1)
+    # the synthetic corpus contains natural template near-dups of doc 0
+    # (cos ~0.99), so the planted one-word edit must place top-3 with a
+    # very high score rather than strictly first
+    top3 = (
+        lsh_probe_indexed(spark, idx, n_queries=1, k=3)
+        .filter(F.col("q_id") == 0)
+        .collect()
+    )
+    by_id = {r.neighbor_id: r.cos_sim for r in top3}
+    assert 10_000 in by_id
+    assert by_id[10_000] > 0.95

@@ -81,6 +81,12 @@ HEADLINE = [
     "temperature_mix_counts",
     "char_entropy_by_source",
     "repeated_spans_top",
+    # round-5 families
+    "script_profile_by_source",
+    "dedup_normalized_summary",
+    "hashed_embedding_profile",
+    "sessionize_events_chunked",
+    "running_revenue_chunked",
 ]
 
 

@@ -262,6 +262,7 @@ def hashed_embedding(
     id_col: str = "doc_id",
     text_col: str = "text",
     normalize: bool = True,
+    dtype: str = "float",
 ) -> DataFrame:
     """(id, embedding array<float>) via the hashing trick — the bridge
     from the text corpus to every embedding operator in this engine
@@ -276,6 +277,13 @@ def hashed_embedding(
     the zeros — no collect, no UDF. ``normalize`` divides by the L2
     norm (zero-vector docs — empty text or full cancellation — keep
     their zero vector rather than NaN)."""
+    # dtype='double' keeps every arithmetic step correctly-rounded IEEE
+    # double end to end — integer sums, sqrt, division — so a DuckDB
+    # oracle recomputing the same pipeline is BIT-identical and the
+    # embedding can feed fully hash-verified downstream queries;
+    # 'float' (default) halves storage for ANN index interop
+    if dtype not in ("float", "double"):
+        raise ValueError(f"dtype must be float|double, got {dtype!r}")
     sparse = hashed_term_features(
         docs, dim=dim, id_col=id_col, text_col=text_col
     )
@@ -300,16 +308,17 @@ def hashed_embedding(
             F.col(id_col),
             F.when(nrm > 0, F.transform("_v", lambda x: x / nrm))
             .otherwise(F.col("_v"))
-            .cast("array<float>")
+            .cast(f"array<{dtype}>")
             .alias("embedding"),
         )
     else:
         out = out.select(
-            F.col(id_col), F.col("_v").cast("array<float>").alias("embedding")
+            F.col(id_col),
+            F.col("_v").cast(f"array<{dtype}>").alias("embedding"),
         )
     # docs with no surviving features (empty text / total cancellation)
     # still get a zero vector — every doc must survive embedding
-    zeros = F.array_repeat(F.lit(0.0), dim).cast("array<float>")
+    zeros = F.array_repeat(F.lit(0.0), dim).cast(f"array<{dtype}>")
     return (
         docs.select(id_col)
         .join(out, id_col, "left")

@@ -273,6 +273,7 @@ QUERIES: dict[str, QueryFn] = {
     # round-5: md5 feature-hashed text->vector bridge (flat-row math
     # hash-verified; dense assembly + ANN integration pytest-covered)
     "hashed_embedding_profile": T.hashed_embedding_profile,
+    "text_embedding_near_dup": T.text_embedding_near_dup,
 }
 
 ORACLES: dict[str, str] = {
@@ -430,4 +431,5 @@ ORACLES: dict[str, str] = {
     "sessionize_events_chunked": R.ORACLE_SESSIONIZE_EVENTS_CHUNKED,
     "running_revenue_chunked": R.ORACLE_RUNNING_REVENUE_CHUNKED,
     "hashed_embedding_profile": T.ORACLE_HASHED_EMBEDDING_PROFILE,
+    "text_embedding_near_dup": T.ORACLE_TEXT_EMBEDDING_NEAR_DUP,
 }

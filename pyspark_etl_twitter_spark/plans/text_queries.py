@@ -1249,3 +1249,94 @@ SELECT d.source,
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 GROUP BY d.source
 """
+
+
+TEXT_SEM_PLANES = 6
+TEXT_SEM_SEED = 23
+TEXT_SEM_TAU = 0.9
+_TEXT_SEM_DIM = 64
+
+
+def text_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end TEXT near-dup via the embedding path, fully
+    hash-verified (round 5): md5 feature-hash each document to a DOUBLE
+    vector (bit-reproducible in SQL — integer bucket sums make the norm
+    exact regardless of summation order), LSH-bucket with seeded literal
+    hyperplanes, exact-cosine-verify candidates ≥ τ. The DuckDB twin
+    recomputes the WHOLE pipeline — tokenize → hash → dense assembly →
+    buckets → verified pairs — so this is the engine's first completely
+    verified text→vector→near-dup composition (the pytest integration
+    additionally drives the same path through a persisted index)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.encoding import hashed_embedding
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = (
+        hashed_embedding(docs, dim=_TEXT_SEM_DIM, dtype="double")
+        .withColumnRenamed("doc_id", "vec_id")
+        .filter(F.exists("embedding", lambda x: x != 0))
+    )
+    return embedding_near_dup_pairs(
+        emb,
+        threshold=TEXT_SEM_TAU,
+        n_planes=TEXT_SEM_PLANES,
+        seed=TEXT_SEM_SEED,
+    )
+
+
+def _text_sem_oracle() -> str:
+    from pyspark_etl_twitter_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_TEXT_SEM_DIM, TEXT_SEM_PLANES, TEXT_SEM_SEED)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, "
+        f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {_TEXT_SEM_DIM} AS bucket,
+         CAST(CAST(('0x' || substr(md5(term), 9, 1)) AS BIGINT) % 2 * 2 - 1
+              AS DOUBLE) AS s
+  FROM tok WHERE term <> ''
+),
+sparse AS (
+  SELECT doc_id, bucket, sum(s) AS val
+  FROM feat GROUP BY doc_id, bucket HAVING sum(s) <> 0
+),
+per_doc AS (
+  SELECT doc_id, sqrt(sum(val * val)) AS nrm FROM sparse GROUP BY doc_id
+),
+cells AS (
+  SELECT p.doc_id, t.i AS bucket, coalesce(s.val, 0.0) / p.nrm AS v
+  FROM per_doc p
+  CROSS JOIN range(0, {_TEXT_SEM_DIM}) t(i)
+  LEFT JOIN sparse s ON s.doc_id = p.doc_id AND s.bucket = t.i
+),
+dense AS (
+  SELECT doc_id, list(v ORDER BY bucket) AS emb FROM cells GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id AS vec_id, emb, {bucket_terms} AS bucket FROM dense
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
+FROM base a JOIN base b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb))
+               * sqrt(list_dot_product(b.emb, b.emb))), 6) >= {TEXT_SEM_TAU}
+"""
+
+
+ORACLE_TEXT_EMBEDDING_NEAR_DUP = _text_sem_oracle()

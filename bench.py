@@ -85,6 +85,7 @@ HEADLINE = [
     "script_profile_by_source",
     "dedup_normalized_summary",
     "hashed_embedding_profile",
+    "text_embedding_near_dup",
     "sessionize_events_chunked",
     "running_revenue_chunked",
 ]

@@ -274,6 +274,7 @@ QUERIES: dict[str, QueryFn] = {
     # hash-verified; dense assembly + ANN integration pytest-covered)
     "hashed_embedding_profile": T.hashed_embedding_profile,
     "text_embedding_near_dup": T.text_embedding_near_dup,
+    "text_semantic_dedup_survivors": T.text_semantic_dedup_survivors,
 }
 
 ORACLES: dict[str, str] = {
@@ -432,4 +433,5 @@ ORACLES: dict[str, str] = {
     "running_revenue_chunked": R.ORACLE_RUNNING_REVENUE_CHUNKED,
     "hashed_embedding_profile": T.ORACLE_HASHED_EMBEDDING_PROFILE,
     "text_embedding_near_dup": T.ORACLE_TEXT_EMBEDDING_NEAR_DUP,
+    "text_semantic_dedup_survivors": T.ORACLE_TEXT_SEMANTIC_DEDUP_SURVIVORS,
 }

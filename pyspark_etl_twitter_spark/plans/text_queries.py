@@ -1340,3 +1340,111 @@ WHERE round(list_dot_product(a.emb, b.emb)
 
 
 ORACLE_TEXT_EMBEDDING_NEAR_DUP = _text_sem_oracle()
+
+
+def text_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full text semantic dedup, verified end to end (round 5): the
+    hashed-embedding near-dup pairs (see ``text_embedding_near_dup``) →
+    connected-components closure → keep each cluster's min-id doc →
+    per-source corpus shrinkage. The DuckDB twin recomputes everything
+    including the transitive closure (recursive CTE) — no stage of the
+    text→vector→cluster→survivors pipeline is taken on faith."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.dedup import duplicate_clusters
+    from pyspark_etl_twitter_spark.operators.encoding import hashed_embedding
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = (
+        hashed_embedding(docs, dim=_TEXT_SEM_DIM, dtype="double")
+        .withColumnRenamed("doc_id", "vec_id")
+        .filter(F.exists("embedding", lambda x: x != 0))
+    )
+    pairs = embedding_near_dup_pairs(
+        emb,
+        threshold=TEXT_SEM_TAU,
+        n_planes=TEXT_SEM_PLANES,
+        seed=TEXT_SEM_SEED,
+    )
+    clusters = duplicate_clusters(pairs, a_col="vec_a", b_col="vec_b")
+    drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    kept = docs.join(drops, "doc_id", "left_anti")
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    kept_counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return totals.join(kept_counts, "source").select(
+        "source", "n_total", "n_kept"
+    )
+
+
+def _text_sem_survivors_oracle() -> str:
+    from pyspark_etl_twitter_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_TEXT_SEM_DIM, TEXT_SEM_PLANES, TEXT_SEM_SEED)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, "
+        f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {_TEXT_SEM_DIM} AS bucket,
+         CAST(CAST(('0x' || substr(md5(term), 9, 1)) AS BIGINT) % 2 * 2 - 1
+              AS DOUBLE) AS s
+  FROM tok WHERE term <> ''
+),
+sparse AS (
+  SELECT doc_id, bucket, sum(s) AS val
+  FROM feat GROUP BY doc_id, bucket HAVING sum(s) <> 0
+),
+per_doc AS (
+  SELECT doc_id, sqrt(sum(val * val)) AS nrm FROM sparse GROUP BY doc_id
+),
+cells AS (
+  SELECT p.doc_id, t.i AS bucket, coalesce(s.val, 0.0) / p.nrm AS v
+  FROM per_doc p
+  CROSS JOIN range(0, {_TEXT_SEM_DIM}) t(i)
+  LEFT JOIN sparse s ON s.doc_id = p.doc_id AND s.bucket = t.i
+),
+dense AS (
+  SELECT doc_id, list(v ORDER BY bucket) AS emb FROM cells GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id AS vec_id, emb, {bucket_terms} AS bucket FROM dense
+),
+npairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b.emb, b.emb))), 6) >= {TEXT_SEM_TAU}
+),
+edges AS (
+  SELECT va AS src, vb AS dst FROM npairs
+  UNION
+  SELECT vb, va FROM npairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+clusters AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+drops AS (SELECT node FROM clusters WHERE node <> cluster_id)
+SELECT source,
+       count(*) AS n_total,
+       count(CASE WHEN doc_id NOT IN (SELECT node FROM drops) THEN 1 END) AS n_kept
+FROM documents
+GROUP BY source
+"""
+
+
+ORACLE_TEXT_SEMANTIC_DEDUP_SURVIVORS = _text_sem_survivors_oracle()

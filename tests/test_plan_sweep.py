@@ -84,6 +84,7 @@ SKIP = {
     "dedup_minhash_pairs",      # star-guard count
     "semantic_near_dup_pairs",
     "dedup_incremental",
+    "text_semantic_dedup_survivors",  # CC executes during plan build
 }
 
 

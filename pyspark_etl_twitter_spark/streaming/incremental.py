@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -93,6 +94,48 @@ def streaming_lsh_ingest(
 
     def append_batch(batch_df: DataFrame, _epoch: int) -> None:
         lsh_index_append(spark, index_path, batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def streaming_text_index_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    dim: int = 64,
+    timeout_s: int = 120,
+) -> None:
+    """Streaming TEXT ingestion into a persisted ANN index: each arriving
+    document batch is feature-hash embedded (operators/encoding.
+    hashed_embedding — deterministic, so re-embedding a replayed batch
+    appends identical vectors) and appended into the LSH index. The
+    complete streaming half of the text→vector→near-dup pipeline: batch
+    builds the index from the corpus, this keeps it current as documents
+    arrive, probes see new text as soon as its batch commits. Same
+    exactly-once intake contract as ``streaming_lsh_ingest``."""
+    from pyspark_etl_twitter_spark.operators.encoding import hashed_embedding
+    from pyspark_etl_twitter_spark.operators.similarity import lsh_index_append
+    from pyspark_etl_twitter_spark.streaming.pipeline import (
+        DOCUMENTS_STREAM_SCHEMA,
+    )
+
+    stream = spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA).json(src_dir)
+
+    def append_batch(batch_df: DataFrame, _epoch: int) -> None:
+        emb = (
+            hashed_embedding(batch_df, dim=dim)
+            .withColumnRenamed("doc_id", "vec_id")
+            .withColumn("label", F.lit(0))
+        )
+        lsh_index_append(spark, index_path, emb)
 
     q = (
         stream.writeStream.foreachBatch(append_batch)

@@ -113,3 +113,56 @@ def test_streaming_lsh_ingest_planted_neighbor(spark, tmp_path):
     # replaying the same directory must be a no-op (offsets committed)
     streaming_lsh_ingest(spark, str(src), idx, ckpt)
     assert spark.read.parquet(f"{idx}/corpus").count() == n1
+
+
+def test_streaming_text_index_ingest_finds_planted_edit(spark, tmp_path):
+    """Stream raw DOCUMENTS into the ANN index: the foreachBatch embeds
+    each batch with the same deterministic hashing as the batch build, so
+    a streamed one-word edit of a corpus document becomes probe-visible."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.encoding import hashed_embedding
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_probe_indexed,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+    from pyspark_etl_twitter_spark.streaming.incremental import (
+        streaming_text_index_ingest,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    emb = (
+        hashed_embedding(docs, dim=64)
+        .withColumnRenamed("doc_id", "vec_id")
+        .withColumn("label", F.lit(0))
+    )
+    idx = str(tmp_path / "textlsh")
+    build_lsh_index(emb, idx, n_planes=6, max_queries=1)
+
+    base = docs.filter(F.col("doc_id") == 0).first()
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "edit.json").write_text(
+        json.dumps(
+            {
+                "doc_id": 77_000,
+                "text": base.text + " zzedit",
+                "lang": "en",
+                "source": "stream",
+                "n_chars": len(base.text) + 7,
+            }
+        )
+    )
+    streaming_text_index_ingest(
+        spark, str(src), idx, str(tmp_path / "ckpt"), dim=64
+    )
+    top3 = (
+        lsh_probe_indexed(spark, idx, n_queries=1, k=3)
+        .filter(F.col("q_id") == 0)
+        .collect()
+    )
+    by_id = {r.neighbor_id: r.cos_sim for r in top3}
+    assert 77_000 in by_id and by_id[77_000] > 0.95

@@ -205,6 +205,7 @@ def main() -> None:
         build_ivf_index,
         build_lsh_index,
         cosine_topk,
+        cosine_topk_pandas,
         ivf_probe_indexed,
         lsh_probe_indexed,
     )
@@ -225,6 +226,11 @@ def main() -> None:
             print(f"bench: ann_index_build FAILED: {errors['ann_index_build']}", file=sys.stderr)
         for name, fn in (
             ("knn_brute_cosine_100q", lambda: cosine_topk(emb, n_queries=100, k=5)),
+            # the Arrow/BLAS twin: one matmul per corpus batch vs
+            # |corpus|x|queries| codegen folds — the measured side of the
+            # "UDFs are the slow path, except vectorized linear algebra"
+            # tradeoff documented on cosine_topk_pandas
+            ("knn_brute_pandas_100q", lambda: cosine_topk_pandas(emb, n_queries=100, k=5)),
             ("knn_ivf_probe_only_100q", lambda: ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=100, k=5, n_probe=4)),
             ("knn_ivf_probe6_100q", lambda: ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=100, k=5, n_probe=6)),
             ("knn_ann_lsh_probe_only_100q", lambda: lsh_probe_indexed(spark, f"{idx_root}/lsh", n_queries=100, k=5)),

@@ -240,17 +240,22 @@ def main() -> None:
         # ANN speed row above ships with its accuracy number.
         try:
             from pyspark_etl_twitter_spark.operators.similarity import (
+                ann_mrr,
+                ann_ndcg_at_k,
                 ann_recall_at_k,
             )
 
             exact = cosine_topk(emb, n_queries=100, k=5).localCheckpoint()
             recall = {}
-            for rname, adf in (
-                ("knn_ivf_probe_only_100q", ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=100, k=5, n_probe=4)),
-                ("knn_ivf_probe6_100q", ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=100, k=5, n_probe=6)),
-                ("knn_ann_lsh_probe_only_100q", lsh_probe_indexed(spark, f"{idx_root}/lsh", n_queries=100, k=5)),
+            for rname, mk in (
+                ("knn_ivf_probe_only_100q", lambda: ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=100, k=5, n_probe=4)),
+                ("knn_ivf_probe6_100q", lambda: ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=100, k=5, n_probe=6)),
+                ("knn_ann_lsh_probe_only_100q", lambda: lsh_probe_indexed(spark, f"{idx_root}/lsh", n_queries=100, k=5)),
             ):
+                adf = mk().localCheckpoint()
                 recall[rname] = ann_recall_at_k(adf, exact, k=5).first()["recall_at_k"]
+                recall[rname + "_mrr"] = ann_mrr(adf, exact, k=5).first()["mrr"]
+                recall[rname + "_ndcg"] = ann_ndcg_at_k(adf, exact, k=5).first()["ndcg_at_k"]
         except Exception as exc:  # noqa: BLE001
             recall = {}
             errors["ann_recall"] = f"{type(exc).__name__}: {exc}"[:300]

@@ -996,3 +996,68 @@ def compact_ivf_index(spark, path: str) -> tuple[int, int]:
     ).parquet(f"{path}/assignments")
     spark.catalog.refreshByPath(f"{path}/assignments")
     return before, _count_files()
+
+
+def ann_mrr(approx: DataFrame, exact: DataFrame, *, k: int = 5) -> DataFrame:
+    """Mean reciprocal rank of each query's TRUE nearest neighbor within
+    the approximate top-``k``: 1/position if the exact rank-1 neighbor
+    appears, else 0 — the "did we find THE neighbor, and how high" number
+    that recall@k (set overlap) cannot express. One row
+    (n_queries, mrr); distributed (equi-join + two aggregates)."""
+    true_top = exact.filter(F.col("rank") == 1).select(
+        "q_id", F.col("neighbor_id").alias("_true")
+    )
+    hit = (
+        true_top.join(
+            approx.filter(F.col("rank") <= k).select(
+                "q_id", "neighbor_id", F.col("rank").alias("_r")
+            ),
+            ["q_id"],
+        )
+        .filter(F.col("neighbor_id") == F.col("_true"))
+        .groupBy("q_id")
+        .agg((1.0 / F.min("_r")).alias("_rr"))
+    )
+    per_q = true_top.join(hit, "q_id", "left").select(
+        "q_id", F.coalesce("_rr", F.lit(0.0)).alias("rr")
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("rr"), 4).alias("mrr"),
+    )
+
+
+def ann_ndcg_at_k(approx: DataFrame, exact: DataFrame, *, k: int = 5) -> DataFrame:
+    """Binary-relevance nDCG@k of the approximate ranking against the
+    exact top-``k`` as the relevant set: DCG = Σ 1/log2(pos+1) over
+    approx positions holding a true top-k neighbor; IDCG = the same sum
+    over positions 1..min(k, |exact|). Position-sensitive where recall
+    is not (an approx list with the right set in the wrong order scores
+    < 1). One row (n_queries, ndcg_at_k), fully distributed."""
+    rel = exact.filter(F.col("rank") <= k).select("q_id", "neighbor_id")
+    dcg = (
+        approx.filter(F.col("rank") <= k)
+        .join(rel, ["q_id", "neighbor_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.sum(1.0 / F.log2(F.col("rank") + 1)).alias("_dcg"))
+    )
+    idcg = (
+        rel.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "q_id",
+            F.aggregate(
+                F.sequence(F.lit(1), F.least(F.col("_n"), F.lit(k))),
+                F.lit(0.0),
+                lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1),
+            ).alias("_idcg"),
+        )
+    )
+    per_q = idcg.join(dcg, "q_id", "left").select(
+        "q_id",
+        (F.coalesce("_dcg", F.lit(0.0)) / F.col("_idcg")).alias("ndcg"),
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("ndcg"), 4).alias("ndcg_at_k"),
+    )

@@ -436,3 +436,43 @@ def test_compact_ivf_index_preserves_probes(spark, tmp_path):
     assert after < before
     got = sorted(map(tuple, ivf_probe_indexed(spark, idx, n_queries=10, k=5, n_probe=3).collect()))
     assert got == want
+
+
+def test_mrr_and_ndcg_hand_computed(spark):
+    """MRR and nDCG@k against hand-computed values on a tiny fixture,
+    plus the identity cases (exact vs itself = 1.0)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        ann_mrr,
+        ann_ndcg_at_k,
+    )
+
+    # exact top-3 per query; approx: q0 perfect, q1 true-top1 at pos 2
+    # and one relevant item missing, q2 finds nothing
+    exact = spark.createDataFrame(
+        [(q, n, 1.0 - 0.1 * n, n) for q in (0, 1, 2) for n in (1, 2, 3)],
+        "q_id long, neighbor_id long, cos_sim double, rank int",
+    ).withColumn("neighbor_id", F.col("q_id") * 10 + F.col("neighbor_id"))
+    approx = spark.createDataFrame(
+        [(0, 1, 0.9, 1), (0, 2, 0.8, 2), (0, 3, 0.7, 3)]      # perfect
+        + [(1, 99, 0.9, 1), (1, 11, 0.8, 2), (1, 13, 0.7, 3)]  # top1 at pos 2
+        + [(2, 99, 0.9, 1), (2, 98, 0.8, 2), (2, 97, 0.7, 3)],  # nothing
+        "q_id long, neighbor_id long, cos_sim double, rank int",
+    )
+    mrr = ann_mrr(approx, exact, k=3).first()
+    assert mrr.n_queries == 3
+    assert mrr.mrr == round((1.0 + 0.5 + 0.0) / 3, 4)
+
+    ndcg = ann_ndcg_at_k(approx, exact, k=3).first()
+    idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+    q1_dcg = 1 / math.log2(3) + 1 / math.log2(4)  # rel at pos 2 and 3
+    want = round((1.0 + q1_dcg / idcg + 0.0) / 3, 4)
+    assert ndcg.n_queries == 3
+    assert abs(ndcg.ndcg_at_k - want) < 1e-9
+
+    # identity: exact scored against itself is perfect on both metrics
+    assert ann_mrr(exact, exact, k=3).first().mrr == 1.0
+    assert ann_ndcg_at_k(exact, exact, k=3).first().ndcg_at_k == 1.0

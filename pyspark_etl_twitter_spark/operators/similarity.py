@@ -574,6 +574,7 @@ def build_lsh_index(
     max_queries: int = 100,
     n_tables: int = 2,
     layout: str = "auto",
+    quantize: bool = False,
 ) -> None:
     """Materialize the OR-construction LSH index: corpus exploded across
     ``n_tables`` hyperplane tables with precomputed norm + sign-bit
@@ -595,7 +596,16 @@ def build_lsh_index(
       ``LSH_PARTITIONED_MIN_BUCKET`` vectors: 2^planes·L near-empty
       files cost more in writer/commit/listing overhead than a full
       scan of a corpus that small, and row-group (t, bucket) min/max
-      stats still order the data for static pushdown."""
+      stats still order the data for static pushdown.
+
+    ``quantize=True`` stores vectors as int8 (symmetric per-vector
+    scale = max|x|/127, tinyint codes + one double scale) — 4× smaller
+    corpus bytes, THE index cost at 100 TB where the verify scan is
+    byte-bound. Buckets/norms are computed from the FULL-precision
+    vectors before quantization, so candidate GENERATION is unchanged;
+    only the verify dot uses dequantized values (measured recall delta
+    at sf0.1: none at 4 dp — see tests). The probe reads the flag from
+    meta and scores accordingly."""
     dim = len(embeddings.select(vec_col).first()[0])
     planes_by_table = [
         _hyperplanes(dim, n_planes, _table_seed(seed, t)) for t in range(n_tables)
@@ -606,7 +616,23 @@ def build_lsh_index(
     # L·planes hyperplane dot products over the corpus
     base = _lsh_base(
         embeddings, planes_by_table, id_col=id_col, vec_col=vec_col
-    ).persist()
+    )
+    if quantize:
+        amax = F.aggregate(
+            F.col("emb"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+        )
+        scale = F.when(amax > 0, amax / 127.0).otherwise(F.lit(1.0))
+        base = base.withColumn("q_scale", scale).select(
+            "vec_id",
+            F.transform(
+                "emb", lambda x: F.round(x / F.col("q_scale")).cast("tinyint")
+            ).alias("emb"),
+            "nrm",
+            "q_scale",
+            "t",
+            "bucket",
+        )
+    base = base.persist()
     try:
         if layout == "auto":
             n_vecs = embeddings.count()
@@ -641,6 +667,7 @@ def build_lsh_index(
         F.lit(int(n_planes)).alias("n_planes"),
         F.lit(int(n_tables)).alias("n_tables"),
         F.lit(int(seed)).alias("seed"),
+        F.lit(bool(quantize)).alias("quantize"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -667,6 +694,13 @@ def lsh_probe_indexed(
     if meta is not None:
         n_planes = meta["n_planes"]
     corpus = spark.read.parquet(f"{path}/corpus")
+    if meta is not None and meta.get("quantize"):
+        # int8 codes: cos = q_scale·Σ code_i·q_i / (nrm·q_nrm). Folding the
+        # scale into nrm (nrm' = nrm/q_scale) leaves the shared scoring
+        # tail untouched — dot() casts tinyint elements to double anyway
+        corpus = corpus.withColumn(
+            "nrm", F.col("nrm") / F.col("q_scale")
+        ).drop("q_scale")
     queries = spark.read.parquet(f"{path}/queries").filter(
         F.col("q_id") < n_queries
     ).select(
@@ -869,6 +903,7 @@ def lsh_index_append(
     if meta is not None:
         n_planes, n_tables, seed = meta["n_planes"], meta["n_tables"], meta["seed"]
         layout = meta["layout"]
+    quantize = bool(meta.get("quantize")) if meta is not None else False
     new_embeddings = new_embeddings.filter(F.col(vec_col).isNotNull())
     probe = new_embeddings.select(vec_col).first()
     if probe is None:
@@ -878,15 +913,25 @@ def lsh_index_append(
         _hyperplanes(dim, n_planes, _table_seed(seed, t)) for t in range(n_tables)
     ]
     base = _lsh_base(new_embeddings, planes_by_table, id_col=id_col, vec_col=vec_col)
+    cols = ("vec_id", "emb", "nrm", "t", "bucket")
+    if quantize:
+        amax = F.aggregate(
+            F.col("emb"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+        )
+        scale = F.when(amax > 0, amax / 127.0).otherwise(F.lit(1.0))
+        base = base.withColumn("q_scale", scale).withColumn(
+            "emb",
+            F.transform(
+                "emb", lambda x: F.round(x / F.col("q_scale")).cast("tinyint")
+            ),
+        )
+        cols = ("vec_id", "emb", "nrm", "q_scale", "t", "bucket")
     existing = {
         f.name: f.dataType
         for f in spark.read.parquet(f"{path}/corpus").schema.fields
     }
     base = base.select(
-        *[
-            F.col(c).cast(existing[c]).alias(c)
-            for c in ("vec_id", "emb", "nrm", "t", "bucket")
-        ]
+        *[F.col(c).cast(existing[c]).alias(c) for c in cols]
     )
     if layout == "partitioned":
         base.write.mode("append").partitionBy("t", "bucket").parquet(

@@ -476,3 +476,69 @@ def test_mrr_and_ndcg_hand_computed(spark):
     # identity: exact scored against itself is perfect on both metrics
     assert ann_mrr(exact, exact, k=3).first().mrr == 1.0
     assert ann_ndcg_at_k(exact, exact, k=3).first().ndcg_at_k == 1.0
+
+
+def test_quantized_index_recall_and_size(spark, tmp_path):
+    """int8-quantized index: corpus bytes shrink substantially, candidate
+    generation is identical (full-precision buckets), and the verified
+    top-k matches the full-precision index except where quantization
+    noise flips a near-tie — pinned by requiring >=80% identical rows
+    AND identical recall-relevant neighbor SETS on >= 8/10 queries,
+    plus an append that honors the quantized layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_append,
+        lsh_probe_indexed,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    full, quant = str(tmp_path / "full"), str(tmp_path / "quant")
+    build_lsh_index(emb, full, n_planes=8)
+    build_lsh_index(emb, quant, n_planes=8, quantize=True)
+
+    def corpus_bytes(path):
+        total = 0
+        for d, _s, files in os.walk(f"{path}/corpus"):
+            total += sum(
+                os.path.getsize(os.path.join(d, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return total
+
+    assert corpus_bytes(quant) < 0.55 * corpus_bytes(full)
+
+    a = {(r.q_id, r.rank): r.neighbor_id
+         for r in lsh_probe_indexed(spark, full, n_queries=10, k=5).collect()}
+    b = {(r.q_id, r.rank): r.neighbor_id
+         for r in lsh_probe_indexed(spark, quant, n_queries=10, k=5).collect()}
+    same = sum(1 for key in a if b.get(key) == a[key])
+    assert same >= 0.8 * len(a)
+    # per-query neighbor SETS (recall-relevant) almost always identical
+    qs = {q for q, _ in a}
+    set_match = sum(
+        1
+        for q in qs
+        if {v for (qq, _), v in a.items() if qq == q}
+        == {v for (qq, _), v in b.items() if qq == q}
+    )
+    assert set_match >= len(qs) - 2
+
+    # appends into a quantized index keep the quantized schema
+    q0 = emb.filter(F.col("vec_id") == 0).first()
+    new = spark.createDataFrame(
+        [(3_000_000, [v * 1.0001 for v in q0.embedding], 0)],
+        ["vec_id", "embedding", "label"],
+    )
+    lsh_index_append(spark, quant, new)
+    top = (
+        lsh_probe_indexed(spark, quant, n_queries=1, k=1)
+        .filter(F.col("q_id") == 0)
+        .first()
+    )
+    assert top.neighbor_id == 3_000_000

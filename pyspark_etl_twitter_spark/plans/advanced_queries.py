@@ -53,7 +53,8 @@ def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_HASH_SPLIT_COUNTS = f"""
-SELECT source, split, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT source, split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT source, n_chars,
          CASE WHEN bkt < 98 THEN 'train'

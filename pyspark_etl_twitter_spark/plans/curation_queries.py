@@ -209,7 +209,8 @@ spine AS (
 ),
 actual AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
-         (sum(CAST(round(value * 100) AS BIGINT)) * 10000) // count(1) AS avg0
+         CAST((sum(CAST(round(value * 100) AS BIGINT)) * 10000) // count(1)
+              AS BIGINT) AS avg0
   FROM events GROUP BY 1, 2
 )
 SELECT s.event_type, s.bucket,
@@ -244,8 +245,8 @@ def rolling_1h_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ROLLING_1H_EVENT_STATS = """
 SELECT event_id, event_type,
-       (sum(CAST(round(value * 100) AS BIGINT)) OVER w * 10000)
-           // (count(1) OVER w) AS rolling_avg_u6,
+       CAST((sum(CAST(round(value * 100) AS BIGINT)) OVER w * 10000)
+            // (count(1) OVER w) AS BIGINT) AS rolling_avg_u6,
        count(1) OVER w AS n_win
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
@@ -302,7 +303,8 @@ def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_WEIGHTED_SAMPLE_BY_LENGTH = f"""
-SELECT source, count(*) AS n_sampled, sum(n_chars) AS sampled_chars
+SELECT source, count(*) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sampled_chars
 FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{WSAMPLE_SEED}'), 1, 8)) AS BIGINT)
       < (CAST(n_chars AS BIGINT) * 4294967296) // {WSAMPLE_DENOM}
@@ -459,7 +461,7 @@ WITH running AS (
 )
 SELECT source,
        count(*) AS n_kept,
-       sum(n_chars) AS kept_chars,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
        min(n_chars) AS smallest_kept
 FROM running
 WHERE prev < {BUDGET_CHARS}
@@ -493,7 +495,7 @@ WITH thr AS (
 )
 SELECT d.source,
        count(*) AS n_sampled,
-       sum(n_chars) AS sampled_chars
+       CAST(sum(n_chars) AS BIGINT) AS sampled_chars
 FROM documents d JOIN thr USING (source)
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{TMIX_SEED}'), 1, 8)) AS BIGINT) < t
 GROUP BY d.source

@@ -957,11 +957,11 @@ def running_revenue_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_RUNNING_REVENUE_CHUNKED = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
          OVER (PARTITION BY l_suppkey
                ORDER BY l_shipdate, l_orderkey, l_linenumber,
                         l_extendedprice, l_discount
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS running_cents
+         AS BIGINT) AS running_cents
 FROM lineitem
 """

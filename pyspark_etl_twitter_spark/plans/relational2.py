@@ -543,7 +543,8 @@ def stratified_exact_n_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STRATIFIED_EXACT_N_DOCS = """
-SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT source, n_chars,
          row_number() OVER (

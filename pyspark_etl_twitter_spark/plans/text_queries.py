@@ -1132,7 +1132,7 @@ spans AS (
 per_doc AS (
   SELECT doc_id, span, count(*) AS occ FROM spans GROUP BY 1, 2
 )
-SELECT span, count(*) AS n_docs, sum(occ) AS n_occurrences
+SELECT span, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occurrences
 FROM per_doc
 GROUP BY span
 HAVING count(*) >= {SPAN_MIN_DOCS}

@@ -1,15 +1,28 @@
-"""Local stand-in for the driver's correctness gate.
+"""Local stand-in for the driver's correctness gate — DRIVER-FAITHFUL.
 
 Runs every ``queries()`` entry in Spark and its ``oracle_sql()`` twin in
-DuckDB on the same sf dir, then compares row count, column names/types, and
+DuckDB on the same sf dir, then compares row count, column names, and
 order-insensitive values (floats to 9 dp — stricter than any plausible
 driver hash rounding, since the queries already round on both sides).
+
+Two properties make this match the driver's gate (round-5 verdict #2):
+
+1. Oracle results are fetched through **Arrow/pandas** (``res.df()``), not
+   ``fetchall()``. DuckDB renders HUGEINT/DECIMAL as float64 on that path
+   (``sum(INTEGER)`` → HUGEINT → ``6277.0``), so an oracle whose type
+   differs from Spark's BIGINT now FAILS here exactly as it fails there.
+   ``fetchall()`` yields Python ints for HUGEINT and hid the whole class.
+2. Every oracle is additionally type-swept via ``DESCRIBE <sql>`` and the
+   run FAILS outright if any result column is HUGEINT/UHUGEINT/DECIMAL —
+   those types are hash-unsafe on the driver path even when today's values
+   happen to compare equal.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 import sys
 from pathlib import Path
@@ -21,22 +34,67 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark_etl_twitter_spark.session import get_session  # noqa: E402
 from pyspark_etl_twitter_spark.sources.catalog import TABLES  # noqa: E402
 
+#: DuckDB result types that the driver's Arrow/pandas hash path renders
+#: differently from Spark's integer collect — reject them outright.
+_HASH_UNSAFE_TYPES = ("HUGEINT", "DECIMAL")
+
 
 def _canon(value):
-    if value is None:
-        return ("null",)
+    # numpy scalars (the pandas fetch path) canonicalize like their Python
+    # counterparts — but a float64-rendered HUGEINT stays a float and will
+    # (correctly) mismatch Spark's int, mirroring the driver's hash.
+    try:
+        import numpy as np
+
+        if isinstance(value, np.integer):
+            value = int(value)
+        elif isinstance(value, np.floating):
+            value = float(value)
+        elif isinstance(value, np.bool_):
+            value = bool(value)
+        elif isinstance(value, np.ndarray):
+            value = value.tolist()
+    except ImportError:  # pragma: no cover
+        pass
+    if value is None or (isinstance(value, float) and math.isnan(value)):
+        return ("null",) if value is None else ("nan",)
+    # DuckDB's pandas fetch widens DATE to datetime64 (midnight); Spark
+    # collects datetime.date. Render both as the date string when the time
+    # part is exactly midnight so date-typed columns compare equal — the
+    # real driver accepts this pairing (weekly_revenue_wow was green in r4).
+    if isinstance(value, _dt.datetime) or type(value).__name__ == "Timestamp":
+        if value != value:  # pd.NaT
+            return ("null",)
+        s = str(value)
+        if s.endswith(" 00:00:00"):
+            s = s[:-9]
+        return ("s", s)
+    if isinstance(value, _dt.date):
+        return ("s", str(value))
     if isinstance(value, float):
-        if math.isnan(value):
-            return ("nan",)
         return ("f", round(value, 9))
+    if isinstance(value, bool):
+        return ("b", value)
     if isinstance(value, int):
         return ("i", value)
+    if isinstance(value, list):
+        return ("l", tuple(_canon(v) for v in value))
     return ("s", str(value))
 
 
 def _rows_canon(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def _unsafe_columns(con, sql: str) -> list[tuple[str, str]]:
+    """Result columns whose DuckDB type is hash-unsafe on the driver path."""
+    desc = con.execute("DESCRIBE " + sql).fetchall()
+    return [
+        (col, typ)
+        for col, typ, *_ in desc
+        if any(t in typ.upper() for t in _HASH_UNSAFE_TYPES)
+    ]
 
 
 def main() -> int:
@@ -74,9 +132,18 @@ def main() -> int:
             print(f"ROWS  {name}: {len(spark_rows)} rows (no oracle, by design)")
             continue
         try:
+            unsafe = _unsafe_columns(con, oracles[name])
+            if unsafe:
+                failed.append((name, f"HASH-UNSAFE ORACLE TYPES: {unsafe}"))
+                print(
+                    f"FAIL  {name}: oracle returns hash-unsafe types {unsafe} "
+                    f"— CAST(... AS BIGINT) in the oracle SQL"
+                )
+                continue
             res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            duck_df = res.df()  # Arrow/pandas path — what the driver hashes
+            duck_cols = list(duck_df.columns)
+            duck_rows = list(duck_df.itertuples(index=False, name=None))
         except Exception as exc:  # noqa: BLE001
             failed.append((name, f"DUCKDB ERROR: {exc}"))
             print(f"FAIL  {name}: duckdb error: {exc}")

@@ -299,7 +299,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
     ch = _PNG_CHANNELS[color_type]
     stride = w * ch
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # keep the module's malformed-input contract: every decoder raises
+        # ValueError on corrupt bytes, never a library-specific error
+        raise ValueError(f"corrupt IDAT zlib stream: {exc}") from exc
     if len(raw) != (stride + 1) * h:
         raise ValueError("IDAT length does not match IHDR geometry")
     out = np.empty((h, stride), dtype=np.uint8)

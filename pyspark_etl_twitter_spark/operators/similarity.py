@@ -554,13 +554,20 @@ LSH_PARTITIONED_MIN_BUCKET = 64
 
 
 def _read_lsh_meta(spark, path: str) -> dict | None:
-    """Index self-description written by ``build_lsh_index``; None for a
-    pre-meta index (caller-supplied parameters are then trusted)."""
+    """Index self-description written by ``build_lsh_index``; None when the
+    ``meta`` table does not exist (only the missing-path analysis error is
+    swallowed — a corrupt or unreadable meta must PROPAGATE, not be
+    mistaken for an absent one and silently probed with caller-default
+    parameters)."""
+    from pyspark.errors import AnalysisException
+
     try:
         row = spark.read.parquet(f"{path}/meta").first()
         return row.asDict() if row is not None else None
-    except Exception:  # noqa: BLE001 — missing meta == legacy layout
-        return None
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
 
 
 def build_lsh_index(
@@ -616,13 +623,19 @@ def build_lsh_index(
     # L·planes hyperplane dot products over the corpus
     base = _lsh_base(
         embeddings, planes_by_table, id_col=id_col, vec_col=vec_col
-    )
+    ).persist()
+    # Quantization applies to the CORPUS side only. The query block stays
+    # full-precision: the probe scores cos = q_scale·dot(code, q)/(nrm·q_nrm)
+    # with exactly one int8 factor per pair. Writing quantized q_emb without
+    # a stored query-side scale shipped scores off by 1/q_scale (~100×) —
+    # ranking survived (constant per query) but any threshold consumer broke.
+    corpus = base
     if quantize:
         amax = F.aggregate(
             F.col("emb"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
         )
         scale = F.when(amax > 0, amax / 127.0).otherwise(F.lit(1.0))
-        base = base.withColumn("q_scale", scale).select(
+        corpus = base.withColumn("q_scale", scale).select(
             "vec_id",
             F.transform(
                 "emb", lambda x: F.round(x / F.col("q_scale")).cast("tinyint")
@@ -632,7 +645,6 @@ def build_lsh_index(
             "t",
             "bucket",
         )
-    base = base.persist()
     try:
         if layout == "auto":
             n_vecs = embeddings.count()
@@ -642,11 +654,11 @@ def build_lsh_index(
                 else "flat"
             )
         if layout == "partitioned":
-            base.repartition("t", "bucket").write.mode("overwrite").partitionBy(
+            corpus.repartition("t", "bucket").write.mode("overwrite").partitionBy(
                 "t", "bucket"
             ).parquet(f"{path}/corpus")
         elif layout == "flat":
-            base.repartitionByRange("t", "bucket").sortWithinPartitions(
+            corpus.repartitionByRange("t", "bucket").sortWithinPartitions(
                 "t", "bucket"
             ).write.mode("overwrite").parquet(f"{path}/corpus")
         else:
@@ -688,13 +700,20 @@ def lsh_probe_indexed(
     (dynamic partition pruning off the broadcast probe side); candidates
     union across tables and dedup before the exact verify
     (OR-construction, same semantics as ``ann_lsh_topk``). ``n_planes``
-    is read from the index ``meta`` when present; the argument is the
-    fallback for pre-meta indexes."""
+    is read from the index ``meta``; an index without one is unsupported
+    (the probe joins on the OR-construction ``t``/``q_t`` columns, which a
+    pre-meta single-table layout lacks — it would fail mid-plan with an
+    AnalysisException, so fail early and say how to fix it)."""
     meta = _read_lsh_meta(spark, path)
-    if meta is not None:
-        n_planes = meta["n_planes"]
+    if meta is None:
+        raise ValueError(
+            f"LSH index at {path!r} has no meta table — rebuild it with "
+            "build_lsh_index (pre-meta layouts lack the per-table columns "
+            "this probe joins on)"
+        )
+    n_planes = meta["n_planes"]
     corpus = spark.read.parquet(f"{path}/corpus")
-    if meta is not None and meta.get("quantize"):
+    if meta.get("quantize"):
         # int8 codes: cos = q_scale·Σ code_i·q_i / (nrm·q_nrm). Folding the
         # scale into nrm (nrm' = nrm/q_scale) leaves the shared scoring
         # tail untouched — dot() casts tinyint elements to double anyway
@@ -889,21 +908,26 @@ def lsh_index_append(
 ) -> None:
     """Incrementally add vectors to a persisted LSH index: bucket the new
     batch with the SAME seeded hyperplane tables (read from the index
-    ``meta``; the arguments are the pre-meta fallback — bucketing is
-    stateless, so unlike IVF there is no drift and no periodic rebuild
-    needed) and append in the index's own layout (partitioned dirs or
-    flat sorted files), conformed to the existing schema (see
-    ivf_index_append). An empty batch is a no-op (nothing to bucket,
-    nothing to write). NULL vectors are dropped FIRST — a NULL-vector
-    first row must not masquerade as an empty batch (silently skipping
-    the real rows), and NULL rows in any position must not be written as
-    corrupt bucket entries."""
+    ``meta`` — bucketing is stateless, so unlike IVF there is no drift and
+    no periodic rebuild needed) and append in the index's own layout
+    (partitioned dirs or flat sorted files), conformed to the existing
+    schema (see ivf_index_append). An index without a ``meta`` table is
+    unsupported — the append casts through the OR-construction ``t``
+    column, which a pre-meta layout lacks (it would die with a KeyError
+    mid-select; fail early instead). An empty batch is a no-op (nothing
+    to bucket, nothing to write). NULL vectors are dropped FIRST — a
+    NULL-vector first row must not masquerade as an empty batch (silently
+    skipping the real rows), and NULL rows in any position must not be
+    written as corrupt bucket entries."""
     meta = _read_lsh_meta(spark, path)
-    layout = "partitioned"
-    if meta is not None:
-        n_planes, n_tables, seed = meta["n_planes"], meta["n_tables"], meta["seed"]
-        layout = meta["layout"]
-    quantize = bool(meta.get("quantize")) if meta is not None else False
+    if meta is None:
+        raise ValueError(
+            f"LSH index at {path!r} has no meta table — rebuild it with "
+            "build_lsh_index before appending"
+        )
+    n_planes, n_tables, seed = meta["n_planes"], meta["n_tables"], meta["seed"]
+    layout = meta["layout"]
+    quantize = bool(meta.get("quantize"))
     new_embeddings = new_embeddings.filter(F.col(vec_col).isNotNull())
     probe = new_embeddings.select(vec_col).first()
     if probe is None:

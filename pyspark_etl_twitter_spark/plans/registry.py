@@ -26,65 +26,45 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # ORDERING CONTRACT: the driver's correctness gate checks the first 50
 # registry keys (CORRECTNESS_r01.json covered exactly positions 1-50 of the
-# round-1 dict). Positions 1-50 below therefore carry one representative of
-# EVERY operator family — all sentiment/dedup/similarity/text-analytics/
-# packing/curation queries sit inside the window. Positions 51+ are either
-# relational variants that earned green driver rows in round 1 (extra
-# set-op forms, scalar-function packs) or additions whose family already
-# has in-window representatives (TF-IDF keywords, training mix,
-# keep-canonical); ALL tail entries carry oracles and are checked by
-# tools/check_oracles.py locally. Contract pinned by
-# tests/test_registry_contract.py.
+# round-1 dict). Round-6 rule (r5 verdict ask #4): every window slot is
+# ORACLE-BACKED and carries one representative of every operator family;
+# the 7 rows-only queries (hash-seeded LSH / approx sketches / k-means)
+# live in the tail so the driver never spends a slot on a by-design
+# `no_oracle` row. Tail entries with oracles are still checked by
+# tools/check_oracles.py locally; rows-only entries are pytest-covered.
+# Contract pinned by tests/test_registry_contract.py.
 
 QUERIES: dict[str, QueryFn] = {
     # -- inside the 50-query driver window ---------------------------------
+    # ROUND-6 WINDOW RULE (r5 verdict ask #4): every window slot is
+    # ORACLE-BACKED. The 7 rows-only queries (approx/minhash/simhash/ANN/
+    # kmeans) moved to the tail — they read as `no_oracle` errors in the
+    # driver book and displaced 7 verifiable rows. Their correctness signal
+    # is pytest (recall floors, inertia monotonicity, Python-oracle
+    # equality), which the window never carried anyway.
     # aggregations
     "pricing_summary": R.pricing_summary,
     # joins
-    "top_revenue_orders": R.top_revenue_orders,
     "revenue_by_nation": R.revenue_by_nation,
     "bucketed_join_revenue": B.bucketed_join_revenue,
-    # TPC-H hard-signal rotation (round-2 verdict ask #6): the two hardest
-    # join/decorrelation shapes of the suite get driver rows; the agg-family
-    # dupes they displaced (rollup_revenue, range_join_price_bands) hold
-    # r1+r2 green driver rows and moved to the tail. Their families keep
-    # in-window reps (pricing_summary for agg; 4 join entries remain).
+    # TPC-H hard-signal rotation (round-2 verdict ask #6): the hardest
+    # join/decorrelation shapes of the suite keep driver rows.
     "tpch_q18_large_volume_customers": H.tpch_q18_large_volume_customers,
     "tpch_q21_waiting_suppliers": H.tpch_q21_waiting_suppliers,
-    # round-4 TPC-H completion: q20 (semi-join-on-correlated-agg, the
-    # hardest remaining decorrelation shape, over the derived partsupp)
-    # takes the driver row per the r3 verdict ask #5; q2/q11 sit in the
-    # tail with full oracles. Displaced: semi_join_customers (r1-r3 green;
-    # 4 join reps + 3 TPC-H join suites remain in-window).
     "tpch_q20_excess_stock": H.tpch_q20_excess_stock,
-    # round-5 rotation (r4 verdict ask #3): round-4 tail families earn
-    # hard driver rows. Displaced (all r1-r4 driver-green, all keep
-    # oracles + tail slots, every family keeps an in-window rep):
-    # snapshot_diff_counts, weekly_revenue_wow, hof_funcs_documents,
-    # profile_orders_columns, referential_integrity_audit (r4 rotation
-    # cohort — one green driver round each), asof_purchase_click
-    # (family rep continues via asof_tolerance_click), event_gaps
-    # (window family keeps 3 reps), percentile_prices (percentile family
-    # rep continues via winsorized/equi-depth).
+    # round-5 rotation cohort — the three r5 hash-reds stay IN-WINDOW so
+    # the oracle-cast fix (round 6) earns visible green rows.
     "fuzzy_decontaminate_counts": CQ.fuzzy_decontaminate_counts,
     "budget_selection_by_source": CQ.budget_selection_by_source,
     "temperature_mix_counts": CQ.temperature_mix_counts,
-    "char_entropy_by_source": T.char_entropy_by_source,
     "repeated_spans_top": T.repeated_spans_top,
     "asof_tolerance_click": R.asof_tolerance_click,
     "winsorized_price_stats": R2.winsorized_price_stats,
-    "equidepth_price_deciles": R2.equidepth_price_deciles,
-    # round-3 new-family reps (hard driver signal): event analytics,
-    # binned range join, BM25 retrieval. Displaced: global_top_orders,
-    # dedup_sha_fingerprints, sentiment_doc_scores — all r1+r2 driver-green
-    # family dupes whose families keep in-window reps; all keep oracles.
+    # round-3 new-family reps: event analytics, binned range join, BM25
     "funnel_view_click_purchase": FQ.funnel_view_click_purchase,
     "binned_range_join_bands": AQ.binned_range_join_bands,
     "bm25_search_topk": T.bm25_search_topk,
-    # round-3 families: graph analytics + LM curation (one window rep
-    # each; the relational entries they displaced — grouping_sets_revenue,
-    # outer_join_order_counts, orders_with_many_items — hold round-1 green
-    # driver rows and moved to the tail per the ordering contract)
+    # round-3 families: graph analytics + LM curation
     "graph_triangle_count": GQ.graph_triangle_count,
     "lm_quality_by_source": LQ.lm_quality_by_source,
     "oov_rate_by_source": LQ.oov_rate_by_source,
@@ -92,30 +72,21 @@ QUERIES: dict[str, QueryFn] = {
     "topk_orders_per_customer": R.topk_orders_per_customer,
     "running_revenue_by_supplier": R.running_revenue_by_supplier,
     "sessionize_events": R.sessionize_events,
-    # curation: decontamination + PII (new families → inside the window;
-    # the set-op and string-func family reps they displaced earned green
-    # driver rows in round 1 and moved to the tail)
+    # curation: decontamination + PII
     "decontaminate_counts": CQ.decontaminate_counts,
     "pii_pseudonymize_customers": CQ.pii_pseudonymize_customers,
     # scalar functions / arrays / subqueries / quality
     "data_quality_lineitem": R2.data_quality_lineitem,
-    "approx_summary": R2.approx_summary,
-    # time windows (batch twin of streaming agg; sliding twin in the tail)
+    # time windows (batch twin of streaming agg)
     "hourly_event_rollup": R.hourly_event_rollup,
     # sentiment (reference pipeline, native)
     "sentiment_classes": T.sentiment_classes,
     "sentiment_weights_head": T.sentiment_weights_head,
-    # dedup
+    # dedup (exact + clusters; hash-seeded variants are rows-only → tail)
     "dedup_exact_summary": T.dedup_exact_summary,
-    "dedup_minhash_pairs": T.dedup_minhash_pairs,
-    "dedup_simhash_fingerprints": T.dedup_simhash_fingerprints,
     "dedup_clusters": T.dedup_clusters,
-    "dedup_clusters_minhash": T.dedup_clusters_minhash,
-    "dedup_incremental": T.dedup_incremental,
-    # similarity
+    # similarity (exact paths; approximate ANN is rows-only → tail)
     "knn_brute_cosine": T.knn_brute_cosine,
-    "knn_ann_lsh": T.knn_ann_lsh,
-    "knn_ivf": T.knn_ivf,
     "embedding_near_dup": T.embedding_near_dup,
     # text analytics
     "text_quality_by_source": T.text_quality_by_source,
@@ -126,13 +97,41 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprints": T.doc_fingerprints,
     # training-data pipeline ops
     "pack_documents_2048": T.pack_documents_2048,
-    "multi_resolution_rollup": T.multi_resolution_rollup,
-    # k-means (iterative → rows-only; must sit inside the window so the
-    # driver's rows-only check is its hard signal — tail entries carry
-    # oracles. dedup_exact_groups moved to the tail to make room; it keeps
-    # its oracle and its round-1 green row.)
+    # round-6 rotation (r5 verdict ask #4): never-driver-checked oracle
+    # families take the slots freed by the 7 rows-only rows plus 5
+    # multi-round-green family dupes (top_revenue_orders,
+    # equidepth_price_deciles, char_entropy_by_source, dedup_incremental,
+    # multi_resolution_rollup — every family keeps an in-window rep; all
+    # keep oracles + tail slots).
+    "resample_ffill_hourly": CQ.resample_ffill_hourly,
+    "rolling_1h_event_stats": CQ.rolling_1h_event_stats,
+    "hash_split_counts": AQ.hash_split_counts,
+    "weighted_sample_by_length": CQ.weighted_sample_by_length,
+    "stratified_exact_n_docs": R2.stratified_exact_n_docs,
+    "running_revenue_chunked": R.running_revenue_chunked,
+    "script_profile_by_source": T.script_profile_by_source,
+    "dedup_normalized_summary": T.dedup_normalized_summary,
+    "sessionize_events_chunked": R.sessionize_events_chunked,
+    "hashed_embedding_profile": T.hashed_embedding_profile,
+    "text_embedding_near_dup": T.text_embedding_near_dup,
+    "text_semantic_dedup_survivors": T.text_semantic_dedup_survivors,
+    # -- past the window ----------------------------------------------------
+    # rows-only by design (no ANSI-SQL oracle: hash-seeded LSH, approximate
+    # sketches, iterative k-means). Correctness signal: pytest recall
+    # floors / Python oracles / inertia monotonicity + local rows-only runs.
+    "approx_summary": R2.approx_summary,
+    "dedup_minhash_pairs": T.dedup_minhash_pairs,
+    "dedup_simhash_fingerprints": T.dedup_simhash_fingerprints,
+    "dedup_clusters_minhash": T.dedup_clusters_minhash,
+    "knn_ann_lsh": T.knn_ann_lsh,
+    "knn_ivf": T.knn_ivf,
     "kmeans_cluster_sizes": AQ.kmeans_cluster_sizes,
-    # -- past the window: round-1/2/3-verified variants --------------------
+    # round-6 displacements (driver-green r5, oracles retained)
+    "top_revenue_orders": R.top_revenue_orders,
+    "equidepth_price_deciles": R2.equidepth_price_deciles,
+    "char_entropy_by_source": T.char_entropy_by_source,
+    "dedup_incremental": T.dedup_incremental,
+    "multi_resolution_rollup": T.multi_resolution_rollup,
     # round-4 displacements (all r1-r3 driver-green, oracles retained)
     "semi_join_customers": R.semi_join_customers,
     "dedup_jaccard_pairs": T.dedup_jaccard_pairs,
@@ -187,9 +186,6 @@ QUERIES: dict[str, QueryFn] = {
     "bigram_profile_top": CQ.bigram_profile_top,
     "doc_length_histogram": CQ.doc_length_histogram,
     "fuzzy_part_name_pairs": CQ.fuzzy_part_name_pairs,
-    "resample_ffill_hourly": CQ.resample_ffill_hourly,
-    "rolling_1h_event_stats": CQ.rolling_1h_event_stats,
-    "hash_split_counts": AQ.hash_split_counts,
     "outlier_events_by_type": AQ.outlier_events_by_type,
     "unpivot_lineitem_measures": AQ.unpivot_lineitem_measures,
     "percentile_window_customers": AQ.percentile_window_customers,
@@ -213,45 +209,33 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q17_small_qty_revenue": H.tpch_q17_small_qty_revenue,
     "tpch_q19_disjunctive_revenue": H.tpch_q19_disjunctive_revenue,
     "tpch_q22_dormant_customers": H.tpch_q22_dormant_customers,
-    # (q18 and q21 sit inside the driver window, above)
+    # (q18, q20 and q21 sit inside the driver window, above)
     # graph analytics variants (family rep graph_triangle_count in-window)
     "graph_degree_histogram": GQ.graph_degree_histogram,
     "graph_triangles_per_node": GQ.graph_triangles_per_node,
-    # bloom-pruned join (join family has 5 in-window reps)
+    # bloom-pruned join (join family has in-window reps)
     "bloom_join_urgent_revenue": AQ.bloom_join_urgent_revenue,
     # event analytics tail twin (funnel rep is in-window)
     "cohort_retention_weekly": FQ.cohort_retention_weekly,
-    # weight-proportional sampling (round 3)
-    "weighted_sample_by_length": CQ.weighted_sample_by_length,
-    # bigram interpolated LM scoring (round 3; unigram rep in-window)
+    # bigram interpolated LM scoring (unigram rep in-window)
     "bigram_lm_quality_by_source": LQ.bigram_lm_quality_by_source,
-    # sliding-window chunking with overlap (round 3; fixed-chunk rep has
-    # green driver rows)
+    # sliding-window chunking with overlap (fixed-chunk rep in-window)
     "chunk_documents_overlap_64": T.chunk_documents_overlap_64,
     # statistical aggregates (round 3)
     "stats_aggregates_lineitem": R2.stats_aggregates_lineitem,
-    # selector aggregates + exact-quota stratified sampling (round 3)
+    # selector aggregates (round 3)
     "minmax_by_orders": R2.minmax_by_orders,
-    "stratified_exact_n_docs": R2.stratified_exact_n_docs,
     "session_conversion_rate": FQ.session_conversion_rate,
-    # (profile_orders_columns, referential_integrity_audit,
-    #  weekly_revenue_wow, hof_funcs_documents, snapshot_diff_counts
-    #  rotated into the driver window in round 4)
     # per-group embedding centroids (round 3)
     "embedding_centroids_by_label": AQ.embedding_centroids_by_label,
-    # as-of join direction variants (round 3; backward rep in-window)
-    # + tolerance-bounded variant (round 4, pandas merge_asof semantics)
+    # as-of join direction variants (tolerance rep in-window)
     "asof_forward_next_click": R.asof_forward_next_click,
     "asof_nearest_click": R.asof_nearest_click,
     # null-safe join semantics + SemDeDup centroid pruning (round 3)
     "null_safe_join_segments": R2.null_safe_join_segments,
     "semantic_prune_by_centroid": AQ.semantic_prune_by_centroid,
-    # linear-interpolation resample (round 3; ffill rep has driver row)
+    # linear-interpolation resample (ffill rep now in-window)
     "resample_interpolate_hourly": CQ.resample_interpolate_hourly,
-    # (round-5 rotation moved fuzzy_decontaminate_counts,
-    # budget_selection_by_source, temperature_mix_counts,
-    # char_entropy_by_source, repeated_spans_top, winsorized_price_stats,
-    # equidepth_price_deciles into the driver window)
     "source_vocab_overlap_top": CQ.source_vocab_overlap_top,
     # round-5 displacements (all r1-r4 driver-green, oracles retained)
     "snapshot_diff_counts": R2.snapshot_diff_counts,
@@ -262,19 +246,6 @@ QUERIES: dict[str, QueryFn] = {
     "asof_purchase_click": R.asof_purchase_click,
     "event_gaps": R.event_gaps,
     "percentile_prices": R2.percentile_prices,
-    # round-5 additions: script/charset profile + normalization-insensitive
-    # dedup (text-analysis / dedup families keep in-window reps)
-    "script_profile_by_source": T.script_profile_by_source,
-    "dedup_normalized_summary": T.dedup_normalized_summary,
-    # round-5 skew fallbacks, driver-verified against the PLAIN-window
-    # oracles (chunked ≡ plain is the whole contract)
-    "sessionize_events_chunked": R.sessionize_events_chunked,
-    "running_revenue_chunked": R.running_revenue_chunked,
-    # round-5: md5 feature-hashed text->vector bridge (flat-row math
-    # hash-verified; dense assembly + ANN integration pytest-covered)
-    "hashed_embedding_profile": T.hashed_embedding_profile,
-    "text_embedding_near_dup": T.text_embedding_near_dup,
-    "text_semantic_dedup_survivors": T.text_semantic_dedup_survivors,
 }
 
 ORACLES: dict[str, str] = {

@@ -309,3 +309,32 @@ def test_png_real_ahash_near_dup(spark):
     }
     assert bin(ph[1] ^ ph[2]).count("1") <= 4
     assert bin(ph[1] ^ ph[3]).count("1") > 16
+
+
+def test_png_corrupt_zlib_with_valid_crc_raises_valueerror():
+    """A structurally valid PNG (good signature, chunk layout, CRCs) whose
+    IDAT payload is not a zlib stream must raise ValueError like every
+    other malformed input — not leak zlib.error (r5 advice)."""
+    import struct
+    import zlib
+
+    from pyspark_etl_twitter_spark.operators.codecs import decode_png, encode_png
+
+    full = encode_png(_rgb_image())
+    out = bytearray(full[:8])
+    i = 8
+    while i < len(full):
+        (ln,) = struct.unpack(">I", full[i : i + 4])
+        typ = full[i + 4 : i + 8]
+        data = full[i + 8 : i + 8 + ln]
+        if typ == b"IDAT":
+            data = b"\x00definitely-not-zlib"
+        out += (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+        i += 12 + ln
+    with pytest.raises(ValueError, match="corrupt IDAT zlib"):
+        decode_png(bytes(out))

@@ -1,72 +1,80 @@
 """Registry ordering + completeness contract.
 
-The driver's correctness gate checks the first 50 registry keys (round 1
-covered exactly positions 1-50), so the dict order is load-bearing: every
-operator family must keep a representative inside the window, and the
-LLM-pipeline queries (sentiment/dedup/similarity/text/packing) must all sit
-inside it. Entries past position 50 must be round-1-verified relational
-variants that still carry an oracle for local CI.
+The driver's correctness gate checks the first 50 registry keys, so the
+dict order is load-bearing. Round-6 rule (r5 verdict ask #4): EVERY window
+slot is oracle-backed — rows-only queries (approximate / hash-seeded
+semantics) live in the tail, where the driver never wastes a slot on a
+by-design ``no_oracle`` row. Every operator family keeps a representative
+inside the window; every tail entry that has an oracle is still checked by
+tools/check_oracles.py locally.
 """
 
 from pyspark_etl_twitter_spark.plans.registry import ORACLES, QUERIES
 
 DRIVER_WINDOW = 50
 
-# queries that had no driver-verified row in round 1 (VERDICT.md "What's
-# missing" #1) plus the round-2 additions — all must stay inside the window
+# never-driver-checked families rotated in for round 6 (r5 verdict ask #4)
+# plus the three r5 hash-reds whose oracle casts must earn green rows, plus
+# one rep per operator family.
 MUST_BE_IN_WINDOW = {
-    "dedup_simhash_fingerprints",
+    # r5 hash-reds, oracle-cast in round 6 — must earn green driver rows
+    "budget_selection_by_source",
+    "temperature_mix_counts",
+    "repeated_spans_top",
+    # round-6 rotation: never-driver-checked oracle families
+    "resample_ffill_hourly",
+    "rolling_1h_event_stats",
+    "hash_split_counts",
+    "weighted_sample_by_length",
+    "stratified_exact_n_docs",
+    "running_revenue_chunked",
+    "script_profile_by_source",
+    "dedup_normalized_summary",
+    "sessionize_events_chunked",
+    "hashed_embedding_profile",
+    "text_embedding_near_dup",
+    "text_semantic_dedup_survivors",
+    # one rep per operator family
+    "pricing_summary",
+    "revenue_by_nation",
+    "bucketed_join_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q20_excess_stock",
+    "tpch_q21_waiting_suppliers",
+    "fuzzy_decontaminate_counts",
+    "asof_tolerance_click",
+    "winsorized_price_stats",
+    "funnel_view_click_purchase",
+    "binned_range_join_bands",
+    "bm25_search_topk",
+    "graph_triangle_count",
+    "lm_quality_by_source",
+    "oov_rate_by_source",
+    "topk_orders_per_customer",
+    "running_revenue_by_supplier",
+    "sessionize_events",
+    "decontaminate_counts",
+    "pii_pseudonymize_customers",
+    "data_quality_lineitem",
+    "hourly_event_rollup",
+    "sentiment_classes",
+    "sentiment_weights_head",
+    "dedup_exact_summary",
+    "dedup_clusters",
     "knn_brute_cosine",
-    "knn_ann_lsh",
-    "knn_ivf",
     "embedding_near_dup",
     "text_quality_by_source",
+    "repetition_stats",
+    "quality_gate_by_source",
     "lang_detect_counts",
     "token_counts",
     "doc_fingerprints",
     "pack_documents_2048",
-    "multi_resolution_rollup",
-    "bucketed_join_revenue",
-    "decontaminate_counts",
-    "pii_pseudonymize_customers",
-    "approx_summary",
-    "dedup_minhash_pairs",
-    "dedup_clusters",
-    "dedup_clusters_minhash",
-    "dedup_incremental",
-    "repetition_stats",
-    "quality_gate_by_source",
-    # round-3 family reps
-    "graph_triangle_count",
-    "lm_quality_by_source",
-    "oov_rate_by_source",
-    # round-3 TPC-H hard-signal rotation (round-2 verdict ask #6)
-    "tpch_q18_large_volume_customers",
-    "tpch_q21_waiting_suppliers",
-    # round-3 new-family reps (displaced entries hold r1+r2 green rows)
-    "funnel_view_click_purchase",
-    "binned_range_join_bands",
-    "bm25_search_topk",
-    # round-4 rotation (r3 verdict asks #5/#8): TPC-H q20 over derived
-    # partsupp earned its driver row; the round-4 cohort
-    # (snapshot_diff_counts, weekly_revenue_wow, hof_funcs_documents,
-    # profile_orders_columns, referential_integrity_audit) got its green
-    # round-4 rows and rotated to the tail in round 5.
-    "tpch_q20_excess_stock",
-    # round-5 rotation (r4 verdict ask #3): round-4 tail families earn
-    # hard driver rows; displacees hold r1-r4 green rows + tail oracles.
-    "fuzzy_decontaminate_counts",
-    "budget_selection_by_source",
-    "temperature_mix_counts",
-    "char_entropy_by_source",
-    "repeated_spans_top",
-    "asof_tolerance_click",
-    "winsorized_price_stats",
-    "equidepth_price_deciles",
 }
 
 # the only queries allowed to lack a SQL oracle (approximate / hash-seeded
-# semantics not expressible in ANSI SQL — driver records rows-only)
+# semantics not expressible in ANSI SQL — driver records rows-only). All
+# must sit PAST the driver window so they never displace a verifiable row.
 ROWS_ONLY_BY_DESIGN = {
     "approx_summary",
     "dedup_minhash_pairs",
@@ -83,9 +91,14 @@ def test_priority_queries_inside_driver_window():
     assert MUST_BE_IN_WINDOW <= window
 
 
-def test_tail_entries_are_oracle_checked():
-    tail = list(QUERIES)[DRIVER_WINDOW:]
-    assert all(k in ORACLES for k in tail)
+def test_window_is_fully_oracle_backed():
+    window = list(QUERIES)[:DRIVER_WINDOW]
+    assert all(k in ORACLES for k in window)
+
+
+def test_rows_only_sit_past_the_window():
+    window = set(list(QUERIES)[:DRIVER_WINDOW])
+    assert not (ROWS_ONLY_BY_DESIGN & window)
 
 
 def test_rows_only_set_is_exact():

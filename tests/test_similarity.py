@@ -513,10 +513,20 @@ def test_quantized_index_recall_and_size(spark, tmp_path):
 
     assert corpus_bytes(quant) < 0.55 * corpus_bytes(full)
 
-    a = {(r.q_id, r.rank): r.neighbor_id
-         for r in lsh_probe_indexed(spark, full, n_queries=10, k=5).collect()}
-    b = {(r.q_id, r.rank): r.neighbor_id
-         for r in lsh_probe_indexed(spark, quant, n_queries=10, k=5).collect()}
+    rows_full = lsh_probe_indexed(spark, full, n_queries=10, k=5).collect()
+    rows_quant = lsh_probe_indexed(spark, quant, n_queries=10, k=5).collect()
+    a = {(r.q_id, r.rank): r.neighbor_id for r in rows_full}
+    b = {(r.q_id, r.rank): r.neighbor_id for r in rows_quant}
+    # quantized probe SCORES match full precision (r5 advice: the query
+    # block must stay full-precision — quantized q_emb without a stored
+    # query-side scale shipped cos_sim off by ~1/q_scale, ~100×; ranking
+    # survived, every similarity-threshold consumer broke)
+    sa = {(r.q_id, r.neighbor_id): r.cos_sim for r in rows_full}
+    sb = {(r.q_id, r.neighbor_id): r.cos_sim for r in rows_quant}
+    shared = set(sa) & set(sb)
+    assert shared
+    assert all(abs(sa[key] - sb[key]) < 0.02 for key in shared)
+    assert all(-1.001 <= v <= 1.001 for v in sb.values())
     same = sum(1 for key in a if b.get(key) == a[key])
     assert same >= 0.8 * len(a)
     # per-query neighbor SETS (recall-relevant) almost always identical
@@ -542,3 +552,32 @@ def test_quantized_index_recall_and_size(spark, tmp_path):
         .first()
     )
     assert top.neighbor_id == 3_000_000
+
+
+def test_lsh_index_without_meta_rejected(spark, tmp_path):
+    """An index missing its ``meta`` table is unsupported, and both probe
+    and append must say so EARLY with a rebuild hint (r5 advice: the
+    documented 'legacy fallback' could never work — the probe joins on
+    the OR-construction t/q_t columns a pre-meta layout lacks, so the
+    old caller-default path died mid-plan with an AnalysisException)."""
+    import shutil
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_append,
+        lsh_probe_indexed,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "idx")
+    build_lsh_index(emb, path, n_planes=4)
+    shutil.rmtree(f"{path}/meta")
+    with pytest.raises(ValueError, match="meta table — rebuild"):
+        lsh_probe_indexed(spark, path, n_queries=2, k=2)
+    with pytest.raises(ValueError, match="meta table — rebuild"):
+        lsh_index_append(spark, path, emb.limit(1))
+    # a wholly nonexistent index fails the same way (missing path is the
+    # ONLY exception _read_lsh_meta swallows; real read errors propagate)
+    with pytest.raises(ValueError, match="meta table — rebuild"):
+        lsh_probe_indexed(spark, str(tmp_path / "nope"), n_queries=1, k=1)

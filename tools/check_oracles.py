@@ -87,14 +87,42 @@ def _rows_canon(rows, colnames):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
-def _unsafe_columns(con, sql: str) -> list[tuple[str, str]]:
+def _oracle_types(con, sql: str) -> dict[str, str]:
+    """DuckDB result-column types for an oracle query."""
+    return {col: typ for col, typ, *_ in con.execute("DESCRIBE " + sql).fetchall()}
+
+
+def _unsafe_columns(types: dict[str, str]) -> list[tuple[str, str]]:
     """Result columns whose DuckDB type is hash-unsafe on the driver path."""
-    desc = con.execute("DESCRIBE " + sql).fetchall()
     return [
         (col, typ)
-        for col, typ, *_ in desc
+        for col, typ in types.items()
         if any(t in typ.upper() for t in _HASH_UNSAFE_TYPES)
     ]
+
+
+_INT_TYPES = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT")
+
+
+def _narrow_nullable_ints(df, types: dict[str, str]):
+    """Undo pandas' nullable-int widening: a DECLARED-integer DuckDB column
+    (per DESCRIBE — so never HUGEINT, which hard-fails earlier) that holds
+    NULLs arrives as float64 with NaN. The real driver hashes this shape
+    green (weekly_revenue_wow, nullable BIGINT, r4), so integral floats go
+    back to int and NaN to None. Genuine type mismatches (sum→HUGEINT)
+    are caught by the type sweep, not here."""
+    import numpy as np
+    import pandas as pd
+
+    for col, typ in types.items():
+        if typ.upper() in _INT_TYPES and col in df.columns and df[col].dtype == np.float64:
+            vals = [
+                None if v != v else (int(v) if float(v).is_integer() else float(v))
+                for v in df[col]
+            ]
+            # dtype=object, or pandas silently re-coerces the ints to float64
+            df[col] = pd.Series(vals, dtype=object, index=df.index)
+    return df
 
 
 def main() -> int:
@@ -132,7 +160,8 @@ def main() -> int:
             print(f"ROWS  {name}: {len(spark_rows)} rows (no oracle, by design)")
             continue
         try:
-            unsafe = _unsafe_columns(con, oracles[name])
+            types = _oracle_types(con, oracles[name])
+            unsafe = _unsafe_columns(types)
             if unsafe:
                 failed.append((name, f"HASH-UNSAFE ORACLE TYPES: {unsafe}"))
                 print(
@@ -142,6 +171,7 @@ def main() -> int:
                 continue
             res = con.execute(oracles[name])
             duck_df = res.df()  # Arrow/pandas path — what the driver hashes
+            duck_df = _narrow_nullable_ints(duck_df, types)
             duck_cols = list(duck_df.columns)
             duck_rows = list(duck_df.itertuples(index=False, name=None))
         except Exception as exc:  # noqa: BLE001

@@ -36,8 +36,10 @@ a strictly larger exploded-row exchange):
 - ``dedup.py`` simhash_fingerprints → ``groupBy(id, term)`` then ``groupBy(id)``
 - ``textstats.py`` fingerprints / repetition / tf-idf / char-entropy /
   repeated-spans                    → ``groupBy(id, ...)``
-- ``lm.py`` doc_logprob / oov_rate / bigram_pairs → ``groupBy(id, ...)``
-  after broadcast model joins
+- ``lm.py`` doc_logprob / oov_rate → ``groupBy(id, ...)`` after
+  broadcast model joins (``bigram_pairs`` has NO fan-out: its consumers
+  aggregate/join on gram keys, and adjacent-pairs explode work is linear
+  in input bytes already bounded per scan split — see its docstring)
 - ``encoding.py`` build_vocab       → ``countDistinct(id)`` expands to a
   ``(term, id)`` dedup phase whose clustering the id partitioning
   satisfies partition-locally

@@ -218,7 +218,7 @@ def main() -> None:
         start = time.perf_counter()
         try:
             build_ivf_index(emb, f"{idx_root}/ivf", n_lists=16)
-            build_lsh_index(emb, f"{idx_root}/lsh", n_planes=8)
+            build_lsh_index(emb, f"{idx_root}/lsh")
             timings["ann_index_build"] = round(time.perf_counter() - start, 3)
         except Exception as exc:  # noqa: BLE001
             timings["ann_index_build"] = None

@@ -255,7 +255,13 @@ def _lsh_score_pairs(pairs: DataFrame, *, k: int, round_dp: int) -> DataFrame:
     dedup trades a few duplicate 64-float folds (bounded by n_tables) for
     keeping the embedding arrays out of the exchange: deduping first
     plans as Sort+SortAggregate over the wide vector payload (measured
-    2.5 s vs 1.0 s for the 100-query probe at sf0.1)."""
+    2.5 s vs 1.0 s for the 100-query probe at sf0.1).
+
+    Zero-norm vectors are EXCLUDED before scoring: cosine to the zero
+    vector is undefined, and under ANSI mode the division raises
+    DIVIDE_BY_ZERO mid-job (surfaced when wider multi-probe let a
+    zero vector collide with a probed bucket)."""
+    pairs = pairs.filter((F.col("nrm") > 0) & (F.col("q_nrm") > 0))
     scored = pairs.select(
         "q_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -285,10 +291,10 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     n_queries: int = 10,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 10,
     seed: int = 7,
     round_dp: int = 6,
-    probe_bits: int = 2,
+    probe_bits: int = 3,
     n_tables: int = 2,
 ) -> DataFrame:
     """Approximate top-k via OR-construction LSH: ``n_tables`` independent
@@ -297,8 +303,10 @@ def ann_lsh_topk(
     deduped before the exact-cosine verify). Per-table miss probability
     p becomes p^L — the standard recall lever that multi-probe alone
     cannot reach (measured on the sf0.1 corpus, the adversarially hard
-    near-random-vector case: 1 table → recall@5 0.352, 2 tables → 0.622;
-    sweep table in DESIGN.md / tools/lsh_param_sweep.py).
+    near-random-vector case: 1 table/8 planes/2 bits → recall@5 0.352,
+    2/8/2 → 0.622, the r6 default 2/10/3 → 0.704 at 640 candidates —
+    the smallest-storage config clearing the 0.7 bar; full frontier in
+    DESIGN.md §20 / tools/lsh_param_sweep.py).
 
     The bucket equi-join replaces the cross join — at 100 TB this turns
     O(corpus × queries) into O(corpus·L·buckets_probed/2^planes × queries)
@@ -576,7 +584,7 @@ def build_lsh_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 10,
     seed: int = 7,
     max_queries: int = 100,
     n_tables: int = 2,
@@ -690,8 +698,7 @@ def lsh_probe_indexed(
     n_queries: int = 10,
     k: int = 5,
     round_dp: int = 6,
-    n_planes: int = 8,
-    probe_bits: int = 2,
+    probe_bits: int = 3,
 ) -> DataFrame:
     """Probe-only LSH top-k against a ``build_lsh_index`` layout: broadcast
     the query block (multi-probe expanded per table, see _probe_buckets)
@@ -902,9 +909,6 @@ def lsh_index_append(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
-    seed: int = 7,
-    n_tables: int = 2,
 ) -> None:
     """Incrementally add vectors to a persisted LSH index: bucket the new
     batch with the SAME seeded hyperplane tables (read from the index

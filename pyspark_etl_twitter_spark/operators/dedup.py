@@ -270,6 +270,13 @@ def near_dup_pairs_minhash(
         star_bucket_threshold=star_bucket_threshold,
     )
     terms = _distinct_terms(docs, id_col, text_col, shingle_n)
+    return _verify_jaccard(cand, terms, threshold)
+
+
+def _verify_jaccard(cand: DataFrame, terms: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidates against the
+    distinct-term relation — shingles are joined only for candidate pairs
+    (semi-join pruned), never all-pairs."""
     sizes = terms.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     sa, sb = terms.alias("sa"), terms.alias("sb")
     inter = (
@@ -292,6 +299,93 @@ def near_dup_pairs_minhash(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# Portable-hash MinHash twin (round 7): md5-derived permutation hashes
+# --------------------------------------------------------------------------
+
+def portable_term_hash(term: Column, i: int) -> Column:
+    """60-bit permutation hash from md5, reproducible in ANSI SQL.
+
+    Spark: conv(substring(md5(i || ':' || term), 1, 15), 16, 10)::long.
+    DuckDB twin: ('0x' || substr(md5(i || ':' || term), 1, 15))::BIGINT.
+    15 hex digits = 60 bits, so the value fits a signed 64-bit integer on
+    both engines with no overflow disagreement."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), term)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def near_dup_pairs_minhash_portable(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.5,
+    star_bucket_threshold: int | None = 64,
+) -> DataFrame:
+    """The same banded-LSH → star-guard → exact-Jaccard-verify flow as
+    ``near_dup_pairs_minhash``, with the xxhash64 hash families swapped for
+    md5-derived ones (``portable_term_hash``) so EVERY stage — signatures,
+    band keys, the star guard's oversized-bucket rule, verification — has
+    an exact DuckDB twin the driver can hash-verify end to end. md5 is
+    ~2-3× the per-term cost of xxhash64, so the xxhash64 path stays the
+    scale default; this is its fully-verified twin (the pattern proved by
+    the semantic-dedup oracle, plans/advanced_queries.py)."""
+    from pyspark.sql import Window
+
+    terms = _distinct_terms(docs, id_col, text_col, shingle_n)
+    rows = num_hashes // bands
+    mins = [
+        F.min(portable_term_hash(F.col("term"), i)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = terms.groupBy("_id").agg(*mins)
+    # Band key = decimal-rendered row hashes joined with '|' — identical
+    # string on both engines (no engine-specific hash of the band tuple).
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|", *[F.col(f"h{j * rows + r}").cast("string") for r in range(rows)]
+            )
+            for j in range(bands)
+        ]
+    )
+    exploded = sigs.select(
+        F.col("_id").alias("minhash_id"),
+        F.posexplode(band_keys).alias("band_id", "band_key"),
+    )
+    if star_bucket_threshold is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        exploded = exploded.withColumn("_bsz", F.count(F.lit(1)).over(w)).withColumn(
+            "_bmin", F.min("minhash_id").over(w)
+        )
+        small = exploded.filter(F.col("_bsz") <= star_bucket_threshold)
+        star = (
+            exploded.filter(
+                (F.col("_bsz") > star_bucket_threshold)
+                & (F.col("minhash_id") != F.col("_bmin"))
+            )
+            .select(F.col("_bmin").alias("doc_a"), F.col("minhash_id").alias("doc_b"))
+        )
+    else:
+        small, star = exploded, None
+    a, b = small.alias("a"), small.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.minhash_id") < F.col("b.minhash_id")),
+    ).select(
+        F.col("a.minhash_id").alias("doc_a"), F.col("b.minhash_id").alias("doc_b")
+    )
+    if star is not None:
+        cand = cand.union(star)
+    return _verify_jaccard(cand.distinct(), terms, threshold)
 
 
 # --------------------------------------------------------------------------

@@ -134,6 +134,7 @@ QUERIES: dict[str, QueryFn] = {
     "multi_resolution_rollup": T.multi_resolution_rollup,
     # round-4 displacements (all r1-r3 driver-green, oracles retained)
     "semi_join_customers": R.semi_join_customers,
+    "dedup_minhash_portable_pairs": T.dedup_minhash_portable_pairs,
     "dedup_jaccard_pairs": T.dedup_jaccard_pairs,
     "array_funcs_documents": R2.array_funcs_documents,
     "embedding_norm_stats": T.embedding_norm_stats,
@@ -299,6 +300,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_groups": T.ORACLE_DEDUP_EXACT_GROUPS,
     "dedup_sha_fingerprints": T.ORACLE_DEDUP_SHA_FINGERPRINTS,
     "dedup_jaccard_pairs": T.ORACLE_DEDUP_JACCARD_PAIRS,
+    "dedup_minhash_portable_pairs": T.ORACLE_DEDUP_MINHASH_PORTABLE_PAIRS,
     # dedup_minhash_pairs / dedup_simhash_fingerprints: xxhash64 → rows-only
     "dedup_clusters": T.ORACLE_DEDUP_CLUSTERS,
     # dedup_clusters_minhash: xxhash64-seeded pairs → rows-only

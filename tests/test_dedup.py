@@ -237,3 +237,75 @@ def test_duplicate_clusters_random_graph_matches_union_find(spark):
     pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"]).repartition(16)
     got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
     assert got == expect
+
+
+def test_portable_minhash_matches_exact_and_finds_planted(spark, corpus):
+    """The md5-hash twin (near_dup_pairs_minhash_portable) must behave like
+    the xxhash64 path: find the planted near-dups, and report the exact
+    shingle-Jaccard for every emitted pair (precision 1.0 by construction)."""
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        near_dup_pairs_minhash_portable,
+    )
+
+    mh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in near_dup_pairs_minhash_portable(
+            corpus, shingle_n=3, threshold=0.3, num_hashes=32, bands=8
+        ).collect()
+    }
+    assert (0, 4) in mh and mh[(0, 4)] == 1.0  # exact dup always collides
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, shingle_n=3, threshold=0.3).collect()
+    }
+    for pair, j in mh.items():
+        assert exact[pair] == j  # emitted pairs ⊆ exact pairs, same value
+
+
+def test_portable_minhash_recall_parity_with_xxhash64(spark):
+    """Equality-of-recall evidence (r6 verdict ask #3): on the real sf0.001
+    documents table, the md5-derived hash family must recall the
+    exact-Jaccard ground-truth pairs as well as the xxhash64 family — the
+    families differ, the banding math doesn't. Star guard OFF here: the
+    sf0.001 corpus is swarm-heavy (90k truth pairs over 500 docs), so with
+    the guard on BOTH paths deliberately trade pair-level recall inside
+    oversized buckets for O(n) edges; that tradeoff is covered by
+    test_lsh_star_guard_preserves_components, not this recall check.
+
+    Measured guard-off at 16 hashes / 4 bands: recall_xx 0.690 /
+    recall_portable ~0.69 at j>=0.5, both >=0.97 at j>=0.9 (expected
+    1-(1-j^4)^4 = 0.986)."""
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        near_dup_pairs_minhash_portable,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    truth = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.5).collect()
+    }
+    assert truth  # the synthetic corpus plants near-dups; truth is non-empty
+    xx = {
+        (r.doc_a, r.doc_b)
+        for r in near_dup_pairs_minhash(
+            docs, shingle_n=1, threshold=0.5, num_hashes=16, bands=4,
+            star_bucket_threshold=None,
+        ).collect()
+    }
+    portable = {
+        (r.doc_a, r.doc_b)
+        for r in near_dup_pairs_minhash_portable(
+            docs, shingle_n=1, threshold=0.5, num_hashes=16, bands=4,
+            star_bucket_threshold=None,
+        ).collect()
+    }
+    keys = set(truth)
+    assert xx <= keys and portable <= keys  # exact verify → precision 1.0
+    recall_xx = len(xx) / len(truth)
+    recall_portable = len(portable) / len(truth)
+    # same band/row geometry → same collision-probability curve
+    assert abs(recall_portable - recall_xx) <= 0.05
+    # near-exact dups must essentially always collide in some band
+    high = {k for k, j in truth.items() if j >= 0.9}
+    assert len(portable & high) / len(high) >= 0.95
+    assert len(xx & high) / len(high) >= 0.95

@@ -29,6 +29,7 @@ Usage: python tools/scale_evidence_r6.py [sf_dir] [max_mult]
 from __future__ import annotations
 
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -113,9 +114,11 @@ def main():
     emb0 = load_table(spark, sf_dir, "embeddings")
 
     for n in mults:
-        docs = zipfian_docs(
-            replicate(docs0, n, ["doc_id"]).drop("_rep")
-        ).localCheckpoint()
+        # persist(), not localCheckpoint(): unpersist() on a localCheckpoint
+        # result does NOT release the checkpoint blocks, so the ×50 blocks
+        # would accumulate across multipliers in one session (ADVICE r6).
+        # The count() below materializes the cache before timing starts.
+        docs = zipfian_docs(replicate(docs0, n, ["doc_id"]).drop("_rep")).persist()
         total = docs.count()
         hot = docs.filter("source = 'hot'").count()
         print(f"-- documents x{n}: {total} rows, hot source {hot} ({hot/total:.0%})")
@@ -126,15 +129,22 @@ def main():
             f"{st.max_sz}, star edges {st.star_edges or 0} vs naive pairs "
             f"{int(st.naive_pairs or 0)} avoided"
         )
+        # Time the checkpoint itself — localCheckpoint is EAGER, so wrapping
+        # only a noop-write of the already-materialized result (the r6 bug)
+        # reported ~0.1 s regardless of multiplier.
+        t0 = time.perf_counter()
         pairs = near_dup_pairs_minhash(docs).localCheckpoint()
-        timed(f"minhash_pairs       x{n}", lambda p=pairs: p)
         n_pairs = pairs.count()
+        print(
+            f"minhash_pairs       x{n}: {time.perf_counter() - t0:.2f} s",
+            flush=True,
+        )
         print(f"   emitted candidate pairs: {n_pairs}")
         timed(
             f"minhash_cc          x{n}",
             lambda p=pairs: duplicate_clusters(p, a_col="doc_a", b_col="doc_b"),
         )
-        docs.unpersist()
+        docs.unpersist(blocking=True)
 
         # semantic skew: 20% of vectors pulled toward one centroid at 0.7
         # (high mutual similarity, ONE hot LSH bucket, sub-threshold —
@@ -163,18 +173,24 @@ def main():
                 ).otherwise(F.col("embedding")),
             )
             .drop("_s")
-            .localCheckpoint()
+            .persist()
         )
+        emb.count()  # materialize the cache before timing
+        t0 = time.perf_counter()
         spairs = embedding_near_dup_pairs(
             emb, threshold=0.95, n_planes=None
         ).localCheckpoint()
-        timed(f"semantic_pairs      x{n}", lambda p=spairs: p)
-        print(f"   semantic pairs: {spairs.count()}")
+        n_spairs = spairs.count()
+        print(
+            f"semantic_pairs      x{n}: {time.perf_counter() - t0:.2f} s",
+            flush=True,
+        )
+        print(f"   semantic pairs: {n_spairs}")
         timed(
             f"semantic_cc         x{n}",
             lambda p=spairs: duplicate_clusters(p, a_col="vec_a", b_col="vec_b"),
         )
-        emb.unpersist()
+        emb.unpersist(blocking=True)
 
 
 if __name__ == "__main__":

@@ -112,3 +112,48 @@ def kmeans_assign(
 ) -> DataFrame:
     """(id, cluster, dist2) for trained centroids — one codegen pass."""
     return _assign(emb, centroids, id_col, vec_col).drop(vec_col)
+
+
+def kmeans_fit_portable(
+    emb: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    round_dp: int = 6,
+) -> list[list[float]]:
+    """Fixed-iteration Lloyd's with centroids ROUNDED to ``round_dp`` after
+    every update — the ANSI-SQL-verifiable twin of ``kmeans_fit`` (r6
+    verdict ask #5).
+
+    Two deliberate differences from ``kmeans_fit`` make the math
+    reproducible in DuckDB:
+
+    - no tolerance early-stop (an oracle can't see Spark's shift test), and
+    - per-dim means snap to ``round_dp`` decimals each round, so both
+      engines iterate from EXACTLY the same centroid doubles — float noise
+      from differing summation order (~1e-13) can't accumulate across
+      iterations or flip an argmin whose true gap exceeds the noise floor.
+
+    Same structure otherwise: assignment is the broadcast-literal argmin
+    codegen pass of ``_assign``; the update is one partial-aggregated
+    groupBy(cluster, pos); only k×dim rounded means hit the driver. Empty
+    clusters keep their previous centroid (coalesce on the oracle side)."""
+    seeds = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[round(float(x), round_dp) for x in r[0]] for r in seeds]
+    for _ in range(iters):
+        assigned = _assign(emb, centroids, id_col, vec_col)
+        per_dim = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), round_dp).alias("mean"))
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in per_dim.collect():
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mean"]
+        new_centroids = [list(c) for c in centroids]
+        for ci, dims in by_cluster.items():
+            new_centroids[ci] = [dims[p] for p in sorted(dims)]
+        centroids = new_centroids
+    return centroids

@@ -338,18 +338,27 @@ ORACLE_SEMANTIC_DEDUP_SURVIVORS = _semantic_dedup_oracle()
 # --------------------------------------------------------------------------
 
 
+_KM_K = 8
+_KM_ITERS = 3
+_KM_DP = 6
+
+
 def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding corpus: per-cluster population
-    and mean distance. Iterative (assign ⇄ re-center) → no SQL oracle;
-    driver records rows-only, pytest covers blob recovery / monotone
-    inertia / determinism (tests/test_clustering.py)."""
+    and mean distance after ``_KM_ITERS`` fixed iterations of the
+    PORTABLE fit (r6 verdict ask #5): id-ordered seeding, per-round
+    centroid rounding to ``_KM_DP`` decimals, no tolerance early-stop —
+    every update is joins + aggregates, so the whole trajectory unrolls
+    into DuckDB CTEs and the driver hash-verifies the histogram. The
+    tol-based ``kmeans_fit`` stays the general operator (pytest: blob
+    recovery, monotone inertia, determinism)."""
     from pyspark_etl_twitter_spark.operators.clustering import (
         kmeans_assign,
-        kmeans_fit,
+        kmeans_fit_portable,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    centroids, _ = kmeans_fit(emb, 8, max_iters=5)
+    centroids = kmeans_fit_portable(emb, _KM_K, iters=_KM_ITERS, round_dp=_KM_DP)
     return (
         kmeans_assign(emb, centroids)
         .groupBy("cluster")
@@ -358,6 +367,83 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.sqrt("dist2")), 6).alias("avg_dist"),
         )
     )
+
+
+def _kmeans_oracle() -> str:
+    """Unroll the fixed-iteration Lloyd trajectory as DuckDB CTEs.
+
+    Centroids live as (cluster, pos, val) relations; each iteration is
+    dist → argmin (row_number over d2, cluster — the lowest-cluster
+    tie-break of ``_assign``) → per-dim rounded means with COALESCE
+    carrying empty clusters' previous centroids, exactly the Spark
+    operator's semantics. Per-round rounding to {dp} dp is what makes the
+    two engines' float trajectories identical (summation-order noise is
+    ~1e-13, far below the rounding grid)."""
+    dp = _KM_DP
+    parts = [
+        f"""
+WITH edim AS (
+  SELECT vec_id, i.pos, embedding[i.pos]::DOUBLE AS x
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(1, {_EMB_DIM} + 1)) AS pos) i
+),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+),
+c0 AS (
+  SELECT s.cluster, e.pos, round(e.x, {dp}) AS val
+  FROM seeds s JOIN edim e USING (vec_id)
+)"""
+    ]
+    for t in range(_KM_ITERS):
+        parts.append(
+            f""",
+d{t} AS (
+  SELECT e.vec_id, c.cluster, sum((e.x - c.val) * (e.x - c.val)) AS d2
+  FROM edim e JOIN c{t} c ON c.pos = e.pos
+  GROUP BY e.vec_id, c.cluster
+),
+a{t} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+),
+u{t} AS (
+  SELECT a.cluster, e.pos, round(avg(e.x), {dp}) AS val
+  FROM a{t} a JOIN edim e USING (vec_id)
+  GROUP BY a.cluster, e.pos
+),
+c{t + 1} AS (
+  SELECT p.cluster, p.pos, coalesce(u.val, p.val) AS val
+  FROM c{t} p LEFT JOIN u{t} u ON u.cluster = p.cluster AND u.pos = p.pos
+)"""
+        )
+    tf = _KM_ITERS
+    parts.append(
+        f""",
+dF AS (
+  SELECT e.vec_id, c.cluster, sum((e.x - c.val) * (e.x - c.val)) AS d2
+  FROM edim e JOIN c{tf} c ON c.pos = e.pos
+  GROUP BY e.vec_id, c.cluster
+),
+aF AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT vec_id, cluster, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM dF
+  ) WHERE rn = 1
+)
+SELECT CAST(cluster AS INTEGER) AS cluster, count(*) AS n_vecs,
+       round(avg(sqrt(d2)), 6) AS avg_dist
+FROM aF GROUP BY cluster"""
+    )
+    return "".join(parts)
+
+
+ORACLE_KMEANS_CLUSTER_SIZES = _kmeans_oracle()
 
 
 # --------------------------------------------------------------------------

@@ -341,6 +341,7 @@ ORACLES: dict[str, str] = {
     "unpivot_lineitem_measures": AQ.ORACLE_UNPIVOT_LINEITEM_MEASURES,
     "percentile_window_customers": AQ.ORACLE_PERCENTILE_WINDOW_CUSTOMERS,
     "semantic_near_dup_pairs": AQ.ORACLE_SEMANTIC_NEAR_DUP_PAIRS,
+    "kmeans_cluster_sizes": AQ.ORACLE_KMEANS_CLUSTER_SIZES,
     "semantic_dedup_survivors": AQ.ORACLE_SEMANTIC_DEDUP_SURVIVORS,
     "tpch_q3_shipping_priority": H.ORACLE_TPCH_Q3,
     "tpch_q4_order_priority": H.ORACLE_TPCH_Q4,

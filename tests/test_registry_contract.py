@@ -82,7 +82,8 @@ ROWS_ONLY_BY_DESIGN = {
     "knn_ann_lsh",
     "knn_ivf",
     "dedup_clusters_minhash",
-    "kmeans_cluster_sizes",
+    # kmeans_cluster_sizes left this set in round 7: the fixed-iteration
+    # portable fit (kmeans_fit_portable) made it DuckDB-oracle-expressible.
 }
 
 

@@ -21,7 +21,7 @@ fraction of the hot source's min-hash band hashes collide. Measured at
   the cost lands on the quadratic within-bucket VERIFY, not on true-pair
   output) → ``embedding_near_dup_pairs`` + ``duplicate_clusters``.
 
-Results land in DESIGN.md §20.
+Results table: DESIGN.md §21 (committed round 7, ×1/×10/×50 at sf0.1).
 
 Usage: python tools/scale_evidence_r6.py [sf_dir] [max_mult]
 """

@@ -284,6 +284,37 @@ def _lsh_score_pairs(pairs: DataFrame, *, k: int, round_dp: int) -> DataFrame:
     return _rank_topk(deduped, k)
 
 
+#: Named presets from the measured recall frontier (tools/lsh_param_sweep.py,
+#: sf0.1 near-random corpus — DESIGN.md §20). A consumer buys a recall tier
+#: by name instead of re-deriving the sweep; ``profile=`` on
+#: ``ann_lsh_topk`` / ``build_lsh_index`` REPLACES the n_planes / n_tables /
+#: probe_bits kwargs wholesale (no partial overrides — the frontier was
+#: measured per-tuple, not per-knob).
+LSH_PROFILES: dict[str, dict[str, int]] = {
+    # recall@5 0.704 @ ~640 candidates/query, 2× corpus storage
+    "default": {"n_planes": 10, "n_tables": 2, "probe_bits": 3},
+    # recall@5 0.826 @ ~869 candidates/query, 3× corpus storage — the
+    # documented L=3 rung of the frontier ladder (r6 verdict ask #4)
+    "high_recall": {"n_planes": 10, "n_tables": 3, "probe_bits": 3},
+}
+
+
+def _apply_lsh_profile(profile, **kwargs):
+    """Resolve a profile name to its (n_planes, n_tables, probe_bits) tuple,
+    falling back to the explicitly-passed kwargs when profile is None."""
+    if profile is None:
+        return kwargs
+    if profile not in LSH_PROFILES:
+        raise ValueError(
+            f"unknown LSH profile {profile!r}; available: {sorted(LSH_PROFILES)}"
+        )
+    chosen = dict(kwargs)
+    for key, val in LSH_PROFILES[profile].items():
+        if key in chosen:
+            chosen[key] = val
+    return chosen
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     *,
@@ -296,6 +327,7 @@ def ann_lsh_topk(
     round_dp: int = 6,
     probe_bits: int = 3,
     n_tables: int = 2,
+    profile: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via OR-construction LSH: ``n_tables`` independent
     hyperplane tables; a corpus vector is a candidate if it shares a
@@ -312,7 +344,14 @@ def ann_lsh_topk(
     O(corpus × queries) into O(corpus·L·buckets_probed/2^planes × queries)
     with a plain broadcast-probe join; the corpus side fans out L× but
     never shuffles. May return fewer than k rows per query (recall
-    tradeoff); not oracle-SQL checked (approximate by design)."""
+    tradeoff); not oracle-SQL checked (approximate by design).
+
+    ``profile`` (e.g. ``"high_recall"``) replaces n_planes/n_tables/
+    probe_bits with a named preset from ``LSH_PROFILES``."""
+    p = _apply_lsh_profile(
+        profile, n_planes=n_planes, n_tables=n_tables, probe_bits=probe_bits
+    )
+    n_planes, n_tables, probe_bits = p["n_planes"], p["n_tables"], p["probe_bits"]
     dim = len(embeddings.select(vec_col).first()[0])
     planes_by_table = [
         _hyperplanes(dim, n_planes, _table_seed(seed, t)) for t in range(n_tables)
@@ -590,6 +629,7 @@ def build_lsh_index(
     n_tables: int = 2,
     layout: str = "auto",
     quantize: bool = False,
+    profile: str | None = None,
 ) -> None:
     """Materialize the OR-construction LSH index: corpus exploded across
     ``n_tables`` hyperplane tables with precomputed norm + sign-bit
@@ -620,7 +660,13 @@ def build_lsh_index(
     vectors before quantization, so candidate GENERATION is unchanged;
     only the verify dot uses dequantized values (measured recall delta
     at sf0.1: none at 4 dp — see tests). The probe reads the flag from
-    meta and scores accordingly."""
+    meta and scores accordingly.
+
+    ``profile`` (e.g. ``"high_recall"``) replaces n_planes/n_tables with a
+    named preset from ``LSH_PROFILES`` (probe_bits is probe-time — pass
+    the profile to the probe call too, or rely on its default)."""
+    p = _apply_lsh_profile(profile, n_planes=n_planes, n_tables=n_tables)
+    n_planes, n_tables = p["n_planes"], p["n_tables"]
     dim = len(embeddings.select(vec_col).first()[0])
     planes_by_table = [
         _hyperplanes(dim, n_planes, _table_seed(seed, t)) for t in range(n_tables)

@@ -1,75 +1,78 @@
 """Registry ordering + completeness contract.
 
 The driver's correctness gate checks the first 50 registry keys, so the
-dict order is load-bearing. Round-6 rule (r5 verdict ask #4): EVERY window
-slot is oracle-backed — rows-only queries (approximate / hash-seeded
-semantics) live in the tail, where the driver never wastes a slot on a
-by-design ``no_oracle`` row. Every operator family keeps a representative
-inside the window; every tail entry that has an oracle is still checked by
-tools/check_oracles.py locally.
+dict order is load-bearing. Standing rule (r5 verdict ask #4): EVERY
+window slot is oracle-backed — rows-only queries live in the tail.
+Round-7 rule (r6 verdict ask #2): the window is the 48 never-driver-
+checked oracles plus the round's 2 new oracle-backed queries; the 4
+deferred never-checked variants are pinned to rotate in round 8.
 """
 
 from pyspark_etl_twitter_spark.plans.registry import ORACLES, QUERIES
 
 DRIVER_WINDOW = 50
 
-# never-driver-checked families rotated in for round 6 (r5 verdict ask #4)
-# plus the three r5 hash-reds whose oracle casts must earn green rows, plus
-# one rep per operator family.
+# the round-7 window: every slot first-time-or-new, all oracle-backed
 MUST_BE_IN_WINDOW = {
-    # r5 hash-reds, oracle-cast in round 6 — must earn green driver rows
-    "budget_selection_by_source",
-    "temperature_mix_counts",
-    "repeated_spans_top",
-    # round-6 rotation: never-driver-checked oracle families
-    "resample_ffill_hourly",
-    "rolling_1h_event_stats",
-    "hash_split_counts",
-    "weighted_sample_by_length",
-    "stratified_exact_n_docs",
-    "running_revenue_chunked",
-    "script_profile_by_source",
-    "dedup_normalized_summary",
-    "sessionize_events_chunked",
-    "hashed_embedding_profile",
-    "text_embedding_near_dup",
-    "text_semantic_dedup_survivors",
-    # one rep per operator family
-    "pricing_summary",
-    "revenue_by_nation",
-    "bucketed_join_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q20_excess_stock",
-    "tpch_q21_waiting_suppliers",
-    "fuzzy_decontaminate_counts",
-    "asof_tolerance_click",
-    "winsorized_price_stats",
-    "funnel_view_click_purchase",
-    "binned_range_join_bands",
-    "bm25_search_topk",
-    "graph_triangle_count",
-    "lm_quality_by_source",
-    "oov_rate_by_source",
-    "topk_orders_per_customer",
-    "running_revenue_by_supplier",
-    "sessionize_events",
-    "decontaminate_counts",
-    "pii_pseudonymize_customers",
-    "data_quality_lineitem",
-    "hourly_event_rollup",
-    "sentiment_classes",
-    "sentiment_weights_head",
-    "dedup_exact_summary",
-    "dedup_clusters",
-    "knn_brute_cosine",
-    "embedding_near_dup",
-    "text_quality_by_source",
-    "repetition_stats",
-    "quality_gate_by_source",
-    "lang_detect_counts",
-    "token_counts",
-    "doc_fingerprints",
-    "pack_documents_2048",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_latency_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
+    "graph_degree_histogram",
+    "graph_triangles_per_node",
+    "bloom_join_urgent_revenue",
+    "cohort_retention_weekly",
+    "session_conversion_rate",
+    "asof_forward_next_click",
+    "null_safe_join_segments",
+    "salted_join_brand_revenue",
+    "customers_above_nation_avg",
+    "outlier_events_by_type",
+    "unpivot_lineitem_measures",
+    "percentile_window_customers",
+    "stats_aggregates_lineitem",
+    "minmax_by_orders",
+    "resample_interpolate_hourly",
+    "top_terms_per_doc",
+    "training_mix_counts",
+    "dedup_keep_canonical",
+    "vocab_head",
+    "encoded_docs",
+    "chunk_documents_64",
+    "curation_pipeline_counts",
+    "epoch_shuffle_head",
+    "doc_length_histogram",
+    "fuzzy_part_name_pairs",
+    "bigram_lm_quality_by_source",
+    "semantic_near_dup_pairs",
+    "semantic_dedup_survivors",
+    "embedding_centroids_by_label",
+    "semantic_prune_by_centroid",
+    "dedup_minhash_portable_pairs",
+    "kmeans_cluster_sizes",
+}
+
+# deferred never-driver-checked oracles — MUST enter the round-8 window
+# (pinning them here keeps the rotation promise auditable)
+ROUND8_ROTATION_QUEUE = {
+    "chunk_documents_overlap_64",
+    "asof_nearest_click",
+    "bigram_profile_top",
+    "source_vocab_overlap_top",
 }
 
 # the only queries allowed to lack a SQL oracle (approximate / hash-seeded
@@ -79,9 +82,9 @@ ROWS_ONLY_BY_DESIGN = {
     "approx_summary",
     "dedup_minhash_pairs",
     "dedup_simhash_fingerprints",
+    "dedup_clusters_minhash",
     "knn_ann_lsh",
     "knn_ivf",
-    "dedup_clusters_minhash",
     # kmeans_cluster_sizes left this set in round 7: the fixed-iteration
     # portable fit (kmeans_fit_portable) made it DuckDB-oracle-expressible.
 }
@@ -89,12 +92,18 @@ ROWS_ONLY_BY_DESIGN = {
 
 def test_priority_queries_inside_driver_window():
     window = set(list(QUERIES)[:DRIVER_WINDOW])
-    assert MUST_BE_IN_WINDOW <= window
+    assert MUST_BE_IN_WINDOW == window  # exact: all 50 slots accounted for
 
 
 def test_window_is_fully_oracle_backed():
     window = list(QUERIES)[:DRIVER_WINDOW]
     assert all(k in ORACLES for k in window)
+
+
+def test_round8_queue_is_oracle_backed_and_out_of_window():
+    window = set(list(QUERIES)[:DRIVER_WINDOW])
+    assert ROUND8_ROTATION_QUEUE <= set(ORACLES)
+    assert not (ROUND8_ROTATION_QUEUE & window)
 
 
 def test_rows_only_sit_past_the_window():

@@ -599,3 +599,56 @@ def test_zero_norm_vectors_never_score_or_crash(spark):
     got = ann_lsh_topk(df, n_queries=5, k=3, n_planes=2, probe_bits=2).collect()
     assert got  # non-degenerate: the tiny bucket space forces collisions
     assert all(r.neighbor_id != 20 for r in got)
+
+
+def test_lsh_profile_high_recall_equals_explicit_params(spark):
+    """profile='high_recall' must be exactly the documented L=3/10/3 tuple —
+    a named preset, not a third code path — and unknown names must fail
+    loudly before any job runs."""
+    import pytest as _pytest
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        LSH_PROFILES,
+        ann_lsh_topk,
+    )
+
+    assert LSH_PROFILES["high_recall"] == {
+        "n_planes": 10, "n_tables": 3, "probe_bits": 3,
+    }
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    via_profile = sorted(
+        map(tuple, ann_lsh_topk(emb, n_queries=5, k=5, profile="high_recall").collect())
+    )
+    explicit = sorted(
+        map(
+            tuple,
+            ann_lsh_topk(
+                emb, n_queries=5, k=5, n_planes=10, n_tables=3, probe_bits=3
+            ).collect(),
+        )
+    )
+    assert via_profile == explicit
+    with _pytest.raises(ValueError, match="unknown LSH profile"):
+        ann_lsh_topk(emb, n_queries=5, k=5, profile="hyper_recall")
+
+
+def test_lsh_profile_indexed_build_matches_one_shot(spark, tmp_path):
+    """build_lsh_index(profile='high_recall') + probe ≡ the one-shot
+    high-recall query — the indexed/one-shot equality contract extended to
+    the preset."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        ann_lsh_topk,
+        build_lsh_index,
+        lsh_probe_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    path = str(tmp_path / "lsh_hr")
+    build_lsh_index(emb, path, profile="high_recall")
+    indexed = sorted(
+        map(tuple, lsh_probe_indexed(spark, path, n_queries=5, k=5).collect())
+    )
+    one_shot = sorted(
+        map(tuple, ann_lsh_topk(emb, n_queries=5, k=5, profile="high_recall").collect())
+    )
+    assert indexed == one_shot

@@ -47,7 +47,9 @@ HEADLINE = [
     "sentiment_classes",
     "dedup_exact_summary",
     "dedup_minhash_pairs",
+    "dedup_minhash_portable_pairs",  # md5 twin — tracks its cost vs xxhash64
     "dedup_simhash_fingerprints",
+    "kmeans_cluster_sizes",  # portable fixed-iteration fit (r7)
     "knn_brute_cosine",
     "text_quality_by_source",
     "doc_fingerprints",
@@ -190,6 +192,45 @@ def main() -> None:
         timings["semantic_dedup_stage_cc"] = None
         errors["semantic_dedup_stages"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"bench: semantic_dedup_stages FAILED: {errors['semantic_dedup_stages']}", file=sys.stderr)
+
+    # Fit-vs-score split (r6 verdict ask #6): the sentiment_classes row
+    # times the FUSED fit+score query, but at 100× scale the fit is a
+    # once-per-corpus job and inference scores against a persisted weight
+    # dimension (operators/sentiment.load_mllib_weights is the
+    # reference-model flavor of the same path). sentiment_weight_fit times
+    # building + persisting that dimension once; sentiment_score_only times
+    # the recurring cost — corpus scoring against the parquet weights.
+    try:
+        import shutil as _sh
+        import tempfile as _tf
+
+        from pyspark_etl_twitter_spark.operators.sentiment import (
+            build_weight_table,
+            score_documents,
+            sentiment_class_counts,
+        )
+        from pyspark_etl_twitter_spark.sources.catalog import load_table as _lt2
+
+        docs_s = _lt2(spark, sf_dir, "documents")
+        wdir = _tf.mkdtemp(prefix="spark_graft_sent_w_")
+        try:
+            start = time.perf_counter()
+            build_weight_table(docs_s).write.mode("overwrite").parquet(
+                f"{wdir}/weights"
+            )
+            timings["sentiment_weight_fit"] = round(time.perf_counter() - start, 3)
+            wtab = spark.read.parquet(f"{wdir}/weights")
+            run_timed(
+                "sentiment_score_only",
+                lambda: sentiment_class_counts(score_documents(docs_s, wtab)),
+            )
+        finally:
+            _sh.rmtree(wdir, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        timings["sentiment_weight_fit"] = None
+        timings["sentiment_score_only"] = None
+        errors["sentiment_split"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"bench: sentiment_split FAILED: {errors['sentiment_split']}", file=sys.stderr)
 
     # Amortized ANN: the index is built ONCE (its cost reported as its own
     # row) and probes are timed index-resident — the shape a 100 TB

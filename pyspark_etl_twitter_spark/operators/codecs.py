@@ -1,8 +1,10 @@
-"""Pure-stdlib media codecs: BMP (24-bit), PNG (8-bit, zlib), WAV (PCM16).
+"""Pure-stdlib media codecs: BMP (24-bit), PNG (8-bit, zlib), WAV (PCM16),
+plus baseline JPEG via operators/jpeg.py (r7 — DCT/Huffman from the T.81
+spec; progressive/arithmetic still rejected loudly).
 
-Closes the last environment gate in the multimodal path: the container has
-no PIL/librosa/ffmpeg, but these two formats are simple enough to decode
-with byte slicing + NumPy alone, so ``decode_media(real_codec=True)``
+Closes the environment gate in the multimodal path: the container has
+no PIL/librosa/ffmpeg, but these formats are decodable with byte
+slicing + NumPy alone, so ``decode_media(real_codec=True)``
 (operators/multimodal.py) can exercise REAL bytes end-to-end — encoder and
 decoder round-trip in tests, and the Spark-side plumbing (mapInPandas,
 Arrow batches, schema) is byte-for-byte the path a PIL/librosa decode
@@ -352,11 +354,13 @@ def _png_luma(img: np.ndarray) -> np.ndarray:
 
 
 def sniff_format(payload: bytes) -> str:
-    """'bmp' | 'png' | 'wav' | 'unknown' by magic bytes."""
+    """'bmp' | 'png' | 'jpeg' | 'wav' | 'unknown' by magic bytes."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return "unknown"
@@ -373,11 +377,18 @@ def decode_to_signal(payload: bytes, n: int) -> np.ndarray:
         sig = (px @ np.array([0.299, 0.587, 0.114], dtype=np.float32)).ravel() / 255.0
     elif kind == "png":
         sig = _png_luma(decode_png(payload)).ravel() / 255.0
+    elif kind == "jpeg":
+        from pyspark_etl_twitter_spark.operators.jpeg import decode_jpeg
+
+        px = decode_jpeg(payload).astype(np.float32)
+        sig = (px @ np.array([0.299, 0.587, 0.114], dtype=np.float32)).ravel() / 255.0
     elif kind == "wav":
         samples, _rate = decode_wav(payload)
         sig = samples.mean(axis=1)
     else:
-        raise ValueError("unknown media format (expected BMP, PNG, or WAV magic)")
+        raise ValueError(
+            "unknown media format (expected BMP, PNG, JPEG, or WAV magic)"
+        )
     if len(sig) == 0:
         return np.zeros(n, dtype=np.float32)
     xs = np.linspace(0.0, 1.0, num=n)
@@ -391,9 +402,14 @@ def hash_signal_64(payload: bytes) -> np.ndarray:
     — spatially aware, unlike a 1-D resample), audio uses the 64-sample
     resampled mono signal."""
     kind = sniff_format(payload or b"")
-    if kind in ("bmp", "png"):
+    if kind in ("bmp", "png", "jpeg"):
         if kind == "bmp":
             px = decode_bmp(payload).astype(np.float32)
+            luma = px @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+        elif kind == "jpeg":
+            from pyspark_etl_twitter_spark.operators.jpeg import decode_jpeg
+
+            px = decode_jpeg(payload).astype(np.float32)
             luma = px @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
         else:
             luma = _png_luma(decode_png(payload))

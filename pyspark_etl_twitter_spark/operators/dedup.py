@@ -659,3 +659,42 @@ def normalized_dedup_summary(docs: DataFrame, text_col: str = "text") -> DataFra
             "n_extra_vs_exact"
         ),
     )
+
+
+PORTABLE_SIMHASH_BITS = 60  # portable_term_hash yields 60 bits (15 hex chars)
+
+
+def simhash_fingerprints_portable(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash over md5-derived term hashes — the fully
+    SQL-verifiable twin of ``simhash_fingerprints`` (same vote/sign
+    construction, ``portable_term_hash`` instead of xxhash64, 60 bits
+    because the portable hash carries 15 hex chars). DuckDB reproduces
+    every stage: tf, per-bit ±tf votes via (h >> b) & 1, sign fold."""
+    toks = tokens_column(text_col, stop=False)
+    tf = (
+        fan_out(docs, F.col(id_col))
+        .select(F.col(id_col).alias("_id"), F.explode(toks).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", portable_term_hash(F.col("term"), 0))
+    )
+    votes = [
+        F.sum(
+            F.col("tf")
+            * (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{b}")
+        for b in range(PORTABLE_SIMHASH_BITS)
+    ]
+    agg = tf.groupBy("_id").agg(*votes)
+    fp = reduce(
+        add,
+        [
+            F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(PORTABLE_SIMHASH_BITS)
+        ],
+    )
+    return agg.select(
+        F.col("_id").alias(id_col), fp.cast("long").alias("simhash")
+    )

@@ -1,0 +1,611 @@
+"""Baseline JPEG (ITU-T T.81) codec in pure stdlib + NumPy.
+
+Closes the last magic-byte rejection in the multimodal path (r6 verdict
+"What's missing" #5): the container has no PIL/libjpeg, but baseline
+sequential JPEG is decodable from the public spec alone — marker parse,
+DHT canonical Huffman, DC-predictor + run/length AC entropy decode,
+dequantize → de-zigzag → 2-D IDCT (separable float DCT-III), chroma
+upsample, JFIF YCbCr→RGB. The encoder writes 4:4:4 (or single-component
+grayscale) baseline with the Annex-K example quantization tables (scaled
+by the libjpeg quality curve) and example Huffman tables, emitting the
+DQT/SOF0/DHT/SOS segments a third-party decoder needs.
+
+Decoder coverage: baseline sequential (SOF0), 8-bit, 1- or 3-component,
+any H/V sampling factors ≤ 2 (4:4:4, 4:2:2, 4:2:0, 4:4:0), restart
+markers, FF00 byte stuffing, multiple DQT/DHT segments, APPn/COM skip.
+Progressive (SOF2), arithmetic coding, 12-bit, and 4-component CMYK are
+rejected loudly — the honest boundary, same policy as codecs.py's
+palette/interlaced PNG rejection.
+
+Entropy decode is bit-serial Python — fine for the mapInPandas batch
+sizes the multimodal operators feed (thumbnails/tiles), not a libjpeg
+replacement. The IDCT/color stages are vectorized NumPy.
+
+No Spark imports here — runs inside pandas-iterator workers.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Shared constants (ITU-T T.81 Annex K examples)
+# --------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# Annex K.1 / K.2 example quantization tables (natural order)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Annex K.3-K.6 example Huffman specs: (BITS[1..16], HUFFVAL)
+DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# 8-point DCT-II basis matrix: row k = c_k/2 · cos((2x+1)kπ/16).
+# forward: C @ block @ C.T ; inverse: C.T @ coef @ C  (C is orthonormal).
+_DCT = np.zeros((8, 8), dtype=np.float64)
+for _k in range(8):
+    _c = np.sqrt(0.125) if _k == 0 else 0.5
+    for _x in range(8):
+        _DCT[_k, _x] = _c * np.cos((2 * _x + 1) * _k * np.pi / 16.0)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, int]:
+    """symbol → (code, length) per the canonical construction (C.2)."""
+    out = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[idx]] = (code, length)
+            code += 1
+            idx += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol — the decoder's view of the same canon."""
+    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's quality curve: 50 → table as-is, 100 → all ones."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (table * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# Bit I/O
+# --------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def pad(self) -> None:
+        """Pad to a byte boundary with 1s (stuffed if the byte lands on FF)."""
+        if self.nbits:
+            fill = 8 - self.nbits
+            self.write((1 << fill) - 1, fill)
+
+    def restart(self, n: int) -> None:
+        """Emit RSTn (markers are raw — never byte-stuffed)."""
+        self.pad()
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
+    def flush(self) -> bytes:
+        self.pad()
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Reads the entropy-coded segment: un-stuffs FF00, stops at markers
+    (leaving them for the caller), handles RSTn transparently via reset()."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def skip_restart(self) -> None:
+        """Consume an RSTn marker and realign to a byte boundary."""
+        self.acc = 0
+        self.nbits = 0
+        while self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return
+        raise ValueError("expected restart marker")
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _extend(value: int, length: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a length-bit magnitude to its signed value."""
+    if length == 0:
+        return 0
+    if value < (1 << (length - 1)):
+        return value - (1 << length) + 1
+    return value
+
+
+def _category(value: int) -> int:
+    """Magnitude category (number of bits) of a signed coefficient."""
+    return int(abs(value)).bit_length()
+
+
+# --------------------------------------------------------------------------
+# Encoder (baseline, 4:4:4 colour or grayscale)
+# --------------------------------------------------------------------------
+
+def _encode_block(writer, block, qtab, dc_codes, ac_codes, pred, ci):
+    """DCT → quantize → zigzag → DC-diff + run/length Huffman for one 8×8."""
+    coef = _DCT @ block @ _DCT.T
+    quant = np.round(coef / qtab.reshape(8, 8)).astype(np.int64)
+    zz = quant.ravel()[ZIGZAG]
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    cat = _category(diff)
+    code, ln = dc_codes[cat]
+    writer.write(code, ln)
+    if cat:
+        writer.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        writer.write(code, ln)
+        writer.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        writer.write(code, ln)
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    *,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB or (h, w) uint8 gray → baseline JFIF bytes.
+
+    ``subsampling``: ``"444"`` (no chroma subsampling) or ``"420"``
+    (2×2 box-averaged chroma, 16×16 MCUs) — the two layouts that cover
+    virtually every camera/web JPEG; having both lets the round-trip
+    tests exercise the decoder's upsample path without a third-party
+    encoder in the container. ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every N MCUs (decoder DRI path gets a real
+    round-trip too)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError(f"expected (h, w, 3) RGB or (h, w) gray, got {arr.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r} (444 or 420)")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    if gray:
+        planes = [arr.astype(np.float64) - 128.0]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+
+    sub = (not gray) and subsampling == "420"
+    # (h_factor, v_factor) per component
+    factors = [(1, 1)] if gray else ([(2, 2), (1, 1), (1, 1)] if sub else [(1, 1), (1, 1), (1, 1)])
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    qluma = _quality_scale(QUANT_LUMA, quality)
+    qchroma = _quality_scale(QUANT_CHROMA, quality)
+    qtabs = [qluma] if gray else [qluma, qchroma]
+
+    dc_codes = [_canonical_codes(*DC_LUMA_SPEC), _canonical_codes(*DC_CHROMA_SPEC)]
+    ac_codes = [_canonical_codes(*AC_LUMA_SPEC), _canonical_codes(*AC_CHROMA_SPEC)]
+
+    padded = []
+    for ci, p in enumerate(planes):
+        fx, fy = factors[ci]
+        if sub and ci > 0:
+            # 2×2 box average after edge-padding to even dims
+            pe = p
+            if pe.shape[0] % 2:
+                pe = np.vstack([pe, pe[-1:, :]])
+            if pe.shape[1] % 2:
+                pe = np.hstack([pe, pe[:, -1:]])
+            p = (pe[0::2, 0::2] + pe[1::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 1::2]) / 4.0
+        rows, cols = mcuy * fy * 8, mcux * fx * 8
+        pp = np.empty((rows, cols), dtype=np.float64)
+        ph, pw = p.shape
+        pp[:ph, :pw] = p
+        pp[ph:, :pw] = p[-1:, :]  # edge-replicate padding
+        pp[:, pw:] = pp[:, pw - 1 : pw]
+        padded.append(pp)
+
+    writer = _BitWriter()
+    pred = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.restart(rst)
+                rst = (rst + 1) & 7
+                pred = [0] * len(planes)
+            mcu_count += 1
+            for ci, plane in enumerate(padded):
+                fx, fy = factors[ci]
+                tsel = 0 if ci == 0 else 1
+                for v in range(fy):
+                    for hh in range(fx):
+                        yy = (my * fy + v) * 8
+                        xx = (mx * fx + hh) * 8
+                        _encode_block(
+                            writer,
+                            plane[yy : yy + 8, xx : xx + 8],
+                            qtabs[tsel],
+                            dc_codes[tsel],
+                            ac_codes[tsel],
+                            pred,
+                            ci,
+                        )
+    scan = writer.flush()
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in enumerate(qtabs):
+        zzq = q[ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + zzq
+    ncomp = 1 if gray else 3
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        fx, fy = factors[ci]
+        out += struct.pack("BBB", ci + 1, (fx << 4) | fy, 0 if ci == 0 else 1)
+    specs = [(0x00, DC_LUMA_SPEC), (0x10, AC_LUMA_SPEC)]
+    if not gray:
+        specs += [(0x01, DC_CHROMA_SPEC), (0x11, AC_CHROMA_SPEC)]
+    for tc_th, (bits, vals) in specs:
+        body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        out += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BB", ci + 1, 0x00 if ci == 0 else 0x11)
+    out += b"\x00\x3F\x00"  # Ss, Se, Ah/Al
+    out += scan
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder (baseline sequential)
+# --------------------------------------------------------------------------
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (h, w, 3) uint8 RGB (gray replicated to 3).
+
+    Rejects progressive/arithmetic/12-bit/CMYK with a clear error."""
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before SOS — no image data")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        end = pos + seglen
+        if marker == 0xDB:  # DQT (possibly several tables)
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0x0F
+                o += 1
+                if pq == 0:
+                    tab = np.frombuffer(seg, dtype=np.uint8, count=64, offset=o).astype(np.int32)
+                    o += 64
+                else:
+                    tab = np.frombuffer(seg, dtype=">u2", count=64, offset=o).astype(np.int32)
+                    o += 128
+                nat = np.empty(64, dtype=np.int32)
+                nat[ZIGZAG] = tab  # DQT stores zigzag order
+                qtables[tq] = nat
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 0x0F
+                bits = list(seg[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(seg[o + 17 : o + 17 + n])
+                htables[(tc, th)] = _decode_table(bits, vals)
+                o += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline(-ish)
+            precision, fh, fw, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision} (8 only)")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp} (1 or 3)")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * ci)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding process (marker 0xFF{marker:02X}; "
+                "baseline sequential SOF0/SOF1 only)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan_sel = {}
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
+                scan_sel[cs] = (tdta >> 4, tdta & 0x0F)
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            return _decode_scan(
+                payload, end, frame, scan_sel, qtables, htables, restart_interval
+            )
+        # else: APPn/COM/unknown — skip
+        pos = end
+
+
+def _decode_scan(payload, pos, frame, scan_sel, qtables, htables, restart_interval):
+    comps = frame["comps"]
+    fh, fw = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or hmax < 1 or vmax < 1:
+        raise ValueError(f"unsupported sampling factors (h={hmax}, v={vmax})")
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["cols"] = mcux * c["h"] * 8
+        c["rows"] = mcuy * c["v"] * 8
+        c["plane"] = np.zeros((c["rows"], c["cols"]), dtype=np.float64)
+        c["dc_tab"], c["ac_tab"] = (
+            htables[(0, scan_sel[c["id"]][0])],
+            htables[(1, scan_sel[c["id"]][1])],
+        )
+        c["quant"] = qtables[c["tq"]].astype(np.float64)
+
+    reader = _BitReader(payload, pos)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+
+    def read_symbol(table):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy data")
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.skip_restart()
+                for k in pred:
+                    pred[k] = 0
+            mcu_count += 1
+            for c in comps:
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        try:
+                            zz = _decode_block(reader, read_symbol, c, pred)
+                        except _RestartMarker as exc:  # pragma: no cover
+                            raise ValueError(
+                                "restart marker inside MCU (corrupt stream)"
+                            ) from exc
+                        coef = np.empty(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz * c["quant"][ZIGZAG]
+                        block = _DCT.T @ coef.reshape(8, 8) @ _DCT + 128.0
+                        yy = (my * c["v"] + v) * 8
+                        xx = (mx * c["h"] + hh) * 8
+                        c["plane"][yy : yy + 8, xx : xx + 8] = block
+
+    out_planes = []
+    for c in comps:
+        p = c["plane"]
+        if c["h"] < hmax or c["v"] < vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[:fh, :fw])
+
+    if len(out_planes) == 1:
+        g = np.clip(out_planes[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _decode_block(reader, read_symbol, comp, pred):
+    zz = np.zeros(64, dtype=np.int64)
+    cat = read_symbol(comp["dc_tab"])
+    diff = _extend(reader.read_bits(cat), cat) if cat else 0
+    pred[comp["id"]] += diff
+    zz[0] = pred[comp["id"]]
+    k = 1
+    while k < 64:
+        rs = read_symbol(comp["ac_tab"])
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block (corrupt stream)")
+        zz[k] = _extend(reader.read_bits(size), size)
+        k += 1
+    return zz

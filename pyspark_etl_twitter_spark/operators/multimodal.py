@@ -7,11 +7,13 @@ one place Python belongs, because pixel math is NumPy's job. The Spark-side
 plumbing (schema, partitioning, batch shape) is real and tested. Two codec
 paths: the default deterministic fake decoder (payload-hash seeded — works
 on ANY bytes, used by the driver-testdata queries), and ``real_codec=True``
-which decodes actual BMP/PNG/WAV payloads with the pure-stdlib codecs in
-operators/codecs.py (rounds 4-5; no PIL/librosa in the container, and none
-needed — PNG is zlib inflate + the five scanline filters, both public
-spec). JPEG/MP3 would still need a library — ``decode_to_signal`` rejects
-unknown magic bytes with a clear error.
+which decodes actual BMP/PNG/WAV/baseline-JPEG payloads with the
+pure-stdlib codecs in operators/codecs.py + operators/jpeg.py (rounds
+4-7; no PIL/libjpeg/librosa in the container, and none needed — PNG is
+zlib inflate + the five scanline filters, baseline JPEG is
+DHT-canonical Huffman + dequant + float IDCT, all public T.81/RFC
+spec). MP3 and progressive JPEG would still need a library —
+``decode_to_signal`` rejects unknown magic bytes with a clear error.
 
 Scale notes: payloads dominate row size — keep them out of shuffles.
 Every operator here is a narrow mapInPandas (no shuffle); metadata-only

@@ -612,6 +612,23 @@ def _read_lsh_meta(spark, path: str) -> dict | None:
         row = spark.read.parquet(f"{path}/meta").first()
         return row.asDict() if row is not None else None
     except AnalysisException as exc:
+        # structured error class first (stable across Spark versions and
+        # locales — r6 ADVICE); message substrings only as a fallback for
+        # builds whose exceptions carry no condition
+        condition = None
+        for getter in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, getter, None)
+            if callable(fn):
+                try:
+                    condition = fn()
+                except Exception:  # pragma: no cover - defensive
+                    condition = None
+                if condition:
+                    break
+        if condition is not None:
+            if condition == "PATH_NOT_FOUND":
+                return None
+            raise
         if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
             return None
         raise

@@ -316,6 +316,51 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash over md5-derived term hashes — the fully
+    SQL-verifiable twin of ``dedup_simhash_fingerprints`` (r7; same
+    vote/sign construction, portable hash family, one bit-budget short of
+    the xxhash64 path's 63)."""
+    return D.simhash_fingerprints_portable(_t(spark, sf_dir, "documents"))
+
+
+def _portable_simhash_oracle() -> str:
+    from pyspark_etl_twitter_spark.operators.dedup import PORTABLE_SIMHASH_BITS
+
+    votes = ",\n         ".join(
+        f"sum(tf * (((h >> {b}) & 1) * 2 - 1)) AS b{b}"
+        for b in range(PORTABLE_SIMHASH_BITS)
+    )
+    fold = "\n       + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(PORTABLE_SIMHASH_BITS)
+    )
+    return f"""
+WITH tf0 AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+  WHERE term <> ''
+  GROUP BY doc_id, term
+),
+tf AS (
+  SELECT doc_id, tf,
+         ('0x' || substr(md5('0:' || term), 1, 15))::BIGINT AS h
+  FROM tf0
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({fold} AS BIGINT) AS simhash
+FROM votes
+"""
+
+
+ORACLE_DEDUP_SIMHASH_PORTABLE = _portable_simhash_oracle()
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact-Jaccard pair graph (2% subset):
     (doc_id, cluster_id = min reachable doc id). Transitive closure — A~B,

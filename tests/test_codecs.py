@@ -338,3 +338,103 @@ def test_png_corrupt_zlib_with_valid_crc_raises_valueerror():
         i += 12 + ln
     with pytest.raises(ValueError, match="corrupt IDAT zlib"):
         decode_png(bytes(out))
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (operators/jpeg.py, round 7)
+# --------------------------------------------------------------------------
+
+def _jpeg_gradient(h=32, w=48):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [yy * 255 // max(h - 1, 1), xx * 255 // max(w - 1, 1),
+         (yy + xx) * 255 // max(h + w - 2, 1)],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_round_trip_444_and_420():
+    """Lossy round-trip within quantization error: smooth gradients at
+    q=90 must come back within a few counts (PSNR > 35 dB), and a solid
+    color exactly (its DCT is DC-only, quantized losslessly)."""
+    from pyspark_etl_twitter_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = _jpeg_gradient()
+    for sub, max_err in (("444", 6), ("420", 10)):
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= max_err, (sub, err.max())
+        psnr = 10 * np.log10(255**2 / (err.astype(float) ** 2).mean())
+        assert psnr > 35
+    solid = np.full((24, 24, 3), 77, np.uint8)
+    for sub in ("444", "420"):
+        assert (decode_jpeg(encode_jpeg(solid, quality=90, subsampling=sub)) == solid).all()
+
+
+def test_jpeg_odd_dims_and_grayscale():
+    from pyspark_etl_twitter_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = _jpeg_gradient(29, 37)  # stresses MCU edge padding
+    for sub in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+    g = (np.mgrid[0:32, 0:48][0] * 255 // 31).astype(np.uint8)
+    outg = decode_jpeg(encode_jpeg(g, quality=85))
+    assert outg.shape == (32, 48, 3)
+    assert np.abs(outg[..., 0].astype(int) - g.astype(int)).max() <= 4
+    assert (outg[..., 0] == outg[..., 1]).all()  # gray replicated
+
+
+def test_jpeg_restart_markers_decode():
+    """A stream with DRI/RSTn must decode IDENTICALLY to one without:
+    restarts change entropy framing (DC predictor resets, byte-aligned
+    markers), never pixels. Interval 1 maximizes marker density; interval
+    3 leaves a ragged final segment."""
+    from pyspark_etl_twitter_spark.operators import jpeg as J
+
+    img = _jpeg_gradient(24, 40)  # 3×5 MCUs at 4:4:4, 2×3 at 4:2:0
+    for sub in ("444", "420"):
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=90, subsampling=sub))
+        for interval in (1, 3):
+            with_rst = J.decode_jpeg(
+                J.encode_jpeg(
+                    img, quality=90, subsampling=sub, restart_interval=interval
+                )
+            )
+            assert (with_rst == base).all(), (sub, interval)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        J.decode_jpeg(J.encode_jpeg(img)[:40])  # truncated mid-headers
+
+
+def test_jpeg_rejections():
+    from pyspark_etl_twitter_spark.operators.jpeg import decode_jpeg
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+    # progressive SOF2 rejected by name
+    seg = b"\xFF\xD8\xFF\xC2\x00\x0B\x08\x00\x10\x00\x10\x01\x01\x11\x00\xFF\xD9"
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(seg)
+
+
+def test_jpeg_sniff_and_signal_paths():
+    """decode_to_signal / hash_signal_64 dispatch on the JPEG magic and
+    agree with the decoded luma within codec error."""
+    from pyspark_etl_twitter_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = _jpeg_gradient()
+    jb = encode_jpeg(img, quality=90)
+    assert sniff_format(jb) == "jpeg"
+    sig = decode_to_signal(jb, FEATURE_DIM)
+    assert sig.shape == (FEATURE_DIM,) and sig.dtype == np.float32
+    h64 = hash_signal_64(jb)
+    assert h64.shape == (64,)
+    # aHash grid from the JPEG must be close to the BMP (lossless) one
+    bmp_h64 = hash_signal_64(encode_bmp(img))
+    assert np.abs(h64 - bmp_h64).max() < 0.03

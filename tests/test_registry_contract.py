@@ -69,6 +69,7 @@ MUST_BE_IN_WINDOW = {
 # deferred never-driver-checked oracles — MUST enter the round-8 window
 # (pinning them here keeps the rotation promise auditable)
 ROUND8_ROTATION_QUEUE = {
+    "dedup_simhash_portable",  # new in r7, after the window froze
     "chunk_documents_overlap_64",
     "asof_nearest_click",
     "bigram_profile_top",

@@ -1,11 +1,18 @@
 """End-to-end wire-format round trip (r5 verdict ask #7): producer encode
 → file-replay stream → consumer decode → sentiment score → sink, with
-BYTE-level framing assertions against the reference's protocol
-(producer.py:40-42 comma stripping + ``{"message": ...}`` JSON; the
-consumer scores the raw JSON string — the P2 quirk; consumer_local.py
-S5 JSON sink with the ``_spark_metadata`` commit log). Kafka itself is
-env-blocked (no broker/package in the container); the file layer stands
-in for the topic, carrying the exact bytes a Kafka value would."""
+BYTE-level framing assertions against Spark's ``to_json`` rendering of
+the reference's semantic frame (producer.py:40-42 comma stripping +
+``{"message": ...}``; the consumer scores the raw JSON string — the P2
+quirk; consumer_local.py S5 JSON sink with the ``_spark_metadata``
+commit log). NOT the reference producer's exact bytes (r6 ADVICE): its
+``json.dumps`` defaults emit ``", "``/``": "`` separators and
+``ensure_ascii=True`` ``\\uXXXX`` escapes, where ``encode_wire`` emits
+compact UTF-8 — semantically identical after ``from_json``, but under
+the P2 raw-string-scoring quirk a non-ASCII payload (``café``)
+tokenizes differently than the reference's escaped form would.
+Kafka itself is env-blocked (no broker/package in the container); the
+file layer stands in for the topic, carrying the exact bytes a Kafka
+value would."""
 
 import json
 import os
@@ -40,9 +47,11 @@ def _producer_bytes(spark):
 
 def test_producer_framing_matches_reference_oracle(spark):
     """Byte identity against an independent Python rendering of the
-    reference protocol: strip commas, wrap as {"message": text}, UTF-8.
-    (json.dumps with no spaces and ensure_ascii=False matches Spark's
-    to_json rendering for these payloads.)"""
+    reference SEMANTICS: strip commas, wrap as {"message": text}, UTF-8.
+    The oracle deliberately pins json.dumps to compact separators and
+    ensure_ascii=False — Spark's to_json rendering — which differs from
+    the reference producer's dumps-default bytes (", "/": " separators,
+    \\uXXXX escapes) while encoding the same frame; see module docstring."""
     got = _producer_bytes(spark)
     for raw, text in zip(got, TEXTS):
         want = json.dumps(

@@ -309,3 +309,23 @@ def test_portable_minhash_recall_parity_with_xxhash64(spark):
     high = {k for k, j in truth.items() if j >= 0.9}
     assert len(portable & high) / len(high) >= 0.95
     assert len(xx & high) / len(high) >= 0.95
+
+
+def test_portable_simhash_behaves_like_xxhash64(spark, corpus):
+    """The md5-hash SimHash twin keeps the fingerprint semantics: identical
+    docs → identical fingerprints, near-dups closer in hamming than
+    unrelated docs, and all fingerprints fit the 60-bit budget."""
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        PORTABLE_SIMHASH_BITS,
+        simhash_fingerprints_portable,
+    )
+
+    fps = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints_portable(corpus).collect()
+    }
+    assert fps[0] == fps[4]  # identical docs
+    assert all(0 <= v < (1 << PORTABLE_SIMHASH_BITS) for v in fps.values())
+    ham_15 = bin(fps[1] ^ fps[5]).count("1")
+    ham_unrelated = bin(fps[0] ^ fps[3]).count("1")
+    assert ham_15 < ham_unrelated

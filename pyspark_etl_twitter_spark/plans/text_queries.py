@@ -243,7 +243,10 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _portable_minhash_oracle() -> str:
+def _portable_minhash_ctes() -> str:
+    """The shared CTE chain (subset → signatures → star-guarded candidates
+    → verified pairs) — reused by the pairs oracle and the clusters
+    oracle, so both twins verify the SAME candidate algebra."""
     rows = _PMH_HASHES // _PMH_BANDS
     hash_cols = ",\n         ".join(
         f"min(('0x' || substr(md5('{i}:' || term), 1, 15))::BIGINT) AS h{i}"
@@ -258,8 +261,7 @@ def _portable_minhash_oracle() -> str:
         )
         for j in range(_PMH_BANDS)
     )
-    return f"""
-WITH sub AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    return f"""sub AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
 terms AS (
   SELECT DISTINCT doc_id, t.term
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM sub) t
@@ -297,18 +299,55 @@ inter AS (
   JOIN terms a ON a.doc_id = c.doc_a
   JOIN terms b ON b.doc_id = c.doc_b AND b.term = a.term
   GROUP BY 1, 2
+),
+vpairs AS (
+  SELECT doc_a, doc_b,
+         round(CAST(n_inter AS DOUBLE)
+               / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+)"""
+
+
+ORACLE_DEDUP_MINHASH_PORTABLE_PAIRS = f"""
+WITH {_portable_minhash_ctes()}
+SELECT doc_a, doc_b, jaccard FROM vpairs
+"""
+
+ORACLE_DEDUP_CLUSTERS_MINHASH_PORTABLE = f"""
+WITH RECURSIVE {_portable_minhash_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+  UNION
+  SELECT doc_b, doc_a FROM vpairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
 )
-SELECT doc_a, doc_b,
-       round(CAST(n_inter AS DOUBLE)
-             / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
 """
 
 
-ORACLE_DEDUP_MINHASH_PORTABLE_PAIRS = _portable_minhash_oracle()
+def dedup_clusters_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the PORTABLE MinHash pairs — the full scale
+    composition (bucketed candidates → star guard → exact verify →
+    connected components) with every stage DuckDB-verifiable, including
+    the transitive closure (recursive CTE). The xxhash64 composition
+    (``dedup_clusters_minhash``) stays the fast path."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pairs = D.near_dup_pairs_minhash_portable(
+        docs,
+        num_hashes=_PMH_HASHES,
+        bands=_PMH_BANDS,
+        shingle_n=1,
+        threshold=0.5,
+        star_bucket_threshold=_PMH_STAR,
+    )
+    return D.duplicate_clusters(pairs)
 
 
 def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,13 +857,138 @@ SELECT q_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
 
 
 def knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (approximate → rows-only check)."""
+    """OR-construction multi-probe LSH ANN top-k. Fully ORACLE-BACKED
+    since r7: the hyperplanes are seeded Python literals (same trick as
+    the semantic-dedup oracle), the multi-probe expansion is a literal
+    xor-mask set, and the rank tie-break is deterministic — so DuckDB
+    replays the IDENTICAL approximation end to end (buckets → probes →
+    cosine verify → dedup → top-k). "Approximate" means approximate
+    w.r.t. exact KNN, not non-deterministic."""
     return S.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
 
 
+def _ann_lsh_oracle() -> str:
+    """DuckDB replay of ann_lsh_topk's engine defaults (n_queries=10, k=5,
+    n_planes=10, n_tables=2, probe_bits=3, seed=7, round_dp=6)."""
+    from itertools import combinations
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        _hyperplanes,
+        _table_seed,
+    )
+
+    n_planes, n_tables, probe_bits, seed = 10, 2, 3, 7
+    n_queries, k, dim = 10, 5, 64
+    bucket_exprs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, _table_seed(seed, t))
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(emb, "
+            f"[{', '.join(repr(float(x)) for x in plane)}]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p, plane in enumerate(planes)
+        )
+        bucket_exprs.append(terms)
+    masks = [0]
+    for r in range(1, probe_bits + 1):
+        masks += [sum(1 << i for i in c) for c in combinations(range(n_planes), r)]
+    mask_rows = ", ".join(f"({m})" for m in masks)
+    corpus_rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, emb, nrm, {t} AS t, {bucket_exprs[t]} AS bucket FROM base"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+corpus AS (
+{corpus_rows}
+),
+masks(m) AS (VALUES {mask_rows}),
+probes AS (
+  SELECT c.vec_id AS q_id, c.emb AS q_emb, c.nrm AS q_nrm, c.t AS q_t,
+         xor(c.bucket, m.m) AS q_bucket
+  FROM corpus c CROSS JOIN masks m
+  WHERE c.vec_id < {n_queries}
+),
+cand AS (
+  SELECT q.q_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(c.emb, q.q_emb) / (c.nrm * q.q_nrm), 6) AS cos_sim
+  FROM corpus c JOIN probes q
+    ON c.t = q.q_t AND c.bucket = q.q_bucket AND c.vec_id <> q.q_id
+  WHERE c.nrm > 0 AND q.q_nrm > 0
+),
+dedup AS (
+  SELECT q_id, neighbor_id, max(cos_sim) AS cos_sim FROM cand GROUP BY 1, 2
+)
+SELECT q_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM dedup
+) WHERE rank <= {k}
+"""
+
+
+ORACLE_KNN_ANN_LSH = _ann_lsh_oracle()
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed ANN (approximate → rows-only check)."""
+    """IVF-probed ANN top-k. Fully ORACLE-BACKED since r7: default IVF
+    seeding is the first n_lists vectors and every stage (centroid-argmax
+    assignment, n_probe list ranking, cosine verify, rank) is a
+    deterministic join/window — DuckDB replays the identical
+    approximation."""
     return S.ivf_topk(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+ORACLE_KNN_IVF = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS list_id, emb AS c_emb, nrm AS c_nrm FROM base WHERE vec_id < 16
+),
+assign AS (
+  SELECT vec_id, emb, nrm, list_id FROM (
+    SELECT b.vec_id, b.emb, b.nrm, c.list_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.emb, c.c_emb) / (b.nrm * c.c_nrm) DESC,
+                      c.list_id) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM base WHERE vec_id < 10
+),
+probes AS (
+  SELECT q_id, q_emb, q_nrm, list_id FROM (
+    SELECT q.q_id, q.q_emb, q.q_nrm, c.list_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_dot_product(q.q_emb, c.c_emb) / (q.q_nrm * c.c_nrm) DESC,
+                      c.list_id) AS rn
+    FROM queries q CROSS JOIN cents c
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.q_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(a.emb, p.q_emb) / (a.nrm * p.q_nrm), 6) AS cos_sim
+  FROM probes p JOIN assign a USING (list_id)
+  WHERE a.vec_id <> p.q_id
+)
+SELECT q_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,6 +70,9 @@ MUST_BE_IN_WINDOW = {
 # (pinning them here keeps the rotation promise auditable)
 ROUND8_ROTATION_QUEUE = {
     "dedup_simhash_portable",  # new in r7, after the window froze
+    "dedup_clusters_minhash_portable",  # new in r7, after the window froze
+    "knn_ann_lsh",  # oracle added r7; prior driver rows were rows-only
+    "knn_ivf",      # oracle added r7; prior driver rows were rows-only
     "chunk_documents_overlap_64",
     "asof_nearest_click",
     "bigram_profile_top",
@@ -84,10 +87,11 @@ ROWS_ONLY_BY_DESIGN = {
     "dedup_minhash_pairs",
     "dedup_simhash_fingerprints",
     "dedup_clusters_minhash",
-    "knn_ann_lsh",
-    "knn_ivf",
-    # kmeans_cluster_sizes left this set in round 7: the fixed-iteration
-    # portable fit (kmeans_fit_portable) made it DuckDB-oracle-expressible.
+    # kmeans_cluster_sizes, knn_ann_lsh and knn_ivf left this set in
+    # round 7: the fixed-iteration portable fit, the literal-hyperplane/
+    # xor-mask LSH oracle, and the first-k-centroid IVF oracle made them
+    # DuckDB-expressible despite being "approximate" — the approximation
+    # is deterministic, so the oracle replays it exactly.
 }
 
 

@@ -427,20 +427,35 @@ def ivf_assignments(
             F.col("emb").alias("c_emb"),
             F.col("nrm").alias("c_nrm"),
         )
-    scored = base.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "emb",
-        "nrm",
-        "list_id",
-        (dot(F.col("emb"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))).alias(
-            "c_sim"
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("list_id"))
-    assignments = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "nrm", "list_id")
+    # Assignment as broadcast-LITERAL argmax (the kmeans `_assign` shape,
+    # r7): the old crossJoin + row_number window shuffled the corpus
+    # n_lists-fold on vec_id just to pick each row's max — 14 exchanges in
+    # the knn_ivf plan. Collecting the n_lists centroid rows (bounded,
+    # n_lists ≪ corpus by construction) and folding the argmax into one
+    # codegen expression removes ALL exchanges from assignment; ties break
+    # to the lowest list_id exactly like the window's (c_sim DESC, list_id)
+    # order, and the sims are the same expressions, so results are
+    # bit-identical (pinned by the knn_ivf oracle + indexed≡one-shot tests).
+    crows = sorted(centroids.collect(), key=lambda r: r["list_id"])
+    sims = [
+        (
+            dot(
+                F.col("emb"),
+                F.array(*[F.lit(float(x)) for x in r["c_emb"]]),
+            )
+            / (F.col("nrm") * F.lit(float(r["c_nrm"])))
+        ).alias(f"_s{r['list_id']}")
+        for r in crows
+    ]
+    scored = base.select("vec_id", "emb", "nrm", *sims)
+    best = F.greatest(*[F.col(f"_s{r['list_id']}") for r in crows])
+    assign_expr = F.lit(None).cast("long")
+    for r in reversed(crows):  # reversed → ties resolve to the LOWEST list
+        assign_expr = F.when(
+            F.col(f"_s{r['list_id']}") == best, F.lit(int(r["list_id"]))
+        ).otherwise(assign_expr)
+    assignments = scored.select(
+        "vec_id", "emb", "nrm", assign_expr.alias("list_id")
     )
     return assignments, centroids
 

@@ -329,3 +329,45 @@ def test_portable_simhash_behaves_like_xxhash64(spark, corpus):
     ham_15 = bin(fps[1] ^ fps[5]).count("1")
     ham_unrelated = bin(fps[0] ^ fps[3]).count("1")
     assert ham_15 < ham_unrelated
+
+
+def test_portable_term_hash_cross_engine_fuzz(spark):
+    """The load-bearing assumption of every md5 'portable' twin: Spark's
+    conv(substr(md5(i||':'||term),1,15),16,10) equals DuckDB's
+    ('0x'||substr(md5(...),1,15))::BIGINT for arbitrary unicode terms
+    (both engines hash the UTF-8 bytes). Fuzzes ASCII, accents, CJK,
+    emoji, digits-only, and long terms across several hash indices."""
+    import duckdb
+
+    from pyspark_etl_twitter_spark.operators.dedup import portable_term_hash
+
+    terms = [
+        "hello", "", " ", "café", "naïve", "日本語テキスト", "🎉✨", "0",
+        "123456789", "a" * 500, "tab\tand\nnewline", "quote\"'back\\slash",
+        "ärger-Øresund-ß", "مرحبا", "привет мир", "mixed 混合 text 🚀",
+    ]
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 éüñ中文🎯"
+    terms += ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 60)))
+              for _ in range(40)]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(t,) for t in terms], ["term"])
+    for i in (0, 1, 7, 15):
+        got = {
+            r.term: r.h
+            for r in df.select(
+                "term", portable_term_hash(F.col("term"), i).alias("h")
+            ).collect()
+        }
+        con = duckdb.connect()
+        want = {
+            t: con.execute(
+                "SELECT ('0x' || substr(md5(? || ':' || ?), 1, 15))::BIGINT",
+                [str(i), t],
+            ).fetchone()[0]
+            for t in terms
+        }
+        assert got == want, {t: (got[t], want[t]) for t in terms if got[t] != want[t]}

@@ -437,25 +437,32 @@ def ivf_assignments(
     # order, and the sims are the same expressions, so results are
     # bit-identical (pinned by the knn_ivf oracle + indexed≡one-shot tests).
     crows = sorted(centroids.collect(), key=lambda r: r["list_id"])
-    sims = [
-        (
-            dot(
-                F.col("emb"),
-                F.array(*[F.lit(float(x)) for x in r["c_emb"]]),
-            )
-            / (F.col("nrm") * F.lit(float(r["c_nrm"])))
-        ).alias(f"_s{r['list_id']}")
-        for r in crows
-    ]
-    scored = base.select("vec_id", "emb", "nrm", *sims)
-    best = F.greatest(*[F.col(f"_s{r['list_id']}") for r in crows])
-    assign_expr = F.lit(None).cast("long")
-    for r in reversed(crows):  # reversed → ties resolve to the LOWEST list
-        assign_expr = F.when(
-            F.col(f"_s{r['list_id']}") == best, F.lit(int(r["list_id"]))
-        ).otherwise(assign_expr)
+    list_ids = [int(r["list_id"]) for r in crows]
+    # sims as one HOF fold over a 2-D centroid literal (see clustering
+    # _assign): k·dim-times smaller expression tree than k unrolled dots +
+    # greatest + a k-arm when-chain. array_position picks the FIRST max →
+    # ties resolve to the lowest list_id, same as the window's
+    # (c_sim DESC, list_id) order. list_ids are contiguous by construction
+    # (enumerate / first-k vec_ids), asserted below so the positional
+    # lookup can never silently mislabel.
+    assert list_ids == list(range(len(list_ids))), list_ids
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r["c_emb"]]) for r in crows]
+    )
+    nrm_lit = F.array(*[F.lit(float(r["c_nrm"])) for r in crows])
+    sims = F.transform(
+        F.sequence(F.lit(0), F.lit(len(crows) - 1)),
+        lambda i: dot(F.col("emb"), F.element_at(cent_lit, i + 1))
+        / (F.col("nrm") * F.element_at(nrm_lit, i + 1)),
+    )
+    scored = base.select("vec_id", "emb", "nrm", sims.alias("_s"))
     assignments = scored.select(
-        "vec_id", "emb", "nrm", assign_expr.alias("list_id")
+        "vec_id",
+        "emb",
+        "nrm",
+        (F.array_position(F.col("_s"), F.array_max(F.col("_s"))) - 1)
+        .cast("long")
+        .alias("list_id"),
     )
     return assignments, centroids
 

@@ -442,6 +442,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Rejects progressive/arithmetic/12-bit/CMYK with a clear error."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (missing SOI)")
+    try:
+        return _decode_markers(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError("truncated JPEG stream") from exc
+
+
+def _decode_markers(payload: bytes) -> np.ndarray:
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
@@ -509,9 +516,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 scan_sel[cs] = (tdta >> 4, tdta & 0x0F)
             if frame is None:
                 raise ValueError("SOS before SOF")
-            return _decode_scan(
-                payload, end, frame, scan_sel, qtables, htables, restart_interval
-            )
+            try:
+                return _decode_scan(
+                    payload, end, frame, scan_sel, qtables, htables, restart_interval
+                )
+            except (IndexError, struct.error) as exc:
+                # entropy data ran out mid-scan — surface the same error
+                # class as every other malformed-payload path
+                raise ValueError("truncated JPEG entropy data") from exc
         # else: APPn/COM/unknown — skip
         pos = end
 

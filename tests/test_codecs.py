@@ -438,3 +438,45 @@ def test_jpeg_sniff_and_signal_paths():
     # aHash grid from the JPEG must be close to the BMP (lossless) one
     bmp_h64 = hash_signal_64(encode_bmp(img))
     assert np.abs(h64 - bmp_h64).max() < 0.03
+
+
+def test_jpeg_truncation_always_valueerror():
+    """Any prefix truncation — headers OR mid-entropy — must raise
+    ValueError, never IndexError/struct.error leaking from the bit reader."""
+    from pyspark_etl_twitter_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    import pytest as _pytest
+
+    b = encode_jpeg(_jpeg_gradient(16, 16), quality=85)
+    for cut in (3, 10, 25, 40, len(b) // 2, len(b) - 10, len(b) - 3):
+        with _pytest.raises(ValueError):
+            decode_jpeg(b[:cut])
+
+
+def test_jpeg_fuzz_round_trip_bounded():
+    """Randomized images (noise is the adversarial case for DCT
+    quantization) must round-trip within the quantization-error envelope
+    at quality 95 and decode deterministically."""
+    import numpy as np_
+
+    from pyspark_etl_twitter_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np_.random.RandomState(7)
+    for trial in range(6):
+        h, w = int(rng.randint(8, 41)), int(rng.randint(8, 41))
+        img = rng.randint(0, 256, (h, w, 3)).astype(np_.uint8)
+        payload = encode_jpeg(img, quality=95,
+                              subsampling="420" if trial % 2 else "444")
+        out1 = decode_jpeg(payload)
+        out2 = decode_jpeg(payload)
+        assert (out1 == out2).all()  # deterministic
+        assert out1.shape == img.shape
+        err = np_.abs(out1.astype(int) - img.astype(int)).astype(float)
+        if trial % 2:
+            # 4:2:0 destroys per-pixel chroma of NOISE by construction
+            # (2×2 box average) — measured mean ≈ 44-46 on this corpus;
+            # the bound catches codec regressions, not subsampling loss
+            assert err.mean() < 60, (trial, err.mean())
+        else:
+            # 4:4:4 at q95 keeps noise within the quant envelope
+            assert err.mean() < 8, (trial, err.mean())

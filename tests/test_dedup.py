@@ -371,3 +371,78 @@ def test_portable_term_hash_cross_engine_fuzz(spark):
             for t in terms
         }
         assert got == want, {t: (got[t], want[t]) for t in terms if got[t] != want[t]}
+
+
+def test_portable_minhash_star_guard_branch_vs_duckdb(spark):
+    """The driver's sf0.01 subset never trips the star guard (50 docs ≤
+    threshold 64), so the oracle's star branch would be dead code without
+    this test: a 100-doc near-identical swarm with threshold 16 must
+    produce IDENTICAL verified pairs from the Spark operator and a DuckDB
+    oracle generated with the same threshold — including the bmin-star
+    edges that replace the quadratic bucket join."""
+    import duckdb
+
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        near_dup_pairs_minhash_portable,
+    )
+    from pyspark_etl_twitter_spark.plans.text_queries import (
+        _PMH_BANDS,
+        _PMH_HASHES,
+        _portable_minhash_ctes,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{base} tail{i}") for i in range(100)]
+    rows += [(200 + i, f"totally different text number {i} about topic{i}")
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in near_dup_pairs_minhash_portable(
+            docs, num_hashes=_PMH_HASHES, bands=_PMH_BANDS, shingle_n=1,
+            threshold=0.5, star_bucket_threshold=16,
+        ).collect()
+    )
+    ctes = _portable_minhash_ctes().replace(
+        "sub AS (SELECT * FROM documents WHERE doc_id % 10 = 0)",
+        "sub AS (SELECT * FROM documents)",
+    ).replace("bsz <= 64", "bsz <= 16").replace("bsz > 64", "bsz > 16")
+    con = duckdb.connect()
+    con.register("documents_pd", docs.toPandas())
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_pd")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"WITH {ctes} SELECT doc_a, doc_b, jaccard FROM vpairs"
+        ).fetchall()
+    )
+    assert got, "star-guard swarm must emit pairs"
+    assert got == want
+    # and the guard really fired: the quadratic pair count would be ≥ 4000
+    assert len(got) < 1000
+
+
+def test_kmeans_fit_portable_quality_and_determinism(spark):
+    """kmeans_fit_portable must (a) be deterministic, (b) produce a
+    clustering whose inertia is within a small factor of the tol-based
+    kmeans_fit at equal iteration budget — the 6dp centroid rounding is a
+    verifiability tweak, not a quality change."""
+    from pyspark_etl_twitter_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        kmeans_fit_portable,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = kmeans_fit_portable(emb, 8, iters=3)
+    c2 = kmeans_fit_portable(emb, 8, iters=3)
+    assert c1 == c2  # deterministic, rounding makes equality exact
+    trained, history = kmeans_fit(emb, 8, max_iters=3)
+
+    def inertia(cents):
+        return kmeans_assign(emb, cents).agg(F.sum("dist2")).first()[0]
+
+    i_portable, i_plain = inertia(c1), inertia(trained)
+    assert i_portable <= i_plain * 1.01  # rounding costs ≤1% inertia

@@ -352,12 +352,17 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     into DuckDB CTEs and the driver hash-verifies the histogram. The
     tol-based ``kmeans_fit`` stays the general operator (pytest: blob
     recovery, monotone inertia, determinism)."""
+    from pyspark_etl_twitter_spark.operators.cachereg import keep_cached
     from pyspark_etl_twitter_spark.operators.clustering import (
         kmeans_assign,
         kmeans_fit_portable,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # Lloyd's re-scans the corpus once per iteration (3 fit passes + the
+    # final assignment): cache it for the fit's lifetime — at scale an
+    # iterative fit over an uncached source re-reads the corpus k·iters
+    # times. keep_cached bounds the retained relations (cachereg FIFO).
+    emb = keep_cached(_t(spark, sf_dir, "embeddings"))
     centroids = kmeans_fit_portable(emb, _KM_K, iters=_KM_ITERS, round_dp=_KM_DP)
     return (
         kmeans_assign(emb, centroids)

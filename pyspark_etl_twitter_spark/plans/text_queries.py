@@ -400,6 +400,62 @@ FROM votes
 ORACLE_DEDUP_SIMHASH_PORTABLE = _portable_simhash_oracle()
 
 
+_PSH_BANDS = 6  # 60 bits / 6 = 10-bit bands; pigeonhole covers hamming ≤ 5
+_PSH_MAX_HAMMING = 5
+
+
+def dedup_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hamming search over the PORTABLE SimHash fingerprints — the
+    full simhash near-dup flow (fingerprint → 10-bit band bucket join →
+    exact bit_count(xor) filter) with every stage DuckDB-verifiable.
+    bands=6 over the 60-bit fingerprint guarantees any pair within
+    hamming ≤ 5 shares at least one exact band (pigeonhole)."""
+    fps = D.simhash_fingerprints_portable(_t(spark, sf_dir, "documents"))
+    return D.simhash_near_dup_pairs(
+        fps, max_hamming=_PSH_MAX_HAMMING, bands=_PSH_BANDS
+    )
+
+
+def _portable_simhash_pairs_oracle() -> str:
+    from pyspark_etl_twitter_spark.operators.dedup import PORTABLE_SIMHASH_BITS
+
+    width = PORTABLE_SIMHASH_BITS // _PSH_BANDS
+    mask = (1 << width) - 1
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {j} AS band_id, "
+        f"(simhash >> {j * width}) & {mask} AS band_val FROM fp"
+        for j in range(_PSH_BANDS)
+    )
+    # reuse the fingerprint construction verbatim (same CTE text as the
+    # fingerprints oracle, aliased fp) so both oracles verify one algebra
+    fp_sql = _portable_simhash_oracle().strip()
+    assert fp_sql.startswith("WITH ")
+    body = fp_sql[len("WITH "):]
+    head, tail = body.rsplit("SELECT doc_id,", 1)
+    return f"""
+WITH {head.rstrip()},
+fp AS (
+  SELECT doc_id,{tail}
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= {_PSH_MAX_HAMMING}
+"""
+
+
+ORACLE_DEDUP_SIMHASH_PORTABLE_PAIRS = _portable_simhash_pairs_oracle()
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact-Jaccard pair graph (2% subset):
     (doc_id, cluster_id = min reachable doc id). Transitive closure — A~B,

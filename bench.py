@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_minhash_portable_pairs",  # md5 twin — tracks its cost vs xxhash64
     "dedup_simhash_fingerprints",
+    "dedup_simhash_portable_pairs",  # md5 twin of the banded hamming search
     "kmeans_cluster_sizes",  # portable fixed-iteration fit (r7)
     "knn_brute_cosine",
     "text_quality_by_source",

@@ -432,8 +432,7 @@ def _portable_simhash_pairs_oracle() -> str:
     assert fp_sql.startswith("WITH ")
     body = fp_sql[len("WITH "):]
     head, tail = body.rsplit("SELECT doc_id,", 1)
-    return f"""
-WITH {head.rstrip()},
+    return f"""{head.rstrip()},
 fp AS (
   SELECT doc_id,{tail}
 ),
@@ -446,14 +445,45 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_val = b.band_val
    AND a.doc_id < b.doc_id
+),
+hpairs AS (
+  SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+  FROM cand
+  WHERE bit_count(xor(sa, sb)) <= {_PSH_MAX_HAMMING}
+)"""
+
+
+ORACLE_DEDUP_SIMHASH_PORTABLE_PAIRS = f"""
+WITH {_portable_simhash_pairs_oracle()}
+SELECT doc_a, doc_b, hamming FROM hpairs
+"""
+
+ORACLE_DEDUP_CLUSTERS_SIMHASH_PORTABLE = f"""
+WITH RECURSIVE {_portable_simhash_pairs_oracle()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM hpairs
+  UNION
+  SELECT doc_b, doc_a FROM hpairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-FROM cand
-WHERE bit_count(xor(sa, sb)) <= {_PSH_MAX_HAMMING}
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
 """
 
 
-ORACLE_DEDUP_SIMHASH_PORTABLE_PAIRS = _portable_simhash_pairs_oracle()
+def dedup_clusters_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the portable-SimHash hamming pairs — the
+    third fully-verified dedup composition (after exact-Jaccard and
+    portable-MinHash clusters): fingerprint → band bucket join → hamming
+    verify → transitive closure, every stage DuckDB-replayed."""
+    fps = D.simhash_fingerprints_portable(_t(spark, sf_dir, "documents"))
+    pairs = D.simhash_near_dup_pairs(
+        fps, max_hamming=_PSH_MAX_HAMMING, bands=_PSH_BANDS
+    )
+    return D.duplicate_clusters(pairs)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

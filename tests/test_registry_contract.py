@@ -71,6 +71,7 @@ MUST_BE_IN_WINDOW = {
 ROUND8_ROTATION_QUEUE = {
     "dedup_simhash_portable",  # new in r7, after the window froze
     "dedup_simhash_portable_pairs",  # new in r7, after the window froze
+    "dedup_clusters_simhash_portable",  # new in r7, after the window froze
     "dedup_clusters_minhash_portable",  # new in r7, after the window froze
     "knn_ann_lsh",  # oracle added r7; prior driver rows were rows-only
     "knn_ivf",      # oracle added r7; prior driver rows were rows-only

@@ -47,6 +47,23 @@ def read_csv(spark, path: str, schema, *, header: bool = True) -> DataFrame:
     return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
 
 
+def write_orc(
+    df: DataFrame, path: str, *, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """ORC sink (r7): the other columnar format Spark ships natively —
+    same pushdown/pruning machinery as parquet (predicate pushdown via
+    ORC SearchArguments, column projection, hive partitioning)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC scan — self-describing like parquet, so no schema argument."""
+    return spark.read.orc(path)
+
+
 def delta_available() -> bool:
     try:
         import delta  # noqa: F401

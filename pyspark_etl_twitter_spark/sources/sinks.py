@@ -64,6 +64,43 @@ def read_orc(spark, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def avro_available(spark) -> bool:
+    """True when Spark's DataSource registry resolves the ``avro`` short
+    name. A bare classpath check is NOT enough: pip PySpark ships some
+    avro classes yet ``lookupDataSource`` still rejects the short name
+    ('Avro is built-in but external data source module since Spark 2.4'),
+    so probe the exact resolution the writer will perform. Env-gated in
+    this container (no network to pull the module) exactly like
+    Delta/Mongo."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsc.sc().conf()
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+_AVRO_GATE_MSG = (
+    "spark-avro data source not deployable (external module since Spark "
+    "2.4; no network in this container) — deploy with "
+    "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+)
+
+
+def write_avro(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Avro sink (env-gated: external module, not deployable offline)."""
+    if not avro_available(df.sparkSession):
+        raise NotImplementedError(_AVRO_GATE_MSG)
+    df.write.mode(mode).format("avro").save(path)
+
+
+def read_avro(spark, path: str) -> DataFrame:
+    if not avro_available(spark):
+        raise NotImplementedError(_AVRO_GATE_MSG)
+    return spark.read.format("avro").load(path)
+
+
 def delta_available() -> bool:
     try:
         import delta  # noqa: F401

@@ -77,6 +77,29 @@ HEADLINE = [
     "bm25_search_topk",
     "semantic_prune_by_centroid",
     "asof_nearest_click",
+    # full TPC-H suite (r7: the window carries the whole suite now, so the
+    # bench tracks every query's wall time per round — the standard OLAP
+    # yardstick; q2/q11/q20 run over the derived partsupp)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_latency_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
     # round-4 families
     "tpch_q20_excess_stock",
     "fuzzy_decontaminate_counts",

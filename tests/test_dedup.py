@@ -446,3 +446,57 @@ def test_kmeans_fit_portable_quality_and_determinism(spark):
 
     i_portable, i_plain = inertia(c1), inertia(trained)
     assert i_portable <= i_plain * 1.01  # rounding costs ≤1% inertia
+
+
+def test_portable_minhash_random_corpora_cross_engine(spark):
+    """Corpus-level cross-engine fuzz: random documents (unicode terms,
+    empty docs, planted near-dup pairs) through the FULL portable pipeline
+    — tokenize → signatures → bands → star guard → verify — must produce
+    identical (doc_a, doc_b, jaccard) sets from Spark and DuckDB. Catches
+    tokenization / banding / grouping divergences the primitive-level
+    hash fuzz can't see."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        near_dup_pairs_minhash_portable,
+    )
+    from pyspark_etl_twitter_spark.plans.text_queries import _portable_minhash_ctes
+
+    vocab = ("alpha beta gamma delta räksmörgås 中文 🎉 epsilon zeta eta "
+             "theta iota kappa lambda mu nu xi omicron pi rho sigma").split()
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(60):
+            n = rng.randint(0, 12)
+            rows.append((i * 10, " ".join(rng.choice(vocab) for _ in range(n))))
+        # planted near-dups: copy with one word swapped
+        for j, (did, text) in enumerate(rows[:10]):
+            toks = text.split()
+            if toks:
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            rows.append((did + 1, " ".join(toks)))  # id%10 != 0 → excluded…
+        # keep ids on the %10 grid so the oracle's subset matches
+        rows = [(k * 10, t) for k, (_, t) in enumerate(rows)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in near_dup_pairs_minhash_portable(
+                docs, num_hashes=16, bands=4, shingle_n=1, threshold=0.5
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register("documents_pd", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        con.execute("CREATE VIEW documents AS SELECT * FROM documents_pd")
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                f"WITH {_portable_minhash_ctes()} "
+                "SELECT doc_a, doc_b, jaccard FROM vpairs"
+            ).fetchall()
+        )
+        assert got == want, (seed, len(got), len(want))
+        assert got  # planted dups guarantee a non-empty pair set

@@ -97,3 +97,17 @@ def test_ivf_trained_centroids_balance_lists(spark):
     max_naive = naive.groupBy("list_id").count().agg(F.max("count")).first()[0]
     max_trained = trained.groupBy("list_id").count().agg(F.max("count")).first()[0]
     assert max_trained <= max_naive
+
+
+def test_kmeans_fit_portable_partition_invariant(spark):
+    """The portable fit's 6dp centroid rounding must absorb summation-order
+    noise: different partitionings (different per-partition fold orders in
+    the avg) yield EXACTLY the same centroids — the property the DuckDB
+    oracle's hash equality rests on."""
+    from pyspark_etl_twitter_spark.operators.clustering import kmeans_fit_portable
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c_a = kmeans_fit_portable(emb.repartition(3), 8, iters=3)
+    c_b = kmeans_fit_portable(emb.repartition(17), 8, iters=3)
+    c_c = kmeans_fit_portable(emb.coalesce(1), 8, iters=3)
+    assert c_a == c_b == c_c

@@ -98,7 +98,7 @@ def star_guard_stats(docs, *, threshold=64, num_hashes=32, bands=8, shingle_n=3)
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     max_mult = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    mults = [m for m in (1, 10, 50) if m <= max_mult]
+    mults = [m for m in (1, 10, 50, 100) if m <= max_mult]
     spark = get_session(app_name="scale_evidence_r6")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 

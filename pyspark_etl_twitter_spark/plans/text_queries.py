@@ -953,9 +953,11 @@ def knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
 
 
-def _ann_lsh_oracle() -> str:
-    """DuckDB replay of ann_lsh_topk's engine defaults (n_queries=10, k=5,
-    n_planes=10, n_tables=2, probe_bits=3, seed=7, round_dp=6)."""
+def _ann_lsh_oracle(n_tables: int = 2) -> str:
+    """DuckDB replay of ann_lsh_topk (n_queries=10, k=5, n_planes=10,
+    probe_bits=3, seed=7, round_dp=6); ``n_tables`` parameterizes the
+    OR-construction width (2 = engine default, 3 = the high_recall
+    preset)."""
     from itertools import combinations
 
     from pyspark_etl_twitter_spark.operators.similarity import (
@@ -963,7 +965,7 @@ def _ann_lsh_oracle() -> str:
         _table_seed,
     )
 
-    n_planes, n_tables, probe_bits, seed = 10, 2, 3, 7
+    n_planes, probe_bits, seed = 10, 3, 7
     n_queries, k, dim = 10, 5, 64
     bucket_exprs = []
     for t in range(n_tables):
@@ -1019,6 +1021,18 @@ SELECT q_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
 
 
 ORACLE_KNN_ANN_LSH = _ann_lsh_oracle()
+
+
+def knn_ann_lsh_high_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The named high_recall preset (L=3/10/3 — DESIGN §20 frontier,
+    recall@5 0.826) as a first-class registry query, oracle-backed the
+    same way as the default: DuckDB replays the third hyperplane table."""
+    return S.ann_lsh_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=10, k=5, profile="high_recall"
+    )
+
+
+ORACLE_KNN_ANN_LSH_HIGH_RECALL = _ann_lsh_oracle(n_tables=3)
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,6 +74,7 @@ ROUND8_ROTATION_QUEUE = {
     "dedup_clusters_simhash_portable",  # new in r7, after the window froze
     "dedup_clusters_minhash_portable",  # new in r7, after the window froze
     "knn_ann_lsh",  # oracle added r7; prior driver rows were rows-only
+    "knn_ann_lsh_high_recall",  # new in r7: the named preset, oracle-backed
     "knn_ivf",      # oracle added r7; prior driver rows were rows-only
     "chunk_documents_overlap_64",
     "asof_nearest_click",

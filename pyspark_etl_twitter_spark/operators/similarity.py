@@ -382,6 +382,7 @@ def ivf_assignments(
     vec_col: str = "embedding",
     n_lists: int = 16,
     train_iters: int = 0,
+    centroid_vectors: list[list[float]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: partition the corpus into ``n_lists``
     inverted lists by nearest centroid.
@@ -400,7 +401,19 @@ def ivf_assignments(
         F.col(vec_col).alias("emb"),
         l2_norm(F.col(vec_col)).alias("nrm"),
     )
-    if train_iters > 0:
+    if centroid_vectors is not None:
+        # pre-trained centroids (e.g. kmeans_fit_portable) — kept as
+        # DOUBLES, not the float32 cast of the train_iters branch, so a
+        # DuckDB oracle carrying the same 6dp-rounded trajectory computes
+        # sims from exactly the same values
+        rows = [
+            (i, [float(x) for x in c], math.sqrt(sum(float(x) * float(x) for x in c)))
+            for i, c in enumerate(centroid_vectors)
+        ]
+        centroids = embeddings.sparkSession.createDataFrame(
+            rows, "list_id long, c_emb array<double>, c_nrm double"
+        )
+    elif train_iters > 0:
         from pyspark_etl_twitter_spark.operators.clustering import kmeans_fit
 
         trained, _ = kmeans_fit(

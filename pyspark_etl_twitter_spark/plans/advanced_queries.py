@@ -374,34 +374,34 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle() -> str:
-    """Unroll the fixed-iteration Lloyd trajectory as DuckDB CTEs.
+def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS, dp: int = _KM_DP) -> str:
+    """The unrolled Lloyd CTE chain up to ``c{iters}`` (the trained
+    centroid relation) — shared by the cluster-sizes oracle and the
+    trained-IVF oracle so both verify one trajectory.
 
     Centroids live as (cluster, pos, val) relations; each iteration is
     dist → argmin (row_number over d2, cluster — the lowest-cluster
     tie-break of ``_assign``) → per-dim rounded means with COALESCE
     carrying empty clusters' previous centroids, exactly the Spark
-    operator's semantics. Per-round rounding to {dp} dp is what makes the
-    two engines' float trajectories identical (summation-order noise is
-    ~1e-13, far below the rounding grid)."""
-    dp = _KM_DP
+    operator's semantics. Per-round rounding to ``dp`` decimals is what
+    makes the two engines' float trajectories identical (summation-order
+    noise is ~1e-13, far below the rounding grid)."""
     parts = [
-        f"""
-WITH edim AS (
+        f"""edim AS (
   SELECT vec_id, i.pos, embedding[i.pos]::DOUBLE AS x
   FROM embeddings
   CROSS JOIN (SELECT unnest(range(1, {_EMB_DIM} + 1)) AS pos) i
 ),
 seeds AS (
   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-  FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+  FROM embeddings ORDER BY vec_id LIMIT {k}
 ),
 c0 AS (
   SELECT s.cluster, e.pos, round(e.x, {dp}) AS val
   FROM seeds s JOIN edim e USING (vec_id)
 )"""
     ]
-    for t in range(_KM_ITERS):
+    for t in range(iters):
         parts.append(
             f""",
 d{t} AS (
@@ -426,9 +426,14 @@ c{t + 1} AS (
   FROM c{t} p LEFT JOIN u{t} u ON u.cluster = p.cluster AND u.pos = p.pos
 )"""
         )
+    return "".join(parts)
+
+
+def _kmeans_oracle() -> str:
+    """Cluster-size histogram under the trained (iter-final) centroids."""
     tf = _KM_ITERS
-    parts.append(
-        f""",
+    return f"""
+WITH {_kmeans_ctes()},
 dF AS (
   SELECT e.vec_id, c.cluster, sum((e.x - c.val) * (e.x - c.val)) AS d2
   FROM edim e JOIN c{tf} c ON c.pos = e.pos
@@ -444,8 +449,6 @@ aF AS (
 SELECT CAST(cluster AS INTEGER) AS cluster, count(*) AS n_vecs,
        round(avg(sqrt(d2)), 6) AS avg_dist
 FROM aF GROUP BY cluster"""
-    )
-    return "".join(parts)
 
 
 ORACLE_KMEANS_CLUSTER_SIZES = _kmeans_oracle()

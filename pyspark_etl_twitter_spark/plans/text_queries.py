@@ -1044,6 +1044,97 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
 
 
+_IVFT_LISTS = 16
+_IVFT_ITERS = 2
+
+
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED centroids, fully verified (r7): the portable
+    fixed-iteration k-means (6dp-rounded trajectory) trains the coarse
+    quantizer, then the standard IVF probe runs against it — so the
+    entire trained-index pipeline (Lloyd training → cosine assignment →
+    probe ranking → verify → top-k) replays in DuckDB. The tol-based
+    ``build_ivf_index(train_iters=N)`` stays the production trainer; this
+    is its verification twin."""
+    from pyspark_etl_twitter_spark.operators.clustering import kmeans_fit_portable
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        _ivf_probe,
+        ivf_assignments,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit_portable(emb, _IVFT_LISTS, iters=_IVFT_ITERS)
+    assignments, centroids = ivf_assignments(
+        emb, n_lists=_IVFT_LISTS, centroid_vectors=cents
+    )
+    queries = assignments.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    return _ivf_probe(
+        assignments, centroids, queries, k=5, n_probe=4, round_dp=6
+    )
+
+
+def _ivf_trained_oracle() -> str:
+    from pyspark_etl_twitter_spark.plans.advanced_queries import _kmeans_ctes
+
+    tf = _IVFT_ITERS
+    return f"""
+WITH {_kmeans_ctes(k=_IVFT_LISTS, iters=_IVFT_ITERS)},
+cents AS (SELECT cluster AS list_id, pos, val FROM c{tf}),
+cnrm AS (SELECT list_id, sqrt(sum(val * val)) AS c_nrm FROM cents GROUP BY list_id),
+vnrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM edim GROUP BY vec_id),
+csim AS (
+  SELECT s.vec_id, s.list_id, s.dp / (v.nrm * n.c_nrm) AS s
+  FROM (
+    SELECT e.vec_id, c.list_id, sum(e.x * c.val) AS dp
+    FROM edim e JOIN cents c ON c.pos = e.pos
+    GROUP BY e.vec_id, c.list_id
+  ) s
+  JOIN vnrm v USING (vec_id) JOIN cnrm n USING (list_id)
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list_id) AS rn
+    FROM csim
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list_id) AS rn
+    FROM csim WHERE vec_id < 10
+  ) WHERE rn <= 4
+),
+vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT p.q_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(ca.emb, qb.emb) / (ca.nrm * qb.nrm), 6) AS cos_sim
+  FROM probes p
+  JOIN assign a USING (list_id)
+  JOIN vecs ca ON ca.vec_id = a.vec_id
+  JOIN vecs qb ON qb.vec_id = p.q_id
+  WHERE a.vec_id <> p.q_id
+)
+SELECT q_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+ORACLE_KNN_IVF_TRAINED = _ivf_trained_oracle()
+
+
 ORACLE_KNN_IVF = """
 WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,

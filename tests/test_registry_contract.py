@@ -76,6 +76,7 @@ ROUND8_ROTATION_QUEUE = {
     "knn_ann_lsh",  # oracle added r7; prior driver rows were rows-only
     "knn_ann_lsh_high_recall",  # new in r7: the named preset, oracle-backed
     "knn_ivf",      # oracle added r7; prior driver rows were rows-only
+    "knn_ivf_trained",  # new in r7: trained-quantizer IVF, fully verified
     "chunk_documents_overlap_64",
     "asof_nearest_click",
     "bigram_profile_top",

@@ -17,7 +17,9 @@ BNLJ_OK = {
     "range_join_price_bands",   # 5-band broadcast theta join (documented)
     "knn_brute_cosine",         # broadcast query side (documented baseline)
     "knn_ann_lsh",
+    "knn_ann_lsh_high_recall",  # same probe shape as knn_ann_lsh
     "knn_ivf",
+    "knn_ivf_trained",          # same 16-row centroid-dim cross join as knn_ivf
     "embedding_near_dup",
     "orders_above_avg",         # broadcast 1-row scalar
     "customers_above_nation_avg",

@@ -147,8 +147,22 @@ def kmeans_fit_portable(
     codegen pass of ``_assign``; the update is one partial-aggregated
     groupBy(cluster, pos); only k×dim rounded means hit the driver. Empty
     clusters keep their previous centroid (coalesce on the oracle side)."""
-    seeds = emb.orderBy(id_col).limit(k).select(vec_col).collect()
-    centroids = [[round(float(x), round_dp) for x in r[0]] for r in seeds]
+    # Seed rounding happens ENGINE-side with F.round (HALF_UP), matching
+    # both the iteration updates below and DuckDB's half-away-from-zero
+    # round() — Python round() is banker's half-to-even, which diverges on
+    # exact halves at round_dp and would corrupt the whole trajectory
+    # (r7 advice).
+    seeds = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.transform(
+                vec_col, lambda v: F.round(v.cast("double"), round_dp)
+            ).alias(vec_col)
+        )
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds]
     for _ in range(iters):
         assigned = _assign(emb, centroids, id_col, vec_col)
         per_dim = (

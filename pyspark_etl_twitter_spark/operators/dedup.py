@@ -597,11 +597,16 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 7,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Near-dup by fingerprint: band the 63 bits into ``bands`` 9-bit keys
-    (pigeonhole: pairs within ``bands-1`` differing bits share ≥1 exact
-    band), bucket-join, then exact hamming filter via bit_count(xor)."""
-    width = SIMHASH_BITS // bands
+    """Near-dup by fingerprint: band the ``bits`` fingerprint bits into
+    ``bands`` equal keys (pigeonhole: pairs within ``bands-1`` differing
+    bits share ≥1 exact band), bucket-join, then exact hamming filter via
+    bit_count(xor). ``bits`` MUST be the actual fingerprint width — the
+    63-bit xxhash64 default or PORTABLE_SIMHASH_BITS (60) for the md5
+    portable twins (r7 advice: band width must derive from the real
+    width, or engine/oracle agreement is a 63//b == 60//b coincidence)."""
+    width = bits // bands
     band_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), j * width).bitwiseAND(F.lit((1 << width) - 1))

@@ -185,6 +185,10 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # drop emitted high bits: without this mask the accumulator grows
+        # into a bigint spanning the whole entropy stream and every shift
+        # is O(stream) — quadratic encode (r7 advice).
+        self.acc &= (1 << self.nbits) - 1
 
     def pad(self) -> None:
         """Pad to a byte boundary with 1s (stuffed if the byte lands on FF)."""
@@ -233,7 +237,12 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        # mask consumed high bits — keeps acc bounded (≤1 byte live) so
+        # decode stays linear in stream size (r7 advice: unmasked acc made
+        # decode quadratic, 14.7s at 256x256).
+        self.acc &= (1 << self.nbits) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
         v = 0

@@ -560,19 +560,39 @@ GROUP BY band
 def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embeddings table — the cluster-pruning /
     SemDeDup primitive. posexplode → (label, dim) hash aggregate →
-    ordered reassembly; parallelism scales with labels × dims."""
+    ordered reassembly; parallelism scales with labels × dims.
+
+    The operator (similarity.group_centroids) keeps the real
+    ``array<double>`` centroid; THIS window wrapper serializes it to a
+    space-joined fixed-6dp string (each element cast through
+    decimal(18,6), the same grid the values were rounded to) because the
+    driver's canonicalizer cannot hash list cells (r7 verdict #1). The
+    decimal cast pins the text rendering — '1.500000', never '1.5' /
+    '1.5000000000000002' — so Spark and DuckDB agree byte-for-byte."""
     from pyspark_etl_twitter_spark.operators.similarity import group_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
-    return group_centroids(emb, group_col="label", vec_col="embedding")
+    cents = group_centroids(emb, group_col="label", vec_col="embedding")
+    return cents.select(
+        "label",
+        "n_vectors",
+        F.array_join(
+            F.transform(
+                "centroid",
+                lambda c: c.cast("decimal(18,6)").cast("string"),
+            ),
+            " ",
+        ).alias("centroid"),
+    )
 
 
 def _centroid_oracle() -> str:
-    avgs = ", ".join(
-        f"round(avg(embedding[{d + 1}]), 6)" for d in range(_EMB_DIM)
+    cells = ", ".join(
+        f"CAST(CAST(round(avg(embedding[{d + 1}]), 6) AS DECIMAL(18,6)) AS VARCHAR)"
+        for d in range(_EMB_DIM)
     )
     return f"""
-SELECT label, count(*) AS n_vectors, [{avgs}] AS centroid
+SELECT label, count(*) AS n_vectors, concat_ws(' ', {cells}) AS centroid
 FROM embeddings
 GROUP BY label
 """

@@ -412,7 +412,10 @@ def dedup_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming ≤ 5 shares at least one exact band (pigeonhole)."""
     fps = D.simhash_fingerprints_portable(_t(spark, sf_dir, "documents"))
     return D.simhash_near_dup_pairs(
-        fps, max_hamming=_PSH_MAX_HAMMING, bands=_PSH_BANDS
+        fps,
+        max_hamming=_PSH_MAX_HAMMING,
+        bands=_PSH_BANDS,
+        bits=D.PORTABLE_SIMHASH_BITS,
     )
 
 
@@ -481,7 +484,10 @@ def dedup_clusters_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFra
     verify → transitive closure, every stage DuckDB-replayed."""
     fps = D.simhash_fingerprints_portable(_t(spark, sf_dir, "documents"))
     pairs = D.simhash_near_dup_pairs(
-        fps, max_hamming=_PSH_MAX_HAMMING, bands=_PSH_BANDS
+        fps,
+        max_hamming=_PSH_MAX_HAMMING,
+        bands=_PSH_BANDS,
+        bits=D.PORTABLE_SIMHASH_BITS,
     )
     return D.duplicate_clusters(pairs)
 
@@ -727,7 +733,14 @@ FROM vocab ORDER BY vocab_id LIMIT 50
 
 def encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-id encoding of the 2% subset against the full-corpus vocab:
-    (doc_id, token_ids array<int>), OOV = -1, empty docs = empty arrays."""
+    (doc_id, token_ids string), OOV = -1, empty docs = ''.
+
+    The operator (encoding.encode_documents) returns a real
+    ``array<int>`` column; THIS window wrapper serializes it to a
+    space-joined string because the driver's canonicalizer hashes scalar
+    cells only (r7 verdict #1: pandas ``factorize`` cannot hash Python
+    lists, so an array-typed window column errs before comparison).
+    ``array_join`` of the empty array is '' — empty docs still survive."""
     from pyspark_etl_twitter_spark.operators.encoding import (
         build_vocab,
         encode_documents,
@@ -735,7 +748,10 @@ def encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sub = docs.filter(F.col("doc_id") % 50 == 0)
-    return encode_documents(sub, build_vocab(docs))
+    enc = encode_documents(sub, build_vocab(docs))
+    return enc.select(
+        "doc_id", F.array_join("token_ids", " ").alias("token_ids")
+    )
 
 
 ORACLE_ENCODED_DOCS = f"""
@@ -755,7 +771,9 @@ enc AS (
   FROM tok LEFT JOIN vocab v USING (term)
   GROUP BY doc_id
 )
-SELECT b.doc_id, coalesce(e.token_ids, CAST([] AS INTEGER[])) AS token_ids
+SELECT b.doc_id,
+       array_to_string(coalesce(e.token_ids, CAST([] AS INTEGER[])), ' ')
+         AS token_ids
 FROM base b LEFT JOIN enc e USING (doc_id)
 """
 

@@ -64,6 +64,25 @@ def read_orc(spark, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def _datasource_resolves(spark, short_name: str) -> bool:
+    """True when Spark's DataSource registry resolves ``short_name``.
+
+    ``lookupDataSource`` takes a **SQLConf**, not a SparkConf — passing
+    ``sc().conf()`` makes py4j raise 'method does not exist' for EVERY
+    provider (even parquet), which silently turned the old probe into a
+    constant False (r7 advice). Probe with the session's live SQLConf so
+    a genuinely-deployed module opens the gate."""
+    jvm = spark._jvm
+    sql_conf = jvm.org.apache.spark.sql.internal.SQLConf.get()
+    try:
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            short_name, sql_conf
+        )
+        return True
+    except Exception:  # noqa: BLE001  (JVM AnalysisException via py4j)
+        return False
+
+
 def avro_available(spark) -> bool:
     """True when Spark's DataSource registry resolves the ``avro`` short
     name. A bare classpath check is NOT enough: pip PySpark ships some
@@ -71,14 +90,14 @@ def avro_available(spark) -> bool:
     ('Avro is built-in but external data source module since Spark 2.4'),
     so probe the exact resolution the writer will perform. Env-gated in
     this container (no network to pull the module) exactly like
-    Delta/Mongo."""
-    try:
-        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
-            "avro", spark._jsc.sc().conf()
+    Delta/Mongo. Sanity: if the probe machinery itself is broken, even
+    'parquet' fails to resolve — treat that as a loud error, not a gate."""
+    if not _datasource_resolves(spark, "parquet"):
+        raise RuntimeError(
+            "DataSource.lookupDataSource probe is broken: 'parquet' did not "
+            "resolve — the avro gate would be meaninglessly closed"
         )
-        return True
-    except Exception:  # noqa: BLE001
-        return False
+    return _datasource_resolves(spark, "avro")
 
 
 _AVRO_GATE_MSG = (

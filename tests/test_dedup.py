@@ -94,6 +94,46 @@ def test_simhash(spark, corpus):
     assert hams[(0, 4)] == 0
 
 
+def test_simhash_band_width_derives_from_bits(spark):
+    """r7 advice: band width must come from the ACTUAL fingerprint width
+    (``bits``), not the 63-bit default — 63//6 == 60//6 was a coincidence
+    that band counts like 7 break (63//7=9 vs 60//7=8). With
+    ``bits=60, bands=7`` the candidate set must equal a Python
+    recomputation at width 8; the old SIMHASH_BITS-derived width 9 yields
+    a different bucket keying and a different candidate set."""
+    import random
+
+    from pyspark_etl_twitter_spark.operators.dedup import simhash_near_dup_pairs
+
+    rng = random.Random(11)
+    fps = [(i, rng.getrandbits(60)) for i in range(120)]
+    # plant near-identical pairs so candidates exist at every width
+    fps += [(200 + i, fps[i][1] ^ (1 << rng.randrange(60))) for i in range(10)]
+    df = spark.createDataFrame(fps, "doc_id long, simhash long")
+    # max_hamming=60 disables the verify filter: the result IS the banded
+    # candidate set, which is exactly what the width controls
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dup_pairs(
+            df, max_hamming=60, bands=7, bits=60
+        ).collect()
+    }
+    width = 60 // 7  # 8
+    want = set()
+    by_band: dict = {}
+    for i, fp in fps:
+        for j in range(7):
+            by_band.setdefault((j, (fp >> (j * width)) & ((1 << width) - 1)), []).append(i)
+    for ids in by_band.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    want.add((a, b))
+    assert got == want
+    # pigeonhole floor: the planted hamming-1 pairs are always candidates
+    assert all((i, 200 + i) in got for i in range(10))
+
+
 def test_duplicate_clusters_transitive_closure(spark):
     """A~B and B~C (no A~C edge) must form ONE cluster labeled min(A,B,C);
     disjoint pairs stay separate; chain of 4 converges past one round."""

@@ -123,10 +123,18 @@ def test_avro_is_gated(spark, tmp_path):
     import pytest as _pytest
 
     from pyspark_etl_twitter_spark.sources.sinks import (
+        _datasource_resolves,
         avro_available,
         read_avro,
         write_avro,
     )
+
+    # probe-machinery sanity (r7 advice): the old probe passed a SparkConf
+    # where lookupDataSource takes a SQLConf, so even 'parquet' failed and
+    # the gate was a constant False. Guard: parquet MUST resolve, and a
+    # bogus short name must not.
+    assert _datasource_resolves(spark, "parquet")
+    assert not _datasource_resolves(spark, "no_such_datasource_xyz")
 
     df = spark.range(10).selectExpr("id", "concat('r', id) AS name")
     path = str(tmp_path / "avro_tbl")

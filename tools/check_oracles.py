@@ -16,6 +16,12 @@ Two properties make this match the driver's gate (round-5 verdict #2):
    run FAILS outright if any result column is HUGEINT/UHUGEINT/DECIMAL —
    those types are hash-unsafe on the driver path even when today's values
    happen to compare equal.
+3. Complex-typed outputs (array/map/struct on the Spark side, ``T[]`` /
+   STRUCT / MAP / LIST on the DuckDB side) hard-FAIL for every
+   oracle-backed query (round-7 verdict #2): the driver's pandas
+   canonicalizer raises ``unhashable type: 'list'`` on list cells, while
+   this gate's ``_canon`` tuples them — without the rejection the gate
+   greens exactly what the driver errs on.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
@@ -37,6 +43,16 @@ from pyspark_etl_twitter_spark.sources.catalog import TABLES  # noqa: E402
 #: DuckDB result types that the driver's Arrow/pandas hash path renders
 #: differently from Spark's integer collect — reject them outright.
 _HASH_UNSAFE_TYPES = ("HUGEINT", "DECIMAL")
+
+#: Complex-shaped result types the driver cannot hash AT ALL: its pandas
+#: canonicalizer factorizes cell values, and Python lists/dicts are
+#: unhashable (r7 driver reds on encoded_docs/embedding_centroids_by_label:
+#: ``TypeError: unhashable type: 'list'``). This gate used to tuple-ify
+#: lists (see _canon) and silently green what the driver errs on — now any
+#: array/struct/map output column is a hard FAIL, same mechanism as the
+#: r6 HUGEINT rejection. Serialize arrays in the query (array_join /
+#: to_json) on BOTH sides instead.
+_COMPLEX_TYPE_MARKERS = ("[]", "STRUCT", "MAP(", "LIST", "UNION(", "JSON")
 
 
 def _canon(value):
@@ -93,11 +109,26 @@ def _oracle_types(con, sql: str) -> dict[str, str]:
 
 
 def _unsafe_columns(types: dict[str, str]) -> list[tuple[str, str]]:
-    """Result columns whose DuckDB type is hash-unsafe on the driver path."""
+    """Result columns whose DuckDB type is hash-unsafe on the driver path:
+    HUGEINT/DECIMAL (float64-rendered via Arrow, mismatching Spark ints)
+    and ANY complex type (unhashable in the driver's pandas canonicalizer)."""
     return [
         (col, typ)
         for col, typ in types.items()
-        if any(t in typ.upper() for t in _HASH_UNSAFE_TYPES)
+        if any(t in typ.upper() for t in _HASH_UNSAFE_TYPES + _COMPLEX_TYPE_MARKERS)
+    ]
+
+
+def _spark_complex_columns(schema) -> list[tuple[str, str]]:
+    """Spark result columns whose type the driver cannot hash (array /
+    map / struct collect to Python lists/dicts/Rows — unhashable in the
+    driver's pandas ``factorize``)."""
+    from pyspark.sql import types as ST
+
+    return [
+        (f.name, f.dataType.simpleString())
+        for f in schema.fields
+        if isinstance(f.dataType, (ST.ArrayType, ST.MapType, ST.StructType))
     ]
 
 
@@ -158,6 +189,15 @@ def main() -> int:
         if name not in oracles:
             rows_only.append((name, len(spark_rows)))
             print(f"ROWS  {name}: {len(spark_rows)} rows (no oracle, by design)")
+            continue
+        complex_cols = _spark_complex_columns(sdf.schema)
+        if complex_cols:
+            failed.append((name, f"DRIVER-UNHASHABLE SPARK TYPES: {complex_cols}"))
+            print(
+                f"FAIL  {name}: spark output has complex-typed columns "
+                f"{complex_cols} — the driver's canonicalizer cannot hash "
+                f"lists; serialize (array_join / to_json) on both sides"
+            )
             continue
         try:
             types = _oracle_types(con, oracles[name])

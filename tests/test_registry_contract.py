@@ -3,71 +3,76 @@
 The driver's correctness gate checks the first 50 registry keys, so the
 dict order is load-bearing. Standing rule (r5 verdict ask #4): EVERY
 window slot is oracle-backed — rows-only queries live in the tail.
-Round-7 rule (r6 verdict ask #2): the window is the 48 never-driver-
-checked oracles plus the round's 2 new oracle-backed queries; the 4
-deferred never-checked variants are pinned to rotate in round 8.
+Round-8 rule (r7 verdict ask #3): the window is the 14 never-driver-
+HASH-green oracles (the pinned r7 rotation queue plus the two fixed r7
+reds) and the 36 stalest greens — after this round every oracle-backed
+query has a driver hash row in some CORRECTNESS_r*.json.
 """
+
+import pytest
 
 from pyspark_etl_twitter_spark.plans.registry import ORACLES, QUERIES
 
 DRIVER_WINDOW = 50
 
-# the round-7 window: every slot first-time-or-new, all oracle-backed
+# the round-8 window: the 14 never-driver-hash-green oracles (the pinned
+# r7 rotation queue + the two fixed r7 reds) then the 36 stalest greens
+# (all r1 reps, the r2 reps, 5 of 6 r3 reps) for re-validation
 MUST_BE_IN_WINDOW = {
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_latency_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_dormant_customers",
-    "graph_degree_histogram",
-    "graph_triangles_per_node",
-    "bloom_join_urgent_revenue",
-    "cohort_retention_weekly",
-    "session_conversion_rate",
-    "asof_forward_next_click",
-    "null_safe_join_segments",
-    "salted_join_brand_revenue",
-    "customers_above_nation_avg",
-    "outlier_events_by_type",
-    "unpivot_lineitem_measures",
-    "percentile_window_customers",
-    "stats_aggregates_lineitem",
-    "minmax_by_orders",
-    "resample_interpolate_hourly",
-    "top_terms_per_doc",
-    "training_mix_counts",
-    "dedup_keep_canonical",
-    "vocab_head",
     "encoded_docs",
-    "chunk_documents_64",
-    "curation_pipeline_counts",
-    "epoch_shuffle_head",
-    "doc_length_histogram",
-    "fuzzy_part_name_pairs",
-    "bigram_lm_quality_by_source",
-    "semantic_near_dup_pairs",
-    "semantic_dedup_survivors",
     "embedding_centroids_by_label",
-    "semantic_prune_by_centroid",
-    "dedup_minhash_portable_pairs",
-    "kmeans_cluster_sizes",
+    "knn_ann_lsh",
+    "knn_ann_lsh_high_recall",
+    "knn_ivf",
+    "knn_ivf_trained",
+    "dedup_simhash_portable",
+    "dedup_simhash_portable_pairs",
+    "dedup_clusters_simhash_portable",
+    "dedup_clusters_minhash_portable",
+    "chunk_documents_overlap_64",
+    "asof_nearest_click",
+    "bigram_profile_top",
+    "source_vocab_overlap_top",
+    "anti_join_customers",
+    "cube_quantity",
+    "date_arithmetic_orders",
+    "date_funcs_orders",
+    "dedup_exact_groups",
+    "distinct_counts",
+    "except_all_quantities",
+    "full_outer_nation_counts",
+    "grouping_sets_revenue",
+    "intersect_all_quantities",
+    "json_extract_events",
+    "map_funcs_events",
+    "math_funcs_lineitem",
+    "null_conditionals_customer",
+    "orders_above_avg",
+    "orders_with_many_items",
+    "outer_join_order_counts",
+    "pivot_status_qty",
+    "regex_extract_part",
+    "set_except_custkeys",
+    "set_intersect_custkeys",
+    "set_union_active_keys",
+    "sliding_window_events",
+    "string_funcs_part",
+    "union_by_name_accounts",
+    "window_rank_stats",
+    "dedup_sha_fingerprints",
+    "global_top_orders",
+    "range_join_price_bands",
+    "rollup_revenue",
+    "sentiment_doc_scores",
+    "array_funcs_documents",
+    "dedup_jaccard_pairs",
+    "embedding_norm_stats",
+    "lang_token_stats",
+    "pack_documents_salted_2048",
 }
 
-# deferred never-driver-checked oracles — MUST enter the round-8 window
-# (pinning them here keeps the rotation promise auditable)
+# the r7-pinned rotation queue — landed in the round-8 window (asserted
+# below), closing driver-hash coverage of all 162 oracle-backed queries
 ROUND8_ROTATION_QUEUE = {
     "dedup_simhash_portable",  # new in r7, after the window froze
     "dedup_simhash_portable_pairs",  # new in r7, after the window froze
@@ -109,15 +114,36 @@ def test_window_is_fully_oracle_backed():
     assert all(k in ORACLES for k in window)
 
 
-def test_round8_queue_is_oracle_backed_and_out_of_window():
+def test_round8_queue_is_oracle_backed_and_in_window():
     window = set(list(QUERIES)[:DRIVER_WINDOW])
     assert ROUND8_ROTATION_QUEUE <= set(ORACLES)
-    assert not (ROUND8_ROTATION_QUEUE & window)
+    assert ROUND8_ROTATION_QUEUE <= window  # the r7 rotation promise, kept
 
 
 def test_rows_only_sit_past_the_window():
     window = set(list(QUERIES)[:DRIVER_WINDOW])
     assert not (ROWS_ONLY_BY_DESIGN & window)
+
+
+@pytest.mark.slow
+def test_window_outputs_are_driver_hashable(spark):
+    """No window query may emit an array/map/struct column: the driver's
+    pandas canonicalizer raises ``unhashable type: 'list'`` on list cells
+    (the r7 encoded_docs / embedding_centroids_by_label reds). Arrays must
+    be serialized (array_join / to_json) inside the window wrapper —
+    tools/check_oracles.py enforces the same rule for every oracle-backed
+    query, incl. the DuckDB side."""
+    from pyspark.sql import types as ST
+
+    from tests.conftest import SF_TINY
+
+    bad = []
+    for name in list(QUERIES)[:DRIVER_WINDOW]:
+        schema = QUERIES[name](spark, SF_TINY).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ST.ArrayType, ST.MapType, ST.StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, "driver-unhashable window outputs:\n" + "\n".join(bad)
 
 
 def test_rows_only_set_is_exact():

@@ -12,8 +12,14 @@ untimed warmup execution, then the MEDIAN of $SPARK_GRAFT_BENCH_REPS
 (default 3) timed executions is reported — a cold single-shot in a
 40+-query session conflates JVM/codegen-cache pressure with plan cost
 (the source of the uniform apparent drift between early rounds). The
-one-time ANN index build stays single-shot (it is a write job; cold IS
-its realistic cost).
+ANN index builds use the same warm-median discipline into fresh subdirs
+(r7 verdict ask #4: a single cold build sample sits inside the
+container's contention band and can't distinguish regression from
+scheduling luck).
+
+Streaming floors: the stream-score and stateful rows/s rows carry pinned
+minimums at sf0.1 (r7 verdict ask #5) — a breach is reported as
+stream_floor_breach in the output JSON instead of drifting silently.
 
 Each run also writes BENCH_PLANS.json: a normalized fingerprint (sha256
 of the formatted physical plan with expression ids, paths, and sizes
@@ -280,23 +286,44 @@ def main() -> None:
     recall: dict[str, float] = {}
     try:
         emb = load_table(spark, sf_dir, "embeddings")
-        start = time.perf_counter()
-        try:
-            build_ivf_index(emb, f"{idx_root}/ivf", n_lists=16)
-            build_lsh_index(emb, f"{idx_root}/lsh")
-            timings["ann_index_build"] = round(time.perf_counter() - start, 3)
-            # the named L=3 preset (r6 verdict ask #4): 3× storage for
-            # recall@5 0.826 on the frontier — built separately so the
-            # default build's cost row stays comparable across rounds
-            start = time.perf_counter()
-            build_lsh_index(emb, f"{idx_root}/lsh_hr", profile="high_recall")
-            timings["ann_index_build_high_recall"] = round(
-                time.perf_counter() - start, 3
-            )
-        except Exception as exc:  # noqa: BLE001
-            timings["ann_index_build"] = None
-            errors["ann_index_build"] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"bench: ann_index_build FAILED: {errors['ann_index_build']}", file=sys.stderr)
+
+        # Build costs use the SAME warm-median discipline as run_timed
+        # (r7 verdict ask #4: a 3.94→5.32 s move with a byte-identical
+        # plan hash turned out to be run-noise — a single cold sample sits
+        # inside the container's 1.3-1.6× contention band and can't
+        # distinguish a real regression from scheduling luck). Each rep
+        # rebuilds into a fresh subdir; the final rep's index is the one
+        # the probe rows below read.
+        def timed_build(name: str, builder) -> None:
+            try:
+                builder(f"{idx_root}/{name}_warmup")  # off the clock
+                times = []
+                for i in range(max(1, reps)):
+                    start = time.perf_counter()
+                    builder(f"{idx_root}/{name}" if i == reps - 1 else f"{idx_root}/{name}_r{i}")
+                    times.append(time.perf_counter() - start)
+                timings[name] = round(sorted(times)[len(times) // 2], 3)
+            except Exception as exc:  # noqa: BLE001
+                timings[name] = None
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+
+        def build_default(path: str) -> None:
+            build_ivf_index(emb, f"{path}/ivf", n_lists=16)
+            build_lsh_index(emb, f"{path}/lsh")
+
+        timed_build("ann_index_build", build_default)
+        # the named L=3 preset (r6 verdict ask #4): 3× storage for
+        # recall@5 ~0.83 on the frontier — timed in its own warm-median
+        # block so the default build's cost row stays comparable across
+        # rounds and the two builds can't contend with each other mid-rep
+        timed_build(
+            "ann_index_build_high_recall",
+            lambda path: build_lsh_index(emb, f"{path}/lsh_hr", profile="high_recall"),
+        )
+        # probe rows read the final rep's artifacts
+        idx_root_default = f"{idx_root}/ann_index_build"
+        idx_root_hr = f"{idx_root}/ann_index_build_high_recall"
         for name, fn in (
             ("knn_brute_cosine_100q", lambda: cosine_topk(emb, n_queries=100, k=5)),
             # the Arrow/BLAS twin: one matmul per corpus batch vs
@@ -304,10 +331,10 @@ def main() -> None:
             # "UDFs are the slow path, except vectorized linear algebra"
             # tradeoff documented on cosine_topk_pandas
             ("knn_brute_pandas_100q", lambda: cosine_topk_pandas(emb, n_queries=100, k=5)),
-            ("knn_ivf_probe_only_100q", lambda: ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=100, k=5, n_probe=4)),
-            ("knn_ivf_probe6_100q", lambda: ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=100, k=5, n_probe=6)),
-            ("knn_ann_lsh_probe_only_100q", lambda: lsh_probe_indexed(spark, f"{idx_root}/lsh", n_queries=100, k=5)),
-            ("knn_ann_lsh_high_recall_100q", lambda: lsh_probe_indexed(spark, f"{idx_root}/lsh_hr", n_queries=100, k=5)),
+            ("knn_ivf_probe_only_100q", lambda: ivf_probe_indexed(spark, f"{idx_root_default}/ivf", n_queries=100, k=5, n_probe=4)),
+            ("knn_ivf_probe6_100q", lambda: ivf_probe_indexed(spark, f"{idx_root_default}/ivf", n_queries=100, k=5, n_probe=6)),
+            ("knn_ann_lsh_probe_only_100q", lambda: lsh_probe_indexed(spark, f"{idx_root_default}/lsh", n_queries=100, k=5)),
+            ("knn_ann_lsh_high_recall_100q", lambda: lsh_probe_indexed(spark, f"{idx_root_hr}/lsh_hr", n_queries=100, k=5)),
         ):
             run_timed(name, fn)
         # Recall@5 vs exact for the SAME 100-query probe workloads — every
@@ -322,10 +349,10 @@ def main() -> None:
             exact = cosine_topk(emb, n_queries=100, k=5).localCheckpoint()
             recall = {}
             for rname, mk in (
-                ("knn_ivf_probe_only_100q", lambda: ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=100, k=5, n_probe=4)),
-                ("knn_ivf_probe6_100q", lambda: ivf_probe_indexed(spark, f"{idx_root}/ivf", n_queries=100, k=5, n_probe=6)),
-                ("knn_ann_lsh_probe_only_100q", lambda: lsh_probe_indexed(spark, f"{idx_root}/lsh", n_queries=100, k=5)),
-                ("knn_ann_lsh_high_recall_100q", lambda: lsh_probe_indexed(spark, f"{idx_root}/lsh_hr", n_queries=100, k=5)),
+                ("knn_ivf_probe_only_100q", lambda: ivf_probe_indexed(spark, f"{idx_root_default}/ivf", n_queries=100, k=5, n_probe=4)),
+                ("knn_ivf_probe6_100q", lambda: ivf_probe_indexed(spark, f"{idx_root_default}/ivf", n_queries=100, k=5, n_probe=6)),
+                ("knn_ann_lsh_probe_only_100q", lambda: lsh_probe_indexed(spark, f"{idx_root_default}/lsh", n_queries=100, k=5)),
+                ("knn_ann_lsh_high_recall_100q", lambda: lsh_probe_indexed(spark, f"{idx_root_hr}/lsh_hr", n_queries=100, k=5)),
             ):
                 adf = mk().localCheckpoint()
                 recall[rname] = ann_recall_at_k(adf, exact, k=5).first()["recall_at_k"]
@@ -436,6 +463,24 @@ def main() -> None:
             "ivf4": round(recall.get("knn_ivf_probe_only_100q", -1), 3),
             "ivf6": round(recall.get("knn_ivf_probe6_100q", -1), 3),
         }
+    # Pinned throughput floors (r7 verdict ask #5): stateful window rate
+    # drifted 17.4k→15.7k rows/s across two rounds as a footnote. Floors
+    # hold at sf0.1 on this container (local[32]); smaller SFs are
+    # overhead-dominated and exempt. A breach is a loud red field in the
+    # tracked artifact, not a bench failure.
+    STREAM_FLOORS = {"stream_score": 16000.0, "stateful": 14000.0}
+    breaches: list[str] = []
+    if sf >= 0.1:
+        if streaming and streaming.get("rows_per_sec", 0) < STREAM_FLOORS["stream_score"]:
+            breaches.append(
+                f"stream_score={streaming['rows_per_sec']:.0f}<{STREAM_FLOORS['stream_score']:.0f}"
+            )
+        for k, v in (streaming_stateful or {}).items():
+            if v.get("rows_per_sec", 0) < STREAM_FLOORS["stateful"]:
+                breaches.append(
+                    f"{k}={v['rows_per_sec']:.0f}<{STREAM_FLOORS['stateful']:.0f}"
+                )
+        out["stream_floor_breach"] = breaches  # [] == all floors held
     if streaming:
         out["stream_rows_per_sec"] = round(streaming.get("rows_per_sec", 0), 1)
     if streaming_stateful:

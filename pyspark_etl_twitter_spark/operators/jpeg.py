@@ -10,12 +10,17 @@ grayscale) baseline with the Annex-K example quantization tables (scaled
 by the libjpeg quality curve) and example Huffman tables, emitting the
 DQT/SOF0/DHT/SOS segments a third-party decoder needs.
 
-Decoder coverage: baseline sequential (SOF0), 8-bit, 1- or 3-component,
-any H/V sampling factors ≤ 2 (4:4:4, 4:2:2, 4:2:0, 4:4:0), restart
-markers, FF00 byte stuffing, multiple DQT/DHT segments, APPn/COM skip.
-Progressive (SOF2), arithmetic coding, 12-bit, and 4-component CMYK are
-rejected loudly — the honest boundary, same policy as codecs.py's
-palette/interlaced PNG rejection.
+Decoder coverage: baseline sequential (SOF0/SOF1) AND progressive
+(SOF2, Huffman — all four scan types: DC first/refine, AC first with
+EOBRUN band runs, AC refinement correction bits; r7 verdict ask #7),
+8-bit, 1- or 3-component, any H/V sampling factors ≤ 2 (4:4:4, 4:2:2,
+4:2:0, 4:4:0), restart markers, FF00 byte stuffing, multiple DQT/DHT
+segments, APPn/COM skip. Arithmetic coding, 12-bit, hierarchical, and
+4-component CMYK are rejected loudly — the honest boundary, same policy
+as codecs.py's palette/interlaced PNG rejection. A progressive ENCODER
+(spectral selection + successive approximation) exists so the
+progressive decode paths are testable without any third-party codec:
+its output must decode pixel-identical to the baseline encoding.
 
 Entropy decode is bit-serial Python — fine for the mapInPandas batch
 sizes the multimodal operators feed (thumbnails/tiles), not a libjpeg
@@ -315,22 +320,11 @@ def _encode_block(writer, block, qtab, dc_codes, ac_codes, pred, ci):
         writer.write(code, ln)
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    *,
-    quality: int = 75,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """(h, w, 3) uint8 RGB or (h, w) uint8 gray → baseline JFIF bytes.
+def _frame_setup(pixels: np.ndarray, quality: int, subsampling: str) -> dict:
+    """Shared encoder front half: RGB→YCbCr, chroma subsample, MCU-pad.
 
-    ``subsampling``: ``"444"`` (no chroma subsampling) or ``"420"``
-    (2×2 box-averaged chroma, 16×16 MCUs) — the two layouts that cover
-    virtually every camera/web JPEG; having both lets the round-trip
-    tests exercise the decoder's upsample path without a third-party
-    encoder in the container. ``restart_interval`` > 0 emits a DRI
-    segment and RSTn markers every N MCUs (decoder DRI path gets a real
-    round-trip too)."""
+    Returns gray/h/w/factors/hmax/vmax/mcux/mcuy/qtabs/padded — everything
+    both the baseline and progressive encoders need before entropy coding."""
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
@@ -363,9 +357,6 @@ def encode_jpeg(
     qchroma = _quality_scale(QUANT_CHROMA, quality)
     qtabs = [qluma] if gray else [qluma, qchroma]
 
-    dc_codes = [_canonical_codes(*DC_LUMA_SPEC), _canonical_codes(*DC_CHROMA_SPEC)]
-    ac_codes = [_canonical_codes(*AC_LUMA_SPEC), _canonical_codes(*AC_CHROMA_SPEC)]
-
     padded = []
     for ci, p in enumerate(planes):
         fx, fy = factors[ci]
@@ -385,8 +376,39 @@ def encode_jpeg(
         pp[:, pw:] = pp[:, pw - 1 : pw]
         padded.append(pp)
 
+    return {
+        "gray": gray, "h": h, "w": w, "factors": factors,
+        "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+        "qtabs": qtabs, "padded": padded,
+    }
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    *,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB or (h, w) uint8 gray → baseline JFIF bytes.
+
+    ``subsampling``: ``"444"`` (no chroma subsampling) or ``"420"``
+    (2×2 box-averaged chroma, 16×16 MCUs) — the two layouts that cover
+    virtually every camera/web JPEG; having both lets the round-trip
+    tests exercise the decoder's upsample path without a third-party
+    encoder in the container. ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every N MCUs (decoder DRI path gets a real
+    round-trip too)."""
+    setup = _frame_setup(pixels, quality, subsampling)
+    gray, h, w = setup["gray"], setup["h"], setup["w"]
+    factors, mcux, mcuy = setup["factors"], setup["mcux"], setup["mcuy"]
+    qtabs, padded = setup["qtabs"], setup["padded"]
+
+    dc_codes = [_canonical_codes(*DC_LUMA_SPEC), _canonical_codes(*DC_CHROMA_SPEC)]
+    ac_codes = [_canonical_codes(*AC_LUMA_SPEC), _canonical_codes(*AC_CHROMA_SPEC)]
+
     writer = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * len(padded)
     mcu_count = 0
     rst = 0
     for my in range(mcuy):
@@ -394,7 +416,7 @@ def encode_jpeg(
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 writer.restart(rst)
                 rst = (rst + 1) & 7
-                pred = [0] * len(planes)
+                pred = [0] * len(padded)
             mcu_count += 1
             for ci, plane in enumerate(padded):
                 fx, fy = factors[ci]
@@ -463,6 +485,7 @@ def _decode_markers(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    prog_state = None  # per-component coefficient store (progressive only)
 
     while True:
         if payload[pos] != 0xFF:
@@ -470,6 +493,9 @@ def _decode_markers(payload: bytes) -> np.ndarray:
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if prog_state is not None:
+                # progressive: all scans consumed — reconstruct
+                return _reconstruct_progressive(frame, prog_state, qtables)
             raise ValueError("EOI before SOS — no image data")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
@@ -499,7 +525,7 @@ def _decode_markers(payload: bytes) -> np.ndarray:
                 vals = list(seg[o + 17 : o + 17 + n])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 o += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline(-ish)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision, fh, fw, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision} (8 only)")
@@ -509,22 +535,38 @@ def _decode_markers(payload: bytes) -> np.ndarray:
             for ci in range(ncomp):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * ci)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": fh, "w": fw, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG coding process (marker 0xFF{marker:02X}; "
-                "baseline sequential SOF0/SOF1 only)"
+                "baseline sequential SOF0/SOF1 and progressive SOF2 only)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             scan_sel = {}
+            scan_comps = []  # ordered (component-id, dc-table, ac-table)
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
                 scan_sel[cs] = (tdta >> 4, tdta & 0x0F)
+                scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if frame.get("progressive"):
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                if prog_state is None:
+                    prog_state = _init_progressive_state(frame)
+                try:
+                    pos = _decode_progressive_scan(
+                        payload, end, frame, prog_state, scan_comps,
+                        htables, ss, se, ahal >> 4, ahal & 0x0F,
+                        restart_interval,
+                    )
+                except (IndexError, struct.error) as exc:
+                    raise ValueError("truncated JPEG entropy data") from exc
+                continue  # more scans (or EOI) follow
             try:
                 return _decode_scan(
                     payload, end, frame, scan_sel, qtables, htables, restart_interval
@@ -630,3 +672,463 @@ def _decode_block(reader, read_symbol, comp, pred):
         zz[k] = _extend(reader.read_bits(size), size)
         k += 1
     return zz
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) decode — ITU-T T.81 Annex G, Huffman coding only
+# --------------------------------------------------------------------------
+# Coefficients accumulate across scans in zigzag order (the spectral band
+# indices Ss..Se ARE zigzag indices); reconstruction happens once, at EOI.
+# All four scan types are supported: DC first (Ah=0), DC refinement
+# (1 raw bit per block), AC first (EOBRUN band-skip runs), AC refinement
+# (correction bits for already-nonzero coefficients). Restart markers
+# reset DC predictors and the EOB run, exactly as in sequential scans.
+
+
+def _init_progressive_state(frame) -> dict:
+    comps = frame["comps"]
+    fh, fw = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or hmax < 1 or vmax < 1:
+        raise ValueError(f"unsupported sampling factors (h={hmax}, v={vmax})")
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    state = {"mcux": mcux, "mcuy": mcuy, "hmax": hmax, "vmax": vmax, "comps": {}}
+    for c in comps:
+        # storage uses the MCU-padded grid (interleaved DC scans touch all
+        # of it); non-interleaved AC scans iterate the tighter per-component
+        # grid below, a subset of the same array
+        bx, by = mcux * c["h"], mcuy * c["v"]
+        nbx = (-(-fw * c["h"] // hmax) + 7) // 8  # ceil(ceil(fw*h/hmax)/8)
+        nby = (-(-fh * c["v"] // vmax) + 7) // 8
+        state["comps"][c["id"]] = {
+            "coef": np.zeros((by, bx, 64), dtype=np.int32),
+            "bx": bx, "by": by, "nbx": nbx, "nby": nby,
+            "h": c["h"], "v": c["v"], "tq": c["tq"], "pred": 0,
+        }
+    return state
+
+
+def _decode_progressive_scan(
+    payload, pos, frame, state, scan_comps, htables, ss, se, ah, al,
+    restart_interval,
+):
+    """Decode one SOS of a progressive frame into the coefficient store;
+    returns the byte offset of the next marker after the entropy data."""
+    reader = _BitReader(payload, pos)
+
+    def read_symbol(table):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy data")
+
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if not dc_scan and len(scan_comps) != 1:
+        raise ValueError("progressive AC scans must be non-interleaved")
+
+    eobrun = 0
+    units_seen = 0
+
+    def maybe_restart():
+        nonlocal eobrun, units_seen
+        if restart_interval and units_seen and units_seen % restart_interval == 0:
+            reader.skip_restart()
+            eobrun = 0
+            for sc in state["comps"].values():
+                sc["pred"] = 0
+        units_seen += 1
+
+    if dc_scan:
+        for cid, _, _ in scan_comps:
+            state["comps"][cid]["pred"] = 0 if ah == 0 else state["comps"][cid]["pred"]
+        for my in range(state["mcuy"]):
+            for mx in range(state["mcux"]):
+                maybe_restart()
+                for cid, td, _ in scan_comps:
+                    sc = state["comps"][cid]
+                    for v in range(sc["v"]):
+                        for hh in range(sc["h"]):
+                            by, bx = my * sc["v"] + v, mx * sc["h"] + hh
+                            coef = sc["coef"][by, bx]
+                            if ah == 0:
+                                cat = read_symbol(htables[(0, td)])
+                                diff = _extend(reader.read_bits(cat), cat) if cat else 0
+                                sc["pred"] += diff
+                                coef[0] = sc["pred"] << al
+                            else:  # DC refinement: one raw bit per block
+                                if reader.read_bit():
+                                    coef[0] |= 1 << al
+    else:
+        cid, _, ta = scan_comps[0]
+        sc = state["comps"][cid]
+        actab = None if ah != 0 and (1, ta) not in htables else htables.get((1, ta))
+        if actab is None:
+            raise ValueError("AC scan references undefined Huffman table")
+        for by in range(sc["nby"]):
+            for bx in range(sc["nbx"]):
+                maybe_restart()
+                coef = sc["coef"][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(
+                        coef, reader, read_symbol, actab, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine_block(
+                        coef, reader, read_symbol, actab, ss, se, al, eobrun
+                    )
+
+    # realign to the next marker (skip fill bytes; entropy is byte-padded)
+    pos = reader.pos
+    while payload[pos] != 0xFF or payload[pos + 1] in (0x00,):
+        pos += 1
+    while payload[pos + 1] == 0xFF:  # optional fill bytes
+        pos += 1
+    return pos
+
+
+def _ac_first_block(coef, reader, read_symbol, actab, ss, se, al, eobrun):
+    """T.81 G.1.2.2: first AC scan for one block's band; returns EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = read_symbol(actab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run != 15:
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += reader.read_bits(run)
+                break  # rest of band is zero
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("AC run past end of band (corrupt stream)")
+        coef[k] = _extend(reader.read_bits(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(coef, reader, read_symbol, actab, ss, se, al, eobrun):
+    """T.81 G.1.2.3: AC refinement for one block's band; returns EOBRUN.
+
+    Newly-significant coefficients arrive as (run<<4)|1 symbols placed at
+    the (run+1)-th zero-HISTORY position; already-nonzero coefficients
+    consume one correction bit each as the scan passes over them."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = read_symbol(actab)
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size == 0:
+                if run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += reader.read_bits(run)
+                    break  # remaining band handled by the EOB branch below
+                # run == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("bad AC refinement symbol (size != 1)")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if coef[k]:
+                    if reader.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # refinement bits for the rest of the band
+            if coef[k]:
+                if reader.read_bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, state, qtables) -> np.ndarray:
+    comps = frame["comps"]
+    fh, fw = frame["h"], frame["w"]
+    hmax, vmax = state["hmax"], state["vmax"]
+    out_planes = []
+    for c in comps:
+        sc = state["comps"][c["id"]]
+        quant = qtables[c["tq"]].astype(np.float64)
+        zz = sc["coef"].astype(np.float64) * quant[ZIGZAG]
+        nat = np.empty_like(zz)
+        nat[..., ZIGZAG] = zz
+        blocks = nat.reshape(sc["by"], sc["bx"], 8, 8)
+        # batched 2-D IDCT: block = DCT^T @ coef @ DCT, all blocks at once
+        px = np.einsum("ki,yxkl,lj->yxij", _DCT, blocks, _DCT) + 128.0
+        p = px.transpose(0, 2, 1, 3).reshape(sc["by"] * 8, sc["bx"] * 8)
+        if c["h"] < hmax or c["v"] < vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        g = np.clip(out_planes[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) encoder — spectral selection + successive approximation
+# --------------------------------------------------------------------------
+# Scan script (exercises all four progressive scan types the decoder
+# implements): DC first interleaved at Al=1 → per-component AC first
+# (Ss=1..63, Al=1, EOBRUN band runs) → per-component AC refinement
+# (Ah=1, Al=0, correction bits) → DC refinement interleaved (raw bits).
+# The successive-approximation pair transmits every coefficient exactly
+# (high bits then the low bit), so progressive encode→decode reproduces
+# the SAME pixels as baseline encode→decode at equal quality/subsampling
+# — the round-trip equality the tests assert byte-for-byte.
+#
+# Huffman tables: progressive AC scans need EOBn symbols (0x10, 0x20, …)
+# that the Annex-K example tables do not contain, so the encoder emits a
+# flat custom table covering all 256 symbols (255 codes at 8 bits + one
+# at 9; the all-ones code stays unused, as C.2 requires). Compression is
+# worse than an optimized per-scan table — irrelevant for the decode
+# plumbing these bytes exist to exercise.
+
+_FLAT_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+class _ProgressiveACWriter:
+    """Per-scan EOBRUN + pending-correction-bit state (G.1.2.2/G.1.2.3)."""
+
+    def __init__(self, writer: _BitWriter, codes: dict):
+        self.w = writer
+        self.codes = codes
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits awaiting the next symbol
+
+    def symbol(self, sym: int) -> None:
+        code, ln = self.codes[sym]
+        self.w.write(code, ln)
+
+    def flush_eob(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.symbol(r << 4)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for bit in self.pending:
+            self.w.write(bit, 1)
+        self.pending = []
+
+
+def _encode_ac_first(aw: _ProgressiveACWriter, band: np.ndarray, al: int) -> None:
+    """One block's band for an Ah=0 AC scan (values point-transformed)."""
+    vals = [int(np.sign(v)) * (abs(int(v)) >> al) for v in band]
+    if not any(vals):
+        aw.eobrun += 1
+        if aw.eobrun == 0x7FFF:
+            aw.flush_eob()
+        return
+    aw.flush_eob()
+    last_nz = max(i for i, v in enumerate(vals) if v)
+    run = 0
+    for i, v in enumerate(vals[: last_nz + 1]):
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            aw.symbol(0xF0)  # ZRL
+            run -= 16
+        cat = _category(v)
+        aw.symbol((run << 4) | cat)
+        aw.w.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last_nz < len(vals) - 1:
+        aw.eobrun += 1  # this block's EOB opens (or extends) a run
+
+
+def _encode_ac_refine(aw: _ProgressiveACWriter, band: np.ndarray, al: int) -> None:
+    """One block's band for an Ah=Al+1 refinement scan (G.1.2.3 mirror)."""
+    absv = [abs(int(v)) >> al for v in band]
+    signs = [1 if int(v) >= 0 else 0 for v in band]
+    eob = -1  # index of last newly-significant coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    run = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            aw.flush_eob()
+            aw.symbol(0xF0)
+            run -= 16
+            for bit in br:
+                aw.w.write(bit, 1)
+            br = []
+        if t > 1:  # already significant — correction bit
+            br.append(t & 1)
+            continue
+        # newly significant
+        aw.flush_eob()
+        aw.symbol((run << 4) | 1)
+        run = 0
+        aw.w.write(signs[i], 1)
+        for bit in br:
+            aw.w.write(bit, 1)
+        br = []
+    if run > 0 or br:
+        aw.eobrun += 1
+        aw.pending.extend(br)
+        if aw.eobrun == 0x7FFF or len(aw.pending) > 900:
+            aw.flush_eob()
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    *,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB or (h, w) gray → progressive (SOF2) JFIF bytes.
+
+    Same quantization as ``encode_jpeg`` — decode of the result is pixel-
+    identical to decode of the baseline encoding. ``restart_interval`` > 0
+    emits DRI + RSTn in every scan (units are MCUs in the interleaved DC
+    scans, blocks in the non-interleaved AC scans, per T.81)."""
+    setup = _frame_setup(pixels, quality, subsampling)
+    gray, h, w = setup["gray"], setup["h"], setup["w"]
+    factors, mcux, mcuy = setup["factors"], setup["mcux"], setup["mcuy"]
+    qtabs, padded = setup["qtabs"], setup["padded"]
+    ncomp = 1 if gray else 3
+
+    # quantized zigzag coefficients per component: (by, bx, 64) int32
+    coefs = []
+    for ci, plane in enumerate(padded):
+        fx, fy = factors[ci]
+        by, bx = mcuy * fy, mcux * fx
+        blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        fwd = np.einsum("ik,yxkl,jl->yxij", _DCT, blocks, _DCT)
+        q = qtabs[0 if ci == 0 else 1].reshape(8, 8).astype(np.float64)
+        quant = np.round(fwd / q).astype(np.int32)
+        coefs.append(quant.reshape(by, bx, 64)[..., ZIGZAG])
+
+    flat_codes = _canonical_codes(*_FLAT_SPEC)
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in enumerate(qtabs):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + q[ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        fx, fy = factors[ci]
+        out += struct.pack("BBB", ci + 1, (fx << 4) | fy, 0 if ci == 0 else 1)
+    for tc in (0x00, 0x10):  # same flat table registered as DC 0 and AC 0
+        body = bytes([tc]) + bytes(_FLAT_SPEC[0]) + bytes(_FLAT_SPEC[1])
+        out += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        seg = bytearray(struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids)))
+        for cid in comp_ids:
+            seg += struct.pack("BB", cid, 0x00)  # flat table is slot 0 DC+AC
+        seg += struct.pack("BBB", ss, se, (ah << 4) | al)
+        return b"\xFF\xDA" + bytes(seg)
+
+    rst = [0]
+
+    def emit_restart(writer: _BitWriter) -> None:
+        writer.restart(rst[0])
+        rst[0] = (rst[0] + 1) & 7
+
+    # --- scan 1: DC first, interleaved, Al=1 ---
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    unit = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and unit and unit % restart_interval == 0:
+                emit_restart(writer)
+                preds = [0] * ncomp
+            unit += 1
+            for ci in range(ncomp):
+                fx, fy = factors[ci]
+                for v in range(fy):
+                    for hh in range(fx):
+                        dc = int(coefs[ci][my * fy + v, mx * fx + hh, 0]) >> 1
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        cat = _category(diff)
+                        code, ln = flat_codes[cat]
+                        writer.write(code, ln)
+                        if cat:
+                            writer.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    out += writer.flush()
+
+    # --- per-component AC scans: first (Al=1) then refinement (Al=0) ---
+    for ah, al in ((0, 1), (1, 0)):
+        for ci in range(ncomp):
+            fx, fy = factors[ci]
+            nbx = (-(-w * fx // setup["hmax"]) + 7) // 8
+            nby = (-(-h * fy // setup["vmax"]) + 7) // 8
+            out += sos_header([ci + 1], 1, 63, ah, al)
+            writer = _BitWriter()
+            aw = _ProgressiveACWriter(writer, flat_codes)
+            unit = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        aw.flush_eob()
+                        emit_restart(writer)
+                    unit += 1
+                    band = coefs[ci][by, bx, 1:64]
+                    if ah == 0:
+                        _encode_ac_first(aw, band, al)
+                    else:
+                        _encode_ac_refine(aw, band, al)
+            aw.flush_eob()
+            out += writer.flush()
+
+    # --- final scan: DC refinement, interleaved, Ah=1 Al=0 (raw bits) ---
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    writer = _BitWriter()
+    unit = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and unit and unit % restart_interval == 0:
+                emit_restart(writer)
+            unit += 1
+            for ci in range(ncomp):
+                fx, fy = factors[ci]
+                for v in range(fy):
+                    for hh in range(fx):
+                        writer.write(int(coefs[ci][my * fy + v, mx * fx + hh, 0]) & 1, 1)
+    out += writer.flush()
+
+    out += b"\xFF\xD9"
+    return bytes(out)

@@ -417,10 +417,15 @@ def test_jpeg_rejections():
 
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
-    # progressive SOF2 rejected by name
-    seg = b"\xFF\xD8\xFF\xC2\x00\x0B\x08\x00\x10\x00\x10\x01\x01\x11\x00\xFF\xD9"
-    with _pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(seg)
+    # arithmetic coding (SOF9) rejected by name; progressive SOF2 is
+    # supported since round 8, so the same frame bytes under 0xC2 now
+    # parse — but with no SOS at all they still fail loudly at EOI
+    seg9 = b"\xFF\xD8\xFF\xC9\x00\x0B\x08\x00\x10\x00\x10\x01\x01\x11\x00\xFF\xD9"
+    with _pytest.raises(ValueError, match="baseline sequential SOF0/SOF1 and progressive SOF2"):
+        decode_jpeg(seg9)
+    seg2 = b"\xFF\xD8\xFF\xC2\x00\x0B\x08\x00\x10\x00\x10\x01\x01\x11\x00\xFF\xD9"
+    with _pytest.raises(ValueError, match="no image data"):
+        decode_jpeg(seg2)
 
 
 def test_jpeg_sniff_and_signal_paths():
@@ -480,3 +485,113 @@ def test_jpeg_fuzz_round_trip_bounded():
         else:
             # 4:4:4 at q95 keeps noise within the quant envelope
             assert err.mean() < 8, (trial, err.mean())
+
+
+# -- progressive JPEG (SOF2) ------------------------------------------------
+
+
+def test_jpeg_progressive_decode_matches_baseline_exactly():
+    """The progressive scan script (DC first Al=1 → AC first per comp →
+    AC refine → DC refine) transmits every quantized coefficient exactly,
+    so progressive encode→decode must be BYTE-IDENTICAL to baseline
+    encode→decode at equal quality/subsampling — across color/gray, odd
+    dims, 4:2:0, and restart markers (RSTn resets DC preds + EOBRUN)."""
+    import numpy as np_
+
+    from pyspark_etl_twitter_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np_.random.RandomState(11)
+    cases = [
+        (rng.randint(0, 256, (16, 16, 3)).astype(np_.uint8), {}),
+        (rng.randint(0, 256, (16, 16)).astype(np_.uint8), {}),  # grayscale
+        (rng.randint(0, 256, (33, 41, 3)).astype(np_.uint8), {}),  # odd dims
+        (rng.randint(0, 256, (32, 32, 3)).astype(np_.uint8), {"subsampling": "420"}),
+        (rng.randint(0, 256, (24, 24, 3)).astype(np_.uint8), {"restart_interval": 2}),
+        (rng.randint(0, 256, (48, 48, 3)).astype(np_.uint8), {"quality": 92}),
+    ]
+    for img, kw in cases:
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        prog = decode_jpeg(encode_jpeg_progressive(img, **kw))
+        assert np_.array_equal(base, prog), f"progressive != baseline for {kw}"
+
+
+def test_jpeg_progressive_eobrun_paths():
+    """Smooth/flat content drives the EOBRUN machinery (multi-band EOB
+    runs on encode, band-skip on decode) and the refinement correction
+    bits; sparse spikes exercise ZRL inside refinement scans."""
+    import numpy as np_
+
+    from pyspark_etl_twitter_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    flat = np_.full((48, 48, 3), 128, dtype=np_.uint8)
+    gy, gx = np_.mgrid[0:64, 0:64]
+    grad = np_.stack([(gy * 2) % 256, (gx * 2) % 256, (gx + gy) % 256], -1).astype(np_.uint8)
+    spot = np_.full((80, 80, 3), 200, dtype=np_.uint8)
+    spot[40:44, 40:44] = 0
+    for img, kw in [
+        (flat, {}),
+        (grad, {}),
+        (grad, {"quality": 95, "subsampling": "420"}),
+        (spot, {}),
+        (spot, {"restart_interval": 3}),
+    ]:
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        prog = decode_jpeg(encode_jpeg_progressive(img, **kw))
+        assert np_.array_equal(base, prog)
+
+
+def test_jpeg_progressive_truncation_always_valueerror():
+    """Prefix truncation of a multi-scan progressive stream — in headers,
+    mid-scan, or between scans — must raise ValueError, never leak
+    IndexError/struct.error or return a partially-decoded image."""
+    import numpy as np_
+
+    from pyspark_etl_twitter_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    import pytest as _pytest
+
+    gy, gx = np_.mgrid[0:32, 0:32]
+    img = np_.stack([(gy * 3) % 256, (gx * 3) % 256, (gx * 2 + gy) % 256], -1).astype(np_.uint8)
+    b = encode_jpeg_progressive(img, quality=85)
+    for cut in range(2, len(b) - 1, 53):
+        with _pytest.raises(ValueError):
+            decode_jpeg(b[:cut])
+
+
+def test_jpeg_progressive_fuzz_round_trip():
+    """Randomized noise at several shapes/settings: progressive must stay
+    bit-exact with baseline (same quantized coefficients) every time."""
+    import numpy as np_
+
+    from pyspark_etl_twitter_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np_.random.RandomState(23)
+    for trial in range(8):
+        h = int(rng.randint(8, 50))
+        w = int(rng.randint(8, 50))
+        gray = trial % 3 == 0
+        img = rng.randint(0, 256, (h, w) if gray else (h, w, 3)).astype(np_.uint8)
+        kw = {}
+        if not gray and trial % 2:
+            kw["subsampling"] = "420"
+        if trial % 4 == 2:
+            kw["restart_interval"] = int(rng.randint(1, 5))
+        kw["quality"] = int(rng.choice([40, 75, 92]))
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        prog = decode_jpeg(encode_jpeg_progressive(img, **kw))
+        assert np_.array_equal(base, prog), f"trial {trial}: {kw} {img.shape}"

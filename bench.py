@@ -126,6 +126,19 @@ HEADLINE = [
 _FP_NOISE = [
     (re.compile(r"#\d+L?"), "#x"),
     (re.compile(r"\[id=#\d+\]"), "[id=#x]"),
+    # plan_id is a PER-SESSION global counter (Exchange/BroadcastExchange
+    # print "[plan_id=N]") — its value depends on how many plans the
+    # session built before this one, so two runs of identical code at
+    # different positions in a bench session always differed (r8 verdict:
+    # 72/84 fingerprints unstable across runs of the same commit; this
+    # token was the cause — see tests/test_bench_fingerprint.py).
+    (re.compile(r"plan_id=\d+"), "plan_id=x"),
+    # HOF lambda variables (filter/transform/aggregate/zip_with) print as
+    # "lambda x_N"/"lambda y_N" where N is another session-global counter.
+    (re.compile(r"lambda [a-z]+_\d+"), "lambda v_n"),
+    # RDD ids (e.g. "MapPartitionsRDD[117] at localCheckpoint") are a
+    # session-global counter over every RDD ever created.
+    (re.compile(r"RDD\[\d+\]"), "RDD[x]"),
     (re.compile(r"file:[^\s,\]\)]+"), "file:x"),
     (re.compile(r"/root/testdata[^\s,\]\)]*"), "sfdir"),
     (re.compile(r"/tmp/[^\s,\]\)]*"), "tmpdir"),
@@ -138,11 +151,21 @@ _FP_NOISE = [
 def plan_fingerprint(df) -> str:
     """sha256 of the formatted physical plan with per-run noise
     (expression ids, file paths, stats) normalized out — equal hash means
-    Catalyst picked the same operator tree and strategies."""
+    Catalyst picked the same operator tree and strategies.
+
+    The SQL cache is cleared before explaining: a plan that overlaps a
+    registered cache entry prints an InMemoryRelation whose subtree text
+    depends on whether the cache has been MATERIALIZED yet (an executed
+    AQE subplan prints "== Final Plan ==" + QueryStage nodes + codegen
+    stars) — pure run-order state, not a plan change. Canonical state for
+    the fingerprint is cache-free. withCachedData is resolved lazily at
+    first explain/execute, so clearing here is effective even though the
+    DataFrame object was already built."""
     import contextlib
     import hashlib
     import io
 
+    df.sparkSession.catalog.clearCache()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -184,10 +207,20 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
+    fp_self_mismatch: list[str] = []
     for name in HEADLINE:
         run_timed(name, lambda name=name: QUERIES[name](spark, sf_dir))
         try:
-            fingerprints[name] = plan_fingerprint(QUERIES[name](spark, sf_dir))
+            # Self-check: two FRESH plan objects (the session's plan_id
+            # counter advances between them) must hash identically, else
+            # the fingerprint is still absorbing run-variant tokens and
+            # "plan changed" means nothing (r8 verdict #1).
+            fp1 = plan_fingerprint(QUERIES[name](spark, sf_dir))
+            fp2 = plan_fingerprint(QUERIES[name](spark, sf_dir))
+            fingerprints[name] = fp1
+            if fp1 != fp2:
+                fp_self_mismatch.append(name)
+                print(f"bench: fingerprint SELF-MISMATCH for {name}", file=sys.stderr)
         except Exception:  # noqa: BLE001
             pass
 
@@ -298,9 +331,11 @@ def main() -> None:
             try:
                 builder(f"{idx_root}/{name}_warmup")  # off the clock
                 times = []
-                for i in range(max(1, reps)):
+                n_builds = max(1, reps)  # reps=0 must still land the final
+                # rep at {idx_root}/{name} (probe rows read that path)
+                for i in range(n_builds):
                     start = time.perf_counter()
-                    builder(f"{idx_root}/{name}" if i == reps - 1 else f"{idx_root}/{name}_r{i}")
+                    builder(f"{idx_root}/{name}" if i == n_builds - 1 else f"{idx_root}/{name}_r{i}")
                     times.append(time.perf_counter() - start)
                 timings[name] = round(sorted(times)[len(times) // 2], 3)
             except Exception as exc:  # noqa: BLE001
@@ -428,6 +463,7 @@ def main() -> None:
         detail["streaming_stateful_throughput"] = streaming_stateful
     if errors:
         detail["errors"] = errors
+    detail["fp_self_mismatch"] = fp_self_mismatch  # [] == fingerprints stable
 
     # Full per-query detail goes to a committed file; the final stdout line
     # must stay compact. The driver captures only the LAST 2000 chars of
@@ -468,7 +504,10 @@ def main() -> None:
     # hold at sf0.1 on this container (local[32]); smaller SFs are
     # overhead-dominated and exempt. A breach is a loud red field in the
     # tracked artifact, not a bench failure.
-    STREAM_FLOORS = {"stream_score": 16000.0, "stateful": 14000.0}
+    # r9: ratcheted 16k/14k → 18k/15k after three rounds of headroom
+    # (r8 measured 21.8k stream / 16.6k window / 17.2k funnel) so a 15%
+    # regression breaches instead of drifting inside the floor gap.
+    STREAM_FLOORS = {"stream_score": 18000.0, "stateful": 15000.0}
     breaches: list[str] = []
     if sf >= 0.1:
         if streaming and streaming.get("rows_per_sec", 0) < STREAM_FLOORS["stream_score"]:
@@ -488,6 +527,8 @@ def main() -> None:
             k: round(v.get("rows_per_sec", 0), 1)
             for k, v in streaming_stateful.items()
         }
+    if fp_self_mismatch:
+        out["fp_self_mismatch"] = fp_self_mismatch[:8]
     if errors:
         out["n_errors"] = len(errors)
         out["error_names"] = sorted(errors)[:8]

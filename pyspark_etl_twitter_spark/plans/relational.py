@@ -217,16 +217,25 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # Join order: the r_name='ASIA' predicate only reaches the fact table
+    # through supplier, so fold region→nation→supplier FIRST (all bounded
+    # dims) and broadcast-join the ~1/5-selective result to lineitem
+    # BEFORE the two fact⋈fact shuffles — at 100 TB this eliminates ~80%
+    # of lineitem rows ahead of the orders/customer joins instead of
+    # after them (Catalyst has no CBO stats here and keeps written order).
+    sup_asia = (
+        sup.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        li.join(F.broadcast(sup_asia), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(sup),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(

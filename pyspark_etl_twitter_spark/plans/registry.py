@@ -397,3 +397,75 @@ ORACLES: dict[str, str] = {
     "text_embedding_near_dup": T.ORACLE_TEXT_EMBEDDING_NEAR_DUP,
     "text_semantic_dedup_survivors": T.ORACLE_TEXT_SEMANTIC_DEDUP_SURVIVORS,
 }
+
+# ROUND-9 WINDOW (r8 verdict asks #3/#7): rotation is now DECLARATIVE —
+# the list below is reordered to the front of QUERIES at import time, so
+# future rounds edit one list instead of re-sorting a 166-entry literal.
+# Slots 1-4: the four rows-only-by-design queries (xxhash64 fast paths +
+# sketch aggregates), whose newest driver rows dated to r05 — three
+# rounds stale; the r5-era "window is 100% oracle-backed" rule is
+# deliberately relaxed this round (r8 verdict ask #3) so crashes/row-count
+# drift in those paths stay visible. Slots 5-50: the 46 stalest
+# oracle-backed greens (1×r3, 8×r4, 5×r5, 32×r6 — from the cumulative
+# CORRECTNESS_r0*.json book), so after r9 no query's newest driver row is
+# older than r6.
+ROUND9_WINDOW: list[str] = [
+    # rows-only refresh (newest driver rows: r05)
+    "approx_summary",
+    "dedup_minhash_pairs",
+    "dedup_simhash_fingerprints",
+    "dedup_clusters_minhash",
+    # stalest oracle-backed greens, oldest first
+    "semi_join_customers",                # r3
+    "asof_purchase_click",                # r4
+    "event_gaps",                         # r4
+    "hof_funcs_documents",                # r4
+    "percentile_prices",                  # r4
+    "profile_orders_columns",             # r4
+    "referential_integrity_audit",        # r4
+    "snapshot_diff_counts",               # r4
+    "weekly_revenue_wow",                 # r4
+    "char_entropy_by_source",             # r5
+    "dedup_incremental",                  # r5
+    "equidepth_price_deciles",            # r5
+    "multi_resolution_rollup",            # r5
+    "top_revenue_orders",                 # r5
+    "asof_tolerance_click",               # r6
+    "binned_range_join_bands",            # r6
+    "bm25_search_topk",                   # r6
+    "bucketed_join_revenue",              # r6
+    "budget_selection_by_source",         # r6
+    "data_quality_lineitem",              # r6
+    "decontaminate_counts",               # r6
+    "dedup_clusters",                     # r6
+    "dedup_exact_summary",                # r6
+    "dedup_normalized_summary",           # r6
+    "doc_fingerprints",                   # r6
+    "embedding_near_dup",                 # r6
+    "funnel_view_click_purchase",         # r6
+    "fuzzy_decontaminate_counts",         # r6
+    "graph_triangle_count",               # r6
+    "hash_split_counts",                  # r6
+    "hashed_embedding_profile",           # r6
+    "hourly_event_rollup",                # r6
+    "knn_brute_cosine",                   # r6
+    "lang_detect_counts",                 # r6
+    "lm_quality_by_source",               # r6
+    "oov_rate_by_source",                 # r6
+    "pack_documents_2048",                # r6
+    "pii_pseudonymize_customers",         # r6
+    "pricing_summary",                    # r6
+    "quality_gate_by_source",             # r6
+    "repeated_spans_top",                 # r6
+    "repetition_stats",                   # r6
+    "resample_ffill_hourly",              # r6
+    "revenue_by_nation",                  # r6
+    "rolling_1h_event_stats",             # r6
+    "running_revenue_by_supplier",        # r6
+]
+
+_r9 = set(ROUND9_WINDOW)
+assert len(ROUND9_WINDOW) == 50 and _r9 <= set(QUERIES), "window/registry drift"
+QUERIES = {k: QUERIES[k] for k in ROUND9_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in _r9
+}

@@ -398,6 +398,7 @@ def duplicate_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id) with
     cluster_id = min doc id reachable through the pair graph. Transitive
@@ -431,6 +432,19 @@ def duplicate_clusters(
     when no edges remain, at which point each component is exactly one
     label class, rooted at its minimum node id (the minimum maps to
     itself, and a one-class component inherits its label).
+
+    ``checkpoint_dir`` selects the lineage-truncation mode. Default
+    (None) uses ``localCheckpoint()``: zero-copy to executor block
+    storage — right for local mode and short interactive jobs, but the
+    blocks are pinned to live executors, so ON A REAL CLUSTER AN
+    EXECUTOR LOSS MID-LOOP KILLS THE JOB (the truncated lineage cannot
+    be recomputed). For the 100 TB deployment pass a durable directory
+    (HDFS/S3): each round's working set is then written via reliable
+    ``checkpoint()`` and survives executor churn, at the cost of one
+    distributed write per round — the write is vertex-sized (contracted
+    labels/edges, shrinking every round), not corpus-sized. Note
+    ``setCheckpointDir`` is SparkContext-global; this call sets it when
+    a dir is supplied.
     """
     # the partition-local NumPy solve and its Arrow schema are integral;
     # reject non-integral ids up front (the pre-contraction propagation
@@ -444,21 +458,29 @@ def duplicate_clusters(
                 f"duplicate_clusters requires integral ids; {c} is {dt} — "
                 "pre-map ids to longs (xxhash64 / dense rank) first"
             )
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     # checkpoint the symmetrized edge list ONCE: both consumers below
     # (the initial vertex mapping and the contraction loop's working set)
     # would otherwise each re-run the caller's full pair pipeline —
     # for the semantic-dedup caller that is the whole LSH-bucket +
     # exact-cosine verify, measured 1.7 s per extra evaluation at sf0.1
-    sym = (
-        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+    sym = _ckpt(
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     )
     mapping = sym.select("src").distinct().select(
         F.col("src").alias("doc_id"), F.col("src").alias("cluster_id")
     )
-    cur = sym.filter(F.col("src") != F.col("dst")).localCheckpoint()
+    cur = _ckpt(sym.filter(F.col("src") != F.col("dst")))
 
     def _local_cc(batches):
         import numpy as np
@@ -492,13 +514,12 @@ def duplicate_clusters(
         local = cur.repartition("src").mapInPandas(_local_cc, "x long, l long")
         # a vertex split across partitions gets one labeling per partition;
         # min over them is still a valid (smaller) member of its component
-        m = (
+        m = _ckpt(
             local.groupBy("x")
             .agg(F.min("l").alias("l"))
             .filter(F.col("l") != F.col("x"))
-            .localCheckpoint()
         )
-        mapping = (
+        mapping = _ckpt(
             mapping.join(
                 m.select(F.col("x").alias("cluster_id"), F.col("l").alias("_nl")),
                 "cluster_id",
@@ -508,9 +529,8 @@ def duplicate_clusters(
                 "doc_id",
                 F.coalesce("_nl", "cluster_id").alias("cluster_id"),
             )
-            .localCheckpoint()
         )
-        cur = (
+        cur = _ckpt(
             cur.join(
                 m.select(F.col("x").alias("src"), F.col("l").alias("_ns")),
                 "src",
@@ -527,7 +547,6 @@ def duplicate_clusters(
             )
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
         )
     return mapping
 

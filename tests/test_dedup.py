@@ -147,6 +147,27 @@ def test_duplicate_clusters_transitive_closure(spark):
     assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30, 33: 30}
 
 
+def test_duplicate_clusters_durable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation from executor-pinned
+    localCheckpoint to reliable checkpoint() files (the 100 TB mode:
+    survives executor loss mid-loop). Same answer in both modes, and the
+    durable run must actually write RDD checkpoint files to the dir."""
+    from pyspark_etl_twitter_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21), (30, 31), (31, 32), (32, 33)],
+        "doc_a long, doc_b long",
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in duplicate_clusters(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30, 33: 30}
+    written = list((tmp_path / "cc_ckpt").rglob("*"))
+    assert written, "reliable checkpoint() wrote nothing to checkpoint_dir"
+
+
 def test_drop_near_duplicates_keeps_canonical_and_singletons(spark):
     from pyspark_etl_twitter_spark.operators.dedup import drop_near_duplicates
 

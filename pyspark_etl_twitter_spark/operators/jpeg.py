@@ -288,11 +288,33 @@ def _category(value: int) -> int:
 # Encoder (baseline, 4:4:4 colour or grayscale)
 # --------------------------------------------------------------------------
 
-def _encode_block(writer, block, qtab, dc_codes, ac_codes, pred, ci):
-    """DCT → quantize → zigzag → DC-diff + run/length Huffman for one 8×8."""
-    coef = _DCT @ block @ _DCT.T
-    quant = np.round(coef / qtab.reshape(8, 8)).astype(np.int64)
-    zz = quant.ravel()[ZIGZAG]
+def _quantized_coefs(setup: dict) -> list[np.ndarray]:
+    """Forward DCT + quantization for every component, vectorized:
+    per-component (by, bx, 64) int32 arrays in ZIGZAG order.
+
+    This is the ONLY quantization path — both the baseline and the
+    progressive encoder consume its output. They previously quantized
+    independently (per-block ``_DCT @ b @ _DCT.T`` vs one einsum): same
+    math, different float summation order, so a coefficient landing on
+    an exact .5 tie could round differently between the two encodings
+    (seen: -3.4999999999999996 vs -3.5000000000000018 on a gray 19×21
+    block), breaking the progressive==baseline pixel-parity contract."""
+    factors, mcux, mcuy = setup["factors"], setup["mcux"], setup["mcuy"]
+    qtabs, padded = setup["qtabs"], setup["padded"]
+    coefs = []
+    for ci, plane in enumerate(padded):
+        fx, fy = factors[ci]
+        by, bx = mcuy * fy, mcux * fx
+        blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        fwd = np.einsum("ik,yxkl,jl->yxij", _DCT, blocks, _DCT)
+        q = qtabs[0 if ci == 0 else 1].reshape(8, 8).astype(np.float64)
+        quant = np.round(fwd / q).astype(np.int32)
+        coefs.append(quant.reshape(by, bx, 64)[..., ZIGZAG])
+    return coefs
+
+
+def _encode_block(writer, zz, dc_codes, ac_codes, pred, ci):
+    """Zigzag-quantized 8×8 → DC-diff + run/length Huffman."""
     diff = int(zz[0]) - pred[ci]
     pred[ci] = int(zz[0])
     cat = _category(diff)
@@ -402,13 +424,14 @@ def encode_jpeg(
     setup = _frame_setup(pixels, quality, subsampling)
     gray, h, w = setup["gray"], setup["h"], setup["w"]
     factors, mcux, mcuy = setup["factors"], setup["mcux"], setup["mcuy"]
-    qtabs, padded = setup["qtabs"], setup["padded"]
+    qtabs = setup["qtabs"]
+    coefs = _quantized_coefs(setup)
 
     dc_codes = [_canonical_codes(*DC_LUMA_SPEC), _canonical_codes(*DC_CHROMA_SPEC)]
     ac_codes = [_canonical_codes(*AC_LUMA_SPEC), _canonical_codes(*AC_CHROMA_SPEC)]
 
     writer = _BitWriter()
-    pred = [0] * len(padded)
+    pred = [0] * len(coefs)
     mcu_count = 0
     rst = 0
     for my in range(mcuy):
@@ -416,19 +439,16 @@ def encode_jpeg(
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 writer.restart(rst)
                 rst = (rst + 1) & 7
-                pred = [0] * len(padded)
+                pred = [0] * len(coefs)
             mcu_count += 1
-            for ci, plane in enumerate(padded):
+            for ci, cf in enumerate(coefs):
                 fx, fy = factors[ci]
                 tsel = 0 if ci == 0 else 1
                 for v in range(fy):
                     for hh in range(fx):
-                        yy = (my * fy + v) * 8
-                        xx = (mx * fx + hh) * 8
                         _encode_block(
                             writer,
-                            plane[yy : yy + 8, xx : xx + 8],
-                            qtabs[tsel],
+                            cf[my * fy + v, mx * fx + hh],
                             dc_codes[tsel],
                             ac_codes[tsel],
                             pred,
@@ -468,9 +488,11 @@ def encode_jpeg(
 # --------------------------------------------------------------------------
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w, 3) uint8 RGB (gray replicated to 3).
+    """JPEG bytes → (h, w, 3) uint8 RGB (gray replicated to 3).
 
-    Rejects progressive/arithmetic/12-bit/CMYK with a clear error."""
+    Decodes baseline sequential (SOF0), extended sequential (SOF1) and
+    progressive (SOF2) Huffman streams; rejects arithmetic/12-bit/
+    hierarchical/CMYK with a clear error."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (missing SOI)")
     try:
@@ -566,6 +588,13 @@ def _decode_markers(payload: bytes) -> np.ndarray:
                     )
                 except (IndexError, struct.error) as exc:
                     raise ValueError("truncated JPEG entropy data") from exc
+                except _RestartMarker as exc:
+                    # an RSTn where the scan expected entropy bits (DRI=0
+                    # or misplaced marker) — same contract as the baseline
+                    # path: malformed input always raises ValueError
+                    raise ValueError(
+                        "misplaced restart marker in progressive entropy data"
+                    ) from exc
                 continue  # more scans (or EOI) follow
             try:
                 return _decode_scan(
@@ -748,23 +777,39 @@ def _decode_progressive_scan(
     if dc_scan:
         for cid, _, _ in scan_comps:
             state["comps"][cid]["pred"] = 0 if ah == 0 else state["comps"][cid]["pred"]
-        for my in range(state["mcuy"]):
-            for mx in range(state["mcux"]):
-                maybe_restart()
-                for cid, td, _ in scan_comps:
-                    sc = state["comps"][cid]
-                    for v in range(sc["v"]):
-                        for hh in range(sc["h"]):
-                            by, bx = my * sc["v"] + v, mx * sc["h"] + hh
-                            coef = sc["coef"][by, bx]
-                            if ah == 0:
-                                cat = read_symbol(htables[(0, td)])
-                                diff = _extend(reader.read_bits(cat), cat) if cat else 0
-                                sc["pred"] += diff
-                                coef[0] = sc["pred"] << al
-                            else:  # DC refinement: one raw bit per block
-                                if reader.read_bit():
-                                    coef[0] |= 1 << al
+
+        def dc_block(sc, td, by, bx):
+            coef = sc["coef"][by, bx]
+            if ah == 0:
+                cat = read_symbol(htables[(0, td)])
+                diff = _extend(reader.read_bits(cat), cat) if cat else 0
+                sc["pred"] += diff
+                coef[0] = sc["pred"] << al
+            else:  # DC refinement: one raw bit per block
+                if reader.read_bit():
+                    coef[0] |= 1 << al
+
+        if len(scan_comps) == 1:
+            # T.81 A.2.2: a non-interleaved (Ns=1) DC scan covers the
+            # component's OWN nby×nbx block grid — smaller than the
+            # MCU-padded grid whenever dims aren't multiples of 8·vmax;
+            # iterating MCUs here desynced such spec-legal files (r8
+            # advice #2). One data unit per restart step, as in AC scans.
+            cid, td, _ = scan_comps[0]
+            sc = state["comps"][cid]
+            for by in range(sc["nby"]):
+                for bx in range(sc["nbx"]):
+                    maybe_restart()
+                    dc_block(sc, td, by, bx)
+        else:
+            for my in range(state["mcuy"]):
+                for mx in range(state["mcux"]):
+                    maybe_restart()
+                    for cid, td, _ in scan_comps:
+                        sc = state["comps"][cid]
+                        for v in range(sc["v"]):
+                            for hh in range(sc["h"]):
+                                dc_block(sc, td, my * sc["v"] + v, mx * sc["h"] + hh)
     else:
         cid, _, ta = scan_comps[0]
         sc = state["comps"][cid]
@@ -1012,29 +1057,30 @@ def encode_jpeg_progressive(
     quality: int = 75,
     subsampling: str = "444",
     restart_interval: int = 0,
+    dc_noninterleaved: bool = False,
 ) -> bytes:
     """(h, w, 3) uint8 RGB or (h, w) gray → progressive (SOF2) JFIF bytes.
 
     Same quantization as ``encode_jpeg`` — decode of the result is pixel-
     identical to decode of the baseline encoding. ``restart_interval`` > 0
     emits DRI + RSTn in every scan (units are MCUs in the interleaved DC
-    scans, blocks in the non-interleaved AC scans, per T.81)."""
+    scans, blocks in the non-interleaved AC scans, per T.81).
+
+    ``dc_noninterleaved`` emits the DC scans as one Ns=1 scan PER
+    COMPONENT over that component's nby×nbx block grid (T.81 A.2.2) —
+    spec-legal and emitted by some encoders, and the grid differs from
+    the MCU-padded grid whenever dimensions aren't multiples of 8·vmax,
+    which is exactly the shape that desynced the decoder before r9."""
     setup = _frame_setup(pixels, quality, subsampling)
     gray, h, w = setup["gray"], setup["h"], setup["w"]
     factors, mcux, mcuy = setup["factors"], setup["mcux"], setup["mcuy"]
-    qtabs, padded = setup["qtabs"], setup["padded"]
+    qtabs = setup["qtabs"]
     ncomp = 1 if gray else 3
 
-    # quantized zigzag coefficients per component: (by, bx, 64) int32
-    coefs = []
-    for ci, plane in enumerate(padded):
-        fx, fy = factors[ci]
-        by, bx = mcuy * fy, mcux * fx
-        blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
-        fwd = np.einsum("ik,yxkl,jl->yxij", _DCT, blocks, _DCT)
-        q = qtabs[0 if ci == 0 else 1].reshape(8, 8).astype(np.float64)
-        quant = np.round(fwd / q).astype(np.int32)
-        coefs.append(quant.reshape(by, bx, 64)[..., ZIGZAG])
+    # quantized zigzag coefficients per component: (by, bx, 64) int32 —
+    # the SAME shared quantization path the baseline encoder uses, so the
+    # two encodings carry bit-identical coefficients (see _quantized_coefs)
+    coefs = _quantized_coefs(setup)
 
     flat_codes = _canonical_codes(*_FLAT_SPEC)
 
@@ -1065,30 +1111,58 @@ def encode_jpeg_progressive(
         writer.restart(rst[0])
         rst[0] = (rst[0] + 1) & 7
 
-    # --- scan 1: DC first, interleaved, Al=1 ---
-    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1)
-    writer = _BitWriter()
-    preds = [0] * ncomp
-    unit = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and unit and unit % restart_interval == 0:
-                emit_restart(writer)
-                preds = [0] * ncomp
-            unit += 1
-            for ci in range(ncomp):
-                fx, fy = factors[ci]
-                for v in range(fy):
-                    for hh in range(fx):
-                        dc = int(coefs[ci][my * fy + v, mx * fx + hh, 0]) >> 1
-                        diff = dc - preds[ci]
-                        preds[ci] = dc
-                        cat = _category(diff)
-                        code, ln = flat_codes[cat]
-                        writer.write(code, ln)
-                        if cat:
-                            writer.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-    out += writer.flush()
+    def comp_nb(ci: int) -> tuple[int, int]:
+        fx, fy = factors[ci]
+        nbx = (-(-w * fx // setup["hmax"]) + 7) // 8
+        nby = (-(-h * fy // setup["vmax"]) + 7) // 8
+        return nbx, nby
+
+    def write_dc_first(writer, ci, by, bx, pred):
+        dc = int(coefs[ci][by, bx, 0]) >> 1
+        diff = dc - pred
+        cat = _category(diff)
+        code, ln = flat_codes[cat]
+        writer.write(code, ln)
+        if cat:
+            writer.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        return dc
+
+    # --- scan 1: DC first, Al=1 ---
+    if dc_noninterleaved:
+        # one Ns=1 scan per component over its own nby×nbx grid
+        for ci in range(ncomp):
+            out += sos_header([ci + 1], 0, 0, 0, 1)
+            writer = _BitWriter()
+            nbx, nby = comp_nb(ci)
+            pred = 0
+            unit = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        emit_restart(writer)
+                        pred = 0
+                    unit += 1
+                    pred = write_dc_first(writer, ci, by, bx, pred)
+            out += writer.flush()
+    else:
+        out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+        writer = _BitWriter()
+        preds = [0] * ncomp
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    emit_restart(writer)
+                    preds = [0] * ncomp
+                unit += 1
+                for ci in range(ncomp):
+                    fx, fy = factors[ci]
+                    for v in range(fy):
+                        for hh in range(fx):
+                            preds[ci] = write_dc_first(
+                                writer, ci, my * fy + v, mx * fx + hh, preds[ci]
+                            )
+        out += writer.flush()
 
     # --- per-component AC scans: first (Al=1) then refinement (Al=0) ---
     for ah, al in ((0, 1), (1, 0)):
@@ -1114,21 +1188,35 @@ def encode_jpeg_progressive(
             aw.flush_eob()
             out += writer.flush()
 
-    # --- final scan: DC refinement, interleaved, Ah=1 Al=0 (raw bits) ---
-    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
-    writer = _BitWriter()
-    unit = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and unit and unit % restart_interval == 0:
-                emit_restart(writer)
-            unit += 1
-            for ci in range(ncomp):
-                fx, fy = factors[ci]
-                for v in range(fy):
-                    for hh in range(fx):
-                        writer.write(int(coefs[ci][my * fy + v, mx * fx + hh, 0]) & 1, 1)
-    out += writer.flush()
+    # --- final scan: DC refinement, Ah=1 Al=0 (raw bits) ---
+    if dc_noninterleaved:
+        for ci in range(ncomp):
+            out += sos_header([ci + 1], 0, 0, 1, 0)
+            writer = _BitWriter()
+            nbx, nby = comp_nb(ci)
+            unit = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        emit_restart(writer)
+                    unit += 1
+                    writer.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+            out += writer.flush()
+    else:
+        out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+        writer = _BitWriter()
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    emit_restart(writer)
+                unit += 1
+                for ci in range(ncomp):
+                    fx, fy = factors[ci]
+                    for v in range(fy):
+                        for hh in range(fx):
+                            writer.write(int(coefs[ci][my * fy + v, mx * fx + hh, 0]) & 1, 1)
+        out += writer.flush()
 
     out += b"\xFF\xD9"
     return bytes(out)

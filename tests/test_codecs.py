@@ -595,3 +595,92 @@ def test_jpeg_progressive_fuzz_round_trip():
         base = decode_jpeg(encode_jpeg(img, **kw))
         prog = decode_jpeg(encode_jpeg_progressive(img, **kw))
         assert np_.array_equal(base, prog), f"trial {trial}: {kw} {img.shape}"
+
+
+def test_jpeg_progressive_noninterleaved_dc_scans():
+    """T.81 A.2.2: an Ns=1 DC scan of a multi-component frame covers the
+    component's own nby×nbx block grid, NOT the MCU-padded grid — they
+    differ whenever dims aren't multiples of 8·vmax. Decode desynced on
+    such spec-legal files until r9 (r8 advice #2); pixel output must be
+    identical to the interleaved-DC encoding and to baseline."""
+    import numpy as np_
+
+    from pyspark_etl_twitter_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np_.random.RandomState(31)
+    cases = [
+        # 4:2:0 + odd dims: chroma nb grid strictly smaller than MCU grid
+        (rng.randint(0, 256, (33, 41, 3)).astype(np_.uint8), {"subsampling": "420"}),
+        (rng.randint(0, 256, (17, 25, 3)).astype(np_.uint8), {"subsampling": "420"}),
+        # 4:4:4 multi-component, dims not multiples of 8
+        (rng.randint(0, 256, (20, 28, 3)).astype(np_.uint8), {}),
+        # restart markers count per data unit in Ns=1 scans
+        (
+            rng.randint(0, 256, (33, 25, 3)).astype(np_.uint8),
+            {"subsampling": "420", "restart_interval": 2},
+        ),
+        (rng.randint(0, 256, (19, 21)).astype(np_.uint8), {}),  # gray
+    ]
+    for img, kw in cases:
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, dc_noninterleaved=True, **kw)
+        )
+        assert np_.array_equal(base, prog), f"noninterleaved DC != baseline: {kw}"
+
+
+def test_jpeg_progressive_misplaced_restart_is_valueerror():
+    """An RSTn inside entropy data when DRI=0 (or misplaced) must raise
+    ValueError like every other malformed-input path — through r8 the
+    internal _RestartMarker exception escaped decode_jpeg (r8 advice #1)."""
+    import numpy as np_
+    import pytest as _pytest
+
+    from pyspark_etl_twitter_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = np_.random.RandomState(7).randint(0, 256, (24, 24, 3)).astype(np_.uint8)
+    b = encode_jpeg_progressive(img, quality=85)
+    # splice an RST0 marker a few bytes into the first scan's entropy data
+    sos = b.find(b"\xFF\xDA")
+    assert sos > 0
+    entropy_start = sos + 2 + int.from_bytes(b[sos + 2 : sos + 4], "big")
+    corrupt = b[: entropy_start + 3] + b"\xFF\xD0" + b[entropy_start + 3 :]
+    with _pytest.raises(ValueError):
+        decode_jpeg(corrupt)
+
+
+def test_jpeg_progressive_fuzz_includes_noninterleaved_dc():
+    """Fuzz-seed expansion for the SOF2 paths (r8 verdict ask #8): random
+    content × {interleaved, non-interleaved} DC scans × subsampling ×
+    restarts — zero crashes, always bit-exact with baseline."""
+    import numpy as np_
+
+    from pyspark_etl_twitter_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np_.random.RandomState(47)
+    for trial in range(10):
+        h = int(rng.randint(9, 60))
+        w = int(rng.randint(9, 60))
+        gray = trial % 4 == 0
+        img = rng.randint(0, 256, (h, w) if gray else (h, w, 3)).astype(np_.uint8)
+        kw = {"quality": int(rng.choice([40, 75, 92]))}
+        if not gray and trial % 2:
+            kw["subsampling"] = "420"
+        if trial % 3 == 2:
+            kw["restart_interval"] = int(rng.randint(1, 5))
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, dc_noninterleaved=trial % 2 == 1, **kw)
+        )
+        assert np_.array_equal(base, prog), f"trial {trial}: {kw} {img.shape}"

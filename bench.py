@@ -404,13 +404,27 @@ def main() -> None:
     # derived ~32 rows/s Kafka-consumer scoring rate. File-replay Kafka
     # stand-in → foreachBatch broadcast scoring → noop sink; reported as
     # rows/s, not seconds, so it rides outside the headline total.
+    # Streaming rows use the SAME warm-median discipline as queries (r9):
+    # they were single-shot through r8, and a cold applyInPandasWithState
+    # run (fresh Python worker pool + state-store init) measures ~9k
+    # rows/s where the warm rate is ~16.6k — run-position noise that
+    # breached the pinned floor without any code change. One untimed
+    # warmup, then median rows/s across the query-rep count.
+    def warm_median_stream(fn) -> dict:
+        fn()  # warmup: worker pool + state store + codegen off the clock
+        runs = [fn() for _ in range(max(1, reps))]
+        runs.sort(key=lambda r: r["rows_per_sec"])
+        return runs[len(runs) // 2]
+
     streaming: dict = {}
     try:
         from pyspark_etl_twitter_spark.streaming.pipeline import (
             streaming_score_throughput,
         )
 
-        streaming = streaming_score_throughput(spark, sf_dir)
+        streaming = warm_median_stream(
+            lambda: streaming_score_throughput(spark, sf_dir)
+        )
         streaming["baseline_ref_rows_per_sec"] = 32.0
     except Exception as exc:  # noqa: BLE001
         errors["streaming_throughput"] = f"{type(exc).__name__}: {exc}"[:300]
@@ -430,8 +444,10 @@ def main() -> None:
         )
 
         for kind in ("window", "funnel"):
-            streaming_stateful[kind] = streaming_events_throughput(
-                spark, sf_dir, kind=kind
+            streaming_stateful[kind] = warm_median_stream(
+                lambda kind=kind: streaming_events_throughput(
+                    spark, sf_dir, kind=kind
+                )
             )
     except Exception as exc:  # noqa: BLE001
         errors["streaming_stateful"] = f"{type(exc).__name__}: {exc}"[:300]
@@ -439,6 +455,39 @@ def main() -> None:
             f"bench: streaming_stateful FAILED: {errors['streaming_stateful']}",
             file=sys.stderr,
         )
+
+    # Media decode throughput (r8 verdict ask #5): the pure-Python codec
+    # path had a quadratic bit-accumulator for two rounds and no bench row
+    # noticed. Real BMP/PNG/JPEG/WAV payloads (deterministic synth),
+    # decode_media(real_codec=True) over mapInPandas, reported rows/s with
+    # a pinned floor. Payload GENERATION runs off the clock (checkpointed)
+    # — the row times decode only. 2048 rows bounds the JPEG share (~512
+    # pure-Python Huffman+IDCT decodes) to a few seconds on local[32].
+    media_decode: dict = {}
+    try:
+        from pyspark_etl_twitter_spark.operators.multimodal import (
+            decode_media,
+            synth_real_media_table,
+        )
+        from pyspark_etl_twitter_spark.sources.catalog import load_table as _lt3
+
+        n_media = 2048
+        media_tbl = synth_real_media_table(
+            _lt3(spark, sf_dir, "documents").select("doc_id").limit(n_media)
+        ).localCheckpoint()
+        n_media = media_tbl.count()  # materialize generation off the clock
+        run_timed(
+            "media_decode_real_codec",
+            lambda: decode_media(media_tbl, real_codec=True),
+        )
+        if timings.get("media_decode_real_codec"):
+            media_decode = {
+                "rows": n_media,
+                "rows_per_sec": round(n_media / timings["media_decode_real_codec"], 1),
+            }
+    except Exception as exc:  # noqa: BLE001
+        errors["media_decode"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"bench: media_decode FAILED: {errors['media_decode']}", file=sys.stderr)
 
     try:
         Path(__file__).resolve().parent.joinpath("BENCH_PLANS.json").write_text(
@@ -461,6 +510,8 @@ def main() -> None:
         detail["streaming_score_throughput"] = streaming
     if streaming_stateful:
         detail["streaming_stateful_throughput"] = streaming_stateful
+    if media_decode:
+        detail["media_decode"] = media_decode
     if errors:
         detail["errors"] = errors
     detail["fp_self_mismatch"] = fp_self_mismatch  # [] == fingerprints stable
@@ -508,6 +559,10 @@ def main() -> None:
     # (r8 measured 21.8k stream / 16.6k window / 17.2k funnel) so a 15%
     # regression breaches instead of drifting inside the floor gap.
     STREAM_FLOORS = {"stream_score": 18000.0, "stateful": 15000.0}
+    # media decode floor (r8 verdict ask #5): measured 676 rows/s at 2048
+    # mixed BMP/PNG/JPEG/WAV rows on this container; the quadratic
+    # bit-accumulator bug this row exists to catch ran at ~1/10 of that.
+    MEDIA_FLOOR = 500.0
     breaches: list[str] = []
     if sf >= 0.1:
         if streaming and streaming.get("rows_per_sec", 0) < STREAM_FLOORS["stream_score"]:
@@ -519,6 +574,10 @@ def main() -> None:
                 breaches.append(
                     f"{k}={v['rows_per_sec']:.0f}<{STREAM_FLOORS['stateful']:.0f}"
                 )
+        if media_decode and media_decode["rows_per_sec"] < MEDIA_FLOOR:
+            breaches.append(
+                f"media_decode={media_decode['rows_per_sec']:.0f}<{MEDIA_FLOOR:.0f}"
+            )
         out["stream_floor_breach"] = breaches  # [] == all floors held
     if streaming:
         out["stream_rows_per_sec"] = round(streaming.get("rows_per_sec", 0), 1)
@@ -527,6 +586,8 @@ def main() -> None:
             k: round(v.get("rows_per_sec", 0), 1)
             for k, v in streaming_stateful.items()
         }
+    if media_decode:
+        out["media_decode_rows_per_sec"] = media_decode["rows_per_sec"]
     if fp_self_mismatch:
         out["fp_self_mismatch"] = fp_self_mismatch[:8]
     if errors:

@@ -49,10 +49,19 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     bad = 0
+    rows_only_ok = 0
     for name in window:
         if name not in oracles:
-            print(f"FAIL {name}: window slot without an oracle")
-            bad += 1
+            # r9 window rule: the four rows-only-by-design queries occupy
+            # window slots for a crash/row-drift refresh — mirror the
+            # driver's weaker check (execute + row count), don't fail.
+            try:
+                n = qs[name](spark, sf_dir).count()
+                print(f"ROWS-ONLY ok {name} ({n} rows)")
+                rows_only_ok += 1
+            except Exception as exc:  # noqa: BLE001
+                print(f"FAIL {name}: rows-only execution raised {exc!r}"[:200])
+                bad += 1
             continue
         sdf = qs[name](spark, sf_dir)
         srows = sdf.collect()
@@ -74,7 +83,10 @@ def main() -> int:
         )
         print(("OK  " if ok else "FAIL"), name, len(srows))
         bad += not ok
-    print(f"window under PLAIN session: {len(window) - bad} ok, {bad} failed")
+    print(
+        f"window under PLAIN session: {len(window) - bad - rows_only_ok} ok, "
+        f"{bad} failed, {rows_only_ok} rows-only"
+    )
     return 1 if bad else 0
 
 

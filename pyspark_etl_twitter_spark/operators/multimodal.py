@@ -12,8 +12,9 @@ pure-stdlib codecs in operators/codecs.py + operators/jpeg.py (rounds
 4-7; no PIL/libjpeg/librosa in the container, and none needed — PNG is
 zlib inflate + the five scanline filters, baseline JPEG is
 DHT-canonical Huffman + dequant + float IDCT, all public T.81/RFC
-spec). MP3 and progressive JPEG would still need a library —
-``decode_to_signal`` rejects unknown magic bytes with a clear error.
+spec; progressive SOF2 JPEG decodes too as of r8). MP3 / arithmetic
+JPEG would still need a library — ``decode_to_signal`` rejects unknown
+magic bytes with a clear error.
 
 Scale notes: payloads dominate row size — keep them out of shuffles.
 Every operator here is a narrow mapInPandas (no shuffle); metadata-only
@@ -74,6 +75,59 @@ def synth_media_table(docs: DataFrame, *, kind_cycle: int = 3) -> DataFrame:
             F.lit("fake/v1").alias("format"),
         ).alias("meta"),
     )
+
+
+def synth_real_media_table(
+    docs: DataFrame,
+    *,
+    image_side: int = 32,
+    wav_samples: int = 2048,
+) -> DataFrame:
+    """Media table whose payloads are REAL encoded bytes — BMP, PNG,
+    baseline JPEG and WAV cycling by doc_id — deterministically generated
+    (doc_id-seeded) so the real-codec decode path can be exercised and
+    BENCHMARKED on driver testdata without any third-party codec or
+    binary fixture in the repo. Encoding runs in the same narrow
+    mapInPandas shape as decode: no shuffle, payloads born in-executor."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark_etl_twitter_spark.operators.codecs import (
+            encode_bmp,
+            encode_png,
+            encode_wav,
+        )
+        from pyspark_etl_twitter_spark.operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rs = np.random.RandomState(did & 0x7FFFFFFF)
+                sel = did % 4
+                if sel == 3:
+                    samples = (rs.rand(wav_samples) * 2.0 - 1.0).astype(np.float64)
+                    payload, kind = encode_wav(samples), "audio"
+                else:
+                    px = rs.randint(
+                        0, 256, (image_side, image_side, 3)
+                    ).astype(np.uint8)
+                    payload = (encode_bmp, encode_png, encode_jpeg)[sel](px)
+                    kind = "image"
+                ids.append(did)
+                kinds.append(kind)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, out_schema)
 
 
 def _fake_decode(payload: bytes, n: int) -> np.ndarray:

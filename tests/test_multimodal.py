@@ -107,3 +107,28 @@ def test_phash_identical_payloads_collide_and_band_join_finds_them(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_synth_real_media_decodes_under_real_codec(spark):
+    """synth_real_media_table emits genuine BMP/PNG/JPEG/WAV bytes: the
+    real-codec decode path (the one the media bench row times) must
+    decode every row to FEATURE_DIM samples with no unknown-magic rows."""
+    from pyspark_etl_twitter_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_media,
+        synth_real_media_table,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_TINY, "documents").limit(40)
+    media = synth_real_media_table(docs)
+    rows = decode_media(media, real_codec=True).collect()
+    assert len(rows) == 40
+    assert all(len(r.decoded) == FEATURE_DIM for r in rows)
+    kinds = {r.kind for r in rows}
+    assert kinds == {"image", "audio"}
+    # deterministic: same ids -> same payload bytes -> same samples
+    again = decode_media(media, real_codec=True).collect()
+    assert {r.media_id: r.decoded for r in rows} == {
+        r.media_id: r.decoded for r in again
+    }

@@ -398,74 +398,82 @@ ORACLES: dict[str, str] = {
     "text_semantic_dedup_survivors": T.ORACLE_TEXT_SEMANTIC_DEDUP_SURVIVORS,
 }
 
-# ROUND-9 WINDOW (r8 verdict asks #3/#7): rotation is now DECLARATIVE —
-# the list below is reordered to the front of QUERIES at import time, so
-# future rounds edit one list instead of re-sorting a 166-entry literal.
-# Slots 1-4: the four rows-only-by-design queries (xxhash64 fast paths +
-# sketch aggregates), whose newest driver rows dated to r05 — three
-# rounds stale; the r5-era "window is 100% oracle-backed" rule is
-# deliberately relaxed this round (r8 verdict ask #3) so crashes/row-count
-# drift in those paths stay visible. Slots 5-50: the 46 stalest
-# oracle-backed greens (1×r3, 8×r4, 5×r5, 32×r6 — from the cumulative
-# CORRECTNESS_r0*.json book), so after r9 no query's newest driver row is
-# older than r6.
-ROUND9_WINDOW: list[str] = [
-    # rows-only refresh (newest driver rows: r05)
-    "approx_summary",
-    "dedup_minhash_pairs",
-    "dedup_simhash_fingerprints",
-    "dedup_clusters_minhash",
-    # stalest oracle-backed greens, oldest first
-    "semi_join_customers",                # r3
-    "asof_purchase_click",                # r4
-    "event_gaps",                         # r4
-    "hof_funcs_documents",                # r4
-    "percentile_prices",                  # r4
-    "profile_orders_columns",             # r4
-    "referential_integrity_audit",        # r4
-    "snapshot_diff_counts",               # r4
-    "weekly_revenue_wow",                 # r4
-    "char_entropy_by_source",             # r5
-    "dedup_incremental",                  # r5
-    "equidepth_price_deciles",            # r5
-    "multi_resolution_rollup",            # r5
-    "top_revenue_orders",                 # r5
-    "asof_tolerance_click",               # r6
-    "binned_range_join_bands",            # r6
-    "bm25_search_topk",                   # r6
-    "bucketed_join_revenue",              # r6
-    "budget_selection_by_source",         # r6
-    "data_quality_lineitem",              # r6
-    "decontaminate_counts",               # r6
-    "dedup_clusters",                     # r6
-    "dedup_exact_summary",                # r6
-    "dedup_normalized_summary",           # r6
-    "doc_fingerprints",                   # r6
-    "embedding_near_dup",                 # r6
-    "funnel_view_click_purchase",         # r6
-    "fuzzy_decontaminate_counts",         # r6
-    "graph_triangle_count",               # r6
-    "hash_split_counts",                  # r6
-    "hashed_embedding_profile",           # r6
-    "hourly_event_rollup",                # r6
-    "knn_brute_cosine",                   # r6
-    "lang_detect_counts",                 # r6
-    "lm_quality_by_source",               # r6
-    "oov_rate_by_source",                 # r6
-    "pack_documents_2048",                # r6
-    "pii_pseudonymize_customers",         # r6
-    "pricing_summary",                    # r6
-    "quality_gate_by_source",             # r6
-    "repeated_spans_top",                 # r6
-    "repetition_stats",                   # r6
-    "resample_ffill_hourly",              # r6
-    "revenue_by_nation",                  # r6
-    "rolling_1h_event_stats",             # r6
-    "running_revenue_by_supplier",        # r6
+# ROUND-10 WINDOW (r9 verdict ask #4): rotation stays DECLARATIVE — the
+# list below is reordered to the front of QUERIES at import time, so each
+# round edits one list instead of re-sorting a 166-entry literal. After
+# r9 the staleness distribution of newest driver rows was
+# {r9: 50, r8: 50, r7: 48, r6: 18}; this window takes ALL 18 r6 rows plus
+# the first 32 (alphabetically) of the 48 r7 rows, so after r10 no
+# registry query's newest driver row is older than r7 (the remaining 16
+# r7 rows — the TPC-H mid-teens block and three curation reps — rotate in
+# r11). Every slot is oracle-backed this round: the four
+# rows-only-by-design queries were refreshed in r9 and are the FRESHEST
+# rows in the book, so they stay in the tail.
+ROUND10_WINDOW: list[str] = [
+    # newest driver rows: r6 (18)
+    "running_revenue_chunked",
+    "script_profile_by_source",
+    "sentiment_classes",
+    "sentiment_weights_head",
+    "sessionize_events",
+    "sessionize_events_chunked",
+    "stratified_exact_n_docs",
+    "temperature_mix_counts",
+    "text_embedding_near_dup",
+    "text_quality_by_source",
+    "text_semantic_dedup_survivors",
+    "token_counts",
+    "topk_orders_per_customer",
+    "tpch_q18_large_volume_customers",
+    "tpch_q20_excess_stock",
+    "tpch_q21_waiting_suppliers",
+    "weighted_sample_by_length",
+    "winsorized_price_stats",
+    # newest driver rows: r7 (first 32 alphabetically of 48)
+    "asof_forward_next_click",
+    "bigram_lm_quality_by_source",
+    "bloom_join_urgent_revenue",
+    "chunk_documents_64",
+    "cohort_retention_weekly",
+    "curation_pipeline_counts",
+    "customers_above_nation_avg",
+    "dedup_keep_canonical",
+    "dedup_minhash_portable_pairs",
+    "doc_length_histogram",
+    "epoch_shuffle_head",
+    "fuzzy_part_name_pairs",
+    "graph_degree_histogram",
+    "graph_triangles_per_node",
+    "kmeans_cluster_sizes",
+    "minmax_by_orders",
+    "null_safe_join_segments",
+    "outlier_events_by_type",
+    "percentile_window_customers",
+    "resample_interpolate_hourly",
+    "salted_join_brand_revenue",
+    "semantic_dedup_survivors",
+    "semantic_near_dup_pairs",
+    "semantic_prune_by_centroid",
+    "session_conversion_rate",
+    "stats_aggregates_lineitem",
+    "top_terms_per_doc",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_latency_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
 ]
 
-_r9 = set(ROUND9_WINDOW)
-assert len(ROUND9_WINDOW) == 50 and _r9 <= set(QUERIES), "window/registry drift"
-QUERIES = {k: QUERIES[k] for k in ROUND9_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in _r9
+_win = set(ROUND10_WINDOW)
+# explicit raise, not assert: a module-level assert is stripped under
+# `python -O`, and a malformed window would then silently corrupt the
+# QUERIES ordering the driver's correctness gate depends on (r9 ADVICE)
+if len(ROUND10_WINDOW) != 50 or len(_win) != 50 or not _win <= set(QUERIES):
+    raise ValueError(
+        "window/registry drift: ROUND10_WINDOW must be 50 distinct "
+        f"registry keys (got {len(ROUND10_WINDOW)} entries, "
+        f"{len(_win)} distinct, unknown={sorted(_win - set(QUERIES))})"
+    )
+QUERIES = {k: QUERIES[k] for k in ROUND10_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in _win
 }

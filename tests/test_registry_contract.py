@@ -2,17 +2,15 @@
 
 The driver's correctness gate checks the first 50 registry keys, so the
 dict order is load-bearing. Rotation is declarative since round 9:
-``registry.ROUND9_WINDOW`` is reordered to the front of ``QUERIES`` at
+``registry.ROUND10_WINDOW`` is reordered to the front of ``QUERIES`` at
 import time and these tests pin its composition.
 
-Round-9 rule (r8 verdict asks #3/#7): slots 1-4 are the four
-rows-only-by-design queries — their newest driver rows dated to r05, and
-rows-only checks still catch crashes/row-count drift in the xxhash64
-fast paths and sketch aggregates (the r5-era "window is 100%
-oracle-backed" rule is deliberately relaxed for exactly these four).
-Slots 5-50 are the 46 stalest oracle-backed greens from the cumulative
-CORRECTNESS_r0*.json book (1×r3, 8×r4, 5×r5, 32×r6), so after r9 no
-registry query's newest driver row is older than r6.
+Round-10 rule (r9 verdict ask #4): the window is the 50 stalest rows of
+the cumulative CORRECTNESS book — all 18 queries whose newest driver row
+was r6 plus the first 32 (alphabetically) of the 48 whose newest row was
+r7 — so after r10 no registry query's newest driver row is older than
+r7. Every slot is oracle-backed this round (the four
+rows-only-by-design queries were refreshed in r9 and sit in the tail).
 """
 
 import pytest
@@ -20,7 +18,7 @@ import pytest
 from pyspark_etl_twitter_spark.plans.registry import (
     ORACLES,
     QUERIES,
-    ROUND9_WINDOW,
+    ROUND10_WINDOW,
 )
 
 DRIVER_WINDOW = 50
@@ -42,15 +40,16 @@ ROWS_ONLY_BY_DESIGN = {
 
 
 def test_window_is_the_declared_rotation():
-    assert list(QUERIES)[:DRIVER_WINDOW] == ROUND9_WINDOW
-    assert len(set(ROUND9_WINDOW)) == DRIVER_WINDOW
+    assert list(QUERIES)[:DRIVER_WINDOW] == ROUND10_WINDOW
+    assert len(set(ROUND10_WINDOW)) == DRIVER_WINDOW
 
 
-def test_window_composition_r9():
-    """4 rows-only refresh slots (stale since r05) + 46 oracle-backed."""
+def test_window_composition_r10():
+    """All 50 slots oracle-backed; the rows-only set lives in the tail
+    (its newest driver rows are r9 — the freshest in the book)."""
     window = list(QUERIES)[:DRIVER_WINDOW]
-    assert set(window[:4]) == ROWS_ONLY_BY_DESIGN
-    assert all(k in ORACLES for k in window[4:])
+    assert all(k in ORACLES for k in window)
+    assert not (set(window) & ROWS_ONLY_BY_DESIGN)
 
 
 def test_rows_only_is_exactly_the_sanctioned_set():
@@ -67,9 +66,12 @@ def test_window_outputs_are_driver_hashable(spark):
     """No ORACLE-BACKED window query may emit an array/map/struct column:
     the driver's value-hash casts columns to string and Spark vs DuckDB
     render complex types differently (r7: encoded_docs went red on
-    array<int> rendering). The four rows-only slots are exempt — the
-    driver only row-counts them. Runs each window query at sf0.001 and
-    inspects the schema, so it also smoke-runs the whole window."""
+    array<int> rendering). Also EXECUTES each window query at sf0.001
+    (noop write — full plan runs, nothing materializes on the driver):
+    schema inspection alone only builds the lazy plan, so runtime
+    failures (bad cast at execution, Arrow batch errors in mapInPandas
+    paths) would otherwise first surface in the driver's gate (r9
+    ADVICE: the old docstring claimed a smoke-run it didn't do)."""
     from tests.conftest import SF_TINY
 
     for name in list(QUERIES)[:DRIVER_WINDOW]:
@@ -81,3 +83,4 @@ def test_window_outputs_are_driver_hashable(spark):
                     f"driver hash-compare cannot render complex types "
                     f"consistently; serialize to string in the query"
                 )
+        df.write.format("noop").mode("overwrite").save()

@@ -209,8 +209,14 @@ LIMIT 10
 
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: fact⋈fact shuffle joins + broadcast dims.
-    nation/region/supplier are bounded dimensions → explicit broadcast;
-    customer⋈orders and orders⋈lineitem shuffle on their keys."""
+    nation/region are BOUNDED dimensions (25/5 rows at every SF) →
+    explicit broadcast; customer⋈orders and orders⋈lineitem shuffle on
+    their keys. supplier is NOT bounded — it scales with SF (SF×10k
+    rows, ~200M ASIA-filtered at the 100 TB point), so the folded
+    sup_asia dim carries no broadcast hint (r9 ADVICE: forcing it would
+    blow Spark's 8 GB broadcast hard limit at exactly the scale the join
+    order targets); static size estimates / AQE pick broadcast while it
+    fits and fall back to shuffle when it doesn't."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -218,18 +224,20 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     # Join order: the r_name='ASIA' predicate only reaches the fact table
-    # through supplier, so fold region→nation→supplier FIRST (all bounded
-    # dims) and broadcast-join the ~1/5-selective result to lineitem
-    # BEFORE the two fact⋈fact shuffles — at 100 TB this eliminates ~80%
-    # of lineitem rows ahead of the orders/customer joins instead of
-    # after them (Catalyst has no CBO stats here and keeps written order).
+    # through supplier, so fold region→nation→supplier FIRST and join the
+    # ~1/5-selective result to lineitem BEFORE the two fact⋈fact shuffles
+    # — at 100 TB this eliminates ~80% of lineitem rows ahead of the
+    # orders/customer joins instead of after them (Catalyst has no CBO
+    # stats here and keeps written order). No broadcast hint on sup_asia:
+    # supplier scales with SF, so the planner's size estimate decides
+    # (broadcast at bench SFs, shuffle join past the 8 GB limit).
     sup_asia = (
         sup.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_nationkey", "n_name")
     )
     return (
-        li.join(F.broadcast(sup_asia), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sup_asia, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             cust,

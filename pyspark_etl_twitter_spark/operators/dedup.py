@@ -673,15 +673,34 @@ def normalized_dedup_summary(docs: DataFrame, text_col: str = "text") -> DataFra
     """Duplication profile under the normalized form, beside the raw
     one: (n_docs, n_distinct_norm, n_norm_dup_docs, n_extra_vs_exact) —
     the last column is how many duplicates normalization finds that raw
-    exact dedup misses, the number that justifies running it."""
-    norm = normalize_for_dedup(text_col)
-    return docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(norm).alias("n_distinct_norm"),
-        (F.count(F.lit(1)) - F.countDistinct(norm)).alias("n_norm_dup_docs"),
-        (F.countDistinct(F.col(text_col)) - F.countDistinct(norm)).alias(
-            "n_extra_vs_exact"
-        ),
+    exact dedup misses, the number that justifies running it.
+
+    Shape: pre-aggregate on the RAW text once, then a single-distinct
+    final aggregate over the (much smaller) distinct-text relation —
+    norm is a pure function of text, so distinct-norm over distinct
+    texts equals distinct-norm over the corpus. Two reasons over the
+    naive two-countDistinct one-shot agg: (a) scale — a multi-distinct
+    aggregate Expands the corpus 3× before its shuffle, this shuffles
+    the corpus once un-expanded and runs the distinct on the contracted
+    relation; (b) determinism — Spark's RewriteDistinctAggregates
+    assigns the distinct groups' gids in expr-id-hash order, so the
+    TWO-distinct plan PRINTS as either of two equivalent variants
+    depending on the session's expr-id counter (r9 What's-wrong #1: the
+    bench fingerprint for this query flipped between runs of the same
+    commit; captured by the r10 bench's self-check text diff). A single
+    distinct has one group and one plan."""
+    per_text = (
+        docs.groupBy(F.col(text_col).alias("_text"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_norm", normalize_for_dedup("_text"))
+    )
+    # null semantics match the old form: count("_text")/countDistinct
+    # skip the single null-text group, sum(cnt) counts every row
+    return per_text.agg(
+        F.sum("cnt").alias("n_docs"),
+        F.countDistinct("_norm").alias("n_distinct_norm"),
+        (F.sum("cnt") - F.countDistinct("_norm")).alias("n_norm_dup_docs"),
+        (F.count("_text") - F.countDistinct("_norm")).alias("n_extra_vs_exact"),
     )
 
 

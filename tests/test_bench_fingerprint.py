@@ -36,6 +36,11 @@ PINNED = [
     "sessionize_events",
     "binned_range_join_bands",
     "doc_fingerprints",
+    # r9 What's-wrong #1: the old two-countDistinct form printed as either
+    # of two RewriteDistinctAggregates gid orders depending on the
+    # session's expr-id counter — r10 rewrote it to a single-distinct
+    # shape (operators/dedup.normalized_dedup_summary); this pin holds it
+    "dedup_normalized_summary",
 ]
 
 
@@ -52,13 +57,17 @@ def _shift_plan_id_counter(spark, n: int = 5) -> None:
 
 @pytest.mark.parametrize("name", PINNED)
 def test_fingerprint_survives_plan_id_counter_shift(spark, name):
-    fp1 = plan_fingerprint(QUERIES[name](spark, SF_SMALL))
+    fp1, text1 = plan_fingerprint(QUERIES[name](spark, SF_SMALL))
     _shift_plan_id_counter(spark)
-    fp2 = plan_fingerprint(QUERIES[name](spark, SF_SMALL))
+    fp2, text2 = plan_fingerprint(QUERIES[name](spark, SF_SMALL))
     assert fp1 == fp2, (
         f"{name}: fingerprint unstable across identical plans — a "
-        f"run-variant token survives _FP_NOISE; diff the normalized "
-        f"explain('formatted') texts and extend bench._FP_NOISE"
+        f"run-variant token survives _FP_NOISE; diff:\n"
+        + "\n".join(
+            f"-{a}\n+{b}"
+            for a, b in zip(text1.splitlines(), text2.splitlines())
+            if a != b
+        )[:2000]
     )
 
 

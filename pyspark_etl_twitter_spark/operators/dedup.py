@@ -442,10 +442,24 @@ def duplicate_clusters(
     (HDFS/S3): each round's working set is then written via reliable
     ``checkpoint()`` and survives executor churn, at the cost of one
     distributed write per round — the write is vertex-sized (contracted
-    labels/edges, shrinking every round), not corpus-sized. Note
-    ``setCheckpointDir`` is SparkContext-global; this call sets it when
-    a dir is supplied.
-    """
+    labels/edges, shrinking every round), not corpus-sized. Measured at
+    sf0.1 (tools/bench_durable_cc.py, local disk): durable/local =
+    0.94× — statistically zero, the working set is small enough that
+    the write round-trip sits inside run noise; on a real cluster the
+    cost is ~rounds × (HDFS/S3 write+read latency) for those same
+    vertex-sized tables. Note ``setCheckpointDir`` is
+    SparkContext-global; this call sets it when a dir is supplied.
+
+    CLEANUP: reliable checkpoint files are NOT removed by default —
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` defaults to
+    false, so each contraction round leaves its checkpoint dirs behind
+    (~3 per solve, up to ``max_iters`` in the adversarial case), which
+    accumulates on HDFS/S3 for a long-running pipeline. Either set that
+    conf to ``true`` at session build (checkpoints are then GC'd when
+    their RDD is unreferenced — safe here, each round only reads the
+    previous round's checkpoint) or point ``checkpoint_dir`` at a
+    job-scoped path and delete it after the result is materialized, as
+    tools/bench_durable_cc.py does."""
     # the partition-local NumPy solve and its Arrow schema are integral;
     # reject non-integral ids up front (the pre-contraction propagation
     # was type-generic — string/UUID ids would now fail deep inside Arrow

@@ -575,6 +575,15 @@ def _decode_markers(payload: bytes) -> np.ndarray:
                 scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
             if frame is None:
                 raise ValueError("SOS before SOF")
+            frame_ids = {c["id"] for c in frame["comps"]}
+            if not set(scan_sel) <= frame_ids:
+                # corrupt SOS naming a component the frame doesn't have —
+                # without this it surfaced as a KeyError deep in the scan
+                # state (caught by the malformed-stream fuzz contract)
+                raise ValueError(
+                    f"SOS component ids {sorted(scan_sel)} not a subset of "
+                    f"frame components {sorted(frame_ids)} (corrupt stream)"
+                )
             if frame.get("progressive"):
                 ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
                 ahal = seg[3 + 2 * ns]
@@ -683,6 +692,10 @@ def _decode_scan(payload, pos, frame, scan_sel, qtables, htables, restart_interv
 def _decode_block(reader, read_symbol, comp, pred):
     zz = np.zeros(64, dtype=np.int64)
     cat = read_symbol(comp["dc_tab"])
+    if cat > 11:  # T.81 F.1.2.1.2: DC category ≤ 11 at 8-bit precision —
+        # a corrupt stream can otherwise yield a full-byte symbol whose
+        # read_bits(cat) value overflows the int64 coefficient store
+        raise ValueError(f"invalid DC category {cat} (corrupt stream)")
     diff = _extend(reader.read_bits(cat), cat) if cat else 0
     pred[comp["id"]] += diff
     zz[0] = pred[comp["id"]]
@@ -782,6 +795,10 @@ def _decode_progressive_scan(
             coef = sc["coef"][by, bx]
             if ah == 0:
                 cat = read_symbol(htables[(0, td)])
+                if cat > 11:  # same T.81 bound as the baseline DC path
+                    raise ValueError(
+                        f"invalid DC category {cat} (corrupt stream)"
+                    )
                 diff = _extend(reader.read_bits(cat), cat) if cat else 0
                 sc["pred"] += diff
                 coef[0] = sc["pred"] << al

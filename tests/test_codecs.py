@@ -684,3 +684,55 @@ def test_jpeg_progressive_fuzz_includes_noninterleaved_dc():
             encode_jpeg_progressive(img, dc_noninterleaved=trial % 2 == 1, **kw)
         )
         assert np_.array_equal(base, prog), f"trial {trial}: {kw} {img.shape}"
+
+
+def test_jpeg_malformed_stream_fuzz_error_contract():
+    """Fuzz-seed growth for the r9 scan-shape fixes (r9 verdict ask #8):
+    RSTn markers spliced at a sweep of positions into baseline AND
+    progressive (both DC-scan shapes) streams of non-8x8-multiple dims,
+    plus truncations of the non-interleaved-DC stream. The decode
+    contract is ValueError-or-clean-ndarray — any other exception
+    (IndexError deep in the block grid, struct.error, _RestartMarker
+    escaping) is a crash bug of exactly the class r8/r9 fixed."""
+    import numpy as np_
+
+    from pyspark_etl_twitter_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np_.random.RandomState(59)
+    img = rng.randint(0, 256, (33, 41, 3)).astype(np_.uint8)
+    streams = [
+        encode_jpeg(img, subsampling="420", restart_interval=2),
+        encode_jpeg_progressive(img, subsampling="420"),
+        encode_jpeg_progressive(
+            img, subsampling="420", dc_noninterleaved=True, restart_interval=2
+        ),
+        encode_jpeg_progressive(
+            rng.randint(0, 256, (17, 25)).astype(np_.uint8), dc_noninterleaved=True
+        ),
+    ]
+
+    def must_not_crash(buf: bytes) -> None:
+        try:
+            out = decode_jpeg(buf)
+        except ValueError:
+            return
+        assert isinstance(out, np_.ndarray)
+
+    for b in streams:
+        sos = b.find(b"\xFF\xDA")
+        entropy_start = sos + 2 + int.from_bytes(b[sos + 2 : sos + 4], "big")
+        # RSTn splices: every marker 0-7, positions sweeping the stream
+        for i, pos in enumerate(range(entropy_start + 1, len(b) - 2, 97)):
+            rst = bytes([0xFF, 0xD0 + (i % 8)])
+            must_not_crash(b[:pos] + rst + b[pos:])
+        # truncations through the scan data
+        for cut in range(entropy_start + 1, len(b), 61):
+            must_not_crash(b[:cut])
+        # byte corruptions in entropy data (bit flips can produce any
+        # Huffman path, incl. spec-illegal coefficient runs)
+        for pos in range(entropy_start + 2, len(b) - 3, 83):
+            must_not_crash(b[:pos] + bytes([b[pos] ^ 0x55]) + b[pos + 1 :])

@@ -410,6 +410,14 @@ ORACLES: dict[str, str] = {
 # rows-only-by-design queries were refreshed in r9 and are the FRESHEST
 # rows in the book, so they stay in the tail.
 ROUND10_WINDOW: list[str] = [
+    # changed-this-round (2): both queries' plans changed in r10 commits
+    # (aeecdbe dropped revenue_by_nation's scale-unsafe broadcast hint;
+    # a827358 rewrote dedup_normalized_summary's aggregate shape). Their
+    # r9 hash-green rows verified the OLD plans, so they take two window
+    # slots now rather than waiting out the staleness rotation — a
+    # changed query always outranks a stale-but-unchanged one.
+    "revenue_by_nation",
+    "dedup_normalized_summary",
     # newest driver rows: r6 (18)
     "running_revenue_chunked",
     "script_profile_by_source",
@@ -429,7 +437,9 @@ ROUND10_WINDOW: list[str] = [
     "tpch_q21_waiting_suppliers",
     "weighted_sample_by_length",
     "winsorized_price_stats",
-    # newest driver rows: r7 (first 32 alphabetically of 48)
+    # newest driver rows: r7 (first 30 alphabetically of 48; q13/q14
+    # yield their slots to the two changed-in-r10 queries above and
+    # rotate in r11 with the other 18 r7 rows)
     "asof_forward_next_click",
     "bigram_lm_quality_by_source",
     "bloom_join_urgent_revenue",
@@ -460,8 +470,6 @@ ROUND10_WINDOW: list[str] = [
     "tpch_q10_returned_items",
     "tpch_q11_important_stock",
     "tpch_q12_latency_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
 ]
 
 _win = set(ROUND10_WINDOW)

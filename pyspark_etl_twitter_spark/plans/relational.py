@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_etl_twitter_spark.session import pin_oracle_confs
-from pyspark_etl_twitter_spark.sources.catalog import load_table
+from pyspark_etl_twitter_spark.sources.catalog import load_table, table_disk_bytes
+
+# Size gate for broadcast hints on SF-scaling dimensions (supplier):
+# hint while the raw parquet footprint is ≤ this, otherwise leave the
+# strategy to planner estimates/AQE. 64 MB on disk is ~an order of
+# magnitude of headroom under the 8 GB broadcast hard limit even at
+# parquet's typical 5-10× in-memory expansion.
+SUPPLIER_BROADCAST_DISK_CAP = 64 << 20
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -210,13 +217,19 @@ LIMIT 10
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: fact⋈fact shuffle joins + broadcast dims.
     nation/region are BOUNDED dimensions (25/5 rows at every SF) →
-    explicit broadcast; customer⋈orders and orders⋈lineitem shuffle on
-    their keys. supplier is NOT bounded — it scales with SF (SF×10k
-    rows, ~200M ASIA-filtered at the 100 TB point), so the folded
-    sup_asia dim carries no broadcast hint (r9 ADVICE: forcing it would
-    blow Spark's 8 GB broadcast hard limit at exactly the scale the join
-    order targets); static size estimates / AQE pick broadcast while it
-    fits and fall back to shuffle when it doesn't."""
+    unconditional broadcast; customer⋈orders and orders⋈lineitem shuffle
+    on their keys. supplier is NOT bounded — it scales with SF (SF×10k
+    rows, ~200M ASIA-filtered at the 100 TB point), so its broadcast
+    hint is SIZE-GATED on the table's on-disk footprint
+    (``table_disk_bytes``): hinted below 64 MB parquet (every bench SF;
+    keeps lineitem probe-side), absent past the cap or on remote
+    filesystems, where planner estimates/AQE decide (r9 ADVICE: an
+    unconditional hint would blow Spark's 8 GB broadcast hard limit at
+    exactly the scale the join order targets). The gate exists because
+    dropping the hint entirely regressed the bench plan: Catalyst's
+    column-pruned size estimate put the 4-column lineitem scan UNDER the
+    10 MB auto-broadcast threshold and broadcast the FACT table
+    (measured 0.963 s → 1.225 s at sf0.1)."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -228,14 +241,15 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~1/5-selective result to lineitem BEFORE the two fact⋈fact shuffles
     # — at 100 TB this eliminates ~80% of lineitem rows ahead of the
     # orders/customer joins instead of after them (Catalyst has no CBO
-    # stats here and keeps written order). No broadcast hint on sup_asia:
-    # supplier scales with SF, so the planner's size estimate decides
-    # (broadcast at bench SFs, shuffle join past the 8 GB limit).
+    # stats here and keeps written order).
     sup_asia = (
         sup.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_nationkey", "n_name")
     )
+    sup_bytes = table_disk_bytes(sf_dir, "supplier")
+    if sup_bytes is not None and sup_bytes <= SUPPLIER_BROADCAST_DISK_CAP:
+        sup_asia = F.broadcast(sup_asia)
     return (
         li.join(sup_asia, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))

@@ -38,6 +38,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_disk_bytes(sf_dir: str, name: str) -> int | None:
+    """Best-effort on-disk parquet footprint of a table, for size-GATED
+    broadcast hints on dimensions that scale with SF (supplier, part):
+    hint while the table is provably small, fall back to planner/AQE
+    sizing past the cap. Plan-build-time and deterministic for a given
+    dataset — the same dataset yields the same plan on every run, so
+    bench fingerprints stay stable. Local filesystems only: remote
+    schemes (hdfs://, s3a://…) return None, and callers must leave the
+    hint off — exactly the environments where a wrong forced broadcast
+    is most expensive."""
+    p = table_path(sf_dir, name)
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+    elif "://" in p:
+        return None
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    if os.path.isdir(p):
+        total = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+    return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

@@ -149,3 +149,23 @@ def test_avro_is_gated(spark, tmp_path):
             write_avro(df, path)
         with _pytest.raises(NotImplementedError, match="spark-avro"):
             read_avro(spark, path)
+
+
+def test_table_disk_bytes_gates_broadcast_hints(tmp_path):
+    """table_disk_bytes drives size-GATED broadcast hints (r9 ADVICE on
+    revenue_by_nation): local tables report their real parquet footprint,
+    remote schemes and missing paths report None so callers leave the
+    hint OFF exactly where a wrong forced broadcast is most expensive."""
+    from pyspark_etl_twitter_spark.sources.catalog import table_disk_bytes
+
+    sz = table_disk_bytes("/root/testdata/sf0.001", "supplier")
+    assert sz is not None and 0 < sz < (64 << 20)  # tiny at bench SFs
+    assert table_disk_bytes("s3a://bucket/prefix", "supplier") is None
+    assert table_disk_bytes("hdfs://nn/warehouse", "lineitem") is None
+    assert table_disk_bytes(str(tmp_path / "missing"), "supplier") is None
+    # directory layouts (multi-file parquet) sum their files
+    d = tmp_path / "part.parquet"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"x" * 100)
+    (d / "b.bin").write_bytes(b"y" * 50)
+    assert table_disk_bytes(str(tmp_path), "part") == 150

@@ -755,3 +755,147 @@ def simhash_fingerprints_portable(
     return agg.select(
         F.col("_id").alias(id_col), fp.cast("long").alias("simhash")
     )
+
+
+# --------------------------------------------------------------------------
+# Segment-level exact dedup (CCNet/RefinedWeb line dedup; round 10)
+# --------------------------------------------------------------------------
+
+def segment_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 5,
+) -> DataFrame:
+    """Sub-document exact dedup: split each document into fixed-width
+    token segments, keep only the FIRST global occurrence of every
+    distinct segment (ordered by (id, position)), and reassemble what
+    survives — the line/paragraph dedup step of web-corpus pipelines
+    (CCNet, RefinedWeb) with fixed-width segments standing in for lines
+    on line-less text. Returns ``(id, n_segments, n_kept, new_text)``
+    for EVERY input document (``n_kept=0, new_text=''`` when all of a
+    document's segments were seen earlier).
+
+    Scale shape — two shuffles, both load-bearing:
+
+    1. keep-first is ``groupBy(segment).agg(min(struct(id, pos)))`` —
+       NOT a window. Partial aggregation collapses each mapper's copies
+       of a hot segment before the shuffle, so corpus-wide boilerplate
+       (the exact thing this operator removes, possibly 10^6 copies of
+       one segment) costs one row per mapper instead of one sorted
+       window partition holding every copy. The aggregate's output IS
+       the survivor set — no join back to the exploded relation.
+    2. reassembly is ``groupBy(id)`` + position-sorted concat; bounded
+       by document size.
+
+    The shuffle key is the segment text itself (bounded: ``seg_tokens``
+    tokens). Hashing it (sha2) would shrink the key but the segment
+    text must travel to the reducer anyway for reassembly, so a digest
+    column would be pure overhead here — unlike document-level dedup
+    (``sha_fingerprints``) where the body can be left behind."""
+    toks = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    segments = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * seg_tokens + 1, seg_tokens)
+        ),
+    )
+    base = docs.select(
+        F.col(id_col), n_seg.alias("n_segments"), segments.alias("_segs")
+    )
+    exploded = base.select(
+        id_col, F.posexplode("_segs").alias("seg_idx", "segment")
+    )
+    kept = (
+        exploded.groupBy("segment")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("i"), F.col("seg_idx").alias("s")
+                )
+            ).alias("_f")
+        )
+        .select(
+            F.col("_f.i").alias(id_col),
+            F.col("_f.s").alias("seg_idx"),
+            "segment",
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "segment"))),
+                lambda s: s["segment"],
+            ),
+        ).alias("new_text"),
+    )
+    return (
+        base.select(id_col, "n_segments")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: k-means-bucketed embedding dedup (round 10)
+# --------------------------------------------------------------------------
+
+def semdedup_drop_ids(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.30,
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    embedding space with k-means, then inside each cluster drop the
+    higher-id member of every pair whose cosine similarity (rounded to
+    ``round_dp``) is >= ``threshold``. Returns the distinct ids to drop.
+
+    Compared to the LSH route (``embedding_near_dup_pairs``): LSH
+    buckets by random hyperplanes and needs L tables for recall;
+    SemDeDup buckets by LEARNED structure, so semantically-close pairs
+    co-locate in one partition by construction and the pair scan is a
+    single cluster-key self-join. The tradeoff is also the classic one:
+    pairs straddling a cluster boundary are missed (the paper accepts
+    this; recall is traded for a one-partition scan).
+
+    Scale: the self-join is quadratic WITHIN a cluster — the k knob
+    bounds it. Pick k ~ N/target_cluster_size so the per-reducer pair
+    work is (N/k)^2 · k; the paper uses k in the tens of thousands at
+    corpus scale. A runaway cluster (all-identical embeddings) is the
+    same star-shape hazard as an oversized LSH bucket — cap it upstream
+    with exact dedup of identical vectors, which collapses those rows
+    before clustering. Rounding the cosine before the threshold
+    comparison keeps the decision identical across engines (summation
+    order differs ~1e-15; the 0.5e-6 rounding grid absorbs it —
+    same convention as the LSH verify stage)."""
+    from pyspark_etl_twitter_spark.operators.clustering import kmeans_assign
+    from pyspark_etl_twitter_spark.operators.similarity import cosine
+
+    assigned = kmeans_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    with_vec = assigned.select(id_col, "cluster").join(emb, id_col)
+    a, b = with_vec.alias("a"), with_vec.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    dups = pairs.filter(
+        F.round(
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_dp
+        )
+        >= threshold
+    )
+    return dups.select(F.col(f"b.{id_col}").alias(id_col)).distinct()

@@ -455,6 +455,92 @@ ORACLE_KMEANS_CLUSTER_SIZES = _kmeans_oracle()
 
 
 # --------------------------------------------------------------------------
+# SemDeDup: k-means-bucketed embedding dedup (round 10)
+# --------------------------------------------------------------------------
+
+
+def semdedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embedding corpus: k-means
+    partitions the space (same portable fit the k-means oracle unrolls),
+    then each cluster drops the higher-id member of every within-cluster
+    pair with cosine >= SEMANTIC_TAU. Per-cluster keep/drop histogram.
+
+    The LEARNED-bucket counterpart of ``semantic_dedup_survivors`` (LSH
+    buckets): close pairs co-locate by construction, at the cost of
+    missing pairs that straddle a cluster boundary — both the recall
+    tradeoff and the single cluster-key self-join are the paper's
+    design. The whole pipeline (fit trajectory, assignment tie-break,
+    rounded cosine gate) is ANSI-SQL-expressible, so the driver
+    hash-verifies it end to end."""
+    from pyspark_etl_twitter_spark.operators.cachereg import keep_cached
+    from pyspark_etl_twitter_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit_portable,
+    )
+    from pyspark_etl_twitter_spark.operators.dedup import semdedup_drop_ids
+
+    emb = keep_cached(_t(spark, sf_dir, "embeddings"))
+    centroids = kmeans_fit_portable(emb, _KM_K, iters=_KM_ITERS, round_dp=_KM_DP)
+    assigned = kmeans_assign(emb, centroids).select("vec_id", "cluster")
+    drops = semdedup_drop_ids(
+        emb, centroids, threshold=SEMANTIC_TAU, round_dp=_KM_DP
+    ).withColumn("_d", F.lit(1))
+    return (
+        assigned.join(drops, "vec_id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.coalesce("_d", F.lit(0))).alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce("_d", F.lit(0)))).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
+def _semdedup_oracle() -> str:
+    tf = _KM_ITERS
+    return f"""
+WITH {_kmeans_ctes()},
+dF AS (
+  SELECT e.vec_id, c.cluster, sum((e.x - c.val) * (e.x - c.val)) AS d2
+  FROM edim e JOIN c{tf} c ON c.pos = e.pos
+  GROUP BY e.vec_id, c.cluster
+),
+aF AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM dF
+  ) WHERE rn = 1
+),
+vec AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+drops AS (
+  SELECT DISTINCT pb.vec_id
+  FROM aF pa JOIN aF pb
+    ON pa.cluster = pb.cluster AND pa.vec_id < pb.vec_id
+  JOIN vec a ON a.vec_id = pa.vec_id
+  JOIN vec b ON b.vec_id = pb.vec_id
+  WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), {_KM_DP})
+        >= {SEMANTIC_TAU}
+)
+SELECT CAST(f.cluster AS INTEGER) AS cluster,
+       count(*) AS n_vecs,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+FROM aF f LEFT JOIN drops d USING (vec_id)
+GROUP BY f.cluster
+"""
+
+
+ORACLE_SEMDEDUP_CLUSTER_SUMMARY = _semdedup_oracle()
+
+
+# --------------------------------------------------------------------------
 # Bloom-filter join pruning (round 3) — exact join, pruned shuffle
 # --------------------------------------------------------------------------
 

@@ -163,6 +163,8 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_prune_by_centroid": AQ.semantic_prune_by_centroid,
     "dedup_minhash_portable_pairs": T.dedup_minhash_portable_pairs,
     "kmeans_cluster_sizes": AQ.kmeans_cluster_sizes,
+    "semdedup_cluster_summary": AQ.semdedup_cluster_summary,
+    "dedup_segments_rebuild": T.dedup_segments_rebuild,
     "pricing_summary": R.pricing_summary,
     "revenue_by_nation": R.revenue_by_nation,
     "bucketed_join_revenue": B.bucketed_join_revenue,
@@ -330,6 +332,8 @@ ORACLES: dict[str, str] = {
     "percentile_window_customers": AQ.ORACLE_PERCENTILE_WINDOW_CUSTOMERS,
     "semantic_near_dup_pairs": AQ.ORACLE_SEMANTIC_NEAR_DUP_PAIRS,
     "kmeans_cluster_sizes": AQ.ORACLE_KMEANS_CLUSTER_SIZES,
+    "semdedup_cluster_summary": AQ.ORACLE_SEMDEDUP_CLUSTER_SUMMARY,
+    "dedup_segments_rebuild": T.ORACLE_DEDUP_SEGMENTS_REBUILD,
     "semantic_dedup_survivors": AQ.ORACLE_SEMANTIC_DEDUP_SURVIVORS,
     "tpch_q3_shipping_priority": H.ORACLE_TPCH_Q3,
     "tpch_q4_order_priority": H.ORACLE_TPCH_Q4,
@@ -418,6 +422,11 @@ ROUND10_WINDOW: list[str] = [
     # changed query always outranks a stale-but-unchanged one.
     "revenue_by_nation",
     "dedup_normalized_summary",
+    # new-this-round (2): never driver-verified — same rule as changed
+    # queries (both verified vs their DuckDB oracles locally at sf0.01
+    # before taking slots: 500 rows / 8 rows hash-equal).
+    "dedup_segments_rebuild",
+    "semdedup_cluster_summary",
     # newest driver rows: r6 (18)
     "running_revenue_chunked",
     "script_profile_by_source",
@@ -437,9 +446,9 @@ ROUND10_WINDOW: list[str] = [
     "tpch_q21_waiting_suppliers",
     "weighted_sample_by_length",
     "winsorized_price_stats",
-    # newest driver rows: r7 (first 30 alphabetically of 48; q13/q14
-    # yield their slots to the two changed-in-r10 queries above and
-    # rotate in r11 with the other 18 r7 rows)
+    # newest driver rows: r7 (first 28 alphabetically of 48; q11-q14
+    # yield their slots to the two changed-in-r10 and two new-in-r10
+    # queries above and rotate in r11 with the other 16 r7 rows)
     "asof_forward_next_click",
     "bigram_lm_quality_by_source",
     "bloom_join_urgent_revenue",
@@ -468,8 +477,6 @@ ROUND10_WINDOW: list[str] = [
     "stats_aggregates_lineitem",
     "top_terms_per_doc",
     "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_latency_priority",
 ]
 
 _win = set(ROUND10_WINDOW)

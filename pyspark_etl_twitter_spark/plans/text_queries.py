@@ -559,6 +559,55 @@ WHERE f.doc_id = (SELECT min(g.doc_id) FROM fresh g WHERE g.text = f.text)
 """
 
 
+_SEG_TOKENS = 5
+
+
+def dedup_segments_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style sub-document dedup: 5-token segments,
+    global keep-first (by (doc_id, position)), documents reassembled
+    from what survives. At sf0.01 the corpus loses ~6% of its segments
+    (320 of 5,638 are repeats of an earlier segment)."""
+    return D.segment_dedup(
+        _t(spark, sf_dir, "documents"), seg_tokens=_SEG_TOKENS
+    )
+
+
+ORACLE_DEDUP_SEGMENTS_REBUILD = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS lst FROM documents
+),
+segs AS (
+  SELECT doc_id, s.seg_idx, s.segment FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(CAST(ceil(len(lst) / {_SEG_TOKENS}.0) AS BIGINT)),
+             i -> struct_pack(
+               seg_idx := i,
+               segment := array_to_string(
+                 list_slice(lst, i * {_SEG_TOKENS} + 1,
+                            i * {_SEG_TOKENS} + {_SEG_TOKENS}), ' ')))) AS s
+    FROM toks)
+),
+kept AS (
+  SELECT doc_id, seg_idx, segment FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY segment ORDER BY doc_id, seg_idx) AS rn
+    FROM segs
+  ) WHERE rn = 1
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(segment, ' ' ORDER BY seg_idx) AS new_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(ceil(len(t.lst) / {_SEG_TOKENS}.0) AS INTEGER) AS n_segments,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(r.new_text, '') AS new_text
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition profile (Gopher-style filters): duplicate-token
     ratio, top-token share, top-bigram share."""

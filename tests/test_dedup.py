@@ -561,3 +561,110 @@ def test_portable_minhash_random_corpora_cross_engine(spark):
         )
         assert got == want, (seed, len(got), len(want))
         assert got  # planted dups guarantee a non-empty pair set
+
+
+# --------------------------------------------------------------------------
+# Segment-level dedup (round 10)
+# --------------------------------------------------------------------------
+
+
+def test_segment_dedup_keep_first_and_rebuild(spark):
+    from pyspark_etl_twitter_spark.operators.dedup import segment_dedup
+
+    rows = [
+        # doc 0: segments (w=3): "a b c" / "d e f" / "g"
+        Row(doc_id=0, text="a b c d e f g"),
+        # doc 1 repeats doc 0's first segment at position 0, then fresh
+        Row(doc_id=1, text="a b c x y z"),
+        # doc 2 is doc 0 verbatim → every segment already seen
+        Row(doc_id=2, text="a b c d e f g"),
+        # doc 3 repeats a segment WITHIN itself
+        Row(doc_id=3, text="p q r p q r"),
+        # doc 4: empty text is one empty segment, globally unique
+        Row(doc_id=4, text=""),
+    ]
+    out = {
+        r.doc_id: r
+        for r in segment_dedup(
+            spark.createDataFrame(rows), seg_tokens=3
+        ).collect()
+    }
+    assert out[0].n_segments == 3 and out[0].n_kept == 3
+    assert out[0].new_text == "a b c d e f g"
+    # doc 1 loses its first segment to doc 0
+    assert out[1].n_segments == 2 and out[1].n_kept == 1
+    assert out[1].new_text == "x y z"
+    # doc 2 loses everything but still appears in the output
+    assert out[2].n_kept == 0 and out[2].new_text == ""
+    # within-doc repeat: the later copy is dropped too
+    assert out[3].n_segments == 2 and out[3].n_kept == 1
+    assert out[3].new_text == "p q r"
+    assert out[4].n_segments == 1 and out[4].n_kept == 1
+
+
+def test_segment_dedup_order_is_positional_not_lexicographic(spark):
+    """Survivor choice is (doc_id, position)-first; rebuild preserves the
+    original segment order, not a sort by content."""
+    from pyspark_etl_twitter_spark.operators.dedup import segment_dedup
+
+    rows = [
+        Row(doc_id=10, text="z z w w"),  # segments "z z" / "w w"
+        Row(doc_id=11, text="w w z z"),  # same segments, swapped order
+    ]
+    out = {
+        r.doc_id: r
+        for r in segment_dedup(
+            spark.createDataFrame(rows), seg_tokens=2
+        ).collect()
+    }
+    # doc 10 is first by id: keeps both, in ITS order
+    assert out[10].new_text == "z z w w"
+    assert out[11].n_kept == 0
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (round 10)
+# --------------------------------------------------------------------------
+
+
+def test_semdedup_drops_within_cluster_near_dups_only(spark):
+    from pyspark_etl_twitter_spark.operators.clustering import (
+        kmeans_fit_portable,
+    )
+    from pyspark_etl_twitter_spark.operators.dedup import semdedup_drop_ids
+
+    # two tight blobs on orthogonal axes + one duplicate inside each
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.99, 0.01, 0.0]),   # near-dup of 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.98, 0.02]),   # near-dup of 2
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0]),     # singleton direction
+    ]
+    emb = spark.createDataFrame(rows)
+    cents = kmeans_fit_portable(emb, 3, iters=3)
+    dropped = {
+        r.vec_id
+        for r in semdedup_drop_ids(emb, cents, threshold=0.9).collect()
+    }
+    # the higher id of each within-cluster near-dup pair goes; the
+    # orthogonal singleton survives
+    assert dropped == {1, 3}
+
+
+def test_semdedup_misses_cross_cluster_pairs_by_design(spark):
+    """The paper's documented recall tradeoff: a near-dup pair split
+    across cluster boundaries is NOT dropped."""
+    from pyspark_etl_twitter_spark.operators.clustering import kmeans_assign
+    from pyspark_etl_twitter_spark.operators.dedup import semdedup_drop_ids
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.05]),
+        Row(vec_id=1, embedding=[1.0, -0.05]),  # cosine ~0.995 with 0
+    ]
+    emb = spark.createDataFrame(rows)
+    # hand-placed centroids that split the pair
+    cents = [[1.0, 0.05], [1.0, -0.05]]
+    assigned = {r.vec_id: r.cluster for r in kmeans_assign(emb, cents).collect()}
+    assert assigned[0] != assigned[1]
+    assert semdedup_drop_ids(emb, cents, threshold=0.9).count() == 0

@@ -144,6 +144,9 @@ HEADLINE = [
     "text_embedding_near_dup",
     "sessionize_events_chunked",
     "running_revenue_chunked",
+    # round-10 families
+    "dedup_segments_rebuild",
+    "semdedup_cluster_summary",
 ]
 
 

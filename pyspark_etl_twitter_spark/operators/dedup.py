@@ -882,20 +882,27 @@ def semdedup_drop_ids(
     order differs ~1e-15; the 0.5e-6 rounding grid absorbs it —
     same convention as the LSH verify stage)."""
     from pyspark_etl_twitter_spark.operators.clustering import kmeans_assign
-    from pyspark_etl_twitter_spark.operators.similarity import cosine
+    from pyspark_etl_twitter_spark.operators.similarity import dot
 
     assigned = kmeans_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
-    with_vec = assigned.select(id_col, "cluster").join(emb, id_col)
+    # Precompute each vector's norm ONCE per row before the self-join:
+    # evaluating cosine(a, b) whole inside the pair condition would
+    # recompute sqrt(<a,a>) and sqrt(<b,b>) per CANDIDATE PAIR —
+    # O(pairs · dim) HOF work where O(n · dim) suffices; only the cross
+    # dot product is genuinely per-pair.
+    with_vec = (
+        assigned.select(id_col, "cluster")
+        .join(emb, id_col)
+        .withColumn("_nrm", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
+    )
     a, b = with_vec.alias("a"), with_vec.alias("b")
     pairs = a.join(
         b,
         (F.col("a.cluster") == F.col("b.cluster"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
-    dups = pairs.filter(
-        F.round(
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_dp
-        )
-        >= threshold
+    cos = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a._nrm") * F.col("b._nrm")
     )
+    dups = pairs.filter(F.round(cos, round_dp) >= threshold)
     return dups.select(F.col(f"b.{id_col}").alias(id_col)).distinct()

@@ -41,6 +41,12 @@ PINNED = [
     # session's expr-id counter — r10 rewrote it to a single-distinct
     # shape (operators/dedup.normalized_dedup_summary); this pin holds it
     "dedup_normalized_summary",
+    # r10 additions, each a new plan-shape mix: segment dedup (Generate +
+    # struct-min SortAggregate + ObjectHashAggregate collect_list),
+    # SemDeDup (InMemoryRelation cache ids + residual-condition SMJ with
+    # nested HOF lambdas — the densest lambda-counter surface in the book)
+    "dedup_segments_rebuild",
+    "semdedup_cluster_summary",
 ]
 
 

@@ -178,3 +178,61 @@ def kmeans_fit_portable(
             new_centroids[ci] = [dims[p] for p in sorted(dims)]
         centroids = new_centroids
     return centroids
+
+
+def kmeans_assign_join(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, dist2) via a broadcast centroid RELATION — the
+    large-k twin of ``kmeans_assign``.
+
+    The literal fold of ``_assign`` embeds k·dim doubles in the
+    expression tree: unbeatable at k≲100 (zero exchanges, whole plan in
+    codegen) but the PLAN grows with k — analysis and codegen cost scale
+    with the literal count, and at SemDeDup-scale k (tens of thousands,
+    per the paper) the expression tree itself becomes the bottleneck
+    long before the k×dim floats would trouble an 8 GB broadcast. Here
+    the centroids broadcast as DATA: one BroadcastNestedLoopJoin fans
+    each vector out to k (row, centroid) pairs, one HOF fold computes
+    the distance, and argmin is ``min(struct(d2, cluster))`` — PARTIAL
+    aggregation collapses each map task's pair stream to one candidate
+    per vector before the exchange, so the shuffle carries N rows, not
+    N×k (the reason this beats the row_number window the IVF append
+    path uses: a window must shuffle all N×k pairs to sort them).
+
+    Same distance arithmetic (identical fold, element order, casts) and
+    same tie-break (min struct orders by d2 then cluster = first-match
+    argmin of the literal path) → bit-identical assignments; pinned by
+    ``test_kmeans_assign_join_matches_literal``."""
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        schema="cluster int, _c array<double>",
+    )
+    pairs = emb.select(id_col, vec_col).crossJoin(F.broadcast(cent_df))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_c"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.select(
+            F.col(id_col),
+            F.struct(d2.alias("d2"), F.col("cluster")).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_s").alias("_b"))
+        .select(
+            id_col,
+            F.col("_b.cluster").alias("cluster"),
+            F.col("_b.d2").alias("dist2"),
+        )
+    )

@@ -881,10 +881,24 @@ def semdedup_drop_ids(
     comparison keeps the decision identical across engines (summation
     order differs ~1e-15; the 0.5e-6 rounding grid absorbs it —
     same convention as the LSH verify stage)."""
-    from pyspark_etl_twitter_spark.operators.clustering import kmeans_assign
+    from pyspark_etl_twitter_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_assign_join,
+    )
     from pyspark_etl_twitter_spark.operators.similarity import dot
 
-    assigned = kmeans_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    # assignment path switches on k: literal fold embeds k·dim doubles
+    # in the expression tree (fastest below ~100 centroids, zero
+    # exchanges); past that the broadcast centroid RELATION wins — the
+    # paper's corpus-scale k is in the tens of thousands, where a
+    # literal plan would be MBs of expression tree. Both paths are
+    # bit-identical (test_kmeans_assign_join_matches_literal).
+    if len(centroids) > 64:
+        assigned = kmeans_assign_join(
+            emb, centroids, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        assigned = kmeans_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
     # Precompute each vector's norm ONCE per row before the self-join:
     # evaluating cosine(a, b) whole inside the pair condition would
     # recompute sqrt(<a,a>) and sqrt(<b,b>) per CANDIDATE PAIR —

@@ -111,3 +111,50 @@ def test_kmeans_fit_portable_partition_invariant(spark):
     c_b = kmeans_fit_portable(emb.repartition(17), 8, iters=3)
     c_c = kmeans_fit_portable(emb.coalesce(1), 8, iters=3)
     assert c_a == c_b == c_c
+
+
+def test_kmeans_assign_join_matches_literal(spark):
+    """The broadcast-relation assignment (large-k path) must be
+    BIT-identical to the literal fold: same distance fold, same
+    lowest-cluster tie-break. Random vectors + centroids, plus a planted
+    exact tie (a vector equidistant to two duplicate centroids)."""
+    from pyspark_etl_twitter_spark.operators.clustering import (
+        kmeans_assign_join,
+    )
+
+    rng = random.Random(31)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(200)
+    ]
+    # exact tie: duplicate centroids 2 and 5 below -> both give the same
+    # d2 for every vector; both paths must pick cluster 2
+    cents = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(7)]
+    cents[5] = list(cents[2])
+    emb = spark.createDataFrame(rows)
+    lit = {
+        (r.vec_id): (r.cluster, r.dist2)
+        for r in kmeans_assign(emb, cents).collect()
+    }
+    jn = {
+        (r.vec_id): (r.cluster, r.dist2)
+        for r in kmeans_assign_join(emb, cents).collect()
+    }
+    assert lit == jn
+    assert not any(c == 5 for c, _ in jn.values())
+
+
+def test_kmeans_assign_join_shuffles_n_rows_not_nk(spark):
+    """The argmin must be a partial-combined aggregate: the exchange
+    carries one candidate per vector, never the N×k pair fan-out (no
+    window over the pairs)."""
+    from pyspark_etl_twitter_spark.operators.clustering import (
+        kmeans_assign_join,
+    )
+
+    emb = _blobs(spark)
+    cents = [[0.0] * 8, [1.0] * 8, [-1.0] * 8]
+    plan = kmeans_assign_join(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # partial_min before the exchange = map-side collapse of the fan-out
+    assert "partial_min" in plan

@@ -93,10 +93,16 @@ def main():
             flush=True,
         )
 
-    from pyspark_etl_twitter_spark.operators.clustering import kmeans_assign
+    from pyspark_etl_twitter_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_assign_join,
+    )
 
     def naive_pairs(e, cents):
-        hist = kmeans_assign(e, cents).groupBy("cluster").count()
+        # same k-switch as semdedup_drop_ids: literal fold under ~100
+        # centroids, broadcast relation above
+        assign = kmeans_assign_join if len(cents) > 64 else kmeans_assign
+        hist = assign(e, cents).groupBy("cluster").count()
         return hist.agg(
             F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p")
         ).first()["p"]

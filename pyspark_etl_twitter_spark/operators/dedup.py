@@ -920,3 +920,43 @@ def semdedup_drop_ids(
     )
     dups = pairs.filter(F.round(cos, round_dp) >= threshold)
     return dups.select(F.col(f"b.{id_col}").alias(id_col)).distinct()
+
+
+def semdedup_from_ivf(
+    spark,
+    index_path: str,
+    *,
+    threshold: float = 0.30,
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup over a PERSISTED IVF index (``similarity.build_ivf_index``
+    layout) — the corpus-scale form of ``semdedup_drop_ids``.
+
+    At 100 TB the expensive half of SemDeDup is the assignment sweep, and
+    an IVF deployment has already paid it: the index's ``assignments``
+    table holds (vec_id, emb, nrm, list_id) hive-partitioned BY LIST, so
+    this operator is just the within-list pair scan — each inverted list
+    is one pruned partition read, norms are precomputed at build time,
+    and the bucketing cost is amortized across every consumer of the
+    index (probes, appends, dedup). Same contract as the standalone
+    operator: drop the higher-id member of every within-list pair whose
+    cosine (rounded to ``round_dp``) >= ``threshold``; cross-list pairs
+    are missed by design (IVF lists are cosine-argmax cells rather than
+    the L2-argmin Voronoi cells of ``kmeans_assign`` — the boundary-miss
+    tradeoff is the same, the cells differ)."""
+    from pyspark_etl_twitter_spark.operators.similarity import dot
+
+    vecs = spark.read.parquet(f"{index_path}/assignments").select(
+        "vec_id", "emb", "nrm", "list_id"
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.list_id") == F.col("b.list_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = dot(F.col("a.emb"), F.col("b.emb")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    dups = pairs.filter(F.round(cos, round_dp) >= threshold)
+    return dups.select(F.col("b.vec_id").alias("vec_id")).distinct()

@@ -668,3 +668,49 @@ def test_semdedup_misses_cross_cluster_pairs_by_design(spark):
     assigned = {r.vec_id: r.cluster for r in kmeans_assign(emb, cents).collect()}
     assert assigned[0] != assigned[1]
     assert semdedup_drop_ids(emb, cents, threshold=0.9).count() == 0
+
+
+def test_semdedup_from_ivf_matches_within_list_brute_force(spark, tmp_path):
+    """The index-backed form must drop exactly the higher-id member of
+    every within-LIST cosine>=tau pair of the persisted assignments —
+    cross-checked against a driver-side brute force over the same lists."""
+    import itertools
+    import math
+
+    from pyspark_etl_twitter_spark.operators.dedup import semdedup_from_ivf
+    from pyspark_etl_twitter_spark.operators.similarity import build_ivf_index
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # three tight direction-blobs (cosine-coherent, so IVF's cosine-argmax
+    # cells group them) + jitter
+    for i in range(60):
+        base = [0.0] * 6
+        base[i % 3] = 1.0
+        rows.append(
+            Row(
+                vec_id=i,
+                embedding=[x + rng.uniform(-0.05, 0.05) for x in base],
+            )
+        )
+    emb = spark.createDataFrame(rows)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_lists=4, max_queries=1)
+
+    got = {r.vec_id for r in semdedup_from_ivf(spark, path, threshold=0.9).collect()}
+
+    assigned = spark.read.parquet(f"{path}/assignments").collect()
+    by_list = {}
+    for r in assigned:
+        by_list.setdefault(r.list_id, []).append((r.vec_id, list(r.emb)))
+    expect = set()
+    for members in by_list.values():
+        for (ia, va), (ib, vb) in itertools.combinations(sorted(members), 2):
+            d = sum(x * y for x, y in zip(va, vb))
+            na = math.sqrt(sum(x * x for x in va))
+            nb = math.sqrt(sum(x * x for x in vb))
+            if round(d / (na * nb), 6) >= 0.9:
+                expect.add(max(ia, ib))
+    assert got == expect and got  # non-trivial: the blobs must collide

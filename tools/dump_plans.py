@@ -65,6 +65,9 @@ SHOWCASE = [
     ("kmeans_cluster_sizes", "portable fixed-iteration fit: broadcast-literal argmin, posexplode re-center"),
     ("knn_ann_lsh", "OR-table posexplode, broadcast multi-probe queries, narrow dedup before rank"),
     ("knn_ivf", "broadcast centroid dim, probe top-n lists, list equi-join verify"),
+    # round-10 additions
+    ("dedup_segments_rebuild", "segment keep-first: partial_min struct agg (no window, no join-back), position-sorted reassembly"),
+    ("semdedup_cluster_summary", "k-means cells, within-cluster residual-cosine SMJ, norms precomputed per row"),
 ]
 
 

@@ -146,7 +146,8 @@ HEADLINE = [
     "running_revenue_chunked",
     # round-10 families
     "dedup_segments_rebuild",
-    "semdedup_cluster_summary",
+    "semdedup_cluster_summary",  # oracle-parity fold on the half-corpus subset
+    "semdedup_fast_summary",  # BLAS kernel, full corpus — the production path
 ]
 
 

@@ -857,11 +857,32 @@ def semdedup_drop_ids(
     vec_col: str = "embedding",
     threshold: float = 0.30,
     round_dp: int = 6,
+    engine: str = "hof",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
     embedding space with k-means, then inside each cluster drop the
     higher-id member of every pair whose cosine similarity (rounded to
     ``round_dp``) is >= ``threshold``. Returns the distinct ids to drop.
+
+    ``engine`` picks the within-cluster pair kernel:
+
+    - ``"hof"`` — the pair scan as a cluster-key self-join whose cosine
+      is a JVM higher-order fold, sequential-sum like DuckDB's
+      ``list_dot_product``: the ORACLE-parity path, and the right shape
+      when the pair count is bounded. The fold is interpreted, ~16 µs
+      per 64-dim pair (measured sf0.1) — the per-pair constant, not the
+      shuffle, is what limits it.
+    - ``"pandas"`` — ``applyInPandas`` per cluster: unit-normalize the
+      cluster block once, one BLAS gram matrix (U @ U.T), mask the
+      upper triangle — the ~100× fast path for production pair scans
+      (the engine-wide UDF policy: when Python, Arrow-batched BLAS,
+      never per-row). Values can differ from the fold in the last float
+      bit (pairwise-SIMD vs sequential summation), so the rounded
+      threshold decision is equal in practice but not PROVABLY equal —
+      which is why the driver-verified query keeps the fold and this
+      path is pinned by an equality test instead. Requires each
+      cluster's block to fit one executor's memory: at the paper's
+      k ~ N/1e4 that is ~1e4 × dim floats, trivially so.
 
     Compared to the LSH route (``embedding_near_dup_pairs``): LSH
     buckets by random hyperplanes and needs L tables for recall;
@@ -904,10 +925,13 @@ def semdedup_drop_ids(
     # recompute sqrt(<a,a>) and sqrt(<b,b>) per CANDIDATE PAIR —
     # O(pairs · dim) HOF work where O(n · dim) suffices; only the cross
     # dot product is genuinely per-pair.
-    with_vec = (
-        assigned.select(id_col, "cluster")
-        .join(emb, id_col)
-        .withColumn("_nrm", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
+    with_vec = assigned.select(id_col, "cluster").join(emb, id_col)
+    if engine == "pandas":
+        return _semdedup_pairs_pandas(
+            with_vec, id_col, vec_col, threshold, round_dp
+        )
+    with_vec = with_vec.withColumn(
+        "_nrm", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
     )
     a, b = with_vec.alias("a"), with_vec.alias("b")
     pairs = a.join(
@@ -920,6 +944,45 @@ def semdedup_drop_ids(
     )
     dups = pairs.filter(F.round(cos, round_dp) >= threshold)
     return dups.select(F.col(f"b.{id_col}").alias(id_col)).distinct()
+
+
+def _semdedup_pairs_pandas(
+    with_vec: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_dp: int,
+) -> DataFrame:
+    """BLAS kernel for the within-cluster drop scan: one grouped Arrow
+    batch per cluster, gram matrix over the unit-normalized block,
+    strict-upper-triangle mask (row id < col id after an id sort), drop
+    the column ids. The shuffle is the same single cluster-key exchange
+    as the self-join; only the per-pair arithmetic moves from the
+    interpreted fold to vectorized BLAS."""
+    import numpy as np
+    import pandas as pd
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, m = ids[order], m[order]
+        nrm = np.sqrt((m * m).sum(axis=1))
+        u = m / nrm[:, None]
+        hit = np.round(u @ u.T, round_dp) >= threshold
+        # strict upper triangle: row index < col index == lower id < higher
+        hit &= np.triu(np.ones_like(hit, dtype=bool), k=1)
+        return pd.DataFrame({id_col: np.unique(ids[hit.any(axis=0)])})
+
+    # no global distinct needed: every id lives in exactly one cluster
+    # group and the kernel emits each at most once
+    return (
+        with_vec.select(id_col, "cluster", vec_col)
+        .groupBy("cluster")
+        .applyInPandas(_scan, schema=f"{id_col} long")
+    )
 
 
 def semdedup_from_ivf(

@@ -374,7 +374,12 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS, dp: int = _KM_DP) -> str:
+def _kmeans_ctes(
+    k: int = _KM_K,
+    iters: int = _KM_ITERS,
+    dp: int = _KM_DP,
+    src: str = "embeddings",
+) -> str:
     """The unrolled Lloyd CTE chain up to ``c{iters}`` (the trained
     centroid relation) — shared by the cluster-sizes oracle and the
     trained-IVF oracle so both verify one trajectory.
@@ -389,12 +394,12 @@ def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS, dp: int = _KM_DP) -> st
     parts = [
         f"""edim AS (
   SELECT vec_id, i.pos, embedding[i.pos]::DOUBLE AS x
-  FROM embeddings
+  FROM {src}
   CROSS JOIN (SELECT unnest(range(1, {_EMB_DIM} + 1)) AS pos) i
 ),
 seeds AS (
   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-  FROM embeddings ORDER BY vec_id LIMIT {k}
+  FROM {src} ORDER BY vec_id LIMIT {k}
 ),
 c0 AS (
   SELECT s.cluster, e.pos, round(e.x, {dp}) AS val
@@ -459,19 +464,7 @@ ORACLE_KMEANS_CLUSTER_SIZES = _kmeans_oracle()
 # --------------------------------------------------------------------------
 
 
-def semdedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023) over the embedding corpus: k-means
-    partitions the space (same portable fit the k-means oracle unrolls),
-    then each cluster drops the higher-id member of every within-cluster
-    pair with cosine >= SEMANTIC_TAU. Per-cluster keep/drop histogram.
-
-    The LEARNED-bucket counterpart of ``semantic_dedup_survivors`` (LSH
-    buckets): close pairs co-locate by construction, at the cost of
-    missing pairs that straddle a cluster boundary — both the recall
-    tradeoff and the single cluster-key self-join are the paper's
-    design. The whole pipeline (fit trajectory, assignment tie-break,
-    rounded cosine gate) is ANSI-SQL-expressible, so the driver
-    hash-verifies it end to end."""
+def _semdedup_histogram(spark, sf_dir: str, *, subset: bool, engine: str) -> DataFrame:
     from pyspark_etl_twitter_spark.operators.cachereg import keep_cached
     from pyspark_etl_twitter_spark.operators.clustering import (
         kmeans_assign,
@@ -479,11 +472,14 @@ def semdedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark_etl_twitter_spark.operators.dedup import semdedup_drop_ids
 
-    emb = keep_cached(_t(spark, sf_dir, "embeddings"))
+    emb = _t(spark, sf_dir, "embeddings")
+    if subset:
+        emb = emb.filter(F.col("vec_id") % 2 == 0)
+    emb = keep_cached(emb)
     centroids = kmeans_fit_portable(emb, _KM_K, iters=_KM_ITERS, round_dp=_KM_DP)
     assigned = kmeans_assign(emb, centroids).select("vec_id", "cluster")
     drops = semdedup_drop_ids(
-        emb, centroids, threshold=SEMANTIC_TAU, round_dp=_KM_DP
+        emb, centroids, threshold=SEMANTIC_TAU, round_dp=_KM_DP, engine=engine
     ).withColumn("_d", F.lit(1))
     return (
         assigned.join(drops, "vec_id", "left")
@@ -498,10 +494,42 @@ def semdedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semdedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over a deterministic half of the
+    embedding corpus: k-means partitions the space (same portable fit
+    the k-means oracle unrolls), then each cluster drops the higher-id
+    member of every within-cluster pair with cosine >= SEMANTIC_TAU.
+    Per-cluster keep/drop histogram.
+
+    The LEARNED-bucket counterpart of ``semantic_dedup_survivors`` (LSH
+    buckets): close pairs co-locate by construction, at the cost of
+    missing pairs that straddle a cluster boundary — both the recall
+    tradeoff and the single cluster-key self-join are the paper's
+    design. The whole pipeline (fit trajectory, assignment tie-break,
+    rounded cosine gate) is ANSI-SQL-expressible, so the driver
+    hash-verifies it end to end. Subset for the same reason
+    ``dedup_jaccard_pairs`` subsets: the oracle-parity pair kernel is a
+    sequential JVM fold (~16 µs/pair), the quadratic baseline — the
+    full corpus runs under the BLAS kernel (``semdedup_fast_summary``,
+    equality-pinned in pytest, rows-only at the driver)."""
+    return _semdedup_histogram(spark, sf_dir, subset=True, engine="hof")
+
+
+def semdedup_fast_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus SemDeDup histogram under the Arrow/BLAS pair kernel
+    (``semdedup_drop_ids(engine='pandas')``): one grouped Arrow batch
+    per cluster, gram matrix, triangle mask. NumPy's pairwise-SIMD
+    summation is not bit-identical to a sequential SQL fold, so this
+    row is rows-only at the driver; pytest pins kernel≡fold equality on
+    the same corpus (test_semdedup_pandas_matches_hof)."""
+    return _semdedup_histogram(spark, sf_dir, subset=False, engine="pandas")
+
+
 def _semdedup_oracle() -> str:
     tf = _KM_ITERS
+    sub = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
     return f"""
-WITH {_kmeans_ctes()},
+WITH {_kmeans_ctes(src=sub)},
 dF AS (
   SELECT e.vec_id, c.cluster, sum((e.x - c.val) * (e.x - c.val)) AS d2
   FROM edim e JOIN c{tf} c ON c.pos = e.pos
@@ -517,7 +545,7 @@ aF AS (
 vec AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE vec_id % 2 = 0
 ),
 drops AS (
   SELECT DISTINCT pb.vec_id

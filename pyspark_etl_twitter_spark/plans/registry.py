@@ -164,6 +164,10 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_portable_pairs": T.dedup_minhash_portable_pairs,
     "kmeans_cluster_sizes": AQ.kmeans_cluster_sizes,
     "semdedup_cluster_summary": AQ.semdedup_cluster_summary,
+    # BLAS pair kernel over the full corpus: rows-only by design (NumPy
+    # pairwise summation is not provably bit-equal to a SQL fold);
+    # equality vs the fold pinned in tests/test_dedup.py
+    "semdedup_fast_summary": AQ.semdedup_fast_summary,
     "dedup_segments_rebuild": T.dedup_segments_rebuild,
     "pricing_summary": R.pricing_summary,
     "revenue_by_nation": R.revenue_by_nation,
@@ -422,11 +426,13 @@ ROUND10_WINDOW: list[str] = [
     # changed query always outranks a stale-but-unchanged one.
     "revenue_by_nation",
     "dedup_normalized_summary",
-    # new-this-round (2): never driver-verified — same rule as changed
-    # queries (both verified vs their DuckDB oracles locally at sf0.01
-    # before taking slots: 500 rows / 8 rows hash-equal).
+    # new-this-round (3): never driver-verified — same rule as changed
+    # queries (the two oracle-backed ones verified vs DuckDB locally at
+    # all three SFs before taking slots; semdedup_fast_summary is
+    # rows-only by design, equality-pinned in pytest).
     "dedup_segments_rebuild",
     "semdedup_cluster_summary",
+    "semdedup_fast_summary",
     # newest driver rows: r6 (18)
     "running_revenue_chunked",
     "script_profile_by_source",
@@ -446,8 +452,8 @@ ROUND10_WINDOW: list[str] = [
     "tpch_q21_waiting_suppliers",
     "weighted_sample_by_length",
     "winsorized_price_stats",
-    # newest driver rows: r7 (first 28 alphabetically of 48; q11-q14
-    # yield their slots to the two changed-in-r10 and two new-in-r10
+    # newest driver rows: r7 (first 27 alphabetically of 48; q10-q14
+    # yield their slots to the two changed-in-r10 and three new-in-r10
     # queries above and rotate in r11 with the other 16 r7 rows)
     "asof_forward_next_click",
     "bigram_lm_quality_by_source",
@@ -476,7 +482,6 @@ ROUND10_WINDOW: list[str] = [
     "session_conversion_rate",
     "stats_aggregates_lineitem",
     "top_terms_per_doc",
-    "tpch_q10_returned_items",
 ]
 
 _win = set(ROUND10_WINDOW)

@@ -714,3 +714,29 @@ def test_semdedup_from_ivf_matches_within_list_brute_force(spark, tmp_path):
             if round(d / (na * nb), 6) >= 0.9:
                 expect.add(max(ia, ib))
     assert got == expect and got  # non-trivial: the blobs must collide
+
+
+def test_semdedup_pandas_matches_hof(spark):
+    """The BLAS pair kernel must produce the same drop set as the
+    oracle-parity fold on the real embeddings corpus (sf0.001) and on
+    planted blobs — the equality pin that lets the full-corpus bench/
+    driver row ride the fast path."""
+    from pyspark_etl_twitter_spark.operators.clustering import (
+        kmeans_fit_portable,
+    )
+    from pyspark_etl_twitter_spark.operators.dedup import semdedup_drop_ids
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = kmeans_fit_portable(emb, 4, iters=2)
+    hof = {
+        r.vec_id
+        for r in semdedup_drop_ids(emb, cents, threshold=0.30).collect()
+    }
+    fast = {
+        r.vec_id
+        for r in semdedup_drop_ids(
+            emb, cents, threshold=0.30, engine="pandas"
+        ).collect()
+    }
+    assert hof == fast and hof  # non-trivial on the real corpus

@@ -31,6 +31,11 @@ ROWS_ONLY_BY_DESIGN = {
     "dedup_minhash_pairs",
     "dedup_simhash_fingerprints",
     "dedup_clusters_minhash",
+    # r10: full-corpus SemDeDup under the BLAS pair kernel — NumPy
+    # pairwise summation is not provably bit-equal to a SQL fold, so the
+    # driver records rows; the fold twin semdedup_cluster_summary IS
+    # hash-checked and pytest pins kernel==fold on the same corpus
+    "semdedup_fast_summary",
     # kmeans_cluster_sizes, knn_ann_lsh and knn_ivf left this set in
     # round 7: the fixed-iteration portable fit, the literal-hyperplane/
     # xor-mask LSH oracle, and the first-k-centroid IVF oracle made them
@@ -45,11 +50,14 @@ def test_window_is_the_declared_rotation():
 
 
 def test_window_composition_r10():
-    """All 50 slots oracle-backed; the rows-only set lives in the tail
-    (its newest driver rows are r9 — the freshest in the book)."""
+    """49 of 50 slots oracle-backed; the one rows-only slot is the
+    NEW-this-round semdedup_fast_summary (a new query always takes a
+    slot; rows-only is its designed check level). The four r9-refreshed
+    rows-only queries stay in the tail."""
     window = list(QUERIES)[:DRIVER_WINDOW]
-    assert all(k in ORACLES for k in window)
-    assert not (set(window) & ROWS_ONLY_BY_DESIGN)
+    rows_only_in_window = set(window) & ROWS_ONLY_BY_DESIGN
+    assert rows_only_in_window == {"semdedup_fast_summary"}
+    assert all(k in ORACLES for k in window if k not in rows_only_in_window)
 
 
 def test_rows_only_is_exactly_the_sanctioned_set():

@@ -635,3 +635,107 @@ def source_vocab_overlap(
             ).alias("vocab_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination (round 10)
+# --------------------------------------------------------------------------
+
+
+def bloom_positions(gram: Column, *, k_hashes: int, m_bits: int) -> Column:
+    """The ``k_hashes`` Bloom bit positions of a word n-gram, as an array
+    expression — md5-derived so the DuckDB oracle reproduces every
+    position bit-for-bit (same idiom as ``portable_term_hash``,
+    operators/dedup.py): position_j = int(md5('b{j}:' || gram)[:8], 16) %
+    m_bits. The ``b`` prefix domain-separates these hashes from the
+    MinHash permutation family, which shares the md5 base."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"b{j}:"), gram)), 1, 8), 16, 10
+            ).cast("long")
+            % m_bits
+            for j in range(k_hashes)
+        ]
+    )
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 4,
+    k_hashes: int = 4,
+    m_bits: int = 1 << 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Append ``(n_bloom_hits, bloom_flagged)`` to ``docs``: per-document
+    count of distinct word ``n``-grams whose ``k_hashes`` Bloom bits are
+    ALL set in a bitmap built from ``eval_docs``'s n-grams.
+
+    Why a Bloom bitmap when ``contamination_overlap`` already broadcasts
+    the eval n-gram set: the broadcast there is the *string* gram table —
+    at a realistic eval suite (tens of benchmarks × millions of n-grams ×
+    ~40 bytes/gram) it brushes Spark's broadcast limits, and
+    ``hash_grams=True`` still costs 8 bytes/gram. The Bloom bitmap is
+    **constant-size** (``m_bits/8`` bytes — 128 KiB at the default 2^20 —
+    regardless of eval-set cardinality), traded for a quantified
+    false-positive rate ≈ fill_ratio^k. Bloom can only over-flag, never
+    miss: a contaminated doc per the exact pass is always flagged here.
+
+    Scale shape: the bitmap is built by OR-folding the eval side's bit
+    positions — the only driver materialization is ≤ min(|eval grams| ×
+    k, m_bits) distinct positions (the SMALL side, same bound class as
+    the broadcast eval set it replaces) — and ships to executors as a
+    one-row broadcast relation (array<long> column), NOT a plan literal,
+    so the plan text stays O(1) and the 100 TB corpus pass is fully
+    narrow: shingle → probe k ``bit_get`` lookups per gram → only
+    bloom-POSITIVE (doc, gram) rows — true hits plus the engineered-rare
+    false positives — ever reach the dedup/aggregate exchange, exactly
+    the probe-before-distinct shape of ``contamination_overlap``.
+    """
+    spark = docs.sparkSession
+    eval_pos = (
+        eval_docs.select(
+            F.explode(shingle_array(ws_tokens(text_col), n)).alias("_g")
+        )
+        .select(F.explode(bloom_positions(F.col("_g"), k_hashes=k_hashes, m_bits=m_bits)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    n_words = m_bits // 64
+    words = [0] * n_words
+    for row in eval_pos:
+        p = row["p"]
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement wrap: Spark LongType is signed; bit_get reads the
+    # same physical bit either way
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitmap = spark.createDataFrame([(words,)], "bloom_bits: array<bigint>")
+
+    grams = fan_out_if_narrow(docs, F.col(id_col)).select(
+        F.col(id_col),
+        F.explode(shingle_array(ws_tokens(text_col), n)).alias("_gram"),
+    )
+    hits = (
+        grams.crossJoin(F.broadcast(bitmap))
+        .filter(
+            F.forall(
+                bloom_positions(F.col("_gram"), k_hashes=k_hashes, m_bits=m_bits),
+                lambda p: F.bit_get(
+                    F.element_at("bloom_bits", (F.floor(p / 64) + 1).cast("int")),
+                    (p % 64).cast("int"),
+                )
+                == 1,
+            )
+        )
+        .dropDuplicates([id_col, "_gram"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn("n_bloom_hits", F.coalesce("n_bloom_hits", F.lit(0)))
+        .withColumn("bloom_flagged", F.col("n_bloom_hits") > 0)
+    )

@@ -177,8 +177,9 @@ def bpe_encode_documents(
     by lowest merge rank (the standard BPE-apply loop, e.g. the published
     GPT-2 tokenizer algorithm).
 
-    Training the merges is an offline global loop and stays out of the
-    engine; APPLYING them is per-row and embarrassingly parallel — but
+    Training the merges is ``bpe_train`` (distributed word-count pass +
+    bounded merge loop); APPLYING them is per-row and embarrassingly
+    parallel — but
     the inner loop (repeated lowest-rank pair merge until fixpoint) is
     sequential per word and inexpressible in Catalyst expressions, so
     this is the Arrow-batched escape hatch (mapInPandas): the merge
@@ -219,6 +220,85 @@ def bpe_encode_documents(
             yield pd.DataFrame({id_col: pdf[id_col], "tokens": toks})
 
     return docs.select(id_col, text_col).mapInPandas(encode, out_schema)
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (round 10)
+# --------------------------------------------------------------------------
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    n_merges: int = 200,
+    max_words: int = 100_000,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge list from a corpus (the Sennrich/GPT-2 training
+    algorithm), Spark-first where the data is big and driver-side where
+    it is provably bounded.
+
+    Two-phase shape, mirroring every published BPE trainer (the
+    reference pipeline ships pre-trained artifacts only — this closes
+    the train side of the `bpe_encode_documents` pair):
+
+    1. **Corpus pass (distributed, the 100 TB part):** one
+       explode→groupBy word-count aggregate — identical exchange shape
+       to ``build_vocab``, bounded by DISTINCT-word cardinality, never
+       corpus bytes, with map-side partial aggregation doing the heavy
+       lifting on repeated words.
+    2. **Merge loop (driver, bounded):** standard BPE training operates
+       on the word-FREQUENCY table, not the corpus — each iteration
+       counts weighted adjacent-symbol pairs over distinct words and
+       fuses the argmax pair. The table collected is the top
+       ``max_words`` rows by (count desc, word asc) — a deterministic,
+       capped collect in the same bounded-small-side class as the
+       k-means centroid collect (clustering.py): linguistically a
+       vocabulary, not a corpus. Running ``n_merges`` iterations as
+       distributed jobs instead would shuffle the word table 50k times
+       for a GPT-scale table that fits in tens of MB — the wrong side
+       of the distribute/collect line.
+
+    Ties break deterministically: highest pair count, then
+    lexicographic smallest pair — so the merge list is reproducible
+    across runs, partitionings, and engines (pinned by
+    tests/test_encoding.py equality vs an independent brute-force
+    reference).
+
+    Returns merges ordered by rank, ready for ``bpe_encode_documents``.
+    """
+    rows = (
+        docs.select(F.explode(ws_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(max_words)
+        .collect()
+    )
+    # symbol sequences per distinct word, weighted by corpus frequency
+    words: list[tuple[list[str], int]] = [(list(r["w"]), r["c"]) for r in rows]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for parts, c in words:
+            for i in range(len(parts) - 1):
+                p = (parts[i], parts[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        fused = best[0] + best[1]
+        for parts, _c in words:
+            i = 0
+            while i < len(parts) - 1:
+                if parts[i] == best[0] and parts[i + 1] == best[1]:
+                    parts[i : i + 2] = [fused]
+                else:
+                    i += 1
+    return merges
 
 
 # --------------------------------------------------------------------------

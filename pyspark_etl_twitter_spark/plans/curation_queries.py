@@ -535,3 +535,81 @@ JOIN sizes sb ON sb.g = gb
 ORDER BY vocab_jaccard DESC, ga, gb
 LIMIT 25
 """
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination (round 10): same eval split as
+# decontaminate_counts, probed through a constant-size md5-portable Bloom
+# bitmap, with the exact pass run alongside so the false-positive cost of
+# the constant-size trade is a measured column, not a claim.
+# --------------------------------------------------------------------------
+
+BLOOM_K = 4
+BLOOM_M = 1 << 20
+
+
+def bloom_decontaminate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    exact = C.contamination_overlap(train, eval_docs, n=DECON_N).select(
+        "doc_id", "source", "contaminated"
+    )
+    bloom = C.bloom_contamination(
+        train, eval_docs, n=DECON_N, k_hashes=BLOOM_K, m_bits=BLOOM_M
+    ).select("doc_id", "n_bloom_hits")
+    return (
+        exact.join(bloom, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_bloom_hits") > 0, 1)).alias("n_bloom_flagged"),
+            F.count(F.when(F.col("contaminated"), 1)).alias("n_exact_flagged"),
+            F.count(
+                F.when((F.col("n_bloom_hits") > 0) & ~F.col("contaminated"), 1)
+            ).alias("n_false_pos"),
+        )
+    )
+
+
+ORACLE_BLOOM_DECONTAMINATE_COUNTS = f"""
+WITH {_grams_cte(DECON_N)},
+eval_pos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5('b' || j || ':' || g), 1, 8))::BIGINT % {BLOOM_M} AS p
+  FROM grams, range(0, {BLOOM_K}) r(j)
+  WHERE doc_id % {EVAL_MOD} = 0
+),
+probe AS (
+  SELECT doc_id, g,
+         ('0x' || substr(md5('b' || j || ':' || g), 1, 8))::BIGINT % {BLOOM_M} AS p
+  FROM grams, range(0, {BLOOM_K}) r(j)
+  WHERE doc_id % {EVAL_MOD} <> 0
+),
+bloom_doc AS (
+  SELECT doc_id, count(*) AS n_bloom_hits FROM (
+    SELECT pr.doc_id, pr.g
+    FROM probe pr LEFT JOIN eval_pos ep ON pr.p = ep.p
+    GROUP BY pr.doc_id, pr.g
+    HAVING count(ep.p) = {BLOOM_K}
+  ) GROUP BY doc_id
+),
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+hits AS (
+  SELECT gr.doc_id, count(*) AS n_shared
+  FROM grams gr JOIN eval_grams USING (g)
+  WHERE gr.doc_id % {EVAL_MOD} <> 0
+  GROUP BY gr.doc_id
+),
+train AS (SELECT doc_id, source FROM documents WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT source,
+       count(*) AS n_docs,
+       count(CASE WHEN coalesce(b.n_bloom_hits, 0) > 0 THEN 1 END) AS n_bloom_flagged,
+       count(CASE WHEN coalesce(h.n_shared, 0) > 0 THEN 1 END) AS n_exact_flagged,
+       count(CASE WHEN coalesce(b.n_bloom_hits, 0) > 0
+                   AND coalesce(h.n_shared, 0) = 0 THEN 1 END) AS n_false_pos
+FROM train
+LEFT JOIN bloom_doc b USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+GROUP BY source
+"""

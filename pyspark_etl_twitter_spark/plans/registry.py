@@ -191,6 +191,7 @@ QUERIES: dict[str, QueryFn] = {
     "running_revenue_by_supplier": R.running_revenue_by_supplier,
     "sessionize_events": R.sessionize_events,
     "decontaminate_counts": CQ.decontaminate_counts,
+    "bloom_decontaminate_counts": CQ.bloom_decontaminate_counts,
     "pii_pseudonymize_customers": CQ.pii_pseudonymize_customers,
     "data_quality_lineitem": R2.data_quality_lineitem,
     "hourly_event_rollup": R.hourly_event_rollup,
@@ -323,6 +324,7 @@ ORACLES: dict[str, str] = {
     "pack_documents_salted_2048": T.ORACLE_PACK_DOCUMENTS_SALTED_2048,
     "multi_resolution_rollup": T.ORACLE_MULTI_RESOLUTION_ROLLUP,
     "decontaminate_counts": CQ.ORACLE_DECONTAMINATE_COUNTS,
+    "bloom_decontaminate_counts": CQ.ORACLE_BLOOM_DECONTAMINATE_COUNTS,
     "pii_pseudonymize_customers": CQ.ORACLE_PII_PSEUDONYMIZE_CUSTOMERS,
     "epoch_shuffle_head": CQ.ORACLE_EPOCH_SHUFFLE_HEAD,
     "bigram_profile_top": CQ.ORACLE_BIGRAM_PROFILE_TOP,
@@ -426,13 +428,14 @@ ROUND10_WINDOW: list[str] = [
     # changed query always outranks a stale-but-unchanged one.
     "revenue_by_nation",
     "dedup_normalized_summary",
-    # new-this-round (3): never driver-verified — same rule as changed
-    # queries (the two oracle-backed ones verified vs DuckDB locally at
-    # all three SFs before taking slots; semdedup_fast_summary is
-    # rows-only by design, equality-pinned in pytest).
+    # new-this-round (4): never driver-verified — same rule as changed
+    # queries (the three oracle-backed ones verified vs DuckDB locally
+    # before taking slots; semdedup_fast_summary is rows-only by design,
+    # equality-pinned in pytest).
     "dedup_segments_rebuild",
     "semdedup_cluster_summary",
     "semdedup_fast_summary",
+    "bloom_decontaminate_counts",
     # newest driver rows: r6 (18)
     "running_revenue_chunked",
     "script_profile_by_source",
@@ -452,9 +455,10 @@ ROUND10_WINDOW: list[str] = [
     "tpch_q21_waiting_suppliers",
     "weighted_sample_by_length",
     "winsorized_price_stats",
-    # newest driver rows: r7 (first 27 alphabetically of 48; q10-q14
-    # yield their slots to the two changed-in-r10 and three new-in-r10
-    # queries above and rotate in r11 with the other 16 r7 rows)
+    # newest driver rows: r7 (first 26 alphabetically of 48; q10-q14 and
+    # top_terms_per_doc yield their slots to the two changed-in-r10 and
+    # four new-in-r10 queries above and rotate in r11 with the other 17
+    # r7 rows)
     "asof_forward_next_click",
     "bigram_lm_quality_by_source",
     "bloom_join_urgent_revenue",
@@ -481,7 +485,6 @@ ROUND10_WINDOW: list[str] = [
     "semantic_prune_by_centroid",
     "session_conversion_rate",
     "stats_aggregates_lineitem",
-    "top_terms_per_doc",
 ]
 
 _win = set(ROUND10_WINDOW)

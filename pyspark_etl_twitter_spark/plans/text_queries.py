@@ -2005,3 +2005,49 @@ GROUP BY source
 
 
 ORACLE_TEXT_SEMANTIC_DEDUP_SURVIVORS = _text_sem_survivors_oracle()
+
+
+# --------------------------------------------------------------------------
+# BPE training (round 10): rows-only by design — the merge loop is an
+# iterative algorithm (argmax + fuse per round) that no recursive CTE
+# reproduces tractably; correctness is pinned in pytest by equality vs an
+# independent brute-force trainer over the fully expanded corpus
+# (tests/test_encoding.py), plus prefix-stability / compression /
+# partitioning-invariance properties.
+# --------------------------------------------------------------------------
+
+BPE_N_MERGES = 200
+
+
+def bpe_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer on the corpus (distributed word-count pass +
+    bounded driver merge loop, operators/encoding.bpe_train), apply it
+    with the Arrow-batched encoder, and report per-source compression:
+    (source, n_docs, total_tokens, chars_per_token). The chars/token
+    ratio is THE tokenizer-quality metric a training pipeline tracks —
+    higher is better compression at fixed vocab budget."""
+    from pyspark_etl_twitter_spark.operators.encoding import (
+        bpe_encode_documents,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=BPE_N_MERGES)
+    enc = bpe_encode_documents(docs, merges)
+    per_doc = enc.select(
+        "doc_id",
+        F.size("tokens").alias("n_tok"),
+        F.aggregate(
+            F.transform("tokens", F.length), F.lit(0), lambda a, t: a + t
+        ).alias("n_chr"),
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.sum("n_chr") / F.sum("n_tok"), 4).alias("chars_per_token"),
+        )
+    )

@@ -65,6 +65,66 @@ def test_contamination_eval_side_broadcast(spark):
     assert "BroadcastHashJoin" in plan  # gram probe never shuffles the corpus
 
 
+# -- Bloom-filter decontamination (round 10) --------------------------------
+
+
+def test_bloom_contamination_never_misses(spark):
+    """Bloom can only over-flag: every exact-contaminated doc is
+    bloom-flagged, and with the default 2^20-bit map the tiny corpus has
+    no room for false positives either."""
+    docs = load_table(spark, SF_TINY, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = {
+        r["doc_id"]
+        for r in C.contamination_overlap(train, eval_docs, n=4)
+        .filter("contaminated")
+        .collect()
+    }
+    flagged = {
+        r["doc_id"]
+        for r in C.bloom_contamination(train, eval_docs, n=4)
+        .filter("bloom_flagged")
+        .collect()
+    }
+    assert exact <= flagged
+    assert exact == flagged  # 2^20 bits vs ~1e3 grams: fp_rate ~ 1e-11
+
+
+def test_bloom_contamination_tiny_bitmap_overflags_only(spark):
+    """Squeezing the bitmap (m_bits=64) forces false positives — the
+    superset property must still hold (no misses, ever)."""
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon", "s"),
+            (2, "one two three four five", "s"),
+            (3, "red green blue cyan magenta", "s"),
+        ],
+    )
+    eval_docs = _docs(spark, [(100, "x alpha beta gamma delta y", "e")])
+    out = {
+        r["doc_id"]: r["bloom_flagged"]
+        for r in C.bloom_contamination(
+            train, eval_docs, n=4, k_hashes=2, m_bits=64
+        ).collect()
+    }
+    assert out[1] is True  # the planted true hit always flags
+    assert set(out) == {1, 2, 3}  # left join keeps clean docs
+
+
+def test_bloom_bitmap_is_broadcast_constant_size(spark):
+    """The bitmap ships as a broadcast one-row relation, not a plan
+    literal — plan text stays O(1) in eval-set size, and the corpus-side
+    probe never shuffles before the positive filter."""
+    docs = load_table(spark, SF_TINY, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    out = C.bloom_contamination(docs, eval_docs, n=4, m_bits=1 << 14)
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("bloom_bits") < 30  # bitmap is a column, not inlined
+
+
 # -- PII -------------------------------------------------------------------
 
 

@@ -163,6 +163,103 @@ def test_bpe_encode_matches_reference_algorithm(spark):
     assert "MapInPandas" in plan and "Exchange" not in plan
 
 
+def _bruteforce_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
+    """Independent reference trainer: operates on the FULL expanded token
+    list (every occurrence), not the word-frequency table the operator
+    collects — same answer by construction, different code path."""
+    seqs = [list(w) for t in texts for w in t.split()]
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for s in seqs:
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for s in seqs:
+            i = 0
+            while i < len(s) - 1:
+                if s[i] == best[0] and s[i + 1] == best[1]:
+                    s[i : i + 2] = [s[i] + s[i + 1]]
+                else:
+                    i += 1
+    return merges
+
+
+def test_bpe_train_matches_bruteforce_reference(spark):
+    from pyspark_etl_twitter_spark.operators.encoding import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new new new",
+        "wider wide widest lower",
+        "hello hello help hero",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = bpe_train(docs, n_merges=12)
+    assert got == _bruteforce_bpe(texts, 12)
+    # partitioning invariance: the word-count pass commutes with layout
+    assert bpe_train(docs.repartition(7), n_merges=12) == got
+
+
+def test_bpe_train_tie_break_lexicographic(spark):
+    from pyspark_etl_twitter_spark.operators.encoding import bpe_train
+
+    # "zx" and "ab" both occur exactly twice; ("a","b") < ("z","x")
+    docs = spark.createDataFrame([(1, "zx ab zx ab")], ["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=1)
+    assert merges == [("a", "b")]
+
+
+def test_bpe_train_then_encode_compresses(spark):
+    """Trained merges feed bpe_encode_documents: token counts are
+    monotonically non-increasing in n_merges, and a frequent word
+    collapses to a single token once its merges are learned."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.encoding import (
+        bpe_encode_documents,
+        bpe_train,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+    from tests.conftest import SF_TINY
+
+    docs = load_table(spark, SF_TINY, "documents").limit(200)
+
+    def total(merges):
+        return (
+            bpe_encode_documents(docs, merges)
+            .agg(F.sum(F.size("tokens")))
+            .collect()[0][0]
+        )
+
+    m50 = bpe_train(docs, n_merges=50)
+    m200 = bpe_train(docs, n_merges=200)
+    assert m200[:50] == m50  # merge list is prefix-stable in n_merges
+    base, t50, t200 = total([]), total(m50), total(m200)
+    assert base >= t50 >= t200
+    # the corpus's most frequent word ends up a single symbol
+    top_word = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), "w")
+        .first()["w"]
+    )
+    enc = {
+        r.doc_id: r.tokens
+        for r in bpe_encode_documents(
+            spark.createDataFrame([(1, top_word)], ["doc_id", "text"]), m200
+        ).collect()
+    }
+    assert enc[1] == [top_word]
+
+
 def test_hashed_embedding_matches_python_oracle(spark):
     """The md5 hashing-trick embedding must equal a pure-Python
     recomputation (bucket, sign, tf accumulation, L2 normalization)."""

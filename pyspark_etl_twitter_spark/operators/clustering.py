@@ -180,6 +180,153 @@ def kmeans_fit_portable(
     return centroids
 
 
+def _group_centroids(
+    centroids: list[list[float]], n_coarse: int, iters: int = 5
+) -> tuple[list[list[float]], list[int]]:
+    """Driver-side grouping of the k centroids into ``n_coarse``
+    super-centroids (the coarse quantizer): a tiny Lloyd's run over the
+    k×dim centroid table itself. Deterministic — seeds are the first
+    ``n_coarse`` centroids, argmin ties break to the lowest group index
+    (np.argmin first-occurrence), empty groups keep their previous
+    super-centroid. Distances use the gram form (|c|² − 2c·s + |s|²) so
+    memory is k×n_coarse, never k×n_coarse×dim — at the paper's
+    k ~ tens of thousands that is a few MB on the driver.
+
+    Returns (super_centroids, group_of_centroid)."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    k = len(centroids)
+    n_coarse = min(n_coarse, k)
+    sup = c[:n_coarse].copy()
+    c_sq = (c * c).sum(axis=1)
+    for _ in range(iters):
+        d2 = c_sq[:, None] - 2.0 * (c @ sup.T) + (sup * sup).sum(axis=1)[None, :]
+        g = d2.argmin(axis=1)
+        new = sup.copy()
+        for j in range(n_coarse):
+            members = c[g == j]
+            if len(members):
+                new[j] = members.mean(axis=0)
+        moved = not np.allclose(new, sup)
+        sup = new
+        if not moved:
+            break
+    d2 = c_sq[:, None] - 2.0 * (c @ sup.T) + (sup * sup).sum(axis=1)[None, :]
+    g = d2.argmin(axis=1)
+    return sup.tolist(), [int(x) for x in g]
+
+
+def kmeans_assign_two_level(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_coarse: int | None = None,
+    n_probe: int = 1,
+    group_iters: int = 5,
+) -> DataFrame:
+    """(id, cluster, dist2) via a COARSE QUANTIZER — the O(N·√k·dim)
+    assignment rung for k∝N regimes (the r10 ×50 SemDeDup scale run
+    showed dense assignment is O(N²·dim) under the paper's k∝N rule and
+    dominates the wall at scale; DESIGN.md §22).
+
+    Two stages:
+
+    1. **Coarse** (pure codegen, zero exchanges): the k centroids are
+       grouped driver-side into ``n_coarse`` (default ⌈√k⌉)
+       super-centroids (``_group_centroids`` — a tiny deterministic
+       Lloyd's over the k×dim table). Each vector computes √k distances
+       as one HOF fold over the super-centroid literal and keeps its
+       ``n_probe`` nearest GROUPS — ``array_sort`` over (d2, group)
+       structs, so ties break to the lowest group id.
+    2. **Refine** (broadcast equi-join, N-row shuffle): the full
+       centroid table broadcasts as (group, cluster, vec) DATA; each
+       vector equi-joins its probed groups — fanning out to
+       ~``n_probe``·k/√k candidate pairs instead of k — and argmin is
+       the same ``min(struct(d2, cluster))`` partial-agg as
+       ``kmeans_assign_join``, so the exchange carries N rows.
+
+    Identical distance fold, casts, and tie-break as the single-level
+    paths. With ``n_probe >= n_coarse`` every (vector, centroid) pair is
+    scored exactly once → BIT-IDENTICAL to ``kmeans_assign_join``
+    (pinned by test). With the default ``n_probe=1`` it is approximate:
+    a vector whose true nearest centroid lives in a non-probed group is
+    mis-assigned (the classic IVF coarse-quantizer recall tradeoff —
+    measured at bench k in ``test_two_level_recall_at_bench_k``;
+    ``n_probe`` is the knob)."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    k = len(centroids)
+    if n_coarse is None:
+        n_coarse = max(1, math.isqrt(k - 1) + 1)  # ceil(sqrt(k))
+    n_coarse = min(n_coarse, k)
+    n_probe = max(1, min(n_probe, n_coarse))
+    sup, groups = _group_centroids(centroids, n_coarse, group_iters)
+
+    sup_lit = F.array(*[F.array(*[F.lit(float(x)) for x in s]) for s in sup])
+    d_arr = F.transform(
+        sup_lit,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    scored = emb.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col), d_arr.alias("_gd")
+    )
+    ranked = F.transform(
+        F.sequence(F.lit(0), F.lit(len(sup) - 1)),
+        lambda i: F.struct(
+            F.element_at(F.col("_gd"), i + 1).alias("d"), i.cast("int").alias("g")
+        ),
+    )
+    probed = scored.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(ranked), 1, n_probe), lambda s: s["g"]
+            )
+        ).alias("_grp"),
+    )
+
+    spark = emb.sparkSession
+    child = spark.createDataFrame(
+        [(groups[j], j, [float(x) for x in centroids[j]]) for j in range(k)],
+        schema="_grp int, cluster int, _c array<double>",
+    )
+    pairs = probed.join(F.broadcast(child), "_grp")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_c"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.select(
+            F.col(id_col),
+            F.struct(d2.alias("d2"), F.col("cluster")).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_s").alias("_b"))
+        .select(
+            id_col,
+            F.col("_b.cluster").alias("cluster"),
+            F.col("_b.d2").alias("dist2"),
+        )
+    )
+
+
 def kmeans_assign_join(
     emb: DataFrame,
     centroids: list[list[float]],

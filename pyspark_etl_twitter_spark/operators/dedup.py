@@ -858,6 +858,7 @@ def semdedup_drop_ids(
     threshold: float = 0.30,
     round_dp: int = 6,
     engine: str = "hof",
+    coarse_probe: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
     embedding space with k-means, then inside each cluster drop the
@@ -884,6 +885,16 @@ def semdedup_drop_ids(
       cluster's block to fit one executor's memory: at the paper's
       k ~ N/1e4 that is ~1e4 × dim floats, trivially so.
 
+    ``coarse_probe`` (None = exact single-level assignment) opts the
+    assignment stage into the two-level coarse quantizer
+    (``kmeans_assign_two_level``): argmin over ⌈√k⌉ super-centroids,
+    refine within the ``coarse_probe`` nearest groups — O(N·√k·dim)
+    where k∝N makes single-level assignment O(N²·dim). Approximate at
+    coarse_probe=1 (boundary vectors may land one cell over — the same
+    recall-for-pruning trade the paper's clustering already makes);
+    measured assignment agreement and the ×50 wall drop are in
+    DESIGN.md §"Round-11 coarse-quantizer rung".
+
     Compared to the LSH route (``embedding_near_dup_pairs``): LSH
     buckets by random hyperplanes and needs L tables for recall;
     SemDeDup buckets by LEARNED structure, so semantically-close pairs
@@ -905,6 +916,7 @@ def semdedup_drop_ids(
     from pyspark_etl_twitter_spark.operators.clustering import (
         kmeans_assign,
         kmeans_assign_join,
+        kmeans_assign_two_level,
     )
     from pyspark_etl_twitter_spark.operators.similarity import dot
 
@@ -914,7 +926,14 @@ def semdedup_drop_ids(
     # paper's corpus-scale k is in the tens of thousands, where a
     # literal plan would be MBs of expression tree. Both paths are
     # bit-identical (test_kmeans_assign_join_matches_literal).
-    if len(centroids) > 64:
+    # ``coarse_probe`` opts into the two-level coarse-quantizer rung
+    # (O(N·√k·dim) instead of O(N·k·dim) — the k∝N scale path; slightly
+    # approximate at n_probe=1, see kmeans_assign_two_level).
+    if coarse_probe is not None:
+        assigned = kmeans_assign_two_level(
+            emb, centroids, id_col=id_col, vec_col=vec_col, n_probe=coarse_probe
+        )
+    elif len(centroids) > 64:
         assigned = kmeans_assign_join(
             emb, centroids, id_col=id_col, vec_col=vec_col
         )

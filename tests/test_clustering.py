@@ -158,3 +158,109 @@ def test_kmeans_assign_join_shuffles_n_rows_not_nk(spark):
     assert "Window" not in plan
     # partial_min before the exchange = map-side collapse of the fan-out
     assert "partial_min" in plan
+
+
+def test_two_level_exhaustive_probe_matches_join(spark):
+    """With n_probe >= n_coarse every (vector, centroid) pair is scored
+    exactly once by the identical fold/tie-break, so the two-level path
+    must be BIT-identical to kmeans_assign_join — including a planted
+    exact tie (duplicate centroids; both paths must pick the lower id)."""
+    from pyspark_etl_twitter_spark.operators.clustering import (
+        kmeans_assign_join,
+        kmeans_assign_two_level,
+    )
+
+    rng = random.Random(47)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(200)
+    ]
+    cents = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(9)]
+    cents[6] = list(cents[1])
+    emb = spark.createDataFrame(rows)
+    jn = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in kmeans_assign_join(emb, cents).collect()
+    }
+    tl = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in kmeans_assign_two_level(
+            emb, cents, n_coarse=3, n_probe=3
+        ).collect()
+    }
+    assert jn == tl
+    assert not any(c == 6 for c, _ in tl.values())
+
+
+def test_two_level_recall_at_bench_k(spark):
+    """Approximate mode: assignment agreement with exact single-level at
+    bench k=64 on the real sf0.001 embeddings (near-random synthetic
+    vectors — the WORST case for a coarse quantizer, no cluster
+    structure to exploit). Measured curve: n_probe 1/2/3/4/6 →
+    0.654/0.852/0.948/0.978/1.000; pin a safety margin below, and pin
+    monotonicity (probing more groups only adds candidates)."""
+    from pyspark_etl_twitter_spark.operators.clustering import (
+        kmeans_assign_join,
+        kmeans_assign_two_level,
+        kmeans_fit_portable,
+    )
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    cents = kmeans_fit_portable(emb, 64, iters=2)
+    exact = {
+        r.vec_id: r.cluster for r in kmeans_assign_join(emb, cents).collect()
+    }
+    n = len(exact)
+
+    def agree(n_probe):
+        tl = {
+            r.vec_id: r.cluster
+            for r in kmeans_assign_two_level(
+                emb, cents, n_probe=n_probe
+            ).collect()
+        }
+        assert set(tl) == set(exact)
+        return sum(tl[i] == exact[i] for i in exact) / n
+
+    a1 = agree(1)
+    a4 = agree(4)
+    assert a1 >= 0.60, a1
+    assert a4 >= 0.95, a4
+    assert a4 >= a1 - 1e-9, (a1, a4)
+
+
+def test_two_level_total_and_every_id_once(spark):
+    """Every vector is assigned exactly once even when probed groups
+    overlap candidate sets, and clusters stay in range."""
+    from pyspark_etl_twitter_spark.operators.clustering import (
+        kmeans_assign_two_level,
+        kmeans_fit_portable,
+    )
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    cents = kmeans_fit_portable(emb, 16, iters=1)
+    tl = kmeans_assign_two_level(emb, cents, n_probe=2)
+    assert tl.count() == emb.count()
+    assert tl.select("vec_id").distinct().count() == emb.count()
+    assert tl.filter(F.col("cluster").isNull() | (F.col("cluster") >= 16)).count() == 0
+
+
+def test_two_level_shuffles_n_rows_not_nk(spark):
+    """The refine argmin must partial-combine before the exchange (same
+    contract as kmeans_assign_join) and never window over the pair
+    fan-out."""
+    from pyspark_etl_twitter_spark.operators.clustering import (
+        kmeans_assign_two_level,
+    )
+
+    emb = _blobs(spark)
+    cents = [[float(i)] * 8 for i in range(9)]
+    plan = (
+        kmeans_assign_two_level(emb, cents, n_probe=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan

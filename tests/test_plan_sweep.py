@@ -67,6 +67,10 @@ BNLJ_OK = {
     "encoded_docs",
     # 1-row percentile-boundary broadcast (equi-depth binning)
     "equidepth_price_deciles",
+    # bloom bitmap ships as a single-row array<bigint> broadcast relation
+    # (operators/curation.py:690) — same bounded shape as
+    # decontaminate_counts' broadcast eval-set scalar
+    "bloom_decontaminate_counts",
 }
 
 # queries that EXECUTE during plan building (iterative/driver-bounded):

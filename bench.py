@@ -148,6 +148,9 @@ HEADLINE = [
     "dedup_segments_rebuild",
     "semdedup_cluster_summary",  # oracle-parity fold on the half-corpus subset
     "semdedup_fast_summary",  # BLAS kernel, full corpus — the production path
+    # round-11 families
+    "semdedup_ivf_summary",  # dedup over the persisted IVF index (build+scan)
+    "bpe_tokens_by_source",  # BPE train (driver merge loop) + Arrow encode
 ]
 
 
@@ -654,15 +657,73 @@ def main() -> None:
     shutil.rmtree(bench_tmp, ignore_errors=True)
 
     repo = Path(__file__).resolve().parent
+
+    # ---- two-sided drift normalizer (r10 verdict ask #3) ----
+    # The canary (pure hash-agg + matmul) over-responds to container
+    # state relative to the IO/shuffle-mixed bench rows (r10: canary
+    # ratio 2.017 vs median per-query drift 1.261) — so the canary stays
+    # a machine-HEALTH flag and the flat/regressed verdict uses the
+    # EMPIRICAL drift: median of (this_time / prev_time) over rows whose
+    # plan fingerprint is byte-identical to the previous committed run
+    # (same code ⇒ any movement is machine state, not plan change).
+    # Reads the PREVIOUS round's committed BENCH_DETAIL/BENCH_PLANS
+    # before overwriting them; skipped when sf differs (a local smoke
+    # run must not compare against a committed sf0.1 detail).
+    drift: dict = {}
     try:
-        repo.joinpath("BENCH_PLANS.json").write_text(
-            json.dumps(fingerprints, indent=1, sort_keys=True) + "\n"
-        )
-        repo.joinpath("BENCH_PLANTEXT.json").write_text(
-            json.dumps(plan_texts, indent=1, sort_keys=True) + "\n"
-        )
-    except OSError:
-        pass
+        prev_detail = json.loads(repo.joinpath("BENCH_DETAIL.json").read_text())
+        prev_plans = json.loads(repo.joinpath("BENCH_PLANS.json").read_text())
+    except (OSError, ValueError):
+        prev_detail, prev_plans = {}, {}
+    if prev_detail.get("sf") == sf:
+        prev_q = prev_detail.get("queries", {})
+        ratios: dict[str, float] = {}
+        for name, t in timings.items():
+            pt = prev_q.get(name)
+            if (
+                t is not None
+                and pt
+                and pt > 0
+                and name in fingerprints
+                and prev_plans.get(name) == fingerprints[name]
+            ):
+                ratios[name] = t / pt
+        if ratios:
+            ordered = sorted(ratios.values())
+            n = len(ordered)
+            med = ordered[n // 2]
+            drift = {
+                "median_plan_stable_ratio": round(med, 3),
+                "n_plan_stable_rows": n,
+                "plan_stable_p25_p75": [
+                    round(ordered[n // 4], 3),
+                    round(ordered[(3 * n) // 4], 3),
+                ],
+                # rows moving >1.5× away from the cohort median in either
+                # direction — the per-run-scatter candidates the r10
+                # verdict asked to classify with two-sided data
+                "plan_stable_outliers": {
+                    k: round(v, 3)
+                    for k, v in sorted(ratios.items(), key=lambda kv: -kv[1])
+                    if v > 1.5 * med or v < med / 1.5
+                },
+            }
+
+    # committed artifacts describe the REAL bench (sf0.1) — a local
+    # smoke run at a smaller sf must not clobber them (it silently
+    # replaced the r10 sf0.1 baseline once; the drift normalizer above
+    # depends on the committed files being the previous real run)
+    write_artifacts = sf >= 0.1
+    if write_artifacts:
+        try:
+            repo.joinpath("BENCH_PLANS.json").write_text(
+                json.dumps(fingerprints, indent=1, sort_keys=True) + "\n"
+            )
+            repo.joinpath("BENCH_PLANTEXT.json").write_text(
+                json.dumps(plan_texts, indent=1, sort_keys=True) + "\n"
+            )
+        except OSError:
+            pass
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
     detail = {
@@ -674,6 +735,8 @@ def main() -> None:
         "canary": canary,
         "value_canary_norm": round(total / canary["speed_ratio"], 3),
     }
+    if drift:
+        detail["drift"] = drift
     if recall:
         detail["recall_at_5"] = recall
     if streaming:
@@ -691,12 +754,13 @@ def main() -> None:
     # stdout and parses the final JSON line — round 5's one-line dump (57
     # query rows + recall trio + streaming blocks) outgrew that window and
     # the round's perf record was lost (`BENCH_r05.json` parsed:null).
-    try:
-        repo.joinpath("BENCH_DETAIL.json").write_text(
-            json.dumps(detail, indent=1, sort_keys=True) + "\n"
-        )
-    except OSError:
-        pass
+    if write_artifacts:
+        try:
+            repo.joinpath("BENCH_DETAIL.json").write_text(
+                json.dumps(detail, indent=1, sort_keys=True) + "\n"
+            )
+        except OSError:
+            pass
 
     slowest = dict(
         sorted(
@@ -716,6 +780,14 @@ def main() -> None:
         "queries": slowest,  # 10 slowest; full table in BENCH_DETAIL.json
         "detail": "BENCH_DETAIL.json",
     }
+    if drift:
+        out["median_plan_stable_ratio"] = drift["median_plan_stable_ratio"]
+        out["n_plan_stable_rows"] = drift["n_plan_stable_rows"]
+        # the empirically-normalized total: total time rescaled by the
+        # measured same-plan drift vs the previous committed run — the
+        # figure to use for flat/regressed verdicts (canary stays a
+        # machine-health flag)
+        out["value_drift_norm"] = round(total / drift["median_plan_stable_ratio"], 3)
     if recall:
         out["recall_at_5"] = {
             "lsh": round(recall.get("knn_ann_lsh_probe_only_100q", -1), 3),

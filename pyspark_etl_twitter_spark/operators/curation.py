@@ -695,6 +695,11 @@ def bloom_contamination(
     false positives — ever reach the dedup/aggregate exchange, exactly
     the probe-before-distinct shape of ``contamination_overlap``.
     """
+    if m_bits <= 0 or m_bits % 64 != 0:
+        # the word array is sized m_bits // 64: a non-multiple would
+        # silently truncate and positions >= n_words*64 would IndexError
+        # at build time (r10 ADVICE)
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
     spark = docs.sparkSession
     eval_pos = (
         eval_docs.select(

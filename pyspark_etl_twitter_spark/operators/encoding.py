@@ -266,17 +266,46 @@ def bpe_train(
     tests/test_encoding.py equality vs an independent brute-force
     reference).
 
+    Merge FIDELITY caveat (r10 ADVICE): the brute-force equivalence
+    holds exactly only while the word table is complete — if
+    ``max_words`` truncates the distinct-word table or ``min_count>1``
+    filters it, the dropped words' pair weights vanish and merge order
+    can differ from a full-table train. That is the standard
+    frequency-capped approximation every production BPE trainer makes,
+    but it is an approximation: callers that need exact equivalence
+    must size ``max_words`` >= distinct words and keep ``min_count=1``.
+    The training pass LOUDLY surfaces this: a ``UserWarning`` is issued
+    when the cap or filter actually dropped rows.
+
     Returns merges ordered by rank, ready for ``bpe_encode_documents``.
     """
+    # collect UNFILTERED top-(max_words+1) by (count desc, word): the +1
+    # sentinel detects max_words truncation without a second corpus
+    # aggregate, and applying min_count driver-side (the tail of the
+    # sorted window) detects whether the filter actually dropped rows
     rows = (
         docs.select(F.explode(ws_tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= min_count)
         .orderBy(F.col("c").desc(), F.col("w"))
-        .limit(max_words)
+        .limit(max_words + 1)
         .collect()
     )
+    truncated = len(rows) > max_words
+    rows = rows[:max_words]
+    filtered = any(r["c"] < min_count for r in rows)
+    rows = [r for r in rows if r["c"] >= min_count]
+    if truncated or filtered:
+        import warnings
+
+        warnings.warn(
+            "bpe_train word table was "
+            + ("truncated by max_words" if truncated else "filtered by min_count")
+            + " — merge order is the frequency-capped approximation, not "
+            "exact-equivalent to a full-table train (see docstring)",
+            UserWarning,
+            stacklevel=2,
+        )
     # symbol sequences per distinct word, weighted by corpus frequency
     words: list[tuple[list[str], int]] = [(list(r["w"]), r["c"]) for r in rows]
     merges: list[tuple[str, str]] = []

@@ -568,6 +568,84 @@ GROUP BY f.cluster
 ORACLE_SEMDEDUP_CLUSTER_SUMMARY = _semdedup_oracle()
 
 
+def semdedup_ivf_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over a PERSISTED IVF index (r10 verdict ask #5) — the
+    corpus-scale form, driver-verified end to end: ``build_ivf_index``
+    materializes the hive-partitioned assignment table (deterministic
+    first-16 cosine-argmax seeding, the ``knn_ivf`` layout), then
+    ``semdedup_from_ivf`` runs the within-list pair scan over the pruned
+    per-list partition reads with build-time-precomputed norms. Per-list
+    keep/drop histogram. Every stage (argmax assignment with
+    lowest-list tie-break, rounded cosine gate, drop-higher-id) is a
+    deterministic join/aggregate, so DuckDB replays it exactly — the
+    float parity of the parquet round-trip is exact (emb and nrm are
+    stored/read bit-identically)."""
+    import tempfile
+    from pathlib import Path
+
+    from pyspark_etl_twitter_spark.operators.dedup import semdedup_from_ivf
+    from pyspark_etl_twitter_spark.operators.similarity import build_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # deterministic per-corpus path + overwrite mode: repeated driver
+    # calls rebuild in place, nothing accumulates
+    base = Path(tempfile.gettempdir()) / "spark_graft_idx"
+    path = str(base / f"semdedup_ivf_{Path(sf_dir).name}")
+    build_ivf_index(emb, path, n_lists=16)
+    drops = semdedup_from_ivf(
+        spark, path, threshold=SEMANTIC_TAU, round_dp=_KM_DP
+    ).withColumn("_d", F.lit(1))
+    assigned = spark.read.parquet(f"{path}/assignments").select(
+        "vec_id", F.col("list_id").cast("int").alias("list_id")
+    )
+    return (
+        assigned.join(drops, "vec_id", "left")
+        .groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.coalesce("_d", F.lit(0))).alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce("_d", F.lit(0)))).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
+ORACLE_SEMDEDUP_IVF_SUMMARY = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS list_id, emb AS c_emb, nrm AS c_nrm FROM base WHERE vec_id < 16
+),
+assign AS (
+  SELECT vec_id, emb, nrm, list_id FROM (
+    SELECT b.vec_id, b.emb, b.nrm, c.list_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.emb, c.c_emb) / (b.nrm * c.c_nrm) DESC,
+                      c.list_id) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+drops AS (
+  SELECT DISTINCT pb.vec_id
+  FROM assign pa JOIN assign pb
+    ON pa.list_id = pb.list_id AND pa.vec_id < pb.vec_id
+  WHERE round(list_dot_product(pa.emb, pb.emb) / (pa.nrm * pb.nrm), {_KM_DP})
+        >= {SEMANTIC_TAU}
+)
+SELECT CAST(a.list_id AS INTEGER) AS list_id,
+       count(*) AS n_vecs,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+FROM assign a LEFT JOIN drops d USING (vec_id)
+GROUP BY a.list_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Bloom-filter join pruning (round 3) — exact join, pruned shuffle
 # --------------------------------------------------------------------------

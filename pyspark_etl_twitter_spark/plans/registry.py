@@ -168,6 +168,14 @@ QUERIES: dict[str, QueryFn] = {
     # pairwise summation is not provably bit-equal to a SQL fold);
     # equality vs the fold pinned in tests/test_dedup.py
     "semdedup_fast_summary": AQ.semdedup_fast_summary,
+    # SemDeDup over the persisted IVF index — the corpus-scale form,
+    # fully oracle-backed (r10 verdict ask #5)
+    "semdedup_ivf_summary": AQ.semdedup_ivf_summary,
+    # BPE train+encode: rows-only by design (iterative merge loop — no
+    # tractable recursive CTE); equality vs a brute-force trainer over
+    # the expanded corpus pinned in tests/test_encoding.py (r10 ADVICE:
+    # was defined but unreachable)
+    "bpe_tokens_by_source": T.bpe_tokens_by_source,
     "dedup_segments_rebuild": T.dedup_segments_rebuild,
     "pricing_summary": R.pricing_summary,
     "revenue_by_nation": R.revenue_by_nation,
@@ -339,6 +347,7 @@ ORACLES: dict[str, str] = {
     "semantic_near_dup_pairs": AQ.ORACLE_SEMANTIC_NEAR_DUP_PAIRS,
     "kmeans_cluster_sizes": AQ.ORACLE_KMEANS_CLUSTER_SIZES,
     "semdedup_cluster_summary": AQ.ORACLE_SEMDEDUP_CLUSTER_SUMMARY,
+    "semdedup_ivf_summary": AQ.ORACLE_SEMDEDUP_IVF_SUMMARY,
     "dedup_segments_rebuild": T.ORACLE_DEDUP_SEGMENTS_REBUILD,
     "semantic_dedup_survivors": AQ.ORACLE_SEMANTIC_DEDUP_SURVIVORS,
     "tpch_q3_shipping_priority": H.ORACLE_TPCH_Q3,
@@ -408,95 +417,86 @@ ORACLES: dict[str, str] = {
     "text_semantic_dedup_survivors": T.ORACLE_TEXT_SEMANTIC_DEDUP_SURVIVORS,
 }
 
-# ROUND-10 WINDOW (r9 verdict ask #4): rotation stays DECLARATIVE — the
+# ROUND-11 WINDOW (r10 verdict ask #4): rotation stays DECLARATIVE — the
 # list below is reordered to the front of QUERIES at import time, so each
-# round edits one list instead of re-sorting a 166-entry literal. After
-# r9 the staleness distribution of newest driver rows was
-# {r9: 50, r8: 50, r7: 48, r6: 18}; this window takes ALL 18 r6 rows plus
-# the first 32 (alphabetically) of the 48 r7 rows, so after r10 no
-# registry query's newest driver row is older than r7 (the remaining 16
-# r7 rows — the TPC-H mid-teens block and three curation reps — rotate in
-# r11). Every slot is oracle-backed this round: the four
-# rows-only-by-design queries were refreshed in r9 and are the FRESHEST
-# rows in the book, so they stay in the tail.
-ROUND10_WINDOW: list[str] = [
-    # changed-this-round (2): both queries' plans changed in r10 commits
-    # (aeecdbe dropped revenue_by_nation's scale-unsafe broadcast hint;
-    # a827358 rewrote dedup_normalized_summary's aggregate shape). Their
-    # r9 hash-green rows verified the OLD plans, so they take two window
-    # slots now rather than waiting out the staleness rotation — a
-    # changed query always outranks a stale-but-unchanged one.
-    "revenue_by_nation",
-    "dedup_normalized_summary",
-    # new-this-round (4): never driver-verified — same rule as changed
-    # queries (the three oracle-backed ones verified vs DuckDB locally
-    # before taking slots; semdedup_fast_summary is rows-only by design,
-    # equality-pinned in pytest).
-    "dedup_segments_rebuild",
-    "semdedup_cluster_summary",
-    "semdedup_fast_summary",
-    "bloom_decontaminate_counts",
-    # newest driver rows: r6 (18)
-    "running_revenue_chunked",
-    "script_profile_by_source",
-    "sentiment_classes",
-    "sentiment_weights_head",
-    "sessionize_events",
-    "sessionize_events_chunked",
-    "stratified_exact_n_docs",
-    "temperature_mix_counts",
-    "text_embedding_near_dup",
-    "text_quality_by_source",
-    "text_semantic_dedup_survivors",
-    "token_counts",
-    "topk_orders_per_customer",
-    "tpch_q18_large_volume_customers",
-    "tpch_q20_excess_stock",
-    "tpch_q21_waiting_suppliers",
-    "weighted_sample_by_length",
-    "winsorized_price_stats",
-    # newest driver rows: r7 (first 26 alphabetically of 48; q10-q14 and
-    # top_terms_per_doc yield their slots to the two changed-in-r10 and
-    # four new-in-r10 queries above and rotate in r11 with the other 17
-    # r7 rows)
-    "asof_forward_next_click",
-    "bigram_lm_quality_by_source",
-    "bloom_join_urgent_revenue",
-    "chunk_documents_64",
-    "cohort_retention_weekly",
-    "curation_pipeline_counts",
-    "customers_above_nation_avg",
-    "dedup_keep_canonical",
-    "dedup_minhash_portable_pairs",
-    "doc_length_histogram",
-    "epoch_shuffle_head",
-    "fuzzy_part_name_pairs",
-    "graph_degree_histogram",
-    "graph_triangles_per_node",
-    "kmeans_cluster_sizes",
-    "minmax_by_orders",
-    "null_safe_join_segments",
-    "outlier_events_by_type",
-    "percentile_window_customers",
-    "resample_interpolate_hourly",
-    "salted_join_brand_revenue",
-    "semantic_dedup_survivors",
-    "semantic_near_dup_pairs",
-    "semantic_prune_by_centroid",
-    "session_conversion_rate",
-    "stats_aggregates_lineitem",
+# round edits one list instead of re-sorting the whole literal. After r10
+# the staleness distribution of newest driver rows is
+# {r10: 50, r9: 48, r8: 50, r7: 22}; this window takes the 2 new-in-r11
+# queries, ALL 22 r7 rows (the TPC-H mid-teens block + curation reps the
+# r10 comment queued), and the first 26 (alphabetically) of the 50 r8
+# rows — so after r11 no registry query's newest driver row is older
+# than r8 (the remaining 24 r8 rows rotate in r12).
+ROUND11_WINDOW: list[str] = [
+    # new-this-round (2): never driver-verified — new queries always
+    # outrank stale-but-unchanged ones. semdedup_ivf_summary is
+    # oracle-backed (verified vs DuckDB locally before taking a slot);
+    # bpe_tokens_by_source is rows-only by design (iterative BPE merge
+    # loop — equality vs a brute-force trainer pinned in pytest).
+    "semdedup_ivf_summary",
+    "bpe_tokens_by_source",
+    # newest driver rows: r7 (all 22)
+    "top_terms_per_doc",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_latency_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "training_mix_counts",
+    "unpivot_lineitem_measures",
+    "vocab_head",
+    # newest driver rows: r8 (first 26 alphabetically of 50; the
+    # remaining 24 rotate in r12)
+    "anti_join_customers",
+    "array_funcs_documents",
+    "asof_nearest_click",
+    "bigram_profile_top",
+    "chunk_documents_overlap_64",
+    "cube_quantity",
+    "date_arithmetic_orders",
+    "date_funcs_orders",
+    "dedup_clusters_minhash_portable",
+    "dedup_clusters_simhash_portable",
+    "dedup_exact_groups",
+    "dedup_jaccard_pairs",
+    "dedup_sha_fingerprints",
+    "dedup_simhash_portable",
+    "dedup_simhash_portable_pairs",
+    "distinct_counts",
+    "embedding_centroids_by_label",
+    "embedding_norm_stats",
+    "encoded_docs",
+    "except_all_quantities",
+    "full_outer_nation_counts",
+    "global_top_orders",
+    "grouping_sets_revenue",
+    "intersect_all_quantities",
+    "json_extract_events",
+    "knn_ann_lsh",
 ]
 
-_win = set(ROUND10_WINDOW)
+_win = set(ROUND11_WINDOW)
 # explicit raise, not assert: a module-level assert is stripped under
 # `python -O`, and a malformed window would then silently corrupt the
 # QUERIES ordering the driver's correctness gate depends on (r9 ADVICE)
-if len(ROUND10_WINDOW) != 50 or len(_win) != 50 or not _win <= set(QUERIES):
+if len(ROUND11_WINDOW) != 50 or len(_win) != 50 or not _win <= set(QUERIES):
     raise ValueError(
-        "window/registry drift: ROUND10_WINDOW must be 50 distinct "
-        f"registry keys (got {len(ROUND10_WINDOW)} entries, "
+        "window/registry drift: ROUND11_WINDOW must be 50 distinct "
+        f"registry keys (got {len(ROUND11_WINDOW)} entries, "
         f"{len(_win)} distinct, unknown={sorted(_win - set(QUERIES))})"
     )
-QUERIES = {k: QUERIES[k] for k in ROUND10_WINDOW} | {
+QUERIES = {k: QUERIES[k] for k in ROUND11_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in _win
 }

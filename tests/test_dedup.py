@@ -740,3 +740,79 @@ def test_semdedup_pandas_matches_hof(spark):
         ).collect()
     }
     assert hof == fast and hof  # non-trivial on the real corpus
+
+
+def test_semdedup_from_ivf_plan_is_pruned_equi_join(spark, tmp_path):
+    """Plan contract for the registry row (the sweep SKIPs it because the
+    index build executes writes): the pair scan must be a list_id
+    EQUI-join over the persisted assignments — no cartesian product, no
+    BNLJ, no Python UDF anywhere."""
+    from pyspark_etl_twitter_spark.operators.dedup import semdedup_from_ivf
+    from pyspark_etl_twitter_spark.operators.similarity import build_ivf_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_lists=4, max_queries=1)
+    plan = (
+        semdedup_from_ivf(spark, path, threshold=0.30)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_segment_dedup_whitespace_roundtrip_property(spark):
+    """r10 verdict ask #7: segment_dedup splits on SINGLE spaces and
+    reassembles with concat_ws(' ') — the tokenizer-boundary semantics
+    must round-trip texts containing runs of spaces, leading/trailing
+    spaces, and non-ASCII unicode spaces (NBSP, ideographic space stay
+    INSIDE tokens: only U+0020 is a boundary — the CCNet line shape).
+    Property, vs a Python oracle of the same algorithm: for any corpus,
+    (n_segments, n_kept, new_text) match the oracle exactly — in
+    particular a corpus with NO cross-or-within-doc duplicate segments
+    reassembles to the exact original text, empty tokens included."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_etl_twitter_spark.operators.dedup import segment_dedup
+
+    token = st.sampled_from(
+        ["a", "bb", "ccc", "", "x y", "　", "tab\tkept", "zz"]
+    )
+    text = st.lists(token, min_size=0, max_size=13).map(" ".join)
+    corpus = st.lists(text, min_size=1, max_size=8)
+
+    def oracle(texts, w):
+        seen = set()
+        out = []
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            segs = [
+                " ".join(toks[j : j + w]) for j in range(0, len(toks), w)
+            ]
+            kept = []
+            for s in segs:
+                if s not in seen:
+                    seen.add(s)
+                    kept.append(s)
+            out.append((i, len(segs), len(kept), " ".join(kept)))
+        return out
+
+    @given(texts=corpus, w=st.integers(min_value=1, max_value=4))
+    @settings(
+        max_examples=12, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    def run(texts, w):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = sorted(
+            (r.doc_id, r.n_segments, r.n_kept, r.new_text)
+            for r in segment_dedup(df, seg_tokens=w).collect()
+        )
+        assert got == oracle(texts, w)
+
+    run()

@@ -333,3 +333,31 @@ def test_hashed_embedding_feeds_the_ann_index(spark, tmp_path):
     by_id = {r.neighbor_id: r.cos_sim for r in top3}
     assert 10_000 in by_id
     assert by_id[10_000] > 0.95
+
+
+def test_bpe_train_warns_on_truncated_word_table(spark):
+    """The frequency-cap approximation must be LOUD (r10 ADVICE): capping
+    the word table below the distinct-word count, or filtering with
+    min_count>1, issues a UserWarning; the default full-table train does
+    not."""
+    import warnings
+
+    from pyspark.sql import Row
+
+    from pyspark_etl_twitter_spark.operators.encoding import bpe_train
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta w{i}") for i in range(20)]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        bpe_train(docs, n_merges=2, max_words=5)
+    assert any("truncated by max_words" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        bpe_train(docs, n_merges=2, min_count=2)
+    assert any("filtered by min_count" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        bpe_train(docs, n_merges=2)
+    assert not [w for w in caught if issubclass(w.category, UserWarning)]

@@ -91,6 +91,8 @@ SKIP = {
     "semantic_near_dup_pairs",
     "dedup_incremental",
     "text_semantic_dedup_survivors",  # CC executes during plan build
+    "semdedup_ivf_summary",    # build_ivf_index writes the index during build
+    "bpe_tokens_by_source",    # bpe_train's bounded vocab collect executes
 }
 
 

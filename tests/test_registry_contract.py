@@ -2,15 +2,14 @@
 
 The driver's correctness gate checks the first 50 registry keys, so the
 dict order is load-bearing. Rotation is declarative since round 9:
-``registry.ROUND10_WINDOW`` is reordered to the front of ``QUERIES`` at
+``registry.ROUND11_WINDOW`` is reordered to the front of ``QUERIES`` at
 import time and these tests pin its composition.
 
-Round-10 rule (r9 verdict ask #4): the window is the 50 stalest rows of
-the cumulative CORRECTNESS book — all 18 queries whose newest driver row
-was r6 plus the first 32 (alphabetically) of the 48 whose newest row was
-r7 — so after r10 no registry query's newest driver row is older than
-r7. Every slot is oracle-backed this round (the four
-rows-only-by-design queries were refreshed in r9 and sit in the tail).
+Round-11 rule (r10 verdict ask #4): the window is the 2 new-in-r11
+queries plus the 48 stalest rows of the cumulative CORRECTNESS book —
+all 22 queries whose newest driver row was r7 plus the first 26
+(alphabetically) of the 50 whose newest row was r8 — so after r11 no
+registry query's newest driver row is older than r8.
 """
 
 import pytest
@@ -18,7 +17,7 @@ import pytest
 from pyspark_etl_twitter_spark.plans.registry import (
     ORACLES,
     QUERIES,
-    ROUND10_WINDOW,
+    ROUND11_WINDOW,
 )
 
 DRIVER_WINDOW = 50
@@ -36,6 +35,11 @@ ROWS_ONLY_BY_DESIGN = {
     # driver records rows; the fold twin semdedup_cluster_summary IS
     # hash-checked and pytest pins kernel==fold on the same corpus
     "semdedup_fast_summary",
+    # r11: BPE train+encode — the iterative merge loop (argmax + fuse
+    # per round) has no tractable recursive-CTE form; equality vs a
+    # brute-force trainer over the expanded corpus is pinned in
+    # tests/test_encoding.py
+    "bpe_tokens_by_source",
     # kmeans_cluster_sizes, knn_ann_lsh and knn_ivf left this set in
     # round 7: the fixed-iteration portable fit, the literal-hyperplane/
     # xor-mask LSH oracle, and the first-k-centroid IVF oracle made them
@@ -45,18 +49,18 @@ ROWS_ONLY_BY_DESIGN = {
 
 
 def test_window_is_the_declared_rotation():
-    assert list(QUERIES)[:DRIVER_WINDOW] == ROUND10_WINDOW
-    assert len(set(ROUND10_WINDOW)) == DRIVER_WINDOW
+    assert list(QUERIES)[:DRIVER_WINDOW] == ROUND11_WINDOW
+    assert len(set(ROUND11_WINDOW)) == DRIVER_WINDOW
 
 
-def test_window_composition_r10():
+def test_window_composition_r11():
     """49 of 50 slots oracle-backed; the one rows-only slot is the
-    NEW-this-round semdedup_fast_summary (a new query always takes a
-    slot; rows-only is its designed check level). The four r9-refreshed
-    rows-only queries stay in the tail."""
+    NEW-this-round bpe_tokens_by_source (a new query always takes a
+    slot; rows-only is its designed check level). The other rows-only
+    queries (refreshed r9/r10) stay in the tail."""
     window = list(QUERIES)[:DRIVER_WINDOW]
     rows_only_in_window = set(window) & ROWS_ONLY_BY_DESIGN
-    assert rows_only_in_window == {"semdedup_fast_summary"}
+    assert rows_only_in_window == {"bpe_tokens_by_source"}
     assert all(k in ORACLES for k in window if k not in rows_only_in_window)
 
 

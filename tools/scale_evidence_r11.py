@@ -1,0 +1,105 @@
+"""Round-11 scaling evidence: the coarse-quantizer assignment rung
+(VERDICT r10 ask #2).
+
+The r10 ×50 SemDeDup run (tools/scale_evidence_r10.py, DESIGN.md §22)
+measured 467 s at mult=50 / k=400 and showed the wall is DOMINATED by
+dense assignment: O(N·k·dim) is O(N²·dim) under the paper's k∝N rule.
+This harness re-runs the identical displaced-replica corpus and scaled
+centroid set with ``coarse_probe`` engaged (two-level assignment:
+argmin over ⌈√k⌉ super-centroids, refine within the probed groups —
+O(N·√k·dim)) and reports, per multiplier:
+
+- wall time of the dense single-level path (the r10 number, re-measured
+  on this machine so the comparison is same-state);
+- wall time of the two-level path at n_probe 1 and 2;
+- drop-set agreement between the paths (|symmetric diff| / |exact|) —
+  the displaced-replica corpus is strongly clustered, so the coarse
+  cells recover the replica structure and agreement should be ~1.
+
+Results table: DESIGN.md §"Round-11 coarse-quantizer rung".
+
+Usage: python tools/scale_evidence_r11.py [sf_dir] [max_mult]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators.clustering import kmeans_fit_portable
+from pyspark_etl_twitter_spark.operators.dedup import semdedup_drop_ids
+from pyspark_etl_twitter_spark.session import get_session
+from pyspark_etl_twitter_spark.sources.catalog import load_table
+from tools.scale_evidence_r4 import replicate
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    max_mult = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    mults = [m for m in (1, 10, 50) if m <= max_mult]
+    spark = get_session(app_name="scale_evidence_r11")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_cents = kmeans_fit_portable(emb, 8, iters=3)
+
+    for mult in mults:
+        if mult > 1:
+            e = replicate(emb, mult, ["vec_id"])
+            # same displacement as r10: replicas occupy disjoint regions
+            # so per-replica centroid copies genuinely partition the
+            # grown corpus (scaled-k structure)
+            e = e.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.when(
+                        i == 0, x.cast("double") + 10.0 * F.col("_rep")
+                    ).otherwise(x.cast("double")),
+                ),
+            )
+        else:
+            e = emb.withColumn(
+                "embedding",
+                F.transform("embedding", lambda x: x.cast("double")),
+            )
+        n_vec = e.count()
+        scaled = [
+            [c[0] + 10.0 * r] + list(c[1:])
+            for r in range(mult)
+            for c in base_cents
+        ]
+        k = len(scaled)
+        print(f"-- x{mult}: {n_vec} vectors, k={k} --", flush=True)
+
+        runs = {}
+        for label, kwargs in [
+            ("dense", {}),
+            ("two_level p=1", {"coarse_probe": 1}),
+            ("two_level p=2", {"coarse_probe": 2}),
+        ]:
+            start = time.perf_counter()
+            drops = semdedup_drop_ids(e, scaled, threshold=0.30, **kwargs)
+            ids = set(r[0] for r in drops.collect())
+            wall = time.perf_counter() - start
+            runs[label] = (wall, ids)
+            print(f"  {label}: {wall:.2f} s, {len(ids)} dropped", flush=True)
+        exact = runs["dense"][1]
+        for label in ("two_level p=1", "two_level p=2"):
+            ids = runs[label][1]
+            sym = len(exact ^ ids)
+            denom = max(1, len(exact))
+            print(
+                f"  {label} drop-set agreement: sym-diff {sym} "
+                f"({100.0 * (1 - sym / denom):.2f}% of exact)",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

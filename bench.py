@@ -151,6 +151,8 @@ HEADLINE = [
     # round-11 families
     "semdedup_ivf_summary",  # dedup over the persisted IVF index (build+scan)
     "bpe_tokens_by_source",  # BPE train (driver merge loop) + Arrow encode
+    "dsir_weights_by_source",  # hashed-ngram importance weights (DSIR)
+    "dsir_selected_counts",  # greedy top-k DSIR selection
 ]
 
 

@@ -1,0 +1,172 @@
+"""Data selection via hashed n-gram importance weighting — the DSIR
+recipe (Xie et al. 2023, arXiv:2302.03169): score every raw document by
+how much more likely its hashed n-gram features are under a TARGET
+domain's distribution than under the raw corpus's own, then keep the
+top-weighted (or importance-resampled) slice. The standard
+pretraining-data curation step for "make the web corpus look like
+Wikipedia/books" domain matching.
+
+Spark-first shape (everything is one narrow gram stream + one bounded
+broadcast table):
+
+1. **Features**: unigrams + bigrams of the whitespace tokens, each gram
+   hashed into one of ``n_buckets`` buckets with the engine's portable
+   md5→u32 idiom (same class as ``curation.shuffle_key`` — exactly
+   reproducible in DuckDB, unlike xxhash64). One exploded (doc, bucket)
+   row per gram OCCURRENCE — DSIR counts occurrences, not distincts.
+2. **Distributions**: bucket histograms of the target and raw gram
+   streams, Laplace-smoothed ((count + α) / (total + α·B)) over the
+   COMPLETE bucket range so unseen buckets carry the smoothing floor.
+   Totals ride as 1-row broadcast scalars (the engine's documented
+   bounded-BNLJ pattern); the per-bucket log-ratio table is B rows —
+   broadcast-sized at any realistic B (the paper uses 10k).
+3. **Scores**: log w(d) = Σ_grams (ln p_target[b] − ln p_raw[b]) — the
+   exploded raw stream equi-joins the broadcast log-ratio table and
+   partial-aggregates per doc, so the only corpus-wide exchange is the
+   per-doc sum keyed by id. No driver state anywhere: 100 TB of raw
+   text streams through as (doc, bucket) pairs.
+
+Selection is deterministic top-k by (rounded weight desc, id) — the
+greedy variant the paper evaluates alongside Gumbel resampling; rounded
+before ranking so cross-engine float noise cannot reorder the cut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators.dedup import shingle_array
+from pyspark_etl_twitter_spark.operators.textstats import ws_tokens
+
+#: default feature-space size: bounded broadcast table (B rows of
+#: (bucket, dlog) doubles); the paper's 10k fits the same envelope
+DEFAULT_BUCKETS = 1024
+
+
+def gram_bucket(gram: Column, n_buckets: int) -> Column:
+    """Portable hash bucket: first 8 md5 hex chars as u32, mod B —
+    bit-reproducible in any engine with md5 (the repo's standard
+    oracle-portable hash; xxhash64 would be faster but unverifiable)."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    )
+
+
+def doc_gram_buckets(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """(id, bucket) — one row per unigram/bigram OCCURRENCE."""
+    toks = ws_tokens(text_col)
+    grams = F.concat(toks, shingle_array(toks, 2))
+    return docs.select(
+        F.col(id_col),
+        F.explode(grams).alias("_g"),
+    ).select(id_col, gram_bucket(F.col("_g"), n_buckets).alias("bucket"))
+
+
+def _bucket_log_probs(
+    grams: DataFrame, n_buckets: int, alpha: float, out_col: str
+) -> DataFrame:
+    """(bucket, out_col=ln smoothed probability) over the COMPLETE
+    0..B-1 bucket range. The gram total joins in as a 1-row broadcast
+    scalar (bounded BNLJ); the output is B rows."""
+    spark = grams.sparkSession
+    counts = grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("_c"))
+    total = grams.agg(F.count(F.lit(1)).alias("_n"))
+    full = (
+        spark.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    return full.select(
+        "bucket",
+        F.log(
+            (F.coalesce(F.col("_c"), F.lit(0)).cast("double") + F.lit(alpha))
+            / (F.col("_n").cast("double") + F.lit(alpha * n_buckets))
+        ).alias(out_col),
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(id, log_w): per raw document, the DSIR log importance weight
+    Σ_grams (ln p_target[bucket] − ln p_raw[bucket]). Documents whose
+    text yields no grams score 0.0 (the neutral weight).
+
+    The per-bucket log-ratio table is built once (B rows) and
+    broadcast; the raw corpus streams through as (id, bucket) pairs and
+    partial-aggregates into one exchange keyed by id."""
+    gr = doc_gram_buckets(
+        raw, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    gt = doc_gram_buckets(
+        target, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    lp_t = _bucket_log_probs(gt, n_buckets, alpha, "_lp_t")
+    lp_r = _bucket_log_probs(gr, n_buckets, alpha, "_lp_r")
+    dlog = lp_t.join(lp_r, "bucket").select(
+        "bucket", (F.col("_lp_t") - F.col("_lp_r")).alias("_dlog")
+    )
+    scored = (
+        gr.join(F.broadcast(dlog), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("_dlog").alias("log_w"))
+    )
+    return (
+        raw.select(id_col)
+        .join(scored, id_col, "left")
+        .select(id_col, F.coalesce("log_w", F.lit(0.0)).alias("log_w"))
+    )
+
+
+def dsir_select_topk(
+    raw: DataFrame,
+    target: DataFrame,
+    n_select: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """The ``n_select`` raw documents with the highest importance
+    weights — deterministic greedy selection by (round(log_w, round_dp)
+    DESC, id). Rounding BEFORE the rank keeps the cut stable across
+    engines/partitionings (float-sum noise ~1e-12 ≪ the 1e-4 grid);
+    the id tiebreak makes it total. Returns (id, log_w rounded, rank).
+
+    The global top-k sort is bounded by ``n_select`` (Spark's sort-limit
+    is a per-partition top-k + single merge of k·partitions candidates,
+    not a global sort of the corpus)."""
+    w = dsir_log_weights(
+        raw,
+        target,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
+    ).select(id_col, F.round("log_w", round_dp).alias("log_w"))
+    top = w.orderBy(F.col("log_w").desc(), F.col(id_col)).limit(n_select)
+    # the rank window runs over the ALREADY-LIMITED n_select rows — its
+    # single-partition exchange is bounded by k, not the corpus
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("log_w").desc(), F.col(id_col))
+        ),
+    )

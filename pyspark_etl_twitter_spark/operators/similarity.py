@@ -383,6 +383,7 @@ def ivf_assignments(
     n_lists: int = 16,
     train_iters: int = 0,
     centroid_vectors: list[list[float]] | None = None,
+    coarse_probe: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: partition the corpus into ``n_lists``
     inverted lists by nearest centroid.
@@ -395,7 +396,22 @@ def ivf_assignments(
     worst case is its biggest list. Assignment is a broadcast cross join
     against the centroid dimension + per-vector argmin window: one narrow
     pass over the corpus, no corpus shuffle except the final argmin
-    partition by id. Returns (assignments, centroids)."""
+    partition by id. Returns (assignments, centroids).
+
+    ``coarse_probe`` (None = exact single-level) opts the assignment
+    into the TWO-LEVEL coarse quantizer — the cosine twin of
+    ``clustering.kmeans_assign_two_level`` (DESIGN.md §"Round-11
+    coarse-quantizer rung"): unit-normalized centroids are grouped
+    driver-side into ⌈√n_lists⌉ super-directions; each vector ranks
+    those by one √n_lists-literal dot fold (zero exchanges), then
+    refines within its ``coarse_probe`` nearest groups via a broadcast
+    equi-join + partial-agg argmax, so per-vector work drops from
+    n_lists·dim to (√n_lists + coarse_probe·√n_lists)·dim — the rung
+    that keeps index BUILDS linear at the tens-of-thousands n_lists a
+    corpus-scale deployment uses. With ``coarse_probe >= ⌈√n_lists⌉``
+    every (vector, centroid) pair is scored once by the identical
+    arithmetic/tie-break → bit-identical to single-level (pinned by
+    ``test_ivf_two_level_exhaustive_matches_single``)."""
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("emb"),
@@ -450,6 +466,11 @@ def ivf_assignments(
     # order, and the sims are the same expressions, so results are
     # bit-identical (pinned by the knn_ivf oracle + indexed≡one-shot tests).
     crows = sorted(centroids.collect(), key=lambda r: r["list_id"])
+    if coarse_probe is not None and len(crows) > 1:
+        return (
+            _ivf_assign_two_level(base, crows, coarse_probe),
+            centroids,
+        )
     list_ids = [int(r["list_id"]) for r in crows]
     # sims as one HOF fold over a 2-D centroid literal (see clustering
     # _assign): k·dim-times smaller expression tree than k unrolled dots +
@@ -478,6 +499,84 @@ def ivf_assignments(
         .alias("list_id"),
     )
     return assignments, centroids
+
+
+def _ivf_assign_two_level(base: DataFrame, crows, n_probe: int) -> DataFrame:
+    """Two-level cosine-argmax assignment over collected centroid rows
+    (see ``ivf_assignments`` docstring). Stage 1 ranks ⌈√k⌉ unit
+    super-directions per vector in one codegen fold (ranking by raw
+    dot — |v| is constant per vector, so dot order == cosine order);
+    stage 2 equi-joins the probed groups against the broadcast centroid
+    relation and takes ``min(struct(-sim, list_id))`` — the same
+    (sim DESC, list_id ASC) order as the literal path's first-max
+    ``array_position``, partial-aggregated so the exchange carries one
+    candidate per vector."""
+    from pyspark_etl_twitter_spark.operators.clustering import _group_centroids
+
+    k = len(crows)
+    n_coarse = max(1, math.isqrt(k - 1) + 1)  # ceil(sqrt(k))
+    n_probe = max(1, min(n_probe, n_coarse))
+    unit = [
+        [float(x) / float(r["c_nrm"]) for x in r["c_emb"]] for r in crows
+    ]
+    sup, groups = _group_centroids(unit, n_coarse)
+    sup_unit = []
+    for s in sup:
+        n = math.sqrt(sum(x * x for x in s)) or 1.0
+        sup_unit.append([x / n for x in s])
+
+    sup_lit = F.array(*[F.array(*[F.lit(float(x)) for x in s]) for s in sup_unit])
+    gd = F.transform(sup_lit, lambda s: dot(F.col("emb"), s))
+    scored = base.select("vec_id", "emb", "nrm", gd.alias("_gs"))
+    ranked = F.transform(
+        F.sequence(F.lit(0), F.lit(len(sup_unit) - 1)),
+        lambda i: F.struct(
+            (-F.element_at(F.col("_gs"), i + 1)).alias("d"),
+            i.cast("int").alias("g"),
+        ),
+    )
+    probed = scored.select(
+        "vec_id",
+        "emb",
+        "nrm",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(ranked), 1, n_probe), lambda s: s["g"]
+            )
+        ).alias("_grp"),
+    )
+    spark = base.sparkSession
+    child = spark.createDataFrame(
+        [
+            (
+                groups[j],
+                int(crows[j]["list_id"]),
+                [float(x) for x in crows[j]["c_emb"]],
+                float(crows[j]["c_nrm"]),
+            )
+            for j in range(k)
+        ],
+        schema="_grp int, list_id long, _c array<double>, _cn double",
+    )
+    pairs = probed.join(F.broadcast(child), "_grp")
+    sim = dot(F.col("emb"), F.col("_c")) / (F.col("nrm") * F.col("_cn"))
+    return (
+        pairs.select(
+            "vec_id",
+            "emb",
+            "nrm",
+            F.struct((-sim).alias("ns"), F.col("list_id")).alias("_s"),
+        )
+        .groupBy("vec_id")
+        # emb/nrm are functionally dependent on vec_id (identical on
+        # every pair row of the group) — first() is deterministic here
+        .agg(
+            F.first("emb").alias("emb"),
+            F.first("nrm").alias("nrm"),
+            F.min("_s").alias("_b"),
+        )
+        .select("vec_id", "emb", "nrm", F.col("_b.list_id").alias("list_id"))
+    )
 
 
 def _ivf_probe(
@@ -562,6 +661,7 @@ def build_ivf_index(
     n_lists: int = 16,
     max_queries: int = 100,
     train_iters: int = 0,
+    coarse_probe: int | None = None,
 ) -> None:
     """Materialize the IVF index: assignments parquet PARTITIONED BY
     ``list_id`` (so a probe of p lists reads p/n_lists of the bytes —
@@ -582,6 +682,7 @@ def build_ivf_index(
         vec_col=vec_col,
         n_lists=n_lists,
         train_iters=train_iters,
+        coarse_probe=coarse_probe,
     )
     # persist: the assignment (centroid cross join + argmin window) feeds
     # both the partitioned write and the query-block write — one compute

@@ -613,3 +613,131 @@ LEFT JOIN bloom_doc b USING (doc_id)
 LEFT JOIN hits h USING (doc_id)
 GROUP BY source
 """
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weighting (round 11) — hashed n-gram domain matching
+# (Xie et al. 2023; operators/importance.py). Target domain stand-in:
+# source 'src0'; raw pool: every other source.
+# --------------------------------------------------------------------------
+
+DSIR_B = 1024
+DSIR_ALPHA = 1.0
+DSIR_TARGET = "src0"
+DSIR_N_SELECT = 100
+DSIR_DP = 4
+
+
+def dsir_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source profile of DSIR log importance weights (how much more
+    src0-like each source's documents are than the raw pool average):
+    n_docs, avg and max log weight. The whole pipeline — md5 bucket
+    hashing, Laplace-smoothed bucket distributions, per-doc log-ratio
+    sums — replays exactly in DuckDB."""
+    from pyspark_etl_twitter_spark.operators.importance import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == DSIR_TARGET)
+    raw = docs.filter(F.col("source") != DSIR_TARGET)
+    w = dsir_log_weights(raw, target, n_buckets=DSIR_B, alpha=DSIR_ALPHA)
+    return (
+        raw.select("doc_id", "source")
+        .join(w, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("log_w"), DSIR_DP).alias("avg_logw"),
+            F.round(F.max("log_w"), DSIR_DP).alias("max_logw"),
+        )
+    )
+
+
+def dsir_selected_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy DSIR selection: the 100 highest-weighted raw documents
+    (rounded-weight rank, id tiebreak), counted per source — the
+    selection a domain-matching curation step would feed to training."""
+    from pyspark_etl_twitter_spark.operators.importance import dsir_select_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == DSIR_TARGET)
+    raw = docs.filter(F.col("source") != DSIR_TARGET)
+    sel = dsir_select_topk(
+        raw,
+        target,
+        DSIR_N_SELECT,
+        n_buckets=DSIR_B,
+        alpha=DSIR_ALPHA,
+        round_dp=DSIR_DP,
+    )
+    return (
+        sel.join(raw.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+    )
+
+
+def _dsir_ctes() -> str:
+    """Shared oracle chain: occurrence-level unigram+bigram features →
+    md5 buckets → smoothed target/raw distributions → per-bucket dlog →
+    per-doc log weights (docs with no grams score 0)."""
+    return f"""
+tokd AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+         unnest(list_concat(
+             t,
+             list_transform(range(1, greatest(len(t), 1)),
+                            i -> array_to_string(t[i:i+1], ' ')))) AS g
+  FROM tokd
+),
+fb AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {DSIR_B} AS bucket
+  FROM feats
+),
+gt AS (SELECT bucket FROM fb WHERE source = '{DSIR_TARGET}'),
+gr AS (SELECT doc_id, bucket FROM fb WHERE source <> '{DSIR_TARGET}'),
+ct AS (SELECT bucket, count(*) AS c FROM gt GROUP BY bucket),
+cr AS (SELECT bucket, count(*) AS c FROM gr GROUP BY bucket),
+tots AS (SELECT (SELECT count(*) FROM gt) AS nt, (SELECT count(*) FROM gr) AS nr),
+w AS (
+  SELECT b.bucket,
+         ln((coalesce(ct.c, 0) + {DSIR_ALPHA}) / (t.nt + {DSIR_ALPHA} * {DSIR_B}))
+       - ln((coalesce(cr.c, 0) + {DSIR_ALPHA}) / (t.nr + {DSIR_ALPHA} * {DSIR_B}))
+           AS dlog
+  FROM (SELECT unnest(range(0, {DSIR_B})) AS bucket) b
+  CROSS JOIN tots t
+  LEFT JOIN ct USING (bucket)
+  LEFT JOIN cr USING (bucket)
+),
+score AS (
+  SELECT d.doc_id, d.source, coalesce(sum(w.dlog), 0.0) AS log_w
+  FROM (SELECT doc_id, source FROM documents WHERE source <> '{DSIR_TARGET}') d
+  LEFT JOIN gr ON gr.doc_id = d.doc_id
+  LEFT JOIN w ON w.bucket = gr.bucket
+  GROUP BY d.doc_id, d.source
+)"""
+
+
+ORACLE_DSIR_WEIGHTS_BY_SOURCE = f"""
+WITH {_dsir_ctes()}
+SELECT source, count(*) AS n_docs,
+       round(avg(log_w), {DSIR_DP}) AS avg_logw,
+       round(max(log_w), {DSIR_DP}) AS max_logw
+FROM score GROUP BY source
+"""
+
+
+ORACLE_DSIR_SELECTED_COUNTS = f"""
+WITH {_dsir_ctes()},
+sel AS (
+  SELECT source FROM score
+  ORDER BY round(log_w, {DSIR_DP}) DESC, doc_id
+  LIMIT {DSIR_N_SELECT}
+)
+SELECT source, count(*) AS n_selected FROM sel GROUP BY source
+"""

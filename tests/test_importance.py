@@ -1,0 +1,87 @@
+"""DSIR importance weighting (operators/importance.py): target-like
+documents must outscore off-domain ones, weights are
+partitioning-invariant under the rounding contract, and degenerate
+inputs (no grams) score the neutral 0."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.operators.importance import (
+    dsir_log_weights,
+    dsir_select_topk,
+)
+
+
+def _corpus(spark):
+    target = spark.createDataFrame(
+        [
+            Row(doc_id=1000 + i, text="quantum flux manifold tensor spectral theorem")
+            for i in range(10)
+        ]
+    )
+    raw = spark.createDataFrame(
+        [
+            # on-domain: shares the target's vocabulary
+            Row(doc_id=0, text="quantum tensor spectral manifold"),
+            Row(doc_id=1, text="flux manifold quantum theorem"),
+            # off-domain: disjoint vocabulary
+            Row(doc_id=2, text="cheap pills buy now click here"),
+            Row(doc_id=3, text="celebrity gossip shocking photos"),
+            # empty: no grams -> neutral weight
+            Row(doc_id=4, text=""),
+        ]
+    )
+    return raw, target
+
+
+def test_dsir_ranks_on_domain_docs_above_off_domain(spark):
+    raw, target = _corpus(spark)
+    w = {r.doc_id: r.log_w for r in dsir_log_weights(raw, target).collect()}
+    assert set(w) == {0, 1, 2, 3, 4}
+    assert min(w[0], w[1]) > max(w[2], w[3])
+    assert w[4] == 0.0
+
+
+def test_dsir_select_topk_is_deterministic_and_ranked(spark):
+    raw, target = _corpus(spark)
+    sel = dsir_select_topk(raw, target, 2).collect()
+    assert [r.doc_id for r in sorted(sel, key=lambda r: r.rank)] in (
+        [0, 1],
+        [1, 0],
+    )
+    # ranks are 1..k and weights non-increasing in rank
+    by_rank = sorted(sel, key=lambda r: r.rank)
+    assert [r.rank for r in by_rank] == [1, 2]
+    assert by_rank[0].log_w >= by_rank[1].log_w
+
+
+def test_dsir_weights_partitioning_invariant(spark):
+    """The per-doc sums are doubles, so raw values may differ in the
+    last bit across partitionings — the ROUNDED weights (the selection
+    contract) must not."""
+    raw, target = _corpus(spark)
+    a = {
+        r.doc_id: round(r.log_w, 4)
+        for r in dsir_log_weights(raw.repartition(7), target).collect()
+    }
+    b = {
+        r.doc_id: round(r.log_w, 4)
+        for r in dsir_log_weights(raw.coalesce(1), target).collect()
+    }
+    assert a == b
+
+
+def test_dsir_weight_table_is_broadcast_and_no_python_udf(spark):
+    """Plan contract: the dlog table joins the gram stream as a
+    BROADCAST hash join (B rows, never shuffled against the corpus) and
+    nothing falls back to a row-wise Python UDF."""
+    raw, target = _corpus(spark)
+    plan = (
+        dsir_log_weights(raw, target)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

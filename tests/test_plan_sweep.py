@@ -71,6 +71,10 @@ BNLJ_OK = {
     # (operators/curation.py:690) — same bounded shape as
     # decontaminate_counts' broadcast eval-set scalar
     "bloom_decontaminate_counts",
+    # DSIR bucket-distribution totals ride as 1-row broadcast scalars
+    # (operators/importance.py:_bucket_log_probs)
+    "dsir_weights_by_source",
+    "dsir_selected_counts",
 }
 
 # queries that EXECUTE during plan building (iterative/driver-bounded):

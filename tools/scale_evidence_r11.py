@@ -18,7 +18,20 @@ O(N·√k·dim)) and reports, per multiplier:
 
 Results table: DESIGN.md §"Round-11 coarse-quantizer rung".
 
-Usage: python tools/scale_evidence_r11.py [sf_dir] [max_mult]
+A second section measures the COSINE twin
+(``ivf_assignments(coarse_probe=)``) at ×50/k=400 on a cyclic-shift
+replicated corpus (the r4 perturbed mode — preserves intra-replica
+cosine structure) with per-replica-shifted trained centroids: wall
+276.7 → 32.3 s (8.6×) measured 2026-08-15, but n_probe=1 list
+agreement is only 0.26 (0.41 at p=2) — 400 near-uniform directions on
+a 64-dim sphere are the coarse quantizer's intrinsic hard case (no
+directional clustering to exploit), vs the L2 path's 100% drop-set
+agreement on its spatially-clustered corpus. The honest contract for
+cosine/IVF builds is therefore END-TO-END probe recall of the
+two-level-built index vs the exactly-assigned index (measured in
+DESIGN.md §"Round-11 coarse-quantizer rung"), not raw list agreement.
+
+Usage: python tools/scale_evidence_r11.py [sf_dir] [max_mult] [--ivf]
 """
 
 from __future__ import annotations
@@ -38,12 +51,69 @@ from pyspark_etl_twitter_spark.sources.catalog import load_table
 from tools.scale_evidence_r4 import replicate
 
 
+def ivf_section(spark, sf_dir, mult=50, dim=64):
+    """Cosine twin at k=8·mult on the cyclic-shift corpus: wall times of
+    single-level vs coarse_probe 1/2, plus list agreement."""
+    from pyspark_etl_twitter_spark.operators.similarity import ivf_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = replicate(emb, mult, ["vec_id"])
+    shift = (F.col("_rep") % dim).cast("int")
+    e = (
+        e.withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.element_at(
+                    "embedding", ((i + shift) % dim) + 1
+                ).cast("double"),
+            ),
+        )
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    print(f"-- ivf x{mult}: {e.count()} vectors --", flush=True)
+    base_cents = kmeans_fit_portable(emb, 8, iters=2)
+    cents = [
+        [float(c[(j + (r % dim)) % dim]) for j in range(dim)]
+        for r in range(mult)
+        for c in base_cents
+    ]
+    single = None
+    for label, kw in [
+        ("single", {}),
+        ("two_level p=1", {"coarse_probe": 1}),
+        ("two_level p=2", {"coarse_probe": 2}),
+    ]:
+        start = time.perf_counter()
+        a, _ = ivf_assignments(e, n_lists=len(cents), centroid_vectors=cents, **kw)
+        a.write.format("noop").mode("overwrite").save()
+        print(f"  {label}: {time.perf_counter() - start:.1f} s", flush=True)
+        if label == "single":
+            single = a.select("vec_id", F.col("list_id").alias("a")).persist()
+            single.count()
+        else:
+            j = (
+                single.join(a.select("vec_id", F.col("list_id").alias("b")), "vec_id")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum((F.col("a") == F.col("b")).cast("int")).alias("m"),
+                )
+                .first()
+            )
+            print(f"  {label} list agreement: {j.m}/{j.n} = {j.m / j.n:.4f}", flush=True)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    max_mult = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    args = [a for a in sys.argv[2:] if not a.startswith("--")]
+    max_mult = int(args[0]) if args else 50
     mults = [m for m in (1, 10, 50) if m <= max_mult]
     spark = get_session(app_name="scale_evidence_r11")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    if "--ivf" in sys.argv:
+        ivf_section(spark, sf_dir, mult=max_mult)
+        return
 
     emb = load_table(spark, sf_dir, "embeddings")
     base_cents = kmeans_fit_portable(emb, 8, iters=3)

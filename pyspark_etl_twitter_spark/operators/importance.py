@@ -170,3 +170,63 @@ def dsir_select_topk(
             Window.orderBy(F.col("log_w").desc(), F.col(id_col))
         ),
     )
+
+
+def dsir_gumbel_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    n_select: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+    seed: int = 17,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Importance RESAMPLING without replacement — the DSIR paper's
+    actual selection rule, via the Gumbel-top-k trick: taking the
+    ``n_select`` largest (log w(d) + Gumbelᵈ) keys draws a weighted
+    sample without replacement proportional to w(d) — same machinery as
+    Gumbel-max categorical sampling, extended to top-k.
+
+    The Gumbel noise is DETERMINISTIC and engine-portable: the uniform
+    is (md5-u32(id:seed) + 0.5) / 2³², an exact dyadic rational both
+    engines compute identically (the engine's standard seeded-hash
+    randomness — ``curation.shuffle_key`` class), and the key is
+    rounded to ``round_dp`` before ranking so the cut is stable across
+    engines/partitionings (ln/nested-ln are within 1 ulp everywhere).
+    Different seeds draw different samples; same seed is replayable —
+    the property epoch-level data selection needs. Returns
+    (id, sample_key rounded, rank)."""
+    w = dsir_log_weights(
+        raw,
+        target,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    gumbel = -F.log(-F.log(u))
+    keyed = w.select(
+        id_col, F.round(F.col("log_w") + gumbel, round_dp).alias("sample_key")
+    )
+    top = keyed.orderBy(F.col("sample_key").desc(), F.col(id_col)).limit(n_select)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("sample_key").desc(), F.col(id_col))
+        ),
+    )

@@ -741,3 +741,47 @@ sel AS (
 )
 SELECT source, count(*) AS n_selected FROM sel GROUP BY source
 """
+
+
+DSIR_SEED = 17
+
+
+def dsir_gumbel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k DSIR resampling (the paper's weighted
+    sample-without-replacement) with the engine's portable seeded
+    md5-u32 noise — per-source counts of the 100 sampled documents.
+    Deterministic per seed, replayable, fully oracle-verifiable."""
+    from pyspark_etl_twitter_spark.operators.importance import dsir_gumbel_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == DSIR_TARGET)
+    raw = docs.filter(F.col("source") != DSIR_TARGET)
+    sel = dsir_gumbel_sample(
+        raw,
+        target,
+        DSIR_N_SELECT,
+        n_buckets=DSIR_B,
+        alpha=DSIR_ALPHA,
+        seed=DSIR_SEED,
+        round_dp=DSIR_DP,
+    )
+    return (
+        sel.join(raw.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+ORACLE_DSIR_GUMBEL_COUNTS = f"""
+WITH {_dsir_ctes()},
+sel AS (
+  SELECT source FROM (
+    SELECT source, doc_id,
+           round(log_w + (- ln(- ln(
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{DSIR_SEED}'), 1, 8))::BIGINT + 0.5)
+               / 4294967296.0))), {DSIR_DP}) AS k
+    FROM score
+  ) ORDER BY k DESC, doc_id LIMIT {DSIR_N_SELECT}
+)
+SELECT source, count(*) AS n_sampled FROM sel GROUP BY source
+"""

@@ -175,6 +175,7 @@ QUERIES: dict[str, QueryFn] = {
     # fully md5-portable — weights profile + greedy top-k selection
     "dsir_weights_by_source": CQ.dsir_weights_by_source,
     "dsir_selected_counts": CQ.dsir_selected_counts,
+    "dsir_gumbel_counts": CQ.dsir_gumbel_counts,
     # BPE train+encode: rows-only by design (iterative merge loop — no
     # tractable recursive CTE); equality vs a brute-force trainer over
     # the expanded corpus pinned in tests/test_encoding.py (r10 ADVICE:
@@ -354,6 +355,7 @@ ORACLES: dict[str, str] = {
     "semdedup_ivf_summary": AQ.ORACLE_SEMDEDUP_IVF_SUMMARY,
     "dsir_weights_by_source": CQ.ORACLE_DSIR_WEIGHTS_BY_SOURCE,
     "dsir_selected_counts": CQ.ORACLE_DSIR_SELECTED_COUNTS,
+    "dsir_gumbel_counts": CQ.ORACLE_DSIR_GUMBEL_COUNTS,
     "dedup_segments_rebuild": T.ORACLE_DEDUP_SEGMENTS_REBUILD,
     "semantic_dedup_survivors": AQ.ORACLE_SEMANTIC_DEDUP_SURVIVORS,
     "tpch_q3_shipping_priority": H.ORACLE_TPCH_Q3,
@@ -427,21 +429,22 @@ ORACLES: dict[str, str] = {
 # list below is reordered to the front of QUERIES at import time, so each
 # round edits one list instead of re-sorting the whole literal. After r10
 # the staleness distribution of newest driver rows is
-# {r10: 50, r9: 48, r8: 50, r7: 22}; this window takes the 4 new-in-r11
+# {r10: 50, r9: 48, r8: 50, r7: 22}; this window takes the 5 new-in-r11
 # queries, ALL 22 r7 rows (the TPC-H mid-teens block + curation reps the
-# r10 comment queued), and the first 24 (alphabetically) of the 50 r8
+# r10 comment queued), and the first 23 (alphabetically) of the 50 r8
 # rows — so after r11 no registry query's newest driver row is older
-# than r8 (the remaining 26 r8 rows rotate in r12).
+# than r8 (the remaining 27 r8 rows rotate in r12).
 ROUND11_WINDOW: list[str] = [
-    # new-this-round (4): never driver-verified — new queries always
-    # outrank stale-but-unchanged ones. semdedup_ivf_summary and the two
-    # DSIR rows are oracle-backed (verified vs DuckDB locally before
-    # taking slots); bpe_tokens_by_source is rows-only by design
+    # new-this-round (5): never driver-verified — new queries always
+    # outrank stale-but-unchanged ones. semdedup_ivf_summary and the
+    # three DSIR rows are oracle-backed (verified vs DuckDB locally
+    # before taking slots); bpe_tokens_by_source is rows-only by design
     # (iterative BPE merge loop — equality vs a brute-force trainer
     # pinned in pytest).
     "semdedup_ivf_summary",
     "dsir_weights_by_source",
     "dsir_selected_counts",
+    "dsir_gumbel_counts",
     "bpe_tokens_by_source",
     # newest driver rows: r7 (all 22)
     "top_terms_per_doc",
@@ -466,8 +469,8 @@ ROUND11_WINDOW: list[str] = [
     "training_mix_counts",
     "unpivot_lineitem_measures",
     "vocab_head",
-    # newest driver rows: r8 (first 24 alphabetically of 50; the
-    # remaining 26 rotate in r12)
+    # newest driver rows: r8 (first 23 alphabetically of 50; the
+    # remaining 27 rotate in r12)
     "anti_join_customers",
     "array_funcs_documents",
     "asof_nearest_click",
@@ -491,7 +494,6 @@ ROUND11_WINDOW: list[str] = [
     "full_outer_nation_counts",
     "global_top_orders",
     "grouping_sets_revenue",
-    "intersect_all_quantities",
 ]
 
 _win = set(ROUND11_WINDOW)

@@ -75,6 +75,7 @@ BNLJ_OK = {
     # (operators/importance.py:_bucket_log_probs)
     "dsir_weights_by_source",
     "dsir_selected_counts",
+    "dsir_gumbel_counts",
 }
 
 # queries that EXECUTE during plan building (iterative/driver-bounded):

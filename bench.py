@@ -153,6 +153,7 @@ HEADLINE = [
     "bpe_tokens_by_source",  # BPE train (driver merge loop) + Arrow encode
     "dsir_weights_by_source",  # hashed-ngram importance weights (DSIR)
     "dsir_selected_counts",  # greedy top-k DSIR selection
+    "gopher_rules_by_source",  # published quality ruleset, integer-exact
 ]
 
 

@@ -474,3 +474,89 @@ def compression_ratio(
             )
 
     return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+# Gopher quality-rule constants (Rae et al. 2021, arXiv:2112.11446,
+# Appendix A1.1 — the published web-corpus filter most pipelines quote).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stop_hits: int = GOPHER_MIN_STOPWORD_HITS,
+) -> DataFrame:
+    """Per-document Gopher quality rules (Rae et al. 2021, A1.1) as one
+    pass of column expressions — the named ruleset LLM pipelines apply
+    before dedup. Emits one boolean per rule plus the composite ``kept``
+    so the decision is auditable per rule, not a silent drop:
+
+    - ``ok_word_count``: word count in [min_words, max_words]
+    - ``ok_mean_word_len``: mean word length in [3, 10]
+    - ``ok_symbol_ratio``: (# '#' + # '...') / words <= 0.1
+    - ``ok_alpha_words``: >= 80% of words contain a letter
+    - ``ok_stopwords``: contains >= ``min_stop_hits`` distinct words
+      from ``stopwords`` (published defaults: >= 2 of the 8-word Gopher
+      list; parameterized because a corpus whose register lacks English
+      function words — code, tables, synthetic fixtures — needs a
+      corpus-appropriate list to make the rule discriminate rather than
+      reject everything)
+
+    The paper's line-shape rules (bullet/ellipsis line fractions) are
+    line-based; the ``documents`` corpus is single-line pre-normalized
+    text, so they are degenerate here and deliberately omitted (a
+    line-based corpus would add them as two more fractions over
+    ``split(text, '\\n')``). Every ratio comparison is cross-multiplied
+    into EXACT INTEGER arithmetic (mean_wl in [3,10] ⇔ 3n ≤ Σlen ≤ 10n;
+    symbols/words ≤ 0.1 ⇔ 30·#hash + 10·ell_chars ≤ 3n; alpha ≥ 0.8 ⇔
+    5·alpha ≥ 4n) — no division, no NaN on empty docs, bit-identical
+    across engines, so the whole gate is DuckDB-verifiable."""
+    t = F.col(text_col)
+    toks = ws_tokens(text_col)
+    n_words = F.size(toks)
+    sum_wl = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    hash_count = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    # ell_chars = 3 × (number of non-overlapping '...' occurrences)
+    ell_chars = F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in stopwords]),
+        )
+    )
+    flags = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias("ok_word_count"),
+        (
+            (n_words > 0)
+            & (sum_wl >= 3 * n_words)
+            & (sum_wl <= 10 * n_words)
+        ).alias("ok_mean_word_len"),
+        ((30 * hash_count + 10 * ell_chars) <= 3 * n_words).alias(
+            "ok_symbol_ratio"
+        ),
+        ((5 * alpha_words) >= 4 * n_words).alias("ok_alpha_words"),
+        (stop_hits >= min_stop_hits).alias("ok_stopwords"),
+    )
+    return flags.withColumn(
+        "kept",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_alpha_words")
+        & F.col("ok_stopwords"),
+    )

@@ -176,6 +176,8 @@ QUERIES: dict[str, QueryFn] = {
     "dsir_weights_by_source": CQ.dsir_weights_by_source,
     "dsir_selected_counts": CQ.dsir_selected_counts,
     "dsir_gumbel_counts": CQ.dsir_gumbel_counts,
+    # Gopher quality rules (r11): exact-integer published ruleset
+    "gopher_rules_by_source": T.gopher_rules_by_source,
     # BPE train+encode: rows-only by design (iterative merge loop — no
     # tractable recursive CTE); equality vs a brute-force trainer over
     # the expanded corpus pinned in tests/test_encoding.py (r10 ADVICE:
@@ -356,6 +358,7 @@ ORACLES: dict[str, str] = {
     "dsir_weights_by_source": CQ.ORACLE_DSIR_WEIGHTS_BY_SOURCE,
     "dsir_selected_counts": CQ.ORACLE_DSIR_SELECTED_COUNTS,
     "dsir_gumbel_counts": CQ.ORACLE_DSIR_GUMBEL_COUNTS,
+    "gopher_rules_by_source": T.ORACLE_GOPHER_RULES_BY_SOURCE,
     "dedup_segments_rebuild": T.ORACLE_DEDUP_SEGMENTS_REBUILD,
     "semantic_dedup_survivors": AQ.ORACLE_SEMANTIC_DEDUP_SURVIVORS,
     "tpch_q3_shipping_priority": H.ORACLE_TPCH_Q3,
@@ -429,22 +432,22 @@ ORACLES: dict[str, str] = {
 # list below is reordered to the front of QUERIES at import time, so each
 # round edits one list instead of re-sorting the whole literal. After r10
 # the staleness distribution of newest driver rows is
-# {r10: 50, r9: 48, r8: 50, r7: 22}; this window takes the 5 new-in-r11
+# {r10: 50, r9: 48, r8: 50, r7: 22}; this window takes the 6 new-in-r11
 # queries, ALL 22 r7 rows (the TPC-H mid-teens block + curation reps the
-# r10 comment queued), and the first 23 (alphabetically) of the 50 r8
+# r10 comment queued), and the first 22 (alphabetically) of the 50 r8
 # rows — so after r11 no registry query's newest driver row is older
-# than r8 (the remaining 27 r8 rows rotate in r12).
+# than r8 (the remaining 28 r8 rows rotate in r12).
 ROUND11_WINDOW: list[str] = [
-    # new-this-round (5): never driver-verified — new queries always
-    # outrank stale-but-unchanged ones. semdedup_ivf_summary and the
-    # three DSIR rows are oracle-backed (verified vs DuckDB locally
-    # before taking slots); bpe_tokens_by_source is rows-only by design
-    # (iterative BPE merge loop — equality vs a brute-force trainer
-    # pinned in pytest).
+    # new-this-round (6): never driver-verified — new queries always
+    # outrank stale-but-unchanged ones. All oracle-backed and verified
+    # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots, except
+    # bpe_tokens_by_source which is rows-only by design (iterative BPE
+    # merge loop — equality vs a brute-force trainer pinned in pytest).
     "semdedup_ivf_summary",
     "dsir_weights_by_source",
     "dsir_selected_counts",
     "dsir_gumbel_counts",
+    "gopher_rules_by_source",
     "bpe_tokens_by_source",
     # newest driver rows: r7 (all 22)
     "top_terms_per_doc",
@@ -469,8 +472,8 @@ ROUND11_WINDOW: list[str] = [
     "training_mix_counts",
     "unpivot_lineitem_measures",
     "vocab_head",
-    # newest driver rows: r8 (first 23 alphabetically of 50; the
-    # remaining 27 rotate in r12)
+    # newest driver rows: r8 (first 22 alphabetically of 50; the
+    # remaining 28 rotate in r12)
     "anti_join_customers",
     "array_funcs_documents",
     "asof_nearest_click",
@@ -493,7 +496,6 @@ ROUND11_WINDOW: list[str] = [
     "except_all_quantities",
     "full_outer_nation_counts",
     "global_top_orders",
-    "grouping_sets_revenue",
 ]
 
 _win = set(ROUND11_WINDOW)

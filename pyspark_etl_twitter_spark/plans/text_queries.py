@@ -2051,3 +2051,73 @@ def bpe_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_chr") / F.sum("n_tok"), 4).alias("chars_per_token"),
         )
     )
+
+
+def gopher_rules_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, A1.1) rolled up per source:
+    doc counts, composite keeps, and per-rule failure counts — the
+    auditable view a curation pipeline reviews before applying the gate.
+    Every rule is exact integer arithmetic (operators/textstats
+    ``gopher_quality_flags``), so the whole gate is hash-verified.
+
+    The stopword threshold is pinned to 1 here (operator default is the
+    paper's 2): the synthetic corpus's vocabulary contains only two of
+    the eight Gopher function words, so the published threshold rejects
+    100% of documents and the composite stops discriminating — the
+    deviation is this fixture's, not the operator's."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = TS.gopher_quality_flags(docs, min_stop_hits=1)
+    fail = lambda c: F.sum((~F.col(c)).cast("long"))  # noqa: E731
+    return (
+        docs.select("doc_id", "source")
+        .join(flags, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            fail("ok_word_count").alias("n_fail_word_count"),
+            fail("ok_mean_word_len").alias("n_fail_mean_word_len"),
+            fail("ok_symbol_ratio").alias("n_fail_symbol_ratio"),
+            fail("ok_alpha_words").alias("n_fail_alpha_words"),
+            fail("ok_stopwords").alias("n_fail_stopwords"),
+        )
+    )
+
+
+ORACLE_GOPHER_RULES_BY_SOURCE = """
+WITH tokd AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+         len(t) AS n_words,
+         coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS sum_wl,
+         length(text) - length(replace(text, '#', '')) AS hash_count,
+         length(text) - length(replace(text, '...', '')) AS ell_chars,
+         len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
+         len(list_intersect(list_distinct(t),
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM tokd
+),
+f AS (
+  SELECT source,
+         (n_words >= 50 AND n_words <= 100000) AS ok_wc,
+         (n_words > 0 AND sum_wl >= 3 * n_words AND sum_wl <= 10 * n_words) AS ok_mwl,
+         (30 * hash_count + 10 * ell_chars <= 3 * n_words) AS ok_sym,
+         (5 * alpha_words >= 4 * n_words) AS ok_alpha,
+         (stop_hits >= 1) AS ok_stop
+  FROM m
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN ok_wc AND ok_mwl AND ok_sym AND ok_alpha AND ok_stop
+                       THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(count(CASE WHEN NOT ok_wc THEN 1 END) AS BIGINT) AS n_fail_word_count,
+       CAST(count(CASE WHEN NOT ok_mwl THEN 1 END) AS BIGINT) AS n_fail_mean_word_len,
+       CAST(count(CASE WHEN NOT ok_sym THEN 1 END) AS BIGINT) AS n_fail_symbol_ratio,
+       CAST(count(CASE WHEN NOT ok_alpha THEN 1 END) AS BIGINT) AS n_fail_alpha_words,
+       CAST(count(CASE WHEN NOT ok_stop THEN 1 END) AS BIGINT) AS n_fail_stopwords
+FROM f GROUP BY source
+"""

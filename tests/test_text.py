@@ -200,3 +200,36 @@ def test_compression_ratio_matches_local_zlib(spark):
         else:
             assert got[doc_id].ratio == 1.0
     assert got[1].ratio < 0.05 < got[2].ratio
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each Gopher rule trips on its designed pathology and the healthy
+    doc passes all five (published thresholds; min_words lowered so the
+    short fixtures exercise the other rules)."""
+    from pyspark.sql import Row
+
+    from pyspark_etl_twitter_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    healthy = "the quick brown fox jumps over that lazy dog with style and have be to of grace"
+    rows = [
+        Row(doc_id=0, text=healthy),
+        Row(doc_id=1, text="a a a a a a a a a a the of"),            # mean word len < 3
+        Row(doc_id=2, text="### ### ... ... ### the of and extra"),  # symbol ratio > 0.1
+        Row(doc_id=3, text="1 2 3 4 5 6 7 8 9 0 the of"),            # alpha words < 80%
+        Row(doc_id=4, text="lorem ipsum dolor sit amet sed"),        # 0 stopword hits
+        Row(doc_id=5, text=""),                                      # empty: fails, no NaN
+    ]
+    flags = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_flags(
+            spark.createDataFrame(rows), min_words=5
+        ).collect()
+    }
+    assert flags[0]["kept"]
+    assert not flags[1]["ok_mean_word_len"] and flags[1]["ok_word_count"]
+    assert not flags[2]["ok_symbol_ratio"]
+    assert not flags[3]["ok_alpha_words"]
+    assert not flags[4]["ok_stopwords"]
+    assert not flags[5]["kept"] and flags[5]["ok_mean_word_len"] is False

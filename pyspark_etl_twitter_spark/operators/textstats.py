@@ -497,6 +497,7 @@ def gopher_quality_flags(
     max_words: int = GOPHER_MAX_WORDS,
     stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
     min_stop_hits: int = GOPHER_MIN_STOPWORD_HITS,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document Gopher quality rules (Rae et al. 2021, A1.1) as one
     pass of column expressions — the named ruleset LLM pipelines apply
@@ -537,8 +538,13 @@ def gopher_quality_flags(
             F.array(*[F.lit(w) for w in stopwords]),
         )
     )
+    # keep_cols ride along in the same narrow pass — rule consumers that
+    # aggregate by a corpus column (source, lang) must NOT have to
+    # re-join the corpus on id just to recover it (a 100 TB shuffle for
+    # a column that was already in hand)
     flags = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_words.alias("n_words"),
         ((n_words >= min_words) & (n_words <= max_words)).alias("ok_word_count"),
         (

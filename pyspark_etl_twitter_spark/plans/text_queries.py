@@ -2066,12 +2066,10 @@ def gopher_rules_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     100% of documents and the composite stops discriminating — the
     deviation is this fixture's, not the operator's."""
     docs = _t(spark, sf_dir, "documents")
-    flags = TS.gopher_quality_flags(docs, min_stop_hits=1)
+    flags = TS.gopher_quality_flags(docs, min_stop_hits=1, keep_cols=("source",))
     fail = lambda c: F.sum((~F.col(c)).cast("long"))  # noqa: E731
     return (
-        docs.select("doc_id", "source")
-        .join(flags, "doc_id")
-        .groupBy("source")
+        flags.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("kept").cast("long")).alias("n_kept"),

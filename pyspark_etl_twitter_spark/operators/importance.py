@@ -94,6 +94,60 @@ def _bucket_log_probs(
     )
 
 
+def dsir_bucket_dlog(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The B-row (bucket, _dlog) log-ratio table: ln p_target − ln p_raw
+    per bucket. This is the FITTED model of the DSIR recipe — fit it
+    once on a corpus snapshot, persist or broadcast it, then score any
+    number of batches/streams against it with ``dsir_score_with``."""
+    gr = doc_gram_buckets(
+        raw, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    gt = doc_gram_buckets(
+        target, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    lp_t = _bucket_log_probs(gt, n_buckets, alpha, "_lp_t")
+    lp_r = _bucket_log_probs(gr, n_buckets, alpha, "_lp_r")
+    return lp_t.join(lp_r, "bucket").select(
+        "bucket", (F.col("_lp_t") - F.col("_lp_r")).alias("_dlog")
+    )
+
+
+def dsir_score_with(
+    docs: DataFrame,
+    dlog: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """(id, log_w) for ``docs`` against a PRE-FIT ``dsir_bucket_dlog``
+    table — the apply half of the recipe, stateless per document, so it
+    works unchanged inside a ``foreachBatch`` streaming sink (score
+    arriving documents against a frozen snapshot model — no streaming
+    state beyond the broadcast table). Docs with no grams score 0.0."""
+    gr = doc_gram_buckets(
+        docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    scored = (
+        gr.join(F.broadcast(dlog), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("_dlog").alias("log_w"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(id_col, F.coalesce("log_w", F.lit(0.0)).alias("log_w"))
+    )
+
+
 def dsir_log_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -104,32 +158,23 @@ def dsir_log_weights(
     alpha: float = 1.0,
 ) -> DataFrame:
     """(id, log_w): per raw document, the DSIR log importance weight
-    Σ_grams (ln p_target[bucket] − ln p_raw[bucket]). Documents whose
-    text yields no grams score 0.0 (the neutral weight).
+    Σ_grams (ln p_target[bucket] − ln p_raw[bucket]) — fit + apply in
+    one call (``dsir_bucket_dlog`` ∘ ``dsir_score_with``). Documents
+    whose text yields no grams score 0.0 (the neutral weight).
 
     The per-bucket log-ratio table is built once (B rows) and
     broadcast; the raw corpus streams through as (id, bucket) pairs and
     partial-aggregates into one exchange keyed by id."""
-    gr = doc_gram_buckets(
-        raw, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    dlog = dsir_bucket_dlog(
+        raw,
+        target,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
     )
-    gt = doc_gram_buckets(
-        target, id_col=id_col, text_col=text_col, n_buckets=n_buckets
-    )
-    lp_t = _bucket_log_probs(gt, n_buckets, alpha, "_lp_t")
-    lp_r = _bucket_log_probs(gr, n_buckets, alpha, "_lp_r")
-    dlog = lp_t.join(lp_r, "bucket").select(
-        "bucket", (F.col("_lp_t") - F.col("_lp_r")).alias("_dlog")
-    )
-    scored = (
-        gr.join(F.broadcast(dlog), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum("_dlog").alias("log_w"))
-    )
-    return (
-        raw.select(id_col)
-        .join(scored, id_col, "left")
-        .select(id_col, F.coalesce("log_w", F.lit(0.0)).alias("log_w"))
+    return dsir_score_with(
+        raw, dlog, id_col=id_col, text_col=text_col, n_buckets=n_buckets
     )
 
 

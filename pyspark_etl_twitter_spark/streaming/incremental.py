@@ -144,3 +144,47 @@ def streaming_text_index_ingest(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def streaming_dsir_score(
+    spark: SparkSession,
+    src_dir: str,
+    dlog: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    n_buckets: int = 1024,
+    timeout_s: int = 120,
+) -> None:
+    """Streaming DSIR scoring: arriving document batches are scored
+    against a PRE-FIT ``dsir_bucket_dlog`` table (the frozen snapshot
+    model — the production shape: distributions fit offline, new data
+    scored as it lands). Scoring is stateless per document
+    (``dsir_score_with`` inside foreachBatch), so there is no streaming
+    state beyond the broadcast B-row table, and replaying a batch under
+    the checkpoint recomputes identical weights (deterministic md5
+    features). Scores append with the epoch stamped for replay audit."""
+    from pyspark_etl_twitter_spark.operators.importance import dsir_score_with
+    from pyspark_etl_twitter_spark.streaming.pipeline import (
+        DOCUMENTS_STREAM_SCHEMA,
+    )
+
+    stream = spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA).json(src_dir)
+    frozen = dlog.collect()
+    model = spark.createDataFrame(frozen, dlog.schema)
+
+    def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        scored = dsir_score_with(batch_df, model, n_buckets=n_buckets)
+        (
+            scored.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

@@ -115,3 +115,55 @@ def test_dsir_gumbel_sample_seeded_replayable_and_weighted(spark):
         for s in (17, 18, 19, 20)
     }
     assert len(set(draws.values())) > 1  # the seed actually matters
+
+
+def test_streaming_dsir_score_equals_batch(spark, tmp_path):
+    """Streamed DSIR scoring against a frozen dlog table: the streamed
+    per-doc weights equal the batch ``dsir_score_with`` on the same
+    documents, and replaying the source dir under the checkpoint is a
+    no-op (offsets committed, no duplicate score rows)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.importance import (
+        dsir_bucket_dlog,
+        dsir_score_with,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+    from pyspark_etl_twitter_spark.streaming.incremental import (
+        streaming_dsir_score,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    dlog = dsir_bucket_dlog(raw, target)
+
+    incoming = raw.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    n_incoming = incoming.count()
+    src = tmp_path / "incoming"
+    src.mkdir()
+    lines = [
+        json.dumps({"doc_id": r.doc_id, "text": r.text, "lang": "en",
+                    "source": "sX", "n_chars": len(r.text)})
+        for r in incoming.collect()
+    ]
+    (src / "batch0.json").write_text("\n".join(lines[:20]))
+    (src / "batch1.json").write_text("\n".join(lines[20:]))
+
+    out = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_dsir_score(spark, str(src), dlog, out, ckpt)
+    streamed = {
+        r.doc_id: round(r.log_w, 4) for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r.doc_id: round(r.log_w, 4)
+        for r in dsir_score_with(incoming, dlog).collect()
+    }
+    assert streamed == batch and len(streamed) == n_incoming
+
+    # replay is a no-op under the checkpoint
+    streaming_dsir_score(spark, str(src), dlog, out, ckpt)
+    assert spark.read.parquet(out).count() == n_incoming

@@ -68,6 +68,10 @@ SHOWCASE = [
     # round-10 additions
     ("dedup_segments_rebuild", "segment keep-first: partial_min struct agg (no window, no join-back), position-sorted reassembly"),
     ("semdedup_cluster_summary", "k-means cells, within-cluster residual-cosine SMJ, norms precomputed per row"),
+    # round-11 additions
+    ("dsir_weights_by_source", "md5 gram buckets, broadcast B-row dlog table, partial-agg per-doc sums"),
+    ("gopher_rules_by_source", "published ruleset as exact-integer column pass: zero joins, one agg exchange"),
+    ("semdedup_ivf_summary", "pruned per-list pair scan over the persisted hive-partitioned index"),
 ]
 
 

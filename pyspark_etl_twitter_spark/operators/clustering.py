@@ -69,19 +69,39 @@ def kmeans_fit(
     vec_col: str = "embedding",
     max_iters: int = 10,
     tol: float = 1e-6,
+    coarse_probe: int | None = None,
 ) -> tuple[list[list[float]], list[float]]:
     """Lloyd's iterations; returns (centroids, per-iteration inertia).
 
     Inertia (Σ dist²) is monotonically non-increasing — asserted by the
     property tests. Empty clusters keep their previous centroid. Stops
-    when max centroid shift < ``tol`` or after ``max_iters``."""
+    when max centroid shift < ``tol`` or after ``max_iters``.
+
+    ``coarse_probe`` opts each iteration's assignment pass into the
+    two-level coarse quantizer (``kmeans_assign_two_level``) — the
+    TRAINING-time face of the O(N·√k·dim) rung: at corpus-scale k every
+    Lloyd's iteration pays the dense O(N·k·dim) sweep, which is exactly
+    the cost the ×50 scale runs showed dominating. Approximate-assignment
+    Lloyd's still converges in practice (each step still reduces the
+    objective it sees), but the strict inertia-monotonicity guarantee is
+    waived — boundary vectors may land one cell over, so use it for
+    index/SemDeDup training at large k, not when exact Voronoi cells are
+    the contract (the oracle-parity fits keep the default None)."""
     seeds = (
         emb.orderBy(id_col).limit(k).select(vec_col).collect()
     )
     centroids = [[float(x) for x in r[0]] for r in seeds]
     history: list[float] = []
+
+    def assign_pass(cents):
+        if coarse_probe is not None:
+            return kmeans_assign_two_level(
+                emb, cents, id_col=id_col, vec_col=vec_col, n_probe=coarse_probe
+            ).join(emb.select(id_col, vec_col), id_col)
+        return _assign(emb, cents, id_col, vec_col)
+
     for _ in range(max_iters):
-        assigned = _assign(emb, centroids, id_col, vec_col)
+        assigned = assign_pass(centroids)
         per_dim = (
             assigned.select(
                 "cluster", "dist2", F.posexplode(vec_col).alias("pos", "val")

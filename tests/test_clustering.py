@@ -264,3 +264,27 @@ def test_two_level_shuffles_n_rows_not_nk(spark):
     assert "Window" not in plan
     assert "partial_min" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_fit_two_level_recovers_blobs(spark):
+    """Approximate-assignment Lloyd's (coarse_probe=1) still recovers
+    well-separated blobs exactly — on structured data the coarse stage
+    loses nothing — and the fitted centroids match the exact fit after
+    the same iterations within tolerance."""
+    blobs = _blobs(spark)
+    exact, _ = kmeans_fit(blobs, 3, max_iters=5)
+    approx, hist = kmeans_fit(blobs, 3, max_iters=5, coarse_probe=1)
+    assert len(hist) >= 1
+    # same recovered centers (order is seed-determined, identical seeds)
+    for a, b in zip(exact, approx):
+        assert max(abs(x - y) for x, y in zip(a, b)) < 1e-9
+    assigned = kmeans_assign(blobs, approx).join(
+        blobs.select("vec_id", "true_cluster"), "vec_id"
+    )
+    purity = (
+        assigned.groupBy("cluster")
+        .agg(F.countDistinct("true_cluster").alias("n_true"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(purity) == 3
+    assert all(r["n_true"] == 1 and r["n"] == 50 for r in purity)

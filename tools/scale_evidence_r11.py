@@ -104,6 +104,31 @@ def ivf_section(spark, sf_dir, mult=50, dim=64):
             print(f"  {label} list agreement: {j.m}/{j.n} = {j.m / j.n:.4f}", flush=True)
 
 
+def dsir_section(spark, sf_dir, mults):
+    """DSIR cost envelope: every stage is a narrow gram stream + a B-row
+    broadcast, so wall must scale ~linearly in corpus bytes. Replication
+    is exact (ids offset) — the distributions change (replicated raw
+    grams), which is fine: the envelope under test is the pipeline cost,
+    not the weights."""
+    from pyspark_etl_twitter_spark.operators.importance import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    for mult in mults:
+        raw = docs.filter(F.col("source") != "src0")
+        if mult > 1:
+            raw = replicate(raw, mult, ["doc_id"])
+        n = raw.count()
+        start = time.perf_counter()
+        dsir_log_weights(raw, target).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        print(
+            f"-- dsir x{mult}: {n} raw docs, {time.perf_counter() - start:.1f} s",
+            flush=True,
+        )
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     args = [a for a in sys.argv[2:] if not a.startswith("--")]
@@ -113,6 +138,9 @@ def main():
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     if "--ivf" in sys.argv:
         ivf_section(spark, sf_dir, mult=max_mult)
+        return
+    if "--dsir" in sys.argv:
+        dsir_section(spark, sf_dir, mults)
         return
 
     emb = load_table(spark, sf_dir, "embeddings")

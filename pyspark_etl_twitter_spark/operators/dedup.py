@@ -965,6 +965,67 @@ def semdedup_drop_ids(
     return dups.select(F.col(f"b.{id_col}").alias(id_col)).distinct()
 
 
+def semdedup_drop_ids_precollapsed(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.30,
+    round_dp: int = 6,
+    engine: str = "hof",
+    coarse_probe: int | None = None,
+) -> DataFrame:
+    """``semdedup_drop_ids`` with EXACT-duplicate pre-collapse — the
+    star-cluster guard the base operator's docstring prescribes, now as
+    a composition with PROVABLY identical results (pinned by
+    ``test_semdedup_precollapse_equals_plain``):
+
+    identical vectors have cosine exactly 1 ≥ any threshold ≤ 1 and the
+    identical argmin cell, so SemDeDup always drops every copy except
+    the lowest id. Therefore collapsing each identical-vector group to
+    its min-id representative FIRST, running the pair scan over
+    representatives only, and emitting
+    (every non-representative copy) ∪ (all copies of dropped
+    representatives) is the same drop set — while the quadratic
+    within-cluster scan sees ONE row per distinct vector. A 10⁶-copy
+    boilerplate embedding (the web-corpus reality) costs one
+    ``groupBy(vector)`` exchange instead of a 5·10¹¹-pair star.
+
+    The collapse key is the raw vector array (Spark groups on arrays
+    natively); the rep table is (vector → min id), joined back narrow."""
+    reps = (
+        emb.groupBy(vec_col)
+        .agg(F.min(id_col).alias("_rep"))
+    )
+    mapped = emb.join(reps, vec_col).select(
+        F.col(id_col), F.col("_rep"), F.col(vec_col)
+    )
+    rep_corpus = mapped.filter(F.col(id_col) == F.col("_rep")).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    rep_drops = semdedup_drop_ids(
+        rep_corpus,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        round_dp=round_dp,
+        engine=engine,
+        coarse_probe=coarse_probe,
+    ).select(F.col(id_col).alias("_dropped_rep"))
+    return (
+        mapped.join(
+            rep_drops, mapped["_rep"] == rep_drops["_dropped_rep"], "left"
+        )
+        .filter(
+            (F.col(id_col) != F.col("_rep"))
+            | F.col("_dropped_rep").isNotNull()
+        )
+        .select(id_col)
+    )
+
+
 def _semdedup_pairs_pandas(
     with_vec: DataFrame,
     id_col: str,

@@ -816,3 +816,53 @@ def test_segment_dedup_whitespace_roundtrip_property(spark):
         assert got == oracle(texts, w)
 
     run()
+
+
+def test_semdedup_precollapse_equals_plain(spark):
+    """Exact-dup pre-collapse must produce EXACTLY the drop set of plain
+    SemDeDup — on a corpus with planted identical-vector swarms (the
+    star-cluster shape the collapse exists to neutralize) and on the
+    real sf0.001 embeddings (no exact dups: collapse is a no-op)."""
+    import random
+
+    from pyspark_etl_twitter_spark.operators.clustering import (
+        kmeans_fit_portable,
+    )
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        semdedup_drop_ids,
+        semdedup_drop_ids_precollapsed,
+    )
+
+    rng = random.Random(53)
+    rows = []
+    # 40 distinct vectors + a 30-copy swarm of one boilerplate vector
+    for i in range(40):
+        rows.append(Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)]))
+    boiler = [0.5] * 8
+    for j in range(30):
+        rows.append(Row(vec_id=100 + j, embedding=list(boiler)))
+    emb = spark.createDataFrame(rows)
+    cents = kmeans_fit_portable(emb, 4, iters=2)
+    for thresh in (0.30, 0.95):
+        plain = {
+            r.vec_id
+            for r in semdedup_drop_ids(emb, cents, threshold=thresh).collect()
+        }
+        fast = {
+            r.vec_id
+            for r in semdedup_drop_ids_precollapsed(
+                emb, cents, threshold=thresh
+            ).collect()
+        }
+        assert plain == fast
+        # the swarm always collapses to its lowest id at any threshold
+        assert {101 + j for j in range(29)} <= fast
+
+    real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rcents = kmeans_fit_portable(real, 4, iters=2)
+    plain = {r.vec_id for r in semdedup_drop_ids(real, rcents, threshold=0.3).collect()}
+    fast = {
+        r.vec_id
+        for r in semdedup_drop_ids_precollapsed(real, rcents, threshold=0.3).collect()
+    }
+    assert plain == fast and plain

@@ -129,6 +129,43 @@ def dsir_section(spark, sf_dir, mults):
         )
 
 
+def pq_section(spark, sf_dir, mults):
+    """PQ cost envelope: encode is a zero-exchange codegen map, the ADC
+    scan is a generator + window, so wall must scale ~linearly in corpus
+    rows at fixed (m, ksub, n_queries). Replication is exact with offset
+    ids; codebooks/queries come from replica 0 (vec_id < 16 unchanged),
+    so every multiplier quantizes against the SAME codebook — the
+    comparison isolates scan cost."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_encode_pandas,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for mult in mults:
+        e = replicate(emb, mult, ["vec_id"]) if mult > 1 else emb
+        n = e.count()
+        books = pq_codebooks(e)
+        start = time.perf_counter()
+        pq_encode(e, books).write.format("noop").mode("overwrite").save()
+        enc = time.perf_counter() - start
+        start = time.perf_counter()
+        pq_encode_pandas(e, books).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        enc_pd = time.perf_counter() - start
+        start = time.perf_counter()
+        pq_adc_topk(e).write.format("noop").mode("overwrite").save()
+        adc = time.perf_counter() - start
+        print(
+            f"-- pq x{mult}: {n} vectors, encode {enc:.2f} s "
+            f"(arrow twin {enc_pd:.2f} s), adc_topk {adc:.2f} s",
+            flush=True,
+        )
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     args = [a for a in sys.argv[2:] if not a.startswith("--")]
@@ -141,6 +178,9 @@ def main():
         return
     if "--dsir" in sys.argv:
         dsir_section(spark, sf_dir, mults)
+        return
+    if "--pq" in sys.argv:
+        pq_section(spark, sf_dir, [m for m in (1, 10, 100) if m <= max_mult])
         return
 
     emb = load_table(spark, sf_dir, "embeddings")

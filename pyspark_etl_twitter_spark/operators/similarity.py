@@ -1648,3 +1648,226 @@ def pq_encode_pandas(
     return embeddings.select(
         F.col(id_col).alias("vec_id"), enc(F.col(vec_col)).alias("codes")
     )
+
+
+def _l2_sq(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² in double precision (left-fold, deterministic order —
+    the L2 twin of ``dot``)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    n_probe: int = 4,
+    n_queries: int = 8,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF-PQ with residual encoding — the full Jégou et al. 2011
+    composite: IVF prunes WHICH vectors a query scans (``n_probe`` of
+    ``n_lists`` inverted lists), PQ shrinks WHAT each scan touches
+    (m residual codes per vector), and the ADC lookup table is built per
+    (query, probed list) on the query's residual against that list's
+    centroid. Coherently L2 end-to-end: L2-argmin assignment, L2 list
+    ranking, L2 ADC — unlike ``ivf_topk`` (cosine verify), this is the
+    paper's metric, so PQ error is the ONLY approximation added on top
+    of the IVF candidate cut. Measured recall@5 vs exact L2 at the
+    defaults on RANDOM 64-dim data: 0.15 (sf0.001) / 0.125 (sf0.01) —
+    the n_probe=4/16 candidate cut alone bounds recall near the probe
+    fraction when true neighbors are uniform across lists (flat
+    ``pq_adc_topk`` over the full corpus measures 0.25); on clustered
+    corpora the IVF cut recovers what the coarse structure captures.
+
+    Everything is deterministic (first-``n_lists`` centroids, residual
+    codebooks from the first ``ksub`` vectors' residuals) → the whole
+    pipeline replays in SQL (``knn_ivfpq`` driver oracle).
+
+    Plan shape: one codegen pass assigns + residual-encodes (centroid
+    and codebook literals, zero exchanges), the probe set arrives as a
+    BROADCAST EQUI-join on ``list_id`` (nq·n_probe rows — a
+    BroadcastHashJoin, not a nested loop), ADC is a 4-D-literal LUT
+    fold, and the only other exchange is the final top-k window. At
+    corpus scale the assignment/encode pass writes once (a persisted
+    code table, cf. ``build_ivf_index``) and probes read
+    ``n_probe/n_lists`` of the codes — the 32×-smaller scan IVF alone
+    cannot give.
+
+    Driver state is bounded: n_lists centroids + first-ksub rows +
+    nq query vectors (``MAX_PANDAS_QUERIES`` contract); LUT literal is
+    nq·n_probe·m·ksub doubles (4 KB at defaults).
+
+    Returns ``(q_id, neighbor_id, adc_dist, rank)``."""
+    if n_queries > MAX_PANDAS_QUERIES:
+        raise ValueError(
+            f"n_queries={n_queries} exceeds MAX_PANDAS_QUERIES="
+            f"{MAX_PANDAS_QUERIES}: the per-query LUT is driver-built"
+        )
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_emb")
+    )
+    # bounded collects: centroids, codebook seeds, queries — all prefixes
+    # of the corpus, fetched in ONE pass
+    seed_n = max(n_lists, ksub, n_queries)
+    seed_rows = sorted(
+        base.filter(F.col("vec_id") < seed_n).collect(), key=lambda r: r[0]
+    )
+    if len(seed_rows) < seed_n:
+        raise ValueError(f"corpus has {len(seed_rows)} rows < {seed_n}")
+    cents = [[float(x) for x in r[1]] for r in seed_rows[:n_lists]]
+    dim = len(cents[0])
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+
+    def _py_l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def _py_assign(v):
+        # same arithmetic + lowest-id tie rule as the Spark fold below
+        ds = [_py_l2(v, c) for c in cents]
+        return ds.index(min(ds))
+
+    # residual codebooks: sub-slices of the first ksub vectors' residuals
+    # against their OWN L2-assigned centroid (paper's residual encoding,
+    # deterministic seeding)
+    seed_res = []
+    for r in seed_rows[:ksub]:
+        v = [float(x) for x in r[1]]
+        c = cents[_py_assign(v)]
+        seed_res.append([v[t] - c[t] for t in range(dim)])
+    books = [
+        [
+            [seed_res[j][s * dsub + t] for t in range(dsub)]
+            for j in range(ksub)
+        ]
+        for s in range(m)
+    ]
+
+    # ---- distributed pass: assign + residual-encode, zero exchanges ----
+    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    cdists = F.transform(
+        F.sequence(F.lit(0), F.lit(n_lists - 1)),
+        lambda l: _l2_sq(F.col("_emb"), F.element_at(cent_lit, (l + 1).cast("int"))),
+    )
+    assigned = base.select(
+        "vec_id",
+        "_emb",
+        (F.array_position(cdists, F.array_min(cdists)) - 1)
+        .cast("int")
+        .alias("list_id"),
+    )
+    residual = F.zip_with(
+        F.col("_emb"),
+        F.element_at(cent_lit, F.col("list_id") + 1),
+        lambda x, y: x.cast("double") - y,
+    )
+    books_lit = _pq_books_lit(books)
+    res = F.col("_res")
+    subdist = lambda s, j: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(dsub - 1)),
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.pow(
+            F.element_at(res, (s * dsub + t + 1).cast("int"))
+            - F.element_at(
+                F.element_at(
+                    F.element_at(books_lit, (s + 1).cast("int")),
+                    (j + 1).cast("int"),
+                ),
+                (t + 1).cast("int"),
+            ),
+            F.lit(2.0),
+        ),
+    )
+    dists = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(ksub - 1)), lambda j: subdist(s, j)
+        ),
+    )
+    codes = F.transform(
+        dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int")
+    )
+    encoded = assigned.select(
+        "vec_id", "list_id", residual.alias("_res")
+    ).select("vec_id", "list_id", codes.alias("codes"))
+
+    # ---- probes + per-(query, list) residual LUTs (driver, bounded) ----
+    q_rows = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows[:n_queries]]
+    probe_rows = []  # (q_id, qp_idx, list_id) + lut[qp_idx][s][j]
+    luts = []
+    for q_id, qv in q_rows:
+        ranked = sorted(
+            range(n_lists), key=lambda l: (_py_l2(qv, cents[l]), l)
+        )[:n_probe]
+        for l in ranked:
+            qres = [qv[t] - cents[l][t] for t in range(dim)]
+            luts.append(
+                [
+                    [
+                        _py_l2(
+                            qres[s * dsub : (s + 1) * dsub], books[s][j]
+                        )
+                        for j in range(ksub)
+                    ]
+                    for s in range(m)
+                ]
+            )
+            probe_rows.append((q_id, len(luts) - 1, l))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "q_id long, qp int, list_id int"
+    )
+    lut_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(d) for d in row]) for row in qp])
+            for qp in luts
+        ]
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(
+                F.element_at(lut_lit, (F.col("qp") + 1).cast("int")),
+                (s + 1).cast("int"),
+            ),
+            (F.element_at(F.col("codes"), (s + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    scored = (
+        encoded.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(adc, round_dp).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -1298,6 +1298,87 @@ SELECT q_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite (residual encoding, L2 end-to-end): IVF prunes
+    the candidate lists, PQ residual codes + per-(query, list) LUTs
+    approximate the distances. Fully ORACLE-BACKED — deterministic
+    first-k centroids and first-k residual codebooks let DuckDB replay
+    assignment, residual encode, probe ranking, LUT, and ADC rank."""
+    return S.ivfpq_topk(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_KNN_IVFPQ = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+edim AS (
+  SELECT vec_id, pos, (pos - 1) // 8 AS s, (pos - 1) % 8 AS t, x
+  FROM (SELECT vec_id, UNNEST(emb) AS x,
+               generate_subscripts(emb, 1) AS pos FROM base)
+),
+cdim AS (SELECT vec_id AS list_id, pos, x AS c FROM edim WHERE vec_id < 16),
+cd AS (
+  SELECT e.vec_id, c.list_id, sum(pow(e.x - c.c, 2)) AS d
+  FROM edim e JOIN cdim c ON c.pos = e.pos
+  GROUP BY e.vec_id, c.list_id
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+    FROM cd) WHERE rn = 1
+),
+rdim AS (
+  SELECT e.vec_id, e.s, e.t, e.x - c.c AS r
+  FROM edim e
+  JOIN assign a USING (vec_id)
+  JOIN cdim c ON c.list_id = a.list_id AND c.pos = e.pos
+),
+cb AS (SELECT s, vec_id AS j, t, r AS val FROM rdim WHERE vec_id < 16),
+subd AS (
+  SELECT e.vec_id, e.s, c.j, sum(pow(e.r - c.val, 2)) AS d
+  FROM rdim e JOIN cb c ON c.s = e.s AND c.t = e.t
+  GROUP BY e.vec_id, e.s, c.j
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+    FROM subd) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+    FROM cd WHERE vec_id < 8) WHERE rn <= 4
+),
+qrdim AS (
+  SELECT p.q_id, p.list_id, e.s, e.t, e.x - c.c AS r
+  FROM probes p
+  JOIN edim e ON e.vec_id = p.q_id
+  JOIN cdim c ON c.list_id = p.list_id AND c.pos = e.pos
+),
+lut AS (
+  SELECT q.q_id, q.list_id, q.s, c.j, sum(pow(q.r - c.val, 2)) AS d
+  FROM qrdim q JOIN cb c ON c.s = q.s AND c.t = q.t
+  GROUP BY q.q_id, q.list_id, q.s, c.j
+),
+scored AS (
+  SELECT p.q_id, a.vec_id AS neighbor_id, round(sum(l.d), 6) AS adc_dist
+  FROM probes p
+  JOIN assign a ON a.list_id = p.list_id
+  JOIN codes k ON k.vec_id = a.vec_id
+  JOIN lut l ON l.q_id = p.q_id AND l.list_id = p.list_id
+            AND l.s = k.s AND l.j = k.code
+  WHERE a.vec_id <> p.q_id
+  GROUP BY p.q_id, a.vec_id
+)
+SELECT q_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine high-similarity pairs on a 25% subset — the
     oracle-able baseline for near-dup detection; `embedding_near_dup_pairs`

@@ -162,3 +162,100 @@ def test_pq_encode_pandas_equals_codegen(emb):
     a = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
     b = {r["vec_id"]: r["codes"] for r in pq_encode_pandas(emb, books).collect()}
     assert a == b
+
+
+def test_ivfpq_matches_numpy_pipeline(emb):
+    """Full IVF-PQ replay in NumPy: L2 argmin assignment → residual
+    codebooks from the first-16 residuals → residual encode → per-(query,
+    probed-list) LUT → ADC rank. Pins the Spark composite end to end
+    (the driver's DuckDB oracle is the cross-engine twin of this)."""
+    from pyspark_etl_twitter_spark.operators.similarity import ivfpq_topk
+
+    ids, mat = _np_corpus(emb)
+    n_lists, m, ksub, n_probe, nq, k = 16, 8, 16, 4, 8, 5
+    dsub = mat.shape[1] // m
+    cents = mat[:n_lists]
+    cd = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (N, L)
+    assign = cd.argmin(axis=1)
+    res = mat - cents[assign]
+    books = np.stack(
+        [res[:ksub, s * dsub : (s + 1) * dsub] for s in range(m)]
+    )  # (m, ksub, dsub)
+    codes = np.empty((mat.shape[0], m), dtype=np.int64)
+    for s in range(m):
+        sub = res[:, s * dsub : (s + 1) * dsub]
+        codes[:, s] = (
+            ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        ).argmin(axis=1)
+    rows = []
+    for qi in range(nq):
+        probed = np.argsort(cd[qi], kind="stable")[:n_probe]
+        cand = []
+        for l in probed:
+            qres = mat[qi] - cents[l]
+            lut = np.stack(
+                [
+                    (
+                        (qres[s * dsub : (s + 1) * dsub][None, :] - books[s])
+                        ** 2
+                    ).sum(axis=1)
+                    for s in range(m)
+                ]
+            )
+            for i in np.nonzero(assign == l)[0]:
+                if ids[i] == ids[qi]:
+                    continue
+                d = lut[np.arange(m), codes[i]].sum()
+                cand.append((round(float(d), 6), int(ids[i])))
+        cand.sort()
+        for rank, (d, nid) in enumerate(cand[:k], start=1):
+            rows.append((int(ids[qi]), nid, d, rank))
+    got = sorted(
+        (r.q_id, r.neighbor_id, r.adc_dist, r.rank)
+        for r in ivfpq_topk(emb).collect()
+    )
+    assert got == sorted(rows)
+
+
+def test_ivfpq_plan_shape(emb):
+    """Probe set joins as a broadcast EQUI-join on list_id — no nested
+    loop, no cartesian, no Python anywhere in the plan."""
+    from pyspark_etl_twitter_spark.operators.similarity import ivfpq_topk
+
+    plan = ivfpq_topk(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython"):
+        assert bad not in plan, bad
+
+
+def test_ivfpq_recall_floor(emb):
+    """Measured recall@5 vs exact L2: 0.15 at sf0.001 (n_probe=4 of 16
+    lists prunes 75% of candidates — on RANDOM data true neighbors are
+    uniform across lists, so the candidate cut itself bounds recall near
+    the probe fraction; flat PQ over the full corpus measures 0.25).
+    Floor 0.1 catches a broken residual/LUT (→ ~chance, 0.01)."""
+    from pyspark_etl_twitter_spark.operators.similarity import ivfpq_topk
+
+    base = emb.select("vec_id", F.col("embedding").alias("e"))
+    q = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("e"),
+            F.col("qe"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), F.round(d2, 6).alias("d"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("neighbor_id"))
+    exact = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    r = ann_recall_at_k(ivfpq_topk(emb), exact, k=5).collect()[0]
+    assert r["recall_at_k"] >= 0.1, r["recall_at_k"]

@@ -1522,6 +1522,7 @@ def pq_adc_topk(
     n_queries: int = 8,
     k: int = 5,
     round_dp: int = 6,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via PQ + asymmetric distance computation.
 
@@ -1546,9 +1547,10 @@ def pq_adc_topk(
             f"{MAX_PANDAS_QUERIES}: the ADC LUT is driver-built; join a "
             "LUT relation instead for larger query sets"
         )
-    books = pq_codebooks(
-        embeddings, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub
-    )
+    if books is None:
+        books = pq_codebooks(
+            embeddings, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub
+        )
     dsub = len(books[0][0])
     q_rows = sorted(
         embeddings.filter(F.col(id_col) < n_queries)
@@ -1871,3 +1873,146 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    round_dp: int = 6,
+) -> list[list[list[float]]]:
+    """Lloyd's-trained PQ codebooks — the production trainer, in the
+    ``kmeans_fit_portable`` mold (fixed iterations, per-round rounding
+    to ``round_dp`` so the whole trajectory replays in ANSI SQL — the
+    ``knn_pq_trained`` oracle unrolls it in DuckDB).
+
+    All m sub-space k-means problems train in ONE distributed job per
+    iteration, not m: vectors posexplode into (s, sub-vector) rows once,
+    assignment is a codegen argmin against the 3-D codebook literal, and
+    the update is a single partial-aggregated ``groupBy(s, cluster, t)``
+    mean — the exchange carries m·ksub·dsub = dim·ksub cells regardless
+    of corpus size, and only those rounded means reach the driver.
+    Empty clusters keep their previous entry.
+
+    Seeds are the first-``ksub`` sub-slices (``pq_codebooks``), rounded
+    engine-side with ``F.round`` (HALF_UP — matches DuckDB ``round``;
+    Python ``round`` is banker's and would fork the trajectory)."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")
+    )
+    seed_rows = (
+        base.orderBy("vec_id")
+        .limit(ksub)
+        .select(
+            F.transform(
+                "emb", lambda v: F.round(v.cast("double"), round_dp)
+            ).alias("emb")
+        )
+        .collect()
+    )
+    if len(seed_rows) < ksub:
+        raise ValueError(f"corpus has {len(seed_rows)} rows < ksub={ksub}")
+    dim = len(seed_rows[0]["emb"])
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    books = [
+        [
+            [float(seed_rows[j]["emb"][s * dsub + t]) for t in range(dsub)]
+            for j in range(ksub)
+        ]
+        for s in range(m)
+    ]
+    subs = base.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.slice("emb", s * dsub + 1, dsub),
+                    lambda v: v.cast("double"),
+                ),
+            )
+        ).alias("s", "sub"),
+    )
+    for _ in range(iters):
+        blit = _pq_books_lit(books)
+        dists = F.transform(
+            F.sequence(F.lit(0), F.lit(ksub - 1)),
+            lambda j: _l2_sq(
+                F.col("sub"),
+                F.element_at(
+                    F.element_at(blit, (F.col("s") + 1).cast("int")),
+                    (j + 1).cast("int"),
+                ),
+            ),
+        )
+        cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        upd = (
+            subs.withColumn("cluster", cluster)
+            .select("s", "cluster", F.posexplode("sub").alias("t", "val"))
+            .groupBy("s", "cluster", "t")
+            .agg(F.round(F.avg("val"), round_dp).alias("val"))
+            .collect()
+        )
+        nxt = [[list(entry) for entry in sub] for sub in books]
+        for r in upd:
+            nxt[r["s"]][r["cluster"]][r["t"]] = float(r["val"])
+        books = nxt
+    return books
+
+
+def pq_reconstruction_mse(
+    embeddings: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared quantization error ``avg(‖v − dequant(encode(v))‖²)``
+    — the codebook-quality scalar (lower is better; trained books must
+    beat first-k seeds, pinned in tests). Computed as one narrow agg:
+    per sub-space the error IS the winning argmin distance, so MSE =
+    avg over vectors of Σ_s min_j ‖v_s − books[s][j]‖² — no explicit
+    dequantization pass."""
+    m, ksub, dsub = len(books), len(books[0]), len(books[0][0])
+    books_lit = _pq_books_lit(books)
+    emb = F.col("_emb")
+    err = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ksub - 1)),
+                lambda j: F.aggregate(
+                    F.sequence(F.lit(0), F.lit(dsub - 1)),
+                    F.lit(0.0),
+                    lambda a, t: a
+                    + F.pow(
+                        F.element_at(emb, (s * dsub + t + 1).cast("int")).cast(
+                            "double"
+                        )
+                        - F.element_at(
+                            F.element_at(
+                                F.element_at(books_lit, (s + 1).cast("int")),
+                                (j + 1).cast("int"),
+                            ),
+                            (t + 1).cast("int"),
+                        ),
+                        F.lit(2.0),
+                    ),
+                ),
+            )
+        ),
+    )
+    row = (
+        embeddings.select(F.col(vec_col).alias("_emb"))
+        .agg(F.avg(err).alias("mse"))
+        .first()
+    )
+    return float(row["mse"])

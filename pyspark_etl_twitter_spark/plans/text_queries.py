@@ -1379,6 +1379,100 @@ SELECT q_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+_PQT_ITERS = 2
+
+
+def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k over Lloyd's-TRAINED codebooks — the production
+    trainer verified end to end (the ``knn_ivf_trained`` precedent
+    applied to PQ): ``pq_train_codebooks`` runs all m sub-space k-means
+    in one distributed job per iteration with per-round 6dp rounding,
+    so DuckDB replays the full trajectory → encode → LUT → ADC rank.
+    Trained books measurably beat the first-k seeds: reconstruction
+    MSE 0.752 → 0.562 at sf0.001 (iters=3; this row trains iters=2)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = S.pq_train_codebooks(emb, iters=_PQT_ITERS)
+    return S.pq_adc_topk(emb, books=books)
+
+
+def _pq_trained_oracle(
+    m: int = 8, ksub: int = 16, iters: int = _PQT_ITERS, dp: int = 6, dim: int = 64
+) -> str:
+    """Unrolled per-sub-space Lloyd trajectory (the `_kmeans_ctes` shape
+    keyed additionally by s) feeding the PQ encode/LUT/ADC tail."""
+    dsub = dim // m
+    parts = [
+        f"""base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+sdim AS (
+  SELECT vec_id, (pos - 1) // {dsub} AS s, (pos - 1) % {dsub} AS t, x
+  FROM (SELECT vec_id, UNNEST(emb) AS x,
+               generate_subscripts(emb, 1) AS pos FROM base)
+),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+  FROM base ORDER BY vec_id LIMIT {ksub}
+),
+pc0 AS (
+  SELECT d.s, s.j, d.t, round(d.x, {dp}) AS val
+  FROM seeds s JOIN sdim d USING (vec_id)
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+pd{i} AS (
+  SELECT v.vec_id, v.s, c.j, sum((v.x - c.val) * (v.x - c.val)) AS d2
+  FROM sdim v JOIN pc{i} c ON c.s = v.s AND c.t = v.t
+  GROUP BY v.vec_id, v.s, c.j
+),
+pa{i} AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+    FROM pd{i}) WHERE rn = 1
+),
+pu{i} AS (
+  SELECT a.s, a.j, v.t, round(avg(v.x), {dp}) AS val
+  FROM pa{i} a JOIN sdim v ON v.vec_id = a.vec_id AND v.s = a.s
+  GROUP BY a.s, a.j, v.t
+),
+pc{i + 1} AS (
+  SELECT p.s, p.j, p.t, coalesce(u.val, p.val) AS val
+  FROM pc{i} p LEFT JOIN pu{i} u
+    ON u.s = p.s AND u.j = p.j AND u.t = p.t
+)"""
+        )
+    return f"""
+WITH {"".join(parts)},
+subd AS (
+  SELECT v.vec_id, v.s, c.j, sum((v.x - c.val) * (v.x - c.val)) AS d
+  FROM sdim v JOIN pc{iters} c ON c.s = v.s AND c.t = v.t
+  GROUP BY v.vec_id, v.s, c.j
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+    FROM subd) WHERE rn = 1
+),
+lut AS (SELECT vec_id AS q_id, s, j, d FROM subd WHERE vec_id < 8),
+scored AS (
+  SELECT l.q_id, c.vec_id AS neighbor_id, round(sum(l.d), {dp}) AS adc_dist
+  FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+  WHERE c.vec_id <> l.q_id
+  GROUP BY l.q_id, c.vec_id
+)
+SELECT q_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+ORACLE_KNN_PQ_TRAINED = _pq_trained_oracle()
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine high-similarity pairs on a 25% subset — the
     oracle-able baseline for near-dup detection; `embedding_near_dup_pairs`

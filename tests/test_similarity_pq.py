@@ -259,3 +259,45 @@ def test_ivfpq_recall_floor(emb):
     exact = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
     r = ann_recall_at_k(ivfpq_topk(emb), exact, k=5).collect()[0]
     assert r["recall_at_k"] >= 0.1, r["recall_at_k"]
+
+
+def test_pq_train_improves_reconstruction(emb):
+    """Trained codebooks must beat the first-k seeds on reconstruction
+    MSE (measured 0.752 → 0.562 at iters=3), and each Lloyd iteration
+    must not make it worse (rounded trajectory → tolerate 1e-9 slack)."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        pq_reconstruction_mse,
+        pq_train_codebooks,
+    )
+
+    seed_mse = pq_reconstruction_mse(emb, pq_codebooks(emb, m=M, ksub=KSUB))
+    prev = seed_mse
+    for it in (1, 2, 3):
+        mse = pq_reconstruction_mse(
+            emb, pq_train_codebooks(emb, m=M, ksub=KSUB, iters=it)
+        )
+        assert mse <= prev + 1e-9, (it, prev, mse)
+        prev = mse
+    assert prev < seed_mse * 0.9, (seed_mse, prev)
+
+
+def test_pq_train_update_is_cluster_mean(emb):
+    """One iteration's codebook entries equal the 6dp-rounded per-cluster
+    means of the seed assignment, empty clusters carrying their seed —
+    replayed in NumPy."""
+    from pyspark_etl_twitter_spark.operators.similarity import pq_train_codebooks
+
+    ids, mat = _np_corpus(emb)
+    books0 = np.round(_np_books(np.round(mat, 6)), 6)  # engine rounds seeds
+    dsub = mat.shape[1] // M
+    want = books0.copy()
+    for s in range(M):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        d = ((sub[:, None, :] - books0[s][None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(KSUB):
+            members = sub[a == j]
+            if len(members):
+                want[s][j] = np.round(members.mean(axis=0), 6)
+    got = np.array(pq_train_codebooks(emb, m=M, ksub=KSUB, iters=1))
+    assert np.allclose(got, want, atol=1e-12)

@@ -2016,3 +2016,150 @@ def pq_reconstruction_mse(
         .first()
     )
     return float(row["mse"])
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 8,
+    pool: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): from each query's ``pool`` most-relevant candidates,
+    greedily select ``k`` maximizing ``λ·rel(c) − (1−λ)·max_{s∈S}
+    sim(c, s)`` — the retrieval-diversity rerank a training-data
+    pipeline uses to avoid sampling near-identical documents.
+
+    The greedy loop is inherently sequential in k, so it is UNROLLED as
+    k pure-DataFrame stages (no Python in the plan): stage i anti-joins
+    the selected set, computes each remaining candidate's max similarity
+    to the selection via an equi-join on (q_id, selected id) + partial
+    max-agg, and takes the per-query argmax window. Everything after the
+    relevance scan is bounded — pool self-join is ``pool²`` rows per
+    query, each stage exchanges ≤ n_queries·pool rows — so cost is the
+    relevance scan (one broadcast-query pass over the corpus, the
+    ``cosine_topk`` shape) + k·O(n_queries·pool²) rerank. At 100 TB the
+    rerank is noise; the scan is whatever ANN rung feeds the pool
+    (swap ``cosine_topk`` for an index probe upstream).
+
+    rel and sim round to ``round_dp`` BEFORE the greedy compare; the
+    stage score ``λ·rel − (1−λ)·maxsim`` is then identical IEEE
+    arithmetic on identical decimal inputs in any engine — DuckDB
+    replays the full greedy trajectory (``mmr_diversified_topk``).
+    Ties break (score desc, id asc). First pick's score is its rel.
+
+    Returns ``(q_id, neighbor_id, mmr_score, rank)``."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    rel_all = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand"),
+            "emb",
+            "nrm",
+            F.round(
+                dot(F.col("emb"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                round_dp,
+            ).alias("rel"),
+        )
+    )
+    w_pool = Window.partitionBy("q_id").orderBy(
+        F.col("rel").desc(), F.col("cand")
+    )
+    pool_df = (
+        rel_all.withColumn("_rn", F.row_number().over(w_pool))
+        .filter(F.col("_rn") <= pool)
+        .select("q_id", "cand", "emb", "nrm", "rel")
+    )
+    a = pool_df.select(
+        "q_id",
+        F.col("cand").alias("a"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = pool_df.select(
+        "q_id",
+        F.col("cand").alias("b"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    sims = (
+        a.join(b, "q_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "q_id",
+            "a",
+            "b",
+            F.round(
+                dot(F.col("a_emb"), F.col("b_emb"))
+                / (F.col("a_nrm") * F.col("b_nrm")),
+                round_dp,
+            ).alias("sim"),
+        )
+    )
+    cands = pool_df.select("q_id", "cand", "rel")
+    w_pick = Window.partitionBy("q_id").orderBy(
+        F.col("_score").desc(), F.col("cand")
+    )
+    selected = (
+        cands.withColumn("_score", F.col("rel"))
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "q_id",
+            F.col("cand").alias("neighbor_id"),
+            F.round("_score", round_dp).alias("mmr_score"),
+            F.lit(1).alias("rank"),
+        )
+    )
+    for i in range(2, k + 1):
+        maxsim = (
+            sims.join(
+                selected.select(
+                    "q_id", F.col("neighbor_id").alias("b")
+                ),
+                ["q_id", "b"],
+            )
+            .groupBy("q_id", "a")
+            .agg(F.max("sim").alias("_ms"))
+        )
+        pick = (
+            cands.join(
+                selected.select(
+                    "q_id", F.col("neighbor_id").alias("cand")
+                ),
+                ["q_id", "cand"],
+                "left_anti",
+            )
+            .join(maxsim.withColumnRenamed("a", "cand"), ["q_id", "cand"])
+            .withColumn(
+                "_score",
+                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("_ms"),
+            )
+            .withColumn("_rn", F.row_number().over(w_pick))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "q_id",
+                F.col("cand").alias("neighbor_id"),
+                F.round("_score", round_dp).alias("mmr_score"),
+                F.lit(i).alias("rank"),
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected

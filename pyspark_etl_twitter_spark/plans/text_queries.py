@@ -1473,6 +1473,83 @@ SELECT q_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
 ORACLE_KNN_PQ_TRAINED = _pq_trained_oracle()
 
 
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (Carbonell & Goldstein 1998) — greedy
+    λ·rel − (1−λ)·max-sim-to-selected rerank of each query's top-20
+    pool, unrolled as pure-DataFrame stages. Fully ORACLE-BACKED: rel
+    and pairwise sims round to 6dp before the greedy compare, so DuckDB
+    replays the exact selection trajectory stage by stage."""
+    return S.mmr_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def _mmr_oracle(
+    nq: int = 8, pool: int = 20, k: int = 5, lam: float = 0.7, dp: int = 6
+) -> str:
+    """Greedy MMR unrolled as k SQL stages (sel1..sel{k})."""
+    parts = [
+        f"""base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+queries AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
+            FROM base WHERE vec_id < {nq}),
+rel_all AS (
+  SELECT q.q_id, b.vec_id AS cand, b.emb, b.nrm,
+         round(list_dot_product(b.emb, q.q_emb) / (b.nrm * q.q_nrm), {dp}) AS rel
+  FROM base b CROSS JOIN queries q WHERE b.vec_id <> q.q_id
+),
+pool AS (
+  SELECT q_id, cand, emb, nrm, rel FROM (
+    SELECT q_id, cand, emb, nrm, rel,
+           row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, cand) AS rn
+    FROM rel_all) WHERE rn <= {pool}
+),
+sims AS (
+  SELECT p1.q_id, p1.cand AS a, p2.cand AS b,
+         round(list_dot_product(p1.emb, p2.emb) / (p1.nrm * p2.nrm), {dp}) AS sim
+  FROM pool p1 JOIN pool p2 ON p1.q_id = p2.q_id AND p1.cand <> p2.cand
+),
+sel1 AS (
+  SELECT q_id, cand AS neighbor_id, round(rel, {dp}) AS mmr_score, 1 AS rank
+  FROM (SELECT q_id, cand, rel,
+               row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, cand) AS rn
+        FROM pool) WHERE rn = 1
+)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+m{i} AS (
+  SELECT s.q_id, s.a AS cand, max(s.sim) AS ms
+  FROM sims s JOIN sel{i - 1} x ON x.q_id = s.q_id AND x.neighbor_id = s.b
+  GROUP BY s.q_id, s.a
+),
+p{i} AS (
+  SELECT p.q_id, p.cand, {lam} * p.rel - {1.0 - lam} * m.ms AS score
+  FROM pool p
+  JOIN m{i} m ON m.q_id = p.q_id AND m.cand = p.cand
+  LEFT JOIN sel{i - 1} x ON x.q_id = p.q_id AND x.neighbor_id = p.cand
+  WHERE x.neighbor_id IS NULL
+),
+sel{i} AS (
+  SELECT * FROM sel{i - 1}
+  UNION ALL
+  SELECT q_id, cand AS neighbor_id, round(score, {dp}) AS mmr_score, {i} AS rank
+  FROM (SELECT q_id, cand, score,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand) AS rn
+        FROM p{i}) WHERE rn = 1
+)"""
+        )
+    return f"""
+WITH {"".join(parts)}
+SELECT q_id, neighbor_id, mmr_score, CAST(rank AS INTEGER) AS rank FROM sel{k}
+"""
+
+
+ORACLE_MMR_DIVERSIFIED_TOPK = _mmr_oracle()
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine high-similarity pairs on a 25% subset — the
     oracle-able baseline for near-dup detection; `embedding_near_dup_pairs`

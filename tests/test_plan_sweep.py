@@ -16,6 +16,8 @@ from tests.conftest import SF_TINY
 BNLJ_OK = {
     "range_join_price_bands",   # 5-band broadcast theta join (documented)
     "knn_brute_cosine",         # broadcast query side (documented baseline)
+    "mmr_diversified_topk",     # same broadcast-query relevance scan feeds
+                                # the pure-DataFrame greedy rerank stages
     "knn_ann_lsh",
     "knn_ann_lsh_high_recall",  # same probe shape as knn_ann_lsh
     "knn_ivf",

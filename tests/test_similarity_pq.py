@@ -301,3 +301,92 @@ def test_pq_train_update_is_cluster_mean(emb):
                 want[s][j] = np.round(members.mean(axis=0), 6)
     got = np.array(pq_train_codebooks(emb, m=M, ksub=KSUB, iters=1))
     assert np.allclose(got, want, atol=1e-12)
+
+
+def _r6(x):
+    """Spark F.round semantics for doubles: HALF_UP on the shortest
+    decimal repr (java BigDecimal.valueOf) — Python round() is banker's
+    and diverges on exact .5 boundaries at the target scale."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _np_mmr(ids, mat, nq=8, pool=20, k=5, lam=0.7):
+    nrm = np.linalg.norm(mat, axis=1)
+    out = []
+    for qi in range(nq):
+        rel = {}
+        for i in range(len(ids)):
+            if ids[i] == ids[qi]:
+                continue
+            rel[int(ids[i])] = _r6(mat[i] @ mat[qi] / (nrm[i] * nrm[qi]))
+        cand = sorted(rel, key=lambda c: (-rel[c], c))[:pool]
+        idx = {int(ids[i]): i for i in range(len(ids))}
+        sim = {
+            (a, b): _r6(
+                mat[idx[a]] @ mat[idx[b]] / (nrm[idx[a]] * nrm[idx[b]])
+            )
+            for a in cand
+            for b in cand
+            if a != b
+        }
+        sel = [min(cand, key=lambda c: (-rel[c], c))]
+        out.append((int(ids[qi]), sel[0], _r6(rel[sel[0]]), 1))
+        for rank in range(2, k + 1):
+            rest = [c for c in cand if c not in sel]
+            score = {
+                c: lam * rel[c] - (1 - lam) * max(sim[(c, s)] for s in sel)
+                for c in rest
+            }
+            pick = min(rest, key=lambda c: (-score[c], c))
+            sel.append(pick)
+            out.append((int(ids[qi]), pick, _r6(score[pick]), rank))
+    return sorted(out)
+
+
+def test_mmr_matches_numpy_greedy(emb):
+    """Spark's unrolled greedy ≡ a NumPy replay with the same 6dp
+    rounding and (score desc, id) tie rule — the driver's DuckDB oracle
+    is the cross-engine twin of this."""
+    from pyspark_etl_twitter_spark.operators.similarity import mmr_topk
+
+    ids, mat = _np_corpus(emb)
+    got = sorted(
+        (r.q_id, r.neighbor_id, r.mmr_score, r.rank)
+        for r in mmr_topk(emb).collect()
+    )
+    assert got == _np_mmr(ids, mat)
+
+
+def test_mmr_splits_planted_twins(spark):
+    """A query with two near-identical top candidates: plain top-k takes
+    both back to back; MMR must take one, then something diverse, and
+    never place the twin second."""
+    from pyspark_etl_twitter_spark.operators.similarity import mmr_topk
+
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=8)
+    twin_a = q + rng.normal(scale=0.01, size=8)
+    twin_b = twin_a + rng.normal(scale=0.001, size=8)  # ~identical to a
+    # a moderately-relevant DIVERSE doc: half query direction, half
+    # orthogonal noise — rel ≈ 0.7, near-zero sim to the twins' residual
+    diverse = 0.5 * q + rng.normal(scale=np.linalg.norm(q) * 0.5, size=8)
+    rows = [(0, [float(x) for x in q]), (10, [float(x) for x in twin_a]),
+            (11, [float(x) for x in twin_b]),
+            (12, [float(x) for x in diverse])]
+    for i in range(13, 30):
+        rows.append((i, [float(x) for x in rng.normal(size=8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.rank: r.neighbor_id
+        for r in mmr_topk(df, n_queries=1, pool=10, k=3, lam=0.5).collect()
+    }
+    assert got[1] in (10, 11)
+    # λ=0.5: the un-picked twin scores ~0.5·rel − 0.5·(sim≈1) ≈ 0 —
+    # any positively-relevant diverse doc must outrank it at stage 2
+    assert got[2] not in (10, 11), got

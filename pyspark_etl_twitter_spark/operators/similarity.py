@@ -2163,3 +2163,113 @@ def mmr_topk(
         )
         selected = selected.unionByName(pick)
     return selected
+
+
+def sq8_params(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) quantization ranges, rounded to
+    ``round_dp`` so both engines quantize against identical decimal
+    grids. ONE narrow agg: posexplode → groupBy(pos) min/max → dim rows
+    to the driver (bounded by dimensionality, never corpus size)."""
+    rows = (
+        embeddings.select(
+            F.posexplode(
+                F.transform(vec_col, lambda v: v.cast("double"))
+            ).alias("pos", "x")
+        )
+        .groupBy("pos")
+        .agg(
+            F.round(F.min("x"), round_dp).alias("lo"),
+            F.round(F.max("x"), round_dp).alias("hi"),
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: r["pos"])
+    return [float(r["lo"]) for r in rows], [float(r["hi"]) for r in rows]
+
+
+def sq8_encode(
+    embeddings: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar 8-bit quantization: ``code_t = round(255·(x_t − lo_t) /
+    (hi_t − lo_t))`` clamped to [0, 255] — 4× smaller than float32 with
+    near-lossless recall (the cheap rung of the compression frontier;
+    PQ is the 32× rung). Zero-exchange codegen map; constant dims
+    (hi == lo) encode as 0 and dequantize back to lo exactly."""
+    lo_lit = F.array(*[F.lit(v) for v in lo])
+    hi_lit = F.array(*[F.lit(v) for v in hi])
+    codes = F.zip_with(
+        F.zip_with(
+            F.transform(F.col("_emb"), lambda v: v.cast("double")),
+            lo_lit,
+            lambda x, l: x - l,
+        ),
+        F.zip_with(hi_lit, lo_lit, lambda h, l: h - l),
+        lambda d, r: F.when(r <= 0.0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(255), F.round(d / r * 255.0, 0).cast("int")),
+            )
+        ),
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_emb")
+    ).select("vec_id", codes.alias("codes"))
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-k cosine over DEQUANTIZED sq8 codes (asymmetric: raw query
+    vs dequantized corpus — the FAISS SQ8 search shape). Dequant is
+    ``lo_t + code_t·(hi_t − lo_t)/255`` folded into the same codegen
+    pass; ranking mirrors ``cosine_topk`` (rounded score desc, id).
+    Near-lossless by construction (measured recall@5 vs exact cosine in
+    tests); the value is the 4× scan-size cut, not a recall trade."""
+    lo, hi = sq8_params(embeddings, vec_col=vec_col, round_dp=round_dp)
+    lo_lit = F.array(*[F.lit(v) for v in lo])
+    step_lit = F.array(*[F.lit((h - l) / 255.0) for l, h in zip(lo, hi)])
+    codes = sq8_encode(embeddings, lo, hi, id_col=id_col, vec_col=vec_col)
+    deq = F.zip_with(
+        F.zip_with(F.col("codes"), step_lit, lambda c, s: c.cast("double") * s),
+        lo_lit,
+        lambda x, l: x + l,
+    )
+    base = codes.select("vec_id", deq.alias("emb")).select(
+        "vec_id", "emb", l2_norm(F.col("emb")).alias("nrm")
+    )
+    queries = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.transform(vec_col, lambda v: v.cast("double")).alias("q_emb"),
+        )
+        .select("q_id", "q_emb", l2_norm(F.col("q_emb")).alias("q_nrm"))
+    )
+    pairs = base.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")),
+            round_dp,
+        ).alias("cos_sim"),
+    )
+    return _rank_topk(scored, k)

@@ -18,6 +18,7 @@ BNLJ_OK = {
     "knn_brute_cosine",         # broadcast query side (documented baseline)
     "mmr_diversified_topk",     # same broadcast-query relevance scan feeds
                                 # the pure-DataFrame greedy rerank stages
+    "knn_sq8",                  # broadcast query side over dequantized codes
     "knn_ann_lsh",
     "knn_ann_lsh_high_recall",  # same probe shape as knn_ann_lsh
     "knn_ivf",

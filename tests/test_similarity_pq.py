@@ -390,3 +390,38 @@ def test_mmr_splits_planted_twins(spark):
     # λ=0.5: the un-picked twin scores ~0.5·rel − 0.5·(sim≈1) ≈ 0 —
     # any positively-relevant diverse doc must outrank it at stage 2
     assert got[2] not in (10, 11), got
+
+
+def test_sq8_near_lossless_recall(emb):
+    """8-bit scalar quantization is near-lossless for ranking: recall@5
+    vs exact cosine top-k must be ≥ 0.95 (measured 1.0 at sf0.001)."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        cosine_topk,
+        sq8_topk,
+    )
+
+    exact = cosine_topk(emb, n_queries=10, k=5)
+    r = ann_recall_at_k(sq8_topk(emb), exact, k=5).collect()[0]
+    assert r["n_queries"] == 10
+    assert r["recall_at_k"] >= 0.95, r["recall_at_k"]
+
+
+def test_sq8_codes_and_constant_dims(spark):
+    """Codes stay in [0, 255]; min maps to 0, max to 255; a CONSTANT
+    dimension (hi == lo) encodes 0 and dequantizes back to exactly lo."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        sq8_encode,
+        sq8_params,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 7.5]), (1, [1.0, 7.5]), (2, [0.25, 7.5])],
+        "vec_id long, embedding array<float>",
+    )
+    lo, hi = sq8_params(df)
+    assert lo == [0.0, 7.5] and hi == [1.0, 7.5]
+    got = {r["vec_id"]: r["codes"] for r in sq8_encode(df, lo, hi).collect()}
+    assert got[0] == [0, 0] and got[1] == [255, 0]
+    assert got[2][0] == 64  # round(0.25*255) HALF_UP
+    step = (hi[0] - lo[0]) / 255.0
+    assert abs((got[2][0] * step + lo[0]) - 0.25) < 1e-2

@@ -817,7 +817,18 @@ def main() -> None:
     # mixed BMP/PNG/JPEG/WAV rows; raised 500 → 600 (r9 verdict ask #5).
     # The quadratic bit-accumulator bug this row exists to catch ran at
     # ~1/10 of the floor.
+    # r11 (r10 verdict ask #6): floor the NORMALIZED media rate when the
+    # two-sided normalizer is available — raw × median_plan_stable_ratio
+    # (slower machine ⇒ ratio > 1 ⇒ rate scaled back up), so machine
+    # state alone can neither breach nor mask. Level: the verdict's
+    # "~900-1,300 normalized" estimate used the CANARY ruler its own
+    # ask #3 deprecated (canary over-responds ~2× vs plan-stable ~1.26);
+    # on the empirical ruler the healthy normalized band is 750-830
+    # (r10 driver 654 raw × 1.26 = 824; r10 builder 753; r9 689), so the
+    # ≥25%-regression floor is 620. Raw 600 stays the fallback when no
+    # normalizer exists (first run at an sf / fingerprint churn).
     MEDIA_FLOOR = 600.0
+    MEDIA_FLOOR_NORM = 620.0
     breaches: list[str] = []
     if sf >= 0.1:
         if streaming and streaming.get("rows_per_sec", 0) < STREAM_FLOORS["stream_score"]:
@@ -829,10 +840,19 @@ def main() -> None:
                 breaches.append(
                     f"{k}={v['rows_per_sec']:.0f}<{STREAM_FLOORS['stateful']:.0f}"
                 )
-        if media_decode and media_decode["rows_per_sec"] < MEDIA_FLOOR:
-            breaches.append(
-                f"media_decode={media_decode['rows_per_sec']:.0f}<{MEDIA_FLOOR:.0f}"
-            )
+        if media_decode:
+            med_ratio = drift.get("median_plan_stable_ratio")
+            if med_ratio and med_ratio > 0:
+                media_norm = media_decode["rows_per_sec"] * med_ratio
+                if media_norm < MEDIA_FLOOR_NORM:
+                    breaches.append(
+                        f"media_decode_norm={media_norm:.0f}<"
+                        f"{MEDIA_FLOOR_NORM:.0f}"
+                    )
+            elif media_decode["rows_per_sec"] < MEDIA_FLOOR:
+                breaches.append(
+                    f"media_decode={media_decode['rows_per_sec']:.0f}<{MEDIA_FLOOR:.0f}"
+                )
         out["stream_floor_breach"] = breaches  # [] == all floors held
     if streaming:
         out["stream_rows_per_sec"] = round(streaming.get("rows_per_sec", 0), 1)

@@ -2170,6 +2170,149 @@ GROUP BY d.source
 """
 
 
+_LR_DIM = 64
+_LR_ITERS = 3
+_LR_RATE = 0.1
+
+
+def _lr_label(docs: DataFrame) -> DataFrame:
+    """Quality-classifier labels: target domain = src0 (the DSIR target
+    convention) vs everything else — the CCNet/fastText framing."""
+    return docs.withColumn(
+        "_y", (F.col("source") == "src0").cast("double")
+    )
+
+
+def quality_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality-classifier weights — distributed full-batch
+    logistic GD over oracle-verified md5 hashed features, fixed 3
+    iterations, weights engine-rounded to 6dp per round (the
+    `kmeans_fit_portable` discipline). Fully ORACLE-BACKED: DuckDB
+    unrolls the whole GD trajectory (margins → sigmoid errors →
+    bucket gradients → rounded update, per iteration)."""
+    from pyspark_etl_twitter_spark.operators.classifier import lr_train_portable
+
+    docs = _lr_label(_t(spark, sf_dir, "documents"))
+    w = lr_train_portable(docs, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE)
+    return spark.createDataFrame(
+        [(b, x) for b, x in enumerate(w)], "bucket long, weight double"
+    )
+
+
+def quality_lr_scores_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source profile of the trained classifier's σ(w·x) scores —
+    n_docs, mean score, fraction flagged as target-like (rounded score
+    ≥ 0.5). The end-to-end train→infer pipeline in one oracle-backed
+    query. (The driver's synthetic docs carry little source signal, so
+    scores cluster near the base rate here; separation on a
+    planted-signature corpus is pinned in tests/test_classifier.py.)"""
+    from pyspark_etl_twitter_spark.operators.classifier import (
+        lr_score,
+        lr_train_portable,
+    )
+
+    docs = _lr_label(_t(spark, sf_dir, "documents"))
+    w = lr_train_portable(docs, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE)
+    scores = lr_score(docs, w, dim=_LR_DIM)
+    return (
+        docs.select("doc_id", "source")
+        .join(scores, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.round(
+                F.avg(
+                    (F.round(F.col("score"), 6) >= 0.5).cast("double")
+                ),
+                6,
+            ).alias("frac_target_like"),
+        )
+    )
+
+
+def _lr_gd_ctes(
+    dim: int = _LR_DIM,
+    iters: int = _LR_ITERS,
+    rate: float = _LR_RATE,
+    dp: int = 6,
+) -> str:
+    """Unrolled logistic-GD trajectory up to ``w{iters}`` (bucket, w)."""
+    parts = [
+        f"""tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+hfeat AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {dim} AS bucket,
+         CAST(CAST(('0x' || substr(md5(term), 9, 1)) AS BIGINT) % 2 * 2 - 1
+              AS DOUBLE) AS s
+  FROM tok WHERE term <> ''
+),
+sparse AS (
+  SELECT doc_id, bucket, sum(s) AS val
+  FROM hfeat GROUP BY doc_id, bucket HAVING sum(s) <> 0
+),
+feats AS (
+  SELECT doc_id, bucket, val FROM sparse
+  UNION ALL
+  SELECT doc_id, {dim} AS bucket, 1.0 AS val FROM documents
+),
+lab AS (
+  SELECT doc_id, CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+w0 AS (SELECT CAST(UNNEST(range(0, {dim + 1})) AS BIGINT) AS bucket, 0.0 AS w)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+m{i} AS (
+  SELECT f.doc_id, sum(f.val * w.w) AS marg
+  FROM feats f JOIN w{i} w USING (bucket) GROUP BY f.doc_id
+),
+e{i} AS (
+  SELECT l.doc_id,
+         1.0 / (1.0 + exp(-coalesce(m.marg, 0.0))) - l.y AS e
+  FROM lab l LEFT JOIN m{i} m USING (doc_id)
+),
+g{i} AS (
+  SELECT f.bucket, sum(e.e * f.val) / (SELECT n FROM nn) AS g
+  FROM feats f JOIN e{i} e USING (doc_id) GROUP BY f.bucket
+),
+w{i + 1} AS (
+  SELECT w.bucket, round(w.w - {rate} * coalesce(g.g, 0.0), {dp}) AS w
+  FROM w{i} w LEFT JOIN g{i} g USING (bucket)
+)"""
+        )
+    return "".join(parts)
+
+
+ORACLE_QUALITY_LR_WEIGHTS = f"""
+WITH {_lr_gd_ctes()}
+SELECT bucket, w AS weight FROM w{_LR_ITERS}
+"""
+
+
+ORACLE_QUALITY_LR_SCORES_BY_SOURCE = f"""
+WITH {_lr_gd_ctes()},
+fm AS (
+  SELECT f.doc_id, sum(f.val * w.w) AS marg
+  FROM feats f JOIN w{_LR_ITERS} w USING (bucket) GROUP BY f.doc_id
+),
+sc AS (
+  SELECT doc_id, 1.0 / (1.0 + exp(-marg)) AS score FROM fm
+)
+SELECT d.source, count(*) AS n_docs,
+       round(avg(s.score), 6) AS avg_score,
+       round(avg(CASE WHEN round(s.score, 6) >= 0.5 THEN 1.0 ELSE 0.0 END), 6)
+         AS frac_target_like
+FROM documents d JOIN sc s USING (doc_id)
+GROUP BY d.source
+"""
+
+
 TEXT_SEM_PLANES = 6
 TEXT_SEM_SEED = 23
 TEXT_SEM_TAU = 0.9

@@ -166,6 +166,32 @@ def pq_section(spark, sf_dir, mults):
         )
 
 
+
+def lr_section(spark, sf_dir, mults):
+    """Quality-classifier GD cost envelope: per iteration the margin
+    pass is a partial-agg groupBy(doc) and the gradient pass a
+    partial-agg groupBy(bucket) — both linear scans with bounded
+    reduce sides, so wall must scale ~linearly in corpus rows."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.classifier import lr_train_portable
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("source") == "src0").cast("double")
+    )
+    for mult in mults:
+        d = replicate(docs, mult, ["doc_id"]) if mult > 1 else docs
+        n = d.count()
+        start = time.perf_counter()
+        w = lr_train_portable(d, dim=64, iters=3, lr=0.1)
+        print(
+            f"-- lr x{mult}: {n} docs, 3 iters in "
+            f"{time.perf_counter() - start:.1f} s, |w|_inf="
+            f"{max(abs(x) for x in w):.4f}",
+            flush=True,
+        )
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     args = [a for a in sys.argv[2:] if not a.startswith("--")]
@@ -181,6 +207,9 @@ def main():
         return
     if "--pq" in sys.argv:
         pq_section(spark, sf_dir, [m for m in (1, 10, 100) if m <= max_mult])
+        return
+    if "--lr" in sys.argv:
+        lr_section(spark, sf_dir, [m for m in (1, 10, 50) if m <= max_mult])
         return
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -241,3 +270,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+

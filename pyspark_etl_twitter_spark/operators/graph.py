@@ -113,3 +113,55 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
         F.explode(F.array("s", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank_portable(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    damping: float = 0.85,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank over undirected (u < v) edges, each
+    treated as two directed edges — the `kmeans_fit_portable`
+    discipline applied to power iteration: no convergence test, ranks
+    ROUNDED to ``round_dp`` after every update, so the whole trajectory
+    replays in ANSI SQL (`pagerank_suppliers` oracle).
+
+    Per iteration: one equi-join of the rank relation against the
+    directed edge list + one partial-agg groupBy(dst) — the exchange
+    carries one row per edge then one per node; no driver state at all
+    (ranks stay a DataFrame; N enters as a count). Bidirected edges
+    mean every node has in-degree ≥ 1, so no dangling-mass term is
+    needed and each iteration's contribution relation covers every
+    node. At 100 TB this is the textbook join-agg PageRank whose cost
+    is iters × (edges join + node agg), AQE-coalescible.
+
+    Returns (node, pagerank) with ranks on the ``round_dp`` grid;
+    Σ pagerank ≈ 1 (pinned in pytest)."""
+    de = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    od = de.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    n = float(od.count())
+    teleport = 1.0 - damping
+    pr = od.select(
+        F.col("src").alias("node"),
+        F.round(F.lit(1.0) / F.lit(n), round_dp).alias("pr"),
+    )
+    for _ in range(iters):
+        contrib = (
+            de.join(pr, de["src"] == pr["node"])
+            .join(od, "src")
+            .select(F.col("dst"), (F.col("pr") / F.col("od")).alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        pr = contrib.select(
+            F.col("dst").alias("node"),
+            F.round(
+                F.lit(teleport) / F.lit(n) + F.lit(damping) * F.col("_sum"),
+                round_dp,
+            ).alias("pr"),
+        )
+    return pr.select("node", F.col("pr").alias("pagerank"))

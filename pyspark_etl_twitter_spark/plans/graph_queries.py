@@ -93,3 +93,64 @@ FROM (SELECT s AS node FROM tri
       UNION ALL SELECT c FROM tri)
 GROUP BY node
 """
+
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+_PR_DP = 9
+
+
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration portable PageRank over the supplier co-occurrence
+    graph — power iteration with per-round 9dp rounding (the
+    `kmeans_fit_portable` discipline), fully ORACLE-BACKED via the
+    unrolled trajectory below. Σ pagerank ≈ 1 pinned in pytest."""
+    return G.pagerank_portable(
+        G.supplier_edges(_li(spark, sf_dir)),
+        iters=_PR_ITERS,
+        damping=_PR_DAMP,
+        round_dp=_PR_DP,
+    )
+
+
+def _pagerank_oracle(
+    iters: int = _PR_ITERS, damping: float = _PR_DAMP, dp: int = _PR_DP
+) -> str:
+    teleport = repr(1.0 - damping)  # exact double both engines compute
+    parts = [
+        f"""{_EDGE_CTES},
+de AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v AS src, u AS dst FROM edges
+),
+od AS (SELECT src, count(*) AS od FROM de GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM od),
+p0 AS (
+  SELECT src AS node, round(1.0 / (SELECT n FROM nn), {dp}) AS pr FROM od
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT e.dst AS node, sum(p.pr / o.od) AS s
+  FROM de e
+  JOIN p{i} p ON p.node = e.src
+  JOIN od o ON o.src = e.src
+  GROUP BY e.dst
+),
+p{i + 1} AS (
+  SELECT node,
+         round({teleport} / (SELECT n FROM nn) + {damping} * s, {dp}) AS pr
+  FROM c{i}
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT node, pr AS pagerank FROM p{iters}\n"
+    )
+
+
+ORACLE_PAGERANK_SUPPLIERS = _pagerank_oracle()

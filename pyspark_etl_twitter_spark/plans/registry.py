@@ -65,6 +65,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_sq8": T.knn_sq8,
     "quality_lr_weights": T.quality_lr_weights,
     "quality_lr_scores_by_source": T.quality_lr_scores_by_source,
+    "pagerank_suppliers": GQ.pagerank_suppliers,
     "dedup_simhash_portable": T.dedup_simhash_portable,
     "dedup_simhash_portable_pairs": T.dedup_simhash_portable_pairs,
     "dedup_clusters_simhash_portable": T.dedup_clusters_simhash_portable,
@@ -325,6 +326,7 @@ ORACLES: dict[str, str] = {
     "knn_sq8": T.ORACLE_KNN_SQ8,
     "quality_lr_weights": T.ORACLE_QUALITY_LR_WEIGHTS,
     "quality_lr_scores_by_source": T.ORACLE_QUALITY_LR_SCORES_BY_SOURCE,
+    "pagerank_suppliers": GQ.ORACLE_PAGERANK_SUPPLIERS,
     # dedup_minhash_pairs / dedup_simhash_fingerprints: xxhash64 → rows-only
     "dedup_clusters": T.ORACLE_DEDUP_CLUSTERS,
     # dedup_clusters_minhash: xxhash64-seeded pairs → rows-only
@@ -446,13 +448,13 @@ ORACLES: dict[str, str] = {
 # list below is reordered to the front of QUERIES at import time, so each
 # round edits one list instead of re-sorting the whole literal. After r10
 # the staleness distribution of newest driver rows is
-# {r10: 50, r9: 48, r8: 50, r7: 22}; this window takes the 13 new-in-r11
+# {r10: 50, r9: 48, r8: 50, r7: 22}; this window takes the 14 new-in-r11
 # queries, ALL 22 r7 rows (the TPC-H mid-teens block + curation reps the
-# r10 comment queued), and the first 15 (alphabetically) of the 50 r8
+# r10 comment queued), and the first 14 (alphabetically) of the 50 r8
 # rows — so after r11 no registry query's newest driver row is older
 # than r8 (the remaining 29 r8 rows rotate in r12).
 ROUND11_WINDOW: list[str] = [
-    # new-this-round (13): never driver-verified — new queries always
+    # new-this-round (14): never driver-verified — new queries always
     # outrank stale-but-unchanged ones. All oracle-backed and verified
     # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots, except
     # bpe_tokens_by_source which is rows-only by design (iterative BPE
@@ -470,6 +472,7 @@ ROUND11_WINDOW: list[str] = [
     "knn_sq8",
     "quality_lr_weights",
     "quality_lr_scores_by_source",
+    "pagerank_suppliers",
     # newest driver rows: r7 (all 22)
     "top_terms_per_doc",
     "tpch_q10_returned_items",
@@ -494,7 +497,7 @@ ROUND11_WINDOW: list[str] = [
     "unpivot_lineitem_measures",
     "vocab_head",
     # newest driver rows: r8 (first 21 alphabetically of 50; the
-    # remaining 35 rotate in r12)
+    # remaining 36 rotate in r12)
     "anti_join_customers",
     "array_funcs_documents",
     "asof_nearest_click",
@@ -503,7 +506,6 @@ ROUND11_WINDOW: list[str] = [
     "cube_quantity",
     "date_arithmetic_orders",
     "date_funcs_orders",
-    "dedup_clusters_minhash_portable",
     "dedup_exact_groups",
     "dedup_jaccard_pairs",
     "distinct_counts",

@@ -92,3 +92,34 @@ def test_oriented_edges_cap_out_degree(spark):
     }
     # leaves (degree 1) point at the hub; hub (max degree) emits nothing
     assert 0 not in out_deg
+
+
+def test_pagerank_mass_and_hub_ordering(spark):
+    """Σ pagerank ≈ 1 (rounded trajectory → tolerate n·1e-9), and on a
+    star graph the hub out-ranks every leaf."""
+    from pyspark_etl_twitter_spark.operators.graph import pagerank_portable
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "u long, v long"
+    )
+    pr = {r["node"]: r["pagerank"] for r in pagerank_portable(star).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 9 * 1e-6
+    hub = pr.pop(0)
+    assert all(hub > v for v in pr.values()), (hub, pr)
+    assert len(set(pr.values())) == 1  # leaves symmetric → equal ranks
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    """On a cycle (2-regular), PageRank is exactly uniform at every
+    iteration — each node's rank must equal 1/N on the rounding grid."""
+    from pyspark_etl_twitter_spark.operators.graph import pagerank_portable
+
+    n = 10
+    cyc = spark.createDataFrame(
+        [(min(i, (i + 1) % n), max(i, (i + 1) % n)) for i in range(n)],
+        "u long, v long",
+    )
+    pr = pagerank_portable(cyc).collect()
+    assert len(pr) == n
+    for r in pr:
+        assert abs(r["pagerank"] - 0.1) < 1e-8, r

@@ -95,3 +95,74 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
     )
+
+
+# --------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. 2007): md5-derived registers make
+# the sketch itself engine-portable — unlike approx_count_distinct (HLL++
+# with engine-specific hashing/bias tables, rows-only by design), every
+# stage here replays in ANSI SQL, so the DISTINCT-COUNT SKETCH is a full
+# driver oracle (`approx_distinct_portable`). Spark's built-in stays the
+# production default; this is its verifiable twin, same precedent as the
+# md5 MinHash/SimHash portable twins.
+# --------------------------------------------------------------------------
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """HLL register relation: bucket = first ``p`` bits of md5(value),
+    rho = leading-zero count of the next 32 bits + 1, register =
+    max(rho) per (group, bucket). One narrow projection + one hash agg;
+    ≤ groups·2^p output rows regardless of input size, map-side
+    combinable, and mergeable across corpora by union + re-max (the
+    sketch property that matters on 1000 executors)."""
+    if p != 8:
+        raise ValueError("p=8 (256 registers) is the portable contract")
+    h = F.md5(F.col(value_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    w = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    # rho over a 32-bit suffix: 32 - floor(log2(w)) for w > 0 (exact for
+    # integer w: log2 of a power of two is exact, and intermediate values
+    # floor correctly), else 33
+    rho = (
+        F.when(w == 0, F.lit(33))
+        .otherwise(F.lit(32) - F.floor(F.log2(w)))
+        .cast("int")
+    )
+    gcols = list(group_cols or [])
+    return (
+        df.select(*gcols, bucket.alias("bucket"), rho.alias("_rho"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("_rho").alias("register"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """Distinct-count estimate from a register relation: raw HLL
+    harmonic mean with empty registers contributing 2⁰, linear-counting
+    correction below 2.5m when empty registers exist (the 32-bit
+    large-range correction is irrelevant at these cardinalities).
+    Returns (group..., hll_distinct)."""
+    m = float(2**p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    gcols = list(group_cols or [])
+    agg = regs.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("_s"),
+    )
+    v = F.lit(m) - F.col("_n")  # empty registers
+    raw = F.lit(alpha * m * m) / (F.col("_s") + v)
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
+    ).otherwise(raw)
+    return agg.select(*gcols, F.round(est, 4).alias("hll_distinct"))

@@ -66,6 +66,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_lr_weights": T.quality_lr_weights,
     "quality_lr_scores_by_source": T.quality_lr_scores_by_source,
     "pagerank_suppliers": GQ.pagerank_suppliers,
+    "approx_distinct_portable": R2.approx_distinct_portable,
     "dedup_simhash_portable": T.dedup_simhash_portable,
     "dedup_simhash_portable_pairs": T.dedup_simhash_portable_pairs,
     "dedup_clusters_simhash_portable": T.dedup_clusters_simhash_portable,
@@ -327,6 +328,7 @@ ORACLES: dict[str, str] = {
     "quality_lr_weights": T.ORACLE_QUALITY_LR_WEIGHTS,
     "quality_lr_scores_by_source": T.ORACLE_QUALITY_LR_SCORES_BY_SOURCE,
     "pagerank_suppliers": GQ.ORACLE_PAGERANK_SUPPLIERS,
+    "approx_distinct_portable": R2.ORACLE_APPROX_DISTINCT_PORTABLE,
     # dedup_minhash_pairs / dedup_simhash_fingerprints: xxhash64 → rows-only
     "dedup_clusters": T.ORACLE_DEDUP_CLUSTERS,
     # dedup_clusters_minhash: xxhash64-seeded pairs → rows-only
@@ -448,13 +450,13 @@ ORACLES: dict[str, str] = {
 # list below is reordered to the front of QUERIES at import time, so each
 # round edits one list instead of re-sorting the whole literal. After r10
 # the staleness distribution of newest driver rows is
-# {r10: 50, r9: 48, r8: 50, r7: 22}; this window takes the 14 new-in-r11
+# {r10: 50, r9: 48, r8: 50, r7: 22}; this window takes the 15 new-in-r11
 # queries, ALL 22 r7 rows (the TPC-H mid-teens block + curation reps the
-# r10 comment queued), and the first 14 (alphabetically) of the 50 r8
+# r10 comment queued), and the first 13 (alphabetically) of the 50 r8
 # rows — so after r11 no registry query's newest driver row is older
 # than r8 (the remaining 29 r8 rows rotate in r12).
 ROUND11_WINDOW: list[str] = [
-    # new-this-round (14): never driver-verified — new queries always
+    # new-this-round (15): never driver-verified — new queries always
     # outrank stale-but-unchanged ones. All oracle-backed and verified
     # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots, except
     # bpe_tokens_by_source which is rows-only by design (iterative BPE
@@ -473,6 +475,7 @@ ROUND11_WINDOW: list[str] = [
     "quality_lr_weights",
     "quality_lr_scores_by_source",
     "pagerank_suppliers",
+    "approx_distinct_portable",
     # newest driver rows: r7 (all 22)
     "top_terms_per_doc",
     "tpch_q10_returned_items",
@@ -497,7 +500,7 @@ ROUND11_WINDOW: list[str] = [
     "unpivot_lineitem_measures",
     "vocab_head",
     # newest driver rows: r8 (first 21 alphabetically of 50; the
-    # remaining 36 rotate in r12)
+    # remaining 37 rotate in r12)
     "anti_join_customers",
     "array_funcs_documents",
     "asof_nearest_click",
@@ -506,7 +509,6 @@ ROUND11_WINDOW: list[str] = [
     "cube_quantity",
     "date_arithmetic_orders",
     "date_funcs_orders",
-    "dedup_exact_groups",
     "dedup_jaccard_pairs",
     "distinct_counts",
     "embedding_centroids_by_label",

@@ -909,3 +909,62 @@ ORDER BY decile
         f"WHEN o_totalprice <= b{i} THEN {i}" for i in range(1, 10)
     ),
 )
+
+
+def approx_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog distinct-count (md5 registers) next to the
+    exact answer — makes the sketch tier itself hash-verifiable, the
+    same md5-twin precedent as the portable MinHash/SimHash rows
+    (`approx_summary`'s HLL++/t-digest stays rows-only by design;
+    this row proves the sketch MATH, that one exercises the engine
+    built-ins)."""
+    from pyspark_etl_twitter_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    est = hll_estimate(
+        hll_registers(li, "l_partkey", group_cols=["l_returnflag"]),
+        group_cols=["l_returnflag"],
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return est.join(exact, "l_returnflag")
+
+
+_HLL_A_M2 = repr(0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0)
+
+ORACLE_APPROX_DISTINCT_PORTABLE = f"""
+WITH h AS (
+  SELECT l_returnflag AS grp,
+         CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 2))
+              AS BIGINT) AS bucket,
+         CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 3, 8))
+              AS BIGINT) AS w
+  FROM lineitem
+),
+regs AS (
+  SELECT grp, bucket,
+         max(CASE WHEN w = 0 THEN 33
+                  ELSE 32 - CAST(floor(log2(w)) AS INTEGER) END) AS register
+  FROM h GROUP BY grp, bucket
+),
+agg AS (
+  SELECT grp, count(*) AS n, sum(power(2.0, -register)) AS s
+  FROM regs GROUP BY grp
+),
+ex AS (
+  SELECT l_returnflag AS grp, count(DISTINCT l_partkey) AS exact_distinct
+  FROM lineitem GROUP BY grp
+)
+SELECT a.grp AS l_returnflag,
+       round(CASE WHEN {_HLL_A_M2} / (a.s + (256.0 - a.n)) <= 640.0
+                   AND (256.0 - a.n) > 0
+                  THEN 256.0 * ln(256.0 / (256.0 - a.n))
+                  ELSE {_HLL_A_M2} / (a.s + (256.0 - a.n)) END, 4)
+         AS hll_distinct,
+       e.exact_distinct
+FROM agg a JOIN ex e USING (grp)
+"""

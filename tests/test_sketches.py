@@ -138,3 +138,45 @@ def test_streaming_incremental_cms_equals_batch_build(spark, tmp_path):
         for r in cms_build(docs, "source", width=64, depth=4).collect()
     }
     assert got == want
+
+
+def test_hll_portable_accuracy_and_merge(spark):
+    """Portable HLL at p=8 (σ ≈ 1.04/√256 = 6.5%): estimate within 20%
+    of the exact distinct count across three magnitudes, and the
+    register relation merges across corpus halves by union + re-max to
+    EXACTLY the whole-corpus sketch (the mergeability that matters on a
+    real cluster)."""
+    from pyspark_etl_twitter_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    for n in (50, 1_000, 20_000):
+        df = spark.range(n).select(F.col("id").alias("v"))
+        est = hll_estimate(hll_registers(df, "v")).first()["hll_distinct"]
+        assert abs(est / n - 1.0) < 0.20, (n, est)
+    df = spark.range(5_000).select(F.col("id").alias("v"))
+    whole = hll_registers(df, "v")
+    halves = hll_registers(df.filter("v % 2 = 0"), "v").unionByName(
+        hll_registers(df.filter("v % 2 = 1"), "v")
+    )
+    merged = halves.groupBy("bucket").agg(
+        F.max("register").alias("register")
+    )
+    a = sorted((r["bucket"], r["register"]) for r in whole.collect())
+    b = sorted((r["bucket"], r["register"]) for r in merged.collect())
+    assert a == b
+
+
+def test_hll_duplicates_are_free(spark):
+    """Duplicating every value must not change the sketch at all."""
+    from pyspark_etl_twitter_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(2_000).select(F.col("id").alias("v"))
+    dup = df.unionAll(df).unionAll(df)
+    e1 = hll_estimate(hll_registers(df, "v")).first()["hll_distinct"]
+    e3 = hll_estimate(hll_registers(dup, "v")).first()["hll_distinct"]
+    assert e1 == e3

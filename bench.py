@@ -154,6 +154,16 @@ HEADLINE = [
     "dsir_weights_by_source",  # hashed-ngram importance weights (DSIR)
     "dsir_selected_counts",  # greedy top-k DSIR selection
     "gopher_rules_by_source",  # published quality ruleset, integer-exact
+    # round-11 late families: vector-compression frontier + retrieval/
+    # analysis portables (all FULL oracles; added with the operators)
+    "knn_sq8",  # 4× scalar quantization, recall 1.0
+    "knn_pq_adc",  # 32× product quantization, codegen encode + ADC scan
+    "knn_pq_trained",  # per-sub-space Lloyd's codebooks + same ADC tail
+    "knn_ivfpq",  # IVF cut + residual PQ, broadcast-equi-join probes
+    "mmr_diversified_topk",  # greedy MMR unrolled as DataFrame stages
+    "quality_lr_scores_by_source",  # in-engine logistic GD train + score
+    "pagerank_suppliers",  # portable power iteration, 3 rounds
+    "approx_distinct_portable",  # md5 HyperLogLog vs exact count
 ]
 
 

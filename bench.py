@@ -848,28 +848,35 @@ def main() -> None:
     MEDIA_FLOOR_NORM = 620.0
     breaches: list[str] = []
     if sf >= 0.1:
-        if streaming and streaming.get("rows_per_sec", 0) < STREAM_FLOORS["stream_score"]:
-            breaches.append(
-                f"stream_score={streaming['rows_per_sec']:.0f}<{STREAM_FLOORS['stream_score']:.0f}"
+        # All floors police the NORMALIZED rate (raw ×
+        # median_plan_stable_ratio) when the drift normalizer computed —
+        # the r10 ask-#6 treatment, applied uniformly after r11 measured
+        # a marginal funnel "breach" (14.5k raw, ratio 1.065 → 15.4k
+        # normalized, i.e. held) that was machine state, not code. Raw
+        # rates remain the fallback when no normalizer exists.
+        _mr = drift.get("median_plan_stable_ratio")
+        has_norm = bool(_mr) and _mr > 0
+        med_ratio = _mr if has_norm else 1.0
+
+        def _rate_breach(label: str, raw_rate: float, floor: float) -> None:
+            norm = raw_rate * med_ratio
+            if norm < floor:
+                breaches.append(f"{label}={norm:.0f}<{floor:.0f}")
+
+        if streaming:
+            _rate_breach(
+                "stream_score",
+                streaming.get("rows_per_sec", 0),
+                STREAM_FLOORS["stream_score"],
             )
         for k, v in (streaming_stateful or {}).items():
-            if v.get("rows_per_sec", 0) < STREAM_FLOORS["stateful"]:
-                breaches.append(
-                    f"{k}={v['rows_per_sec']:.0f}<{STREAM_FLOORS['stateful']:.0f}"
-                )
+            _rate_breach(k, v.get("rows_per_sec", 0), STREAM_FLOORS["stateful"])
         if media_decode:
-            med_ratio = drift.get("median_plan_stable_ratio")
-            if med_ratio and med_ratio > 0:
-                media_norm = media_decode["rows_per_sec"] * med_ratio
-                if media_norm < MEDIA_FLOOR_NORM:
-                    breaches.append(
-                        f"media_decode_norm={media_norm:.0f}<"
-                        f"{MEDIA_FLOOR_NORM:.0f}"
-                    )
-            elif media_decode["rows_per_sec"] < MEDIA_FLOOR:
-                breaches.append(
-                    f"media_decode={media_decode['rows_per_sec']:.0f}<{MEDIA_FLOOR:.0f}"
-                )
+            _rate_breach(
+                "media_decode",
+                media_decode["rows_per_sec"],
+                MEDIA_FLOOR_NORM if has_norm else MEDIA_FLOOR,
+            )
         out["stream_floor_breach"] = breaches  # [] == all floors held
     if streaming:
         out["stream_rows_per_sec"] = round(streaming.get("rows_per_sec", 0), 1)

@@ -1273,7 +1273,7 @@ edim AS (
 ),
 cb AS (SELECT s, vec_id AS j, t, x AS val FROM edim WHERE vec_id < 16),
 subd AS (
-  SELECT e.vec_id, e.s, c.j, sum(pow(e.x - c.val, 2)) AS d
+  SELECT e.vec_id, e.s, c.j, sum((e.x - c.val) * (e.x - c.val)) AS d
   FROM edim e JOIN cb c ON c.s = e.s AND c.t = e.t
   GROUP BY e.vec_id, e.s, c.j
 ),
@@ -1316,7 +1316,7 @@ edim AS (
 ),
 cdim AS (SELECT vec_id AS list_id, pos, x AS c FROM edim WHERE vec_id < 16),
 cd AS (
-  SELECT e.vec_id, c.list_id, sum(pow(e.x - c.c, 2)) AS d
+  SELECT e.vec_id, c.list_id, sum((e.x - c.c) * (e.x - c.c)) AS d
   FROM edim e JOIN cdim c ON c.pos = e.pos
   GROUP BY e.vec_id, c.list_id
 ),
@@ -1334,7 +1334,7 @@ rdim AS (
 ),
 cb AS (SELECT s, vec_id AS j, t, r AS val FROM rdim WHERE vec_id < 16),
 subd AS (
-  SELECT e.vec_id, e.s, c.j, sum(pow(e.r - c.val, 2)) AS d
+  SELECT e.vec_id, e.s, c.j, sum((e.r - c.val) * (e.r - c.val)) AS d
   FROM rdim e JOIN cb c ON c.s = e.s AND c.t = e.t
   GROUP BY e.vec_id, e.s, c.j
 ),
@@ -1357,7 +1357,7 @@ qrdim AS (
   JOIN cdim c ON c.list_id = p.list_id AND c.pos = e.pos
 ),
 lut AS (
-  SELECT q.q_id, q.list_id, q.s, c.j, sum(pow(q.r - c.val, 2)) AS d
+  SELECT q.q_id, q.list_id, q.s, c.j, sum((q.r - c.val) * (q.r - c.val)) AS d
   FROM qrdim q JOIN cb c ON c.s = q.s AND c.t = q.t
   GROUP BY q.q_id, q.list_id, q.s, c.j
 ),

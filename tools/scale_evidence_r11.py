@@ -192,6 +192,48 @@ def lr_section(spark, sf_dir, mults):
         )
 
 
+
+def pr_mmr_section(spark, sf_dir, mults):
+    """PageRank + MMR cost envelopes. PageRank: per iteration one edge
+    equi-join + one node partial-agg — linear in edges. MMR: the
+    relevance scan dominates (everything after it is bounded by
+    construction) — linear in corpus rows."""
+    from pyspark_etl_twitter_spark.operators.graph import (
+        pagerank_portable,
+        supplier_edges,
+    )
+    from pyspark_etl_twitter_spark.operators.similarity import mmr_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    emb = load_table(spark, sf_dir, "embeddings")
+    for mult in mults:
+        e = (
+            replicate(
+                li.select("l_orderkey", "l_suppkey"), mult,
+                ["l_orderkey", "l_suppkey"],
+            )
+            if mult > 1
+            else li
+        )
+        edges = supplier_edges(e)
+        n = edges.count()
+        start = time.perf_counter()
+        pagerank_portable(edges).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        pr_wall = time.perf_counter() - start
+        v = replicate(emb, mult, ["vec_id"]) if mult > 1 else emb
+        nv = v.count()
+        start = time.perf_counter()
+        mmr_topk(v).write.format("noop").mode("overwrite").save()
+        mmr_wall = time.perf_counter() - start
+        print(
+            f"-- x{mult}: pagerank {n} edges {pr_wall:.1f} s; "
+            f"mmr {nv} vectors {mmr_wall:.1f} s",
+            flush=True,
+        )
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     args = [a for a in sys.argv[2:] if not a.startswith("--")]
@@ -210,6 +252,11 @@ def main():
         return
     if "--lr" in sys.argv:
         lr_section(spark, sf_dir, [m for m in (1, 10, 50) if m <= max_mult])
+        return
+    if "--prmmr" in sys.argv:
+        pr_mmr_section(
+            spark, sf_dir, [m for m in (1, 10, 50) if m <= max_mult]
+        )
         return
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -2291,3 +2291,136 @@ def sq8_topk(
         ).alias("cos_sim"),
     )
     return _rank_topk(scored, k)
+
+
+# ---- persisted PQ code table: build once, append forever, probe cheap ----
+
+
+def build_pq_code_table(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    books: list[list[list[float]]] | None = None,
+) -> None:
+    """Persist the PQ form of a corpus: a ``codes`` parquet (vec_id,
+    codes — 32× smaller than the raw vectors) plus a one-row ``meta``
+    table carrying the codebook. The codebook FREEZES at build time —
+    appends encode against it (codes from different codebooks are not
+    comparable), re-training means rebuild: the `build_ivf_index`
+    re-center tradeoff, documented there."""
+    if books is None:
+        books = pq_codebooks(
+            embeddings, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub
+        )
+    spark = embeddings.sparkSession
+    pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(len(books), len(books[0]), len(books[0][0]), books)],
+        "m int, ksub int, dsub int, books array<array<array<double>>>",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _read_pq_meta(spark, path: str) -> list[list[list[float]]]:
+    row = spark.read.parquet(f"{path}/meta").first()
+    return [[[float(v) for v in entry] for entry in sub] for sub in row["books"]]
+
+
+def pq_code_table_append(
+    spark,
+    path: str,
+    batch: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a batch of vectors to a persisted PQ code table, encoding
+    against the FROZEN codebook from its meta. Narrow map + append write;
+    idempotence comes from the caller's checkpoint (streaming) or run
+    discipline (batch), same contract as ``lsh_index_append``."""
+    books = _read_pq_meta(spark, path)
+    pq_encode(batch, books, id_col=id_col, vec_col=vec_col).write.mode(
+        "append"
+    ).parquet(f"{path}/codes")
+
+
+def pq_adc_topk_indexed(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    *,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """ADC top-k over a PERSISTED code table — the amortized form: the
+    scan reads codes only (32× smaller than raw vectors; no raw-vector
+    IO at probe time at all). ``queries`` is an explicit bounded
+    (q_id, vector) list — the LUT carrier, same driver-state contract
+    as the one-shot ``pq_adc_topk``. Identical ranking semantics
+    (pinned: indexed ≡ one-shot on the same corpus)."""
+    if len(queries) > MAX_PANDAS_QUERIES:
+        raise ValueError(
+            f"{len(queries)} queries exceeds MAX_PANDAS_QUERIES="
+            f"{MAX_PANDAS_QUERIES}"
+        )
+    books = _read_pq_meta(spark, path)
+    m, ksub, dsub = len(books), len(books[0]), len(books[0][0])
+    lut = [
+        [
+            [
+                sum(
+                    (lambda d: d * d)(float(vec[s * dsub + t]) - books[s][j][t])
+                    for t in range(dsub)
+                )
+                for j in range(ksub)
+            ]
+            for s in range(m)
+        ]
+        for _, vec in queries
+    ]
+    lut_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(d) for d in row]) for row in q])
+            for q in lut
+        ]
+    )
+    qid_lit = F.array(*[F.lit(int(q)) for q, _ in queries])
+    codes = spark.read.parquet(f"{path}/codes")
+    qi = F.col("_qi")
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(
+                F.element_at(lut_lit, (qi + 1).cast("int")), (s + 1).cast("int")
+            ),
+            (F.element_at(F.col("codes"), (s + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    scored = (
+        codes.select(
+            F.col("vec_id").alias("neighbor_id"),
+            "codes",
+            F.explode(F.sequence(F.lit(0), F.lit(len(queries) - 1))).alias("_qi"),
+        )
+        .select(
+            F.element_at(qid_lit, (qi + 1).cast("int")).alias("q_id"),
+            "neighbor_id",
+            F.round(adc, round_dp).alias("adc_dist"),
+        )
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -188,3 +188,40 @@ def streaming_dsir_score(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def streaming_pq_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    *,
+    timeout_s: int = 120,
+) -> None:
+    """Streaming maintenance of a persisted PQ code table
+    (`build_pq_code_table`): every arriving embedding batch is encoded
+    against the table's FROZEN codebook (read from its meta) and
+    appended — probes over codes see new vectors as soon as their batch
+    commits, and the appended rows are 32× smaller than the raw vectors
+    that arrived. ``availableNow`` + checkpoint give exactly-once file
+    intake across scheduled runs; the append itself is idempotent only
+    per-run, so the checkpoint IS the dedup layer (the
+    ``streaming_lsh_ingest`` contract). Codebook drift is the PQ twin of
+    IVF centroid drift: appends stay comparable because the codebook is
+    frozen; re-training is a rebuild on a schedule."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        pq_code_table_append,
+    )
+
+    stream = spark.readStream.schema(EMBEDDINGS_STREAM_SCHEMA).json(src_dir)
+
+    def append_batch(batch_df: DataFrame, _epoch: int) -> None:
+        pq_code_table_append(spark, table_path, batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

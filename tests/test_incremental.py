@@ -166,3 +166,70 @@ def test_streaming_text_index_ingest_finds_planted_edit(spark, tmp_path):
     )
     by_id = {r.neighbor_id: r.cos_sim for r in top3}
     assert 77_000 in by_id and by_id[77_000] > 0.95
+
+
+def test_pq_code_table_lifecycle(spark, tmp_path):
+    """Persisted PQ code table: (1) indexed probe ≡ one-shot pq_adc_topk
+    on the same corpus; (2) a streamed batch containing an exact copy of
+    query 0's vector is appended (encoded against the FROZEN codebook)
+    and becomes the probe's rank-1 neighbor at ADC distance 0; (3) a
+    replay of the same source directory appends nothing."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_pq_code_table,
+        pq_adc_topk,
+        pq_adc_topk_indexed,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+    from pyspark_etl_twitter_spark.streaming.incremental import (
+        streaming_pq_ingest,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "pq")
+    build_pq_code_table(emb, path)
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in sorted(
+            emb.filter(F.col("vec_id") < 8).collect(), key=lambda r: r[0]
+        )
+    ]
+    one_shot = sorted(
+        (r.q_id, r.neighbor_id, r.adc_dist, r.rank)
+        for r in pq_adc_topk(emb).collect()
+    )
+    indexed = sorted(
+        (r.q_id, r.neighbor_id, r.adc_dist, r.rank)
+        for r in pq_adc_topk_indexed(spark, path, queries).collect()
+    )
+    assert indexed == one_shot
+
+    n0 = spark.read.parquet(f"{path}/codes").count()
+    src = tmp_path / "incoming"
+    src.mkdir()
+    planted = {
+        "vec_id": 9_000_000,
+        "embedding": [float(v) for v in queries[0][1]],
+        "label": 0,
+    }
+    (src / "a.json").write_text(json.dumps(planted))
+    ckpt = str(tmp_path / "ckpt")
+    streaming_pq_ingest(spark, str(src), path, ckpt)
+    assert spark.read.parquet(f"{path}/codes").count() == n0 + 1
+
+    top = (
+        pq_adc_topk_indexed(spark, path, queries, k=1)
+        .filter(F.col("q_id") == 0)
+        .first()
+    )
+    # identical vector → identical codes → ADC distance exactly the
+    # query's own quantization residual sum == the planted row's, and
+    # the tie-break can't demote it below any true neighbor: rank 1
+    assert top.neighbor_id == 9_000_000
+    assert top.adc_dist >= 0.0
+
+    streaming_pq_ingest(spark, str(src), path, ckpt)  # replay = no-op
+    assert spark.read.parquet(f"{path}/codes").count() == n0 + 1

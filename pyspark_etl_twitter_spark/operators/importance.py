@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark_etl_twitter_spark.operators.cachereg import keep_cached
 from pyspark_etl_twitter_spark.operators.dedup import shingle_array
 from pyspark_etl_twitter_spark.operators.textstats import ws_tokens
 
@@ -94,6 +95,17 @@ def _bucket_log_probs(
     )
 
 
+def _dlog_from_streams(
+    gr: DataFrame, gt: DataFrame, n_buckets: int, alpha: float
+) -> DataFrame:
+    """(bucket, _dlog) from pre-computed raw/target gram streams."""
+    lp_t = _bucket_log_probs(gt, n_buckets, alpha, "_lp_t")
+    lp_r = _bucket_log_probs(gr, n_buckets, alpha, "_lp_r")
+    return lp_t.join(lp_r, "bucket").select(
+        "bucket", (F.col("_lp_t") - F.col("_lp_r")).alias("_dlog")
+    )
+
+
 def dsir_bucket_dlog(
     raw: DataFrame,
     target: DataFrame,
@@ -113,11 +125,7 @@ def dsir_bucket_dlog(
     gt = doc_gram_buckets(
         target, id_col=id_col, text_col=text_col, n_buckets=n_buckets
     )
-    lp_t = _bucket_log_probs(gt, n_buckets, alpha, "_lp_t")
-    lp_r = _bucket_log_probs(gr, n_buckets, alpha, "_lp_r")
-    return lp_t.join(lp_r, "bucket").select(
-        "bucket", (F.col("_lp_t") - F.col("_lp_r")).alias("_dlog")
-    )
+    return _dlog_from_streams(gr, gt, n_buckets, alpha)
 
 
 def dsir_score_with(
@@ -136,6 +144,15 @@ def dsir_score_with(
     gr = doc_gram_buckets(
         docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
     )
+    return _score_gram_stream(docs, gr, dlog, id_col)
+
+
+def _score_gram_stream(
+    docs: DataFrame, gr: DataFrame, dlog: DataFrame, id_col: str
+) -> DataFrame:
+    """(id, log_w) from a pre-computed (id, bucket) gram stream: one
+    B-row broadcast join + one per-doc partial-agg; docs that emitted no
+    grams restore with log_w 0.0 via the left join back to ``docs``."""
     scored = (
         gr.join(F.broadcast(dlog), "bucket")
         .groupBy(id_col)
@@ -162,20 +179,25 @@ def dsir_log_weights(
     one call (``dsir_bucket_dlog`` ∘ ``dsir_score_with``). Documents
     whose text yields no grams score 0.0 (the neutral weight).
 
-    The per-bucket log-ratio table is built once (B rows) and
-    broadcast; the raw corpus streams through as (id, bucket) pairs and
+    The raw corpus's exploded (id, bucket) gram stream — the dominant
+    cost: tokenize + md5 every gram occurrence — is computed ONCE and
+    persisted (``keep_cached``, the engine's bounded cache registry),
+    feeding BOTH the raw bucket histogram and the per-doc score sum;
+    the fit-then-score composition would otherwise scan and hash the
+    100 TB corpus twice (r11 verdict ask #1 — measured ~2× off the two
+    DSIR bench rows for byte-identical hashes). The per-bucket log-ratio
+    table is built once (B rows) and broadcast; scoring
     partial-aggregates into one exchange keyed by id."""
-    dlog = dsir_bucket_dlog(
-        raw,
-        target,
-        id_col=id_col,
-        text_col=text_col,
-        n_buckets=n_buckets,
-        alpha=alpha,
+    gr = keep_cached(
+        doc_gram_buckets(
+            raw, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+        )
     )
-    return dsir_score_with(
-        raw, dlog, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    gt = doc_gram_buckets(
+        target, id_col=id_col, text_col=text_col, n_buckets=n_buckets
     )
+    dlog = _dlog_from_streams(gr, gt, n_buckets, alpha)
+    return _score_gram_stream(raw, gr, dlog, id_col)
 
 
 def dsir_select_topk(

@@ -1632,8 +1632,13 @@ def pq_encode_pandas(
     tensor and each Arrow batch computes all m argmins as one broadcasted
     ``(batch, ksub, dsub)`` subtraction per sub-space, replacing the
     m·ksub·dsub-op codegen fold per row with BLAS-shaped batch math.
-    Results are bit-identical (float64 both sides, same argmin/lowest-j
-    tie rule — pinned by test). Measured at sf0.1 ×100 (200k 64-dim
+    Both sides are float64 with the same argmin/lowest-j tie rule, and
+    equality is pinned by test on the full corpus — but numpy's
+    ``.sum(axis=2)`` uses pairwise/unrolled summation, not the fold's
+    sequential left-to-right order, so a last-ulp difference could in
+    principle flip a near-exact argmin tie; the equivalence is an
+    empirical pin (exact on every tested corpus), not an arithmetic
+    identity. Measured at sf0.1 ×100 (200k 64-dim
     vectors, m=8/ksub=16): codegen fold 48.5 s → Arrow twin 2.0 s — the
     vectorized-linear-algebra exception to "UDFs are the slow path"."""
     from pyspark.sql.functions import pandas_udf
@@ -2070,9 +2075,14 @@ def mmr_topk(
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
+    # zero-norm guard (the _lsh_score_pairs contract): a zero-norm vector
+    # — as candidate OR query — would raise DIVIDE_BY_ZERO under ANSI
+    # mode in the rel division below (and again in `sims`, whose inputs
+    # are pool rows, so filtering here covers both)
     rel_all = (
         base.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("q_id"))
+        .filter((F.col("nrm") > 0) & (F.col("q_nrm") > 0))
         .select(
             "q_id",
             F.col("vec_id").alias("cand"),
@@ -2279,8 +2289,13 @@ def sq8_topk(
         )
         .select("q_id", "q_emb", l2_norm(F.col("q_emb")).alias("q_nrm"))
     )
-    pairs = base.crossJoin(F.broadcast(queries)).filter(
-        F.col("vec_id") != F.col("q_id")
+    # zero-norm guard (the _lsh_score_pairs contract): cosine to the zero
+    # vector is undefined, and under ANSI mode the division raises
+    # DIVIDE_BY_ZERO mid-job — exclude both sides before scoring
+    pairs = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .filter((F.col("nrm") > 0) & (F.col("q_nrm") > 0))
     )
     scored = pairs.select(
         "q_id",
@@ -2344,9 +2359,20 @@ def pq_code_table_append(
     idempotence comes from the caller's checkpoint (streaming) or run
     discipline (batch), same contract as ``lsh_index_append``."""
     books = _read_pq_meta(spark, path)
-    pq_encode(batch, books, id_col=id_col, vec_col=vec_col).write.mode(
-        "append"
-    ).parquet(f"{path}/codes")
+    encoded = pq_encode(batch, books, id_col=id_col, vec_col=vec_col)
+    # conform to the EXISTING codes schema before writing (the
+    # ivf_index_append contract): a batch whose id type differs (int
+    # vs the table's bigint) would otherwise produce mixed-type parquet
+    # files that fail non-deterministically at scan time depending on
+    # which file the reader samples for the merged schema
+    existing = {
+        f.name: f.dataType
+        for f in spark.read.parquet(f"{path}/codes").schema.fields
+    }
+    encoded = encoded.select(
+        *[F.col(name).cast(dtype).alias(name) for name, dtype in existing.items()]
+    )
+    encoded.write.mode("append").parquet(f"{path}/codes")
 
 
 def pq_adc_topk_indexed(

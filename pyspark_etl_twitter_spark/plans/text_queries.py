@@ -1497,7 +1497,8 @@ queries AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
 rel_all AS (
   SELECT q.q_id, b.vec_id AS cand, b.emb, b.nrm,
          round(list_dot_product(b.emb, q.q_emb) / (b.nrm * q.q_nrm), {dp}) AS rel
-  FROM base b CROSS JOIN queries q WHERE b.vec_id <> q.q_id
+  FROM base b CROSS JOIN queries q
+  WHERE b.vec_id <> q.q_id AND b.nrm > 0 AND q.q_nrm > 0
 ),
 pool AS (
   SELECT q_id, cand, emb, nrm, rel FROM (
@@ -1601,7 +1602,7 @@ scored AS (
   FROM dp
   JOIN vnrm v ON v.vec_id = dp.vec_id
   JOIN queries qs ON qs.q_id = dp.q_id
-  WHERE dp.vec_id <> dp.q_id
+  WHERE dp.vec_id <> dp.q_id AND v.nrm > 0 AND qs.q_nrm > 0
 )
 SELECT q_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
   SELECT q_id, neighbor_id, cos_sim,

@@ -60,6 +60,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_ivf_trained": T.knn_ivf_trained,
     "knn_pq_adc": T.knn_pq_adc,
     "knn_ivfpq": T.knn_ivfpq,
+    "knn_pq_indexed": T.knn_pq_indexed,
     "knn_pq_trained": T.knn_pq_trained,
     "mmr_diversified_topk": T.mmr_diversified_topk,
     "knn_sq8": T.knn_sq8,
@@ -322,6 +323,7 @@ ORACLES: dict[str, str] = {
     "knn_ivf_trained": T.ORACLE_KNN_IVF_TRAINED,
     "knn_pq_adc": T.ORACLE_KNN_PQ_ADC,
     "knn_ivfpq": T.ORACLE_KNN_IVFPQ,
+    "knn_pq_indexed": T.ORACLE_KNN_PQ_INDEXED,
     "knn_pq_trained": T.ORACLE_KNN_PQ_TRAINED,
     "mmr_diversified_topk": T.ORACLE_MMR_DIVERSIFIED_TOPK,
     "knn_sq8": T.ORACLE_KNN_SQ8,

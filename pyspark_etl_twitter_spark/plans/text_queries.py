@@ -1298,6 +1298,53 @@ SELECT q_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+_PQ_IDX_SPLIT = 400  # build/append split; build half holds the 16 seed rows
+
+
+def knn_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over the PERSISTED PQ code table — the full lifecycle
+    driver-verified end to end (r11 verdict ask #2, the
+    ``semdedup_ivf_summary`` precedent): ``build_pq_code_table``
+    materializes codes + frozen codebook meta for the first
+    ``_PQ_IDX_SPLIT`` vectors, ``pq_code_table_append`` encodes the rest
+    of the corpus against the codebook read back from meta (the
+    streaming-ingest shape), and ``pq_adc_topk_indexed`` probes reading
+    CODES ONLY — no raw-vector IO at probe time. Codebooks are the
+    deterministic first-16 sub-slices and parquet round-trips doubles
+    bit-exactly, so build+append ≡ one-shot encode of the whole corpus
+    and the ``knn_pq_adc`` oracle replays this row verbatim."""
+    import tempfile
+    from pathlib import Path
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_pq_code_table,
+        pq_adc_topk_indexed,
+        pq_code_table_append,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # deterministic per-corpus path + overwrite mode: repeated driver
+    # calls rebuild in place, nothing accumulates
+    base = Path(tempfile.gettempdir()) / "spark_graft_idx"
+    path = str(base / f"pq_codes_{Path(sf_dir).name}")
+    build_pq_code_table(emb.filter(F.col("vec_id") < _PQ_IDX_SPLIT), path)
+    pq_code_table_append(
+        spark, path, emb.filter(F.col("vec_id") >= _PQ_IDX_SPLIT)
+    )
+    queries = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return pq_adc_topk_indexed(spark, path, queries)
+
+
+# build+append ≡ one-shot encode (frozen codebook, exact double
+# round-trip), so the indexed row replays on the one-shot oracle
+ORACLE_KNN_PQ_INDEXED = ORACLE_KNN_PQ_ADC
+
+
 def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composite (residual encoding, L2 end-to-end): IVF prunes
     the candidate lists, PQ residual codes + per-(query, list) LUTs

@@ -233,3 +233,32 @@ def test_pq_code_table_lifecycle(spark, tmp_path):
 
     streaming_pq_ingest(spark, str(src), path, ckpt)  # replay = no-op
     assert spark.read.parquet(f"{path}/codes").count() == n0 + 1
+
+
+def test_pq_split_build_append_equals_full_build(spark, tmp_path):
+    """The `knn_pq_indexed` registry-row identity: building the code
+    table on a prefix and appending the rest (encoded against the frozen
+    codebook read back from meta) yields byte-identical codes AND an
+    identical on-disk schema to a one-shot full build — the codebook is
+    the first-16 sub-slices either way, and the append path's
+    schema-conform cast keeps the parquet type homogeneous."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_pq_code_table,
+        pq_code_table_append,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full_p = str(tmp_path / "full")
+    split_p = str(tmp_path / "split")
+    build_pq_code_table(emb, full_p)
+    build_pq_code_table(emb.filter(F.col("vec_id") < 400), split_p)
+    pq_code_table_append(spark, split_p, emb.filter(F.col("vec_id") >= 400))
+    full_codes = spark.read.parquet(f"{full_p}/codes")
+    split_codes = spark.read.parquet(f"{split_p}/codes")
+    assert split_codes.schema == full_codes.schema
+    a = sorted((r.vec_id, tuple(r.codes)) for r in full_codes.collect())
+    b = sorted((r.vec_id, tuple(r.codes)) for r in split_codes.collect())
+    assert a == b

@@ -121,6 +121,7 @@ def pagerank_portable(
     iters: int = 3,
     damping: float = 0.85,
     round_dp: int = 9,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Fixed-iteration PageRank over undirected (u < v) edges, each
     treated as two directed edges — the `kmeans_fit_portable`
@@ -137,19 +138,35 @@ def pagerank_portable(
     node. At 100 TB this is the textbook join-agg PageRank whose cost
     is iters × (edges join + node agg), AQE-coalescible.
 
+    Lineage discipline for parameterized ``iters`` (the engine's
+    checkpoint-at-bounded-frontiers rule, DESIGN.md — same treatment as
+    ``mmr_topk``/``duplicate_clusters``): the rank relation is
+    ``localCheckpoint``-ed every ``checkpoint_every`` iterations, so the
+    optimizer never sees a plan tree deeper than j rounds and no stage
+    re-executes earlier rounds' joins through lineage. The checkpointed
+    frame is N rows (nodes) — bounded by contract, never corpus-sized;
+    the out-degree relation (also N rows, reused every round) persists
+    once via the bounded cache registry. Edges stay pure lineage: the
+    per-round edge scan is the iteration's working set and must not be
+    pinned in executor memory at 100 TB. Ranks are rounded to the
+    ``round_dp`` grid every round, so checkpoint placement cannot change
+    a single output bit (`pagerank_suppliers` hash is pinned unchanged).
+
     Returns (node, pagerank) with ranks on the ``round_dp`` grid;
     Σ pagerank ≈ 1 (pinned in pytest)."""
+    from pyspark_etl_twitter_spark.operators.cachereg import keep_cached
+
     de = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    od = de.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    od = keep_cached(de.groupBy("src").agg(F.count(F.lit(1)).alias("od")))
     n = float(od.count())
     teleport = 1.0 - damping
     pr = od.select(
         F.col("src").alias("node"),
         F.round(F.lit(1.0) / F.lit(n), round_dp).alias("pr"),
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             de.join(pr, de["src"] == pr["node"])
             .join(od, "src")
@@ -164,4 +181,6 @@ def pagerank_portable(
                 round_dp,
             ).alias("pr"),
         )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            pr = pr.localCheckpoint()
     return pr.select("node", F.col("pr").alias("pagerank"))

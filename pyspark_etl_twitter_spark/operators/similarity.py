@@ -652,6 +652,19 @@ def ivf_topk(
     )
 
 
+#: two-level auto-switch break-even: the measured L2 table
+#: (DESIGN.md §"Round-11 coarse-quantizer rung") crosses over between
+#: k=8 (overhead) and k=80 (1.4-1.9×), widening to 2.9× at k=400; the
+#: cosine transplant measured 6-8.6× build-wall wins at k=400. Below
+#: this, exact single-level assignment is both faster and exact.
+IVF_TWO_LEVEL_AUTO_NLISTS = 80
+#: auto rung probes p=2: the measured recall frontier (DESIGN.md
+#: §"Cosine (IVF) two-level assignment") — p=2 build at n_probe=40
+#: beat the exact build at n_probe=16 end-to-end while building 6×
+#: faster, on the worst-case (unstructured) geometry
+IVF_TWO_LEVEL_AUTO_PROBE = 2
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -661,7 +674,7 @@ def build_ivf_index(
     n_lists: int = 16,
     max_queries: int = 100,
     train_iters: int = 0,
-    coarse_probe: int | None = None,
+    coarse_probe: int | None | str = "auto",
 ) -> None:
     """Materialize the IVF index: assignments parquet PARTITIONED BY
     ``list_id`` (so a probe of p lists reads p/n_lists of the bytes —
@@ -675,7 +688,28 @@ def build_ivf_index(
     Measured at sf0.1 (100q, recall@5 vs exact): iters 0 → 0.592/0.710
     at n_probe 4/6, iters 3 → 0.618/0.750, iters 8 → 0.654/0.782 — each
     iteration is one pass over the corpus, so the default stays 0 and
-    training is the periodic-rebuild knob (see ``ivf_index_append``)."""
+    training is the periodic-rebuild knob (see ``ivf_index_append``).
+
+    ``coarse_probe="auto"`` (the default) switches the assignment pass
+    to the two-level coarse quantizer when ``n_lists >=
+    IVF_TWO_LEVEL_AUTO_NLISTS`` (measured break-even — at the
+    tens-of-thousands n_lists a corpus-scale build uses, single-level
+    O(N·k) assignment is the build wall and the rung cuts it 6-8×),
+    probing ``IVF_TWO_LEVEL_AUTO_PROBE`` coarse groups; below the
+    break-even it stays exact single-level, so every small-k build
+    (including all registry/oracle rows at n_lists=16) is bit-unchanged.
+    Pass ``None`` to force exact at any k, or an int to pick the probe
+    width explicitly. The two-level index trades ~15-20% relative
+    recall at equal n_probe on worst-case unstructured geometry, bought
+    back with wider probes (measured frontier in the docstring constant
+    above); on corpora with real directional clustering the drop set
+    converges to exact (the L2 ×50 measurement)."""
+    if coarse_probe == "auto":
+        coarse_probe = (
+            IVF_TWO_LEVEL_AUTO_PROBE
+            if n_lists >= IVF_TWO_LEVEL_AUTO_NLISTS
+            else None
+        )
     assignments, centroids = ivf_assignments(
         embeddings,
         id_col=id_col,

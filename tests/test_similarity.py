@@ -713,3 +713,41 @@ def test_ivf_probe_over_two_level_index(spark, tmp_path):
     assert out
     assert {r.q_id for r in out} <= set(range(5))
     assert all(1 <= r.rank <= 3 for r in out)
+
+
+def test_build_ivf_index_auto_switch(spark, tmp_path):
+    """coarse_probe="auto" (the build_ivf_index default): below the
+    measured break-even the build is bit-identical to an exact
+    coarse_probe=None build; at/above it the assignments are identical
+    to an explicit two-level coarse_probe=IVF_TWO_LEVEL_AUTO_PROBE
+    build — the auto rung is a pure dispatch, never a third algorithm."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        IVF_TWO_LEVEL_AUTO_NLISTS,
+        IVF_TWO_LEVEL_AUTO_PROBE,
+        build_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def assigns(p):
+        return {
+            (r.vec_id, r.list_id)
+            for r in spark.read.parquet(f"{p}/assignments").collect()
+        }
+
+    # below break-even: auto == exact
+    small_auto = str(tmp_path / "small_auto")
+    small_exact = str(tmp_path / "small_exact")
+    build_ivf_index(emb, small_auto, n_lists=16)
+    build_ivf_index(emb, small_exact, n_lists=16, coarse_probe=None)
+    assert assigns(small_auto) == assigns(small_exact)
+
+    # at break-even: auto == explicit two-level p=IVF_TWO_LEVEL_AUTO_PROBE
+    k = IVF_TWO_LEVEL_AUTO_NLISTS
+    big_auto = str(tmp_path / "big_auto")
+    big_two = str(tmp_path / "big_two")
+    build_ivf_index(emb, big_auto, n_lists=k)
+    build_ivf_index(
+        emb, big_two, n_lists=k, coarse_probe=IVF_TWO_LEVEL_AUTO_PROBE
+    )
+    assert assigns(big_auto) == assigns(big_two)

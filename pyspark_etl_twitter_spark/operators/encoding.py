@@ -222,6 +222,77 @@ def bpe_encode_documents(
     return docs.select(id_col, text_col).mapInPandas(encode, out_schema)
 
 
+#: delimiter for the expression-unrolled BPE apply — the ASCII unit
+#: separator, a control char that never appears in natural text; any
+#: stray occurrence in input is stripped before encoding (making the
+#: operator total rather than corrupt-on-collision)
+BPE_DELIM = "\x1f"
+
+
+def validate_bpe_merge_chain(merges: list[tuple[str, str]]) -> None:
+    """Require the TRAINING INVARIANT every real BPE merge list holds:
+    each merge's sides are single characters or outputs of EARLIER
+    merges. This is what licenses the sequential-replace unrolling in
+    ``bpe_apply_fixed_expr``: a merge can only ever CREATE pairs whose
+    tokens carry higher rank than itself, so applying merges one rank at
+    a time, each exhaustively left-to-right, reaches exactly the greedy
+    lowest-rank-first fixpoint (the ``bpe_encode_documents`` loop). An
+    arbitrary (non-trained) pair list can violate this — reject it
+    loudly instead of silently diverging."""
+    produced: set[str] = set()
+    for i, (x, y) in enumerate(merges):
+        for side in (x, y):
+            if len(side) != 1 and side not in produced:
+                raise ValueError(
+                    f"merge {i} ({x!r},{y!r}): side {side!r} is neither a "
+                    "single character nor the output of an earlier merge — "
+                    "not a valid BPE training chain"
+                )
+            if BPE_DELIM in side:
+                raise ValueError(f"merge {i} contains the BPE delimiter")
+        produced.add(x + y)
+
+
+def bpe_apply_fixed_expr(text_col, merges: list[tuple[str, str]]):
+    """Per-document BPE tokens as ONE Catalyst expression tree — the
+    oracle-verifiable twin of ``bpe_encode_documents`` for a FIXED,
+    bounded merge list (r11 verdict ask #6; the MMR bounded-unroll
+    precedent). Returns a Column of array<string>.
+
+    Shape: each whitespace word is rendered as a delimiter-framed
+    character string (``⟨c1⟩⟨c2⟩…``, every char individually wrapped so
+    pattern occurrences never share characters), then each merge
+    (x, y) in RANK ORDER becomes one engine-native ``replace`` of
+    ``⟨x⟩⟨y⟩`` with ``⟨xy⟩`` — plain string replace is leftmost
+    non-overlapping, exactly the per-rank exhaustive pass; see
+    ``validate_bpe_merge_chain`` for why rank-ordered passes equal the
+    greedy loop (pinned against the mapInPandas path in pytest,
+    including overlap words like ``aaa``). n_merges stays bounded
+    (each merge is one codegen string op), the whole encode is a
+    zero-exchange narrow map, and every step replays verbatim in
+    DuckDB — this closes the encode side of the BPE pair with a full
+    hash oracle; only the train loop stays pytest-pinned."""
+    validate_bpe_merge_chain(merges)
+    d = BPE_DELIM
+
+    def word_tokens(w):
+        # strip stray delimiters, then frame every char: "ab" -> "|a||b|"
+        s = F.regexp_replace(
+            F.replace(w, F.lit(d), F.lit("")), "(.)", f"{d}$1{d}"
+        )
+        for x, y in merges:
+            s = F.replace(s, F.lit(f"{d}{x}{d}{d}{y}{d}"), F.lit(f"{d}{x}{y}{d}"))
+        return F.split(F.btrim(s, F.lit(d)), f"{d}{d}")
+
+    # a word made ENTIRELY of stray delimiters strips to "" and would
+    # split to [""] — drop empty tokens so the output mirrors the
+    # mapInPandas path (which never emits them)
+    return F.filter(
+        F.flatten(F.transform(ws_tokens(text_col), word_tokens)),
+        lambda t: t != "",
+    )
+
+
 # --------------------------------------------------------------------------
 # BPE merge training (round 10)
 # --------------------------------------------------------------------------

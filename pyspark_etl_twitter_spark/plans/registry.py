@@ -193,6 +193,7 @@ QUERIES: dict[str, QueryFn] = {
     # the expanded corpus pinned in tests/test_encoding.py (r10 ADVICE:
     # was defined but unreachable)
     "bpe_tokens_by_source": T.bpe_tokens_by_source,
+    "bpe_encoded_fixed_merges": T.bpe_encoded_fixed_merges,
     "dedup_segments_rebuild": T.dedup_segments_rebuild,
     "pricing_summary": R.pricing_summary,
     "revenue_by_nation": R.revenue_by_nation,
@@ -324,6 +325,7 @@ ORACLES: dict[str, str] = {
     "knn_pq_adc": T.ORACLE_KNN_PQ_ADC,
     "knn_ivfpq": T.ORACLE_KNN_IVFPQ,
     "knn_pq_indexed": T.ORACLE_KNN_PQ_INDEXED,
+    "bpe_encoded_fixed_merges": T.ORACLE_BPE_ENCODED_FIXED_MERGES,
     "knn_pq_trained": T.ORACLE_KNN_PQ_TRAINED,
     "mmr_diversified_topk": T.ORACLE_MMR_DIVERSIFIED_TOPK,
     "knn_sq8": T.ORACLE_KNN_SQ8,

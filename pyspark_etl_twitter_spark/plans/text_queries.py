@@ -2606,6 +2606,94 @@ def bpe_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: FROZEN merge list for the oracle-backed BPE-encode row — produced
+#: once by ``bpe_train(n_merges=24)`` on the sf0.001 corpus and pinned
+#: here as a shipped tokenizer artifact (the realistic deployment shape:
+#: merges are trained offline, application is the hot path). Chain-valid
+#: by construction (``validate_bpe_merge_chain``).
+BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("d", "er"), ("or", "der"), ("or", "t"), ("s", "ort"),
+]
+
+
+def bpe_encoded_fixed_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE with a frozen merge list, fully hash-verified (r11
+    verdict ask #6): ``bpe_apply_fixed_expr`` unrolls the 24 fixed
+    merges into one codegen replace chain (the MMR bounded-unroll
+    precedent), so the entire encode — char framing, rank-ordered
+    merge passes, token split — replays verbatim in DuckDB. Per-source
+    tokenizer profile: doc count, token count, distinct tokens,
+    chars/token (the compression metric). This closes the encode side
+    of the BPE pair with a full oracle; only the iterative TRAIN loop
+    (`bpe_tokens_by_source`) stays rows-only + pytest-pinned."""
+    from pyspark_etl_twitter_spark.operators.encoding import (
+        bpe_apply_fixed_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(bpe_apply_fixed_expr("text", BPE_FIXED_MERGES)).alias("tok"),
+    )
+    agg = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        F.round(F.sum(F.length("tok")) / F.count(F.lit(1)), 4).alias(
+            "chars_per_token"
+        ),
+    )
+    nd = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return nd.join(agg, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_distinct_tokens", F.lit(0)).alias("n_distinct_tokens"),
+        "chars_per_token",
+    )
+
+
+def _bpe_fixed_oracle() -> str:
+    """The replace-chain unroll rendered as DuckDB SQL: chr(31) is the
+    frame delimiter, '\\1' the RE2 backref; merge k's pass is one nested
+    replace() in rank order — identical leftmost non-overlapping
+    semantics to Spark's F.replace."""
+    d = "chr(31)"
+    s = f"regexp_replace(replace(w, {d}, ''), '(.)', {d} || '\\1' || {d}, 'g')"
+    for x, y in BPE_FIXED_MERGES:
+        s = f"replace({s}, {d}||'{x}'||{d}||{d}||'{y}'||{d}, {d}||'{x}{y}'||{d})"
+    return f"""
+WITH words AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+  FROM documents
+),
+enc AS (SELECT source, trim({s}, {d}) AS s2 FROM words),
+toks AS (
+  SELECT source, unnest(string_split(s2, {d} || {d})) AS tok
+  FROM enc WHERE s2 <> ''
+),
+agg AS (
+  SELECT source, count(*) AS n_tokens,
+         count(DISTINCT tok) AS n_distinct_tokens,
+         round(sum(length(tok))::DOUBLE / count(*), 4) AS chars_per_token
+  FROM toks WHERE tok <> '' GROUP BY source
+)
+SELECT d.source, count(*) AS n_docs,
+       coalesce(any_value(a.n_tokens), 0) AS n_tokens,
+       coalesce(any_value(a.n_distinct_tokens), 0) AS n_distinct_tokens,
+       any_value(a.chars_per_token) AS chars_per_token
+FROM documents d LEFT JOIN agg a USING (source)
+GROUP BY d.source
+"""
+
+
+ORACLE_BPE_ENCODED_FIXED_MERGES = _bpe_fixed_oracle()
+
+
 def gopher_rules_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021, A1.1) rolled up per source:
     doc counts, composite keeps, and per-rule failure counts — the

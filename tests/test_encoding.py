@@ -361,3 +361,76 @@ def test_bpe_train_warns_on_truncated_word_table(spark):
         warnings.simplefilter("always")
         bpe_train(docs, n_merges=2)
     assert not [w for w in caught if issubclass(w.category, UserWarning)]
+
+
+def test_bpe_fixed_expr_equals_greedy_loop(spark):
+    """The replace-chain unroll (bpe_apply_fixed_expr) must equal the
+    greedy lowest-rank-first loop (bpe_encode_documents) — on the real
+    corpus with its trained merges AND on planted worst cases: overlap
+    runs (aaa/aaaa with merge (a,a)), empty docs, stray delimiter
+    chars, multi-level fused words."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.encoding import (
+        bpe_apply_fixed_expr,
+        bpe_encode_documents,
+        bpe_train,
+        validate_bpe_merge_chain,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe_train(docs, n_merges=24)
+    validate_bpe_merge_chain(merges)
+    a = {r.doc_id: r.tokens for r in bpe_encode_documents(docs, merges).collect()}
+    b = {
+        r.doc_id: r.tokens
+        for r in docs.select(
+            "doc_id", bpe_apply_fixed_expr("text", merges).alias("tokens")
+        ).collect()
+    }
+    assert a == b
+
+    tricky = spark.createDataFrame(
+        [
+            (1, "aaa aaaa a"),
+            (2, ""),
+            (3, "\x1f\x1f"),
+            (4, "table scan data agg"),
+        ],
+        "doc_id long, text string",
+    )
+    tm = [
+        ("a", "a"), ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+        ("s", "c"), ("sc", "a"), ("sca", "n"), ("a", "g"), ("ag", "g"),
+    ]
+    validate_bpe_merge_chain(tm)
+    ta = {r.doc_id: r.tokens for r in bpe_encode_documents(tricky, tm).collect()}
+    tb = {
+        r.doc_id: r.tokens
+        for r in tricky.select(
+            "doc_id", bpe_apply_fixed_expr("text", tm).alias("tokens")
+        ).collect()
+    }
+    assert ta == tb
+    assert ta[1] == ["aa", "a", "aa", "aa", "a"]  # leftmost non-overlap
+    assert ta[2] == [] and ta[3] == []            # empty / delimiter-only
+    assert ta[4][0] == "table" and ta[4][1] == "scan"
+
+
+def test_bpe_merge_chain_validation_rejects_untrained_lists(spark):
+    """A pair list violating the training invariant (a side that is
+    neither a char nor an earlier output) must be rejected loudly —
+    the sequential-replace unroll is only sound for trained chains."""
+    import pytest
+
+    from pyspark_etl_twitter_spark.operators.encoding import (
+        BPE_DELIM,
+        validate_bpe_merge_chain,
+    )
+
+    with pytest.raises(ValueError, match="not a valid BPE training chain"):
+        validate_bpe_merge_chain([("ab", "c")])  # 'ab' never produced
+    with pytest.raises(ValueError, match="delimiter"):
+        validate_bpe_merge_chain([(BPE_DELIM, "x")])
+    # valid: multi-char sides appearing after their producing merge
+    validate_bpe_merge_chain([("a", "b"), ("ab", "c"), ("c", "ab")])

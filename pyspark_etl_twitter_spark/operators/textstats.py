@@ -516,10 +516,10 @@ def gopher_quality_flags(
       reject everything)
 
     The paper's line-shape rules (bullet/ellipsis line fractions) are
-    line-based; the ``documents`` corpus is single-line pre-normalized
-    text, so they are degenerate here and deliberately omitted (a
-    line-based corpus would add them as two more fractions over
-    ``split(text, '\\n')``). Every ratio comparison is cross-multiplied
+    line-based and live in the companion ``gopher_line_flags`` — join on
+    ``id_col`` and AND its ``kept`` into this composite for multi-line
+    corpora (the single-line pre-normalized ``documents`` testdata
+    passes them trivially). Every ratio comparison is cross-multiplied
     into EXACT INTEGER arithmetic (mean_wl in [3,10] ⇔ 3n ≤ Σlen ≤ 10n;
     symbols/words ≤ 0.1 ⇔ 30·#hash + 10·ell_chars ≤ 3n; alpha ≥ 0.8 ⇔
     5·alpha ≥ 4n) — no division, no NaN on empty docs, bit-identical
@@ -565,4 +565,59 @@ def gopher_quality_flags(
         & F.col("ok_symbol_ratio")
         & F.col("ok_alpha_words")
         & F.col("ok_stopwords"),
+    )
+
+
+#: line-shape rule constants (Rae et al. 2021, A1.1): remove documents
+#: where >90% of lines start with a bullet or >30% end with an ellipsis
+GOPHER_BULLET_CHARS = ("-", "*", "•")
+GOPHER_ELLIPSIS_SUFFIXES = ("...", "…")
+
+
+def gopher_line_flags(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The two line-shape Gopher rules (Rae et al. 2021, A1.1) over
+    ``split(text, '\\n')`` — the companion to ``gopher_quality_flags``
+    for multi-line (web) corpora:
+
+    - ``ok_bullet_lines``: <= 90% of lines start with a bullet
+      character (``GOPHER_BULLET_CHARS``)
+    - ``ok_ellipsis_lines``: <= 30% of lines end with an ellipsis
+      (``GOPHER_ELLIPSIS_SUFFIXES``)
+
+    Lines are the non-empty segments of the newline split (blank lines
+    carry no shape evidence); a document with no lines passes both
+    rules vacuously. Both fractions are cross-multiplied into exact
+    integer arithmetic (bullet <= 0.9·n ⇔ 10·bullet <= 9·n; ellipsis
+    <= 0.3·n ⇔ 10·ellipsis <= 3·n) — no division, engine-portable,
+    fully DuckDB-verifiable. One narrow codegen pass, zero shuffle.
+    ``kept`` is the AND of both flags; join on ``id_col`` to fold into
+    the word-level composite."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda ln: F.length(ln) > 0
+    )
+    is_bullet = lambda ln: F.substring(ln, 1, 1).isin(  # noqa: E731
+        *GOPHER_BULLET_CHARS
+    )
+    is_ellipsis = lambda ln: (  # noqa: E731
+        ln.endswith(GOPHER_ELLIPSIS_SUFFIXES[0])
+        | ln.endswith(GOPHER_ELLIPSIS_SUFFIXES[1])
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, is_bullet))
+    n_ellipsis = F.size(F.filter(lines, is_ellipsis))
+    flags = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        n_lines.alias("n_lines"),
+        (10 * n_bullet <= 9 * n_lines).alias("ok_bullet_lines"),
+        (10 * n_ellipsis <= 3 * n_lines).alias("ok_ellipsis_lines"),
+    )
+    return flags.withColumn(
+        "kept", F.col("ok_bullet_lines") & F.col("ok_ellipsis_lines")
     )

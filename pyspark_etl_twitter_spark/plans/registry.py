@@ -188,6 +188,7 @@ QUERIES: dict[str, QueryFn] = {
     "dsir_gumbel_counts": CQ.dsir_gumbel_counts,
     # Gopher quality rules (r11): exact-integer published ruleset
     "gopher_rules_by_source": T.gopher_rules_by_source,
+    "gopher_line_rules_by_source": T.gopher_line_rules_by_source,
     # BPE train+encode: rows-only by design (iterative merge loop — no
     # tractable recursive CTE); equality vs a brute-force trainer over
     # the expanded corpus pinned in tests/test_encoding.py (r10 ADVICE:
@@ -381,6 +382,7 @@ ORACLES: dict[str, str] = {
     "dsir_selected_counts": CQ.ORACLE_DSIR_SELECTED_COUNTS,
     "dsir_gumbel_counts": CQ.ORACLE_DSIR_GUMBEL_COUNTS,
     "gopher_rules_by_source": T.ORACLE_GOPHER_RULES_BY_SOURCE,
+    "gopher_line_rules_by_source": T.ORACLE_GOPHER_LINE_RULES_BY_SOURCE,
     "dedup_segments_rebuild": T.ORACLE_DEDUP_SEGMENTS_REBUILD,
     "semantic_dedup_survivors": AQ.ORACLE_SEMANTIC_DEDUP_SURVIVORS,
     "tpch_q3_shipping_priority": H.ORACLE_TPCH_Q3,

@@ -2760,3 +2760,123 @@ SELECT source,
        CAST(count(CASE WHEN NOT ok_stop THEN 1 END) AS BIGINT) AS n_fail_stopwords
 FROM f GROUP BY source
 """
+
+
+_GLINE_W = 7  # tokens per synthesized line
+
+
+def gopher_line_rules_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two line-shape Gopher rules (Rae et al. 2021, A1.1 — >90%
+    bullet-prefixed lines / >30% ellipsis-suffixed lines) exercised END
+    TO END on a PLANTED multi-line fixture (r11 verdict ask #7): the
+    single-line corpus is reshaped into 7-token lines, each line
+    deterministically decorated — bullet prefix when
+    md5_u32(doc:i:'b') % 10 < 8, ellipsis suffix when
+    md5_u32(doc:i:'e') % 10 < 3 — so BOTH rules genuinely discriminate
+    (short all-bullet docs fail the 90% rule; 2-of-5 ellipsis docs fail
+    the 30% rule). The decorated text is reassembled with newlines and
+    fed through ``gopher_line_flags`` (the real operator: newline split,
+    empty-line filter, cross-multiplied integer thresholds); every stage
+    is the engine's portable md5 idiom + string ops, so DuckDB replays
+    the construction AND the rules exactly."""
+    from pyspark_etl_twitter_spark.operators.textstats import (
+        gopher_line_flags,
+        ws_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    n = F.size(toks)
+    w = F.lit(_GLINE_W)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), F.floor((n - 1) / w).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    lines0 = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, _GLINE_W)))
+
+    def _mark(tag: str, i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            i.cast("string"),
+                            F.lit(tag),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 10
+        )
+
+    deco = F.transform(
+        lines0,
+        lambda x, i: F.concat(
+            F.when(_mark("b", i) < 8, F.lit("- ")).otherwise(F.lit("")),
+            x,
+            F.when(_mark("e", i) < 3, F.lit(" ...")).otherwise(F.lit("")),
+        ),
+    )
+    reshaped = docs.select(
+        "doc_id", "source", F.array_join(deco, "\n").alias("text")
+    )
+    flags = gopher_line_flags(reshaped, keep_cols=("source",))
+    fail = lambda c: F.sum((~F.col(c)).cast("long"))  # noqa: E731
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_lines"), 4).alias("avg_lines"),
+        fail("ok_bullet_lines").alias("n_fail_bullet_lines"),
+        fail("ok_ellipsis_lines").alias("n_fail_ellipsis_lines"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+    )
+
+
+ORACLE_GOPHER_LINE_RULES_BY_SOURCE = f"""
+WITH tokd AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, source,
+         CASE WHEN len(t) > 0 THEN
+           list_transform(range(0, CAST(floor((len(t) - 1) / {_GLINE_W}) AS BIGINT) + 1),
+             i -> array_to_string(t[i * {_GLINE_W} + 1 : i * {_GLINE_W} + {_GLINE_W}], ' '))
+         ELSE [] END AS lines0
+  FROM tokd
+),
+deco AS (
+  SELECT doc_id, source,
+         list_transform(range(0, len(lines0)), i ->
+           (CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR || ':b'), 1, 8))::BIGINT % 10 < 8
+                 THEN '- ' ELSE '' END)
+           || lines0[i + 1]
+           || (CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR || ':e'), 1, 8))::BIGINT % 10 < 3
+                 THEN ' ...' ELSE '' END)
+         ) AS lines
+  FROM ln
+),
+f AS (
+  SELECT source, len(lines) AS n_lines,
+         len(list_filter(lines, l -> substr(l, 1, 1) IN ('-', '*', '•'))) AS nb,
+         len(list_filter(lines, l -> right(l, 3) = '...' OR right(l, 1) = '…')) AS ne
+  FROM deco
+),
+g AS (
+  SELECT source, n_lines,
+         (10 * nb <= 9 * n_lines) AS okb,
+         (10 * ne <= 3 * n_lines) AS oke
+  FROM f
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_lines), 4) AS avg_lines,
+       CAST(count(CASE WHEN NOT okb THEN 1 END) AS BIGINT) AS n_fail_bullet_lines,
+       CAST(count(CASE WHEN NOT oke THEN 1 END) AS BIGINT) AS n_fail_ellipsis_lines,
+       CAST(count(CASE WHEN okb AND oke THEN 1 END) AS BIGINT) AS n_kept
+FROM g GROUP BY source
+"""

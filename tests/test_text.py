@@ -233,3 +233,38 @@ def test_gopher_quality_flags_rules(spark):
     assert not flags[3]["ok_alpha_words"]
     assert not flags[4]["ok_stopwords"]
     assert not flags[5]["kept"] and flags[5]["ok_mean_word_len"] is False
+
+
+def test_gopher_line_flags_rules(spark):
+    """Line-shape Gopher rules on a hand-planted multi-line fixture:
+    exact boundary behavior of both cross-multiplied thresholds
+    (bullet <= 90% of lines, ellipsis <= 30% of lines), blank-line
+    exclusion, and the vacuous pass for empty documents."""
+    from pyspark_etl_twitter_spark.operators.textstats import gopher_line_flags
+
+    docs = spark.createDataFrame(
+        [
+            # 10 lines, 9 bullets = exactly 90% -> ok; 3 ellipsis = 30% -> ok
+            (0, "\n".join(["- b"] * 6 + ["- c ..."] * 3 + ["plain"])),
+            # 10 lines, all 10 bullets -> fail bullet rule
+            (1, "\n".join(["* x"] * 10)),
+            # 10 lines, 4 ellipsis = 40% -> fail ellipsis rule
+            (2, "\n".join(["end ..."] * 4 + ["mid"] * 6)),
+            # unicode bullet + unicode ellipsis, 1 of 2 lines each:
+            # bullet 50% ok; ellipsis 50% -> fail
+            (3, "• dot\nplain …"),
+            # blank lines excluded: 2 real lines, 1 bullet = 50% -> ok
+            (4, "- a\n\n\nplain"),
+            # empty doc: no lines -> both vacuously true
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_line_flags(docs).collect()}
+    assert got[0].ok_bullet_lines and got[0].ok_ellipsis_lines
+    assert got[0].n_lines == 10
+    assert not got[1].ok_bullet_lines and got[1].ok_ellipsis_lines
+    assert got[2].ok_bullet_lines and not got[2].ok_ellipsis_lines
+    assert got[3].ok_bullet_lines and not got[3].ok_ellipsis_lines
+    assert got[4].n_lines == 2 and got[4].kept
+    assert got[5].n_lines == 0 and got[5].kept

@@ -452,86 +452,83 @@ ORACLES: dict[str, str] = {
     "text_semantic_dedup_survivors": T.ORACLE_TEXT_SEMANTIC_DEDUP_SURVIVORS,
 }
 
-# ROUND-11 WINDOW (r10 verdict ask #4): rotation stays DECLARATIVE — the
-# list below is reordered to the front of QUERIES at import time, so each
-# round edits one list instead of re-sorting the whole literal. After r10
-# the staleness distribution of newest driver rows is
-# {r10: 50, r9: 48, r8: 50, r7: 22}; this window takes the 15 new-in-r11
-# queries, ALL 22 r7 rows (the TPC-H mid-teens block + curation reps the
-# r10 comment queued), and the first 13 (alphabetically) of the 50 r8
-# rows — so after r11 no registry query's newest driver row is older
-# than r8 (the remaining 29 r8 rows rotate in r12).
-ROUND11_WINDOW: list[str] = [
-    # new-this-round (15): never driver-verified — new queries always
+# ROUND-12 WINDOW (r11 verdict ask #5): rotation stays DECLARATIVE — the
+# list below is reordered to the front of QUERIES at import time. After
+# r11 the staleness distribution of newest driver rows was
+# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 3 new-in-r12
+# queries, ALL 37 r8 rows, and the first 10 alphabetical ORACLE-BACKED
+# r9 rows (approx_summary, the xxhash64 dedup trio are rows-only by
+# design and stay in the tail) — so after r12 no registry query's newest
+# driver row is older than r9 (the remaining 38 r9 rows rotate in r13).
+ROUND12_WINDOW: list[str] = [
+    # new-this-round (3): never driver-verified — new queries always
     # outrank stale-but-unchanged ones. All oracle-backed and verified
-    # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots, except
-    # bpe_tokens_by_source which is rows-only by design (iterative BPE
-    # merge loop — equality vs a brute-force trainer pinned in pytest).
-    "semdedup_ivf_summary",
-    "dsir_weights_by_source",
-    "dsir_selected_counts",
-    "dsir_gumbel_counts",
-    "gopher_rules_by_source",
-    "bpe_tokens_by_source",
-    "knn_pq_adc",
-    "knn_ivfpq",
-    "knn_pq_trained",
-    "mmr_diversified_topk",
-    "knn_sq8",
-    "quality_lr_weights",
-    "quality_lr_scores_by_source",
-    "pagerank_suppliers",
-    "approx_distinct_portable",
-    # newest driver rows: r7 (all 22)
-    "top_terms_per_doc",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_latency_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_dormant_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
-    "training_mix_counts",
-    "unpivot_lineitem_measures",
-    "vocab_head",
-    # newest driver rows: r8 (first 21 alphabetically of 50; the
-    # remaining 37 rotate in r12)
-    "anti_join_customers",
-    "array_funcs_documents",
-    "asof_nearest_click",
-    "bigram_profile_top",
-    "chunk_documents_overlap_64",
-    "cube_quantity",
-    "date_arithmetic_orders",
-    "date_funcs_orders",
-    "dedup_jaccard_pairs",
-    "distinct_counts",
-    "embedding_centroids_by_label",
-    "embedding_norm_stats",
-    "encoded_docs",
+    # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots.
+    "knn_pq_indexed",
+    "bpe_encoded_fixed_merges",
+    "gopher_line_rules_by_source",
+    # newest driver rows: r8 (all 37)
+    "dedup_clusters_minhash_portable",
+    "dedup_clusters_simhash_portable",
+    "dedup_exact_groups",
+    "dedup_sha_fingerprints",
+    "dedup_simhash_portable",
+    "dedup_simhash_portable_pairs",
+    "except_all_quantities",
+    "full_outer_nation_counts",
+    "global_top_orders",
+    "grouping_sets_revenue",
+    "intersect_all_quantities",
+    "json_extract_events",
+    "knn_ann_lsh",
+    "knn_ann_lsh_high_recall",
+    "knn_ivf",
+    "knn_ivf_trained",
+    "lang_token_stats",
+    "map_funcs_events",
+    "math_funcs_lineitem",
+    "null_conditionals_customer",
+    "orders_above_avg",
+    "orders_with_many_items",
+    "outer_join_order_counts",
+    "pack_documents_salted_2048",
+    "pivot_status_qty",
+    "range_join_price_bands",
+    "regex_extract_part",
+    "rollup_revenue",
+    "sentiment_doc_scores",
+    "set_except_custkeys",
+    "set_intersect_custkeys",
+    "set_union_active_keys",
+    "sliding_window_events",
+    "source_vocab_overlap_top",
+    "string_funcs_part",
+    "union_by_name_accounts",
+    "window_rank_stats",
+    # newest driver rows: r9 (first 10 alphabetical oracle-backed of 48;
+    # the remaining 38 rotate in r13)
+    "asof_purchase_click",
+    "asof_tolerance_click",
+    "binned_range_join_bands",
+    "bm25_search_topk",
+    "bucketed_join_revenue",
+    "budget_selection_by_source",
+    "char_entropy_by_source",
+    "data_quality_lineitem",
+    "decontaminate_counts",
+    "dedup_clusters",
 ]
 
-_win = set(ROUND11_WINDOW)
+_win = set(ROUND12_WINDOW)
 # explicit raise, not assert: a module-level assert is stripped under
 # `python -O`, and a malformed window would then silently corrupt the
 # QUERIES ordering the driver's correctness gate depends on (r9 ADVICE)
-if len(ROUND11_WINDOW) != 50 or len(_win) != 50 or not _win <= set(QUERIES):
+if len(ROUND12_WINDOW) != 50 or len(_win) != 50 or not _win <= set(QUERIES):
     raise ValueError(
-        "window/registry drift: ROUND11_WINDOW must be 50 distinct "
-        f"registry keys (got {len(ROUND11_WINDOW)} entries, "
+        "window/registry drift: ROUND12_WINDOW must be 50 distinct "
+        f"registry keys (got {len(ROUND12_WINDOW)} entries, "
         f"{len(_win)} distinct, unknown={sorted(_win - set(QUERIES))})"
     )
-QUERIES = {k: QUERIES[k] for k in ROUND11_WINDOW} | {
+QUERIES = {k: QUERIES[k] for k in ROUND12_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in _win
 }

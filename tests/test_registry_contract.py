@@ -2,14 +2,14 @@
 
 The driver's correctness gate checks the first 50 registry keys, so the
 dict order is load-bearing. Rotation is declarative since round 9:
-``registry.ROUND11_WINDOW`` is reordered to the front of ``QUERIES`` at
+``registry.ROUND12_WINDOW`` is reordered to the front of ``QUERIES`` at
 import time and these tests pin its composition.
 
-Round-11 rule (r10 verdict ask #4): the window is the 2 new-in-r11
-queries plus the 48 stalest rows of the cumulative CORRECTNESS book —
-all 22 queries whose newest driver row was r7 plus the first 26
-(alphabetically) of the 50 whose newest row was r8 — so after r11 no
-registry query's newest driver row is older than r8.
+Round-12 rule (r11 verdict ask #5): the window is the 3 new-in-r12
+queries plus the 47 stalest rows of the cumulative CORRECTNESS book —
+all 37 queries whose newest driver row was r8 plus the first 10
+alphabetical oracle-backed of the 48 whose newest row was r9 — so after
+r12 no registry query's newest driver row is older than r9.
 """
 
 import pytest
@@ -17,7 +17,7 @@ import pytest
 from pyspark_etl_twitter_spark.plans.registry import (
     ORACLES,
     QUERIES,
-    ROUND11_WINDOW,
+    ROUND12_WINDOW,
 )
 
 DRIVER_WINDOW = 50
@@ -49,19 +49,18 @@ ROWS_ONLY_BY_DESIGN = {
 
 
 def test_window_is_the_declared_rotation():
-    assert list(QUERIES)[:DRIVER_WINDOW] == ROUND11_WINDOW
-    assert len(set(ROUND11_WINDOW)) == DRIVER_WINDOW
+    assert list(QUERIES)[:DRIVER_WINDOW] == ROUND12_WINDOW
+    assert len(set(ROUND12_WINDOW)) == DRIVER_WINDOW
 
 
-def test_window_composition_r11():
-    """49 of 50 slots oracle-backed; the one rows-only slot is the
-    NEW-this-round bpe_tokens_by_source (a new query always takes a
-    slot; rows-only is its designed check level). The other rows-only
-    queries (refreshed r9/r10) stay in the tail."""
+def test_window_composition_r12():
+    """All 50 slots oracle-backed this round: the 3 new-in-r12 rows ship
+    with full DuckDB oracles, and the rotation picks (all 37 r8 rows +
+    10 r9 rows) skip the rows-only-by-design set, which stays in the
+    tail (each refreshed r9-r11 with a hash-green portable twin)."""
     window = list(QUERIES)[:DRIVER_WINDOW]
-    rows_only_in_window = set(window) & ROWS_ONLY_BY_DESIGN
-    assert rows_only_in_window == {"bpe_tokens_by_source"}
-    assert all(k in ORACLES for k in window if k not in rows_only_in_window)
+    assert not set(window) & ROWS_ONLY_BY_DESIGN
+    assert all(k in ORACLES for k in window)
 
 
 def test_rows_only_is_exactly_the_sanctioned_set():

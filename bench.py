@@ -829,7 +829,21 @@ def main() -> None:
     # stays 15k (measured 16.6-18.2k). Floor breaches should be read
     # TOGETHER with canary_speed_ratio: breach + ratio≈1 is a real
     # regression, breach + high ratio is the container.
-    STREAM_FLOORS = {"stream_score": 23000.0, "stateful": 15000.0}
+    # r12 (r11 verdict ask #8): the stateful floor splits per row and
+    # ratchets on the two-sided ruler. r11 idle normalized rates
+    # (raw × 1.083): window 21.7k, funnel 19.2k, stream 27.7k. Floors
+    # police the NORMALIZED rate, so each is set at the ≥25%-regression
+    # line of its r11 normalized baseline — window 15.0k → 16.3k;
+    # funnel stays 15.0k (already tighter than its 25% line of 14.4k);
+    # stream stays 23.0k (tighter than its 25% line of 20.8k, kept from
+    # the r10 two-container derivation). Unknown future stateful rows
+    # default to the funnel floor until they earn their own baseline.
+    STREAM_FLOORS = {
+        "stream_score": 23000.0,
+        "window": 16300.0,
+        "funnel": 15000.0,
+    }
+    STATEFUL_DEFAULT_FLOOR = 15000.0
     # media decode floor: r9 measured 689 rows/s, r10 builder 753 at 2048
     # mixed BMP/PNG/JPEG/WAV rows; raised 500 → 600 (r9 verdict ask #5).
     # The quadratic bit-accumulator bug this row exists to catch ran at
@@ -844,8 +858,10 @@ def main() -> None:
     # (r10 driver 654 raw × 1.26 = 824; r10 builder 753; r9 689), so the
     # ≥25%-regression floor is 620. Raw 600 stays the fallback when no
     # normalizer exists (first run at an sf / fingerprint churn).
+    # r12 ratchet (r11 verdict ask #8): r11 idle measured 776.6 raw ×
+    # 1.083 = 841 normalized; the ≥25%-regression line is 630.
     MEDIA_FLOOR = 600.0
-    MEDIA_FLOOR_NORM = 620.0
+    MEDIA_FLOOR_NORM = 630.0
     breaches: list[str] = []
     if sf >= 0.1:
         # All floors police the NORMALIZED rate (raw ×
@@ -870,7 +886,11 @@ def main() -> None:
                 STREAM_FLOORS["stream_score"],
             )
         for k, v in (streaming_stateful or {}).items():
-            _rate_breach(k, v.get("rows_per_sec", 0), STREAM_FLOORS["stateful"])
+            _rate_breach(
+                k,
+                v.get("rows_per_sec", 0),
+                STREAM_FLOORS.get(k, STATEFUL_DEFAULT_FLOOR),
+            )
         if media_decode:
             _rate_breach(
                 "media_decode",

@@ -1,0 +1,156 @@
+"""Round-12 scaling evidence (VERDICT r11 asks #3/#4).
+
+Section 1 — PageRank lineage cuts (`--pagerank`): `pagerank_portable`
+now localCheckpoints the N-row rank relation every `checkpoint_every`
+iterations. This section measures wall at iters 3/10/20 with the cuts
+on the sf0.1 supplier graph, re-measures iters=10 with cuts disabled
+(checkpoint_every > iters — the counterfactual whose plan tree grows
+linearly in iters), and pins value equality between the two (ranks are
+rounded to the 9dp grid every round, so checkpoint placement must be
+value-neutral).
+
+Section 2 — IVF two-level auto-switch (`--ivfauto`): `build_ivf_index`
+defaults to the two-level rung at n_lists >= 80. On the ×50 cyclic-shift
+corpus (100k vectors, k=400, first-k seeding — the build default), this
+measures the exact-assignment build wall vs the auto build wall, then
+the END-TO-END probe recall@5 (100 queries vs exact brute-force cosine)
+of both indexes at n_probe 16 and 40. The contract from the r11
+frontier (DESIGN.md §"Cosine (IVF) two-level assignment"): the auto
+build at n_probe=40 must beat the exact build at n_probe=16 — the
+recall is bought back with probes while the build is ~6× cheaper.
+
+Usage: python tools/scale_evidence_r12.py [sf_dir] [--pagerank|--ivfauto]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from pyspark_etl_twitter_spark.session import get_session
+from pyspark_etl_twitter_spark.sources.catalog import load_table
+from tools.scale_evidence_r4 import replicate
+
+
+def pagerank_section(spark, sf_dir):
+    from pyspark_etl_twitter_spark.operators.graph import (
+        pagerank_portable,
+        supplier_edges,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = supplier_edges(li.select("l_orderkey", "l_suppkey")).persist()
+    n = edges.count()
+    print(f"-- pagerank envelope: {n} edges --", flush=True)
+    for iters in (3, 10, 20):
+        start = time.perf_counter()
+        pagerank_portable(edges, iters=iters).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        print(
+            f"  iters={iters} (cuts every 4): "
+            f"{time.perf_counter() - start:.1f} s",
+            flush=True,
+        )
+    start = time.perf_counter()
+    nocut = pagerank_portable(edges, iters=10, checkpoint_every=10**9)
+    nocut_rows = {(r.node, r.pagerank) for r in nocut.collect()}
+    print(
+        f"  iters=10 (NO cuts): {time.perf_counter() - start:.1f} s",
+        flush=True,
+    )
+    cut_rows = {
+        (r.node, r.pagerank)
+        for r in pagerank_portable(edges, iters=10).collect()
+    }
+    assert cut_rows == nocut_rows, "checkpoint placement changed values!"
+    print(f"  value equality (cuts vs no cuts, iters=10): OK ({len(cut_rows)} nodes)", flush=True)
+
+
+def _recall_at_5(probed, exact_sets):
+    got: dict[int, set] = {}
+    for r in probed.collect():
+        got.setdefault(r.q_id, set()).add(r.neighbor_id)
+    return sum(
+        len(got.get(q, set()) & exact_sets[q]) / len(exact_sets[q])
+        for q in exact_sets
+    ) / len(exact_sets)
+
+
+def ivf_auto_section(spark, sf_dir, mult=50, dim=64, k_lists=400):
+    import shutil
+    import tempfile
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_probe_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = replicate(emb, mult, ["vec_id"])
+    shift = (F.col("_rep") % dim).cast("int")
+    e = (
+        e.withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.element_at(
+                    "embedding", ((i + shift) % dim) + 1
+                ).cast("double"),
+            ),
+        )
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    print(f"-- ivf auto x{mult}: {e.count()} vectors, k={k_lists} --", flush=True)
+    exact_sets: dict[int, set] = {}
+    for r in cosine_topk(e, n_queries=100, k=5).collect():
+        exact_sets.setdefault(r.q_id, set()).add(r.neighbor_id)
+    base = Path(tempfile.gettempdir()) / "spark_graft_r12_ivfauto"
+    shutil.rmtree(base, ignore_errors=True)
+    walls = {}
+    for label, kw in [("exact", {"coarse_probe": None}), ("auto", {})]:
+        path = str(base / label)
+        start = time.perf_counter()
+        build_ivf_index(e, path, n_lists=k_lists, **kw)
+        walls[label] = time.perf_counter() - start
+        print(f"  build[{label}]: {walls[label]:.1f} s", flush=True)
+        for n_probe in (16, 40):
+            rec = _recall_at_5(
+                ivf_probe_indexed(
+                    spark, path, n_queries=100, k=5, n_probe=n_probe
+                ),
+                exact_sets,
+            )
+            print(
+                f"    recall@5[{label}, n_probe={n_probe}]: {rec:.3f}",
+                flush=True,
+            )
+    print(
+        f"  build speedup exact/auto: {walls['exact'] / walls['auto']:.1f}×",
+        flush=True,
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_session(app_name="scale_evidence_r12")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
+    if "--pagerank" in sys.argv:
+        pagerank_section(spark, sf_dir)
+        return
+    if "--ivfauto" in sys.argv:
+        ivf_auto_section(spark, sf_dir)
+        return
+    pagerank_section(spark, sf_dir)
+    ivf_auto_section(spark, sf_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1710,89 +1710,33 @@ def _l2_sq(a: Column, b: Column) -> Column:
     )
 
 
-def ivfpq_topk(
-    embeddings: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_lists: int = 16,
-    m: int = 8,
-    ksub: int = 16,
-    n_probe: int = 4,
-    n_queries: int = 8,
-    k: int = 5,
-    round_dp: int = 6,
-) -> DataFrame:
-    """IVF-PQ with residual encoding — the full Jégou et al. 2011
-    composite: IVF prunes WHICH vectors a query scans (``n_probe`` of
-    ``n_lists`` inverted lists), PQ shrinks WHAT each scan touches
-    (m residual codes per vector), and the ADC lookup table is built per
-    (query, probed list) on the query's residual against that list's
-    centroid. Coherently L2 end-to-end: L2-argmin assignment, L2 list
-    ranking, L2 ADC — unlike ``ivf_topk`` (cosine verify), this is the
-    paper's metric, so PQ error is the ONLY approximation added on top
-    of the IVF candidate cut. Measured recall@5 vs exact L2 at the
-    defaults on RANDOM 64-dim data: 0.15 (sf0.001) / 0.125 (sf0.01) —
-    the n_probe=4/16 candidate cut alone bounds recall near the probe
-    fraction when true neighbors are uniform across lists (flat
-    ``pq_adc_topk`` over the full corpus measures 0.25); on clustered
-    corpora the IVF cut recovers what the coarse structure captures.
+def _py_l2(a, b):
+    """Sequential-order Python L2² — the driver-side twin of ``_l2_sq``
+    (same left-to-right accumulation, same multiply-not-pow squaring)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return acc
 
-    Everything is deterministic (first-``n_lists`` centroids, residual
-    codebooks from the first ``ksub`` vectors' residuals) → the whole
-    pipeline replays in SQL (``knn_ivfpq`` driver oracle).
 
-    Plan shape: one codegen pass assigns + residual-encodes (centroid
-    and codebook literals, zero exchanges), the probe set arrives as a
-    BROADCAST EQUI-join on ``list_id`` (nq·n_probe rows — a
-    BroadcastHashJoin, not a nested loop), ADC is a 4-D-literal LUT
-    fold, and the only other exchange is the final top-k window. At
-    corpus scale the assignment/encode pass writes once (a persisted
-    code table, cf. ``build_ivf_index``) and probes read
-    ``n_probe/n_lists`` of the codes — the 32×-smaller scan IVF alone
-    cannot give.
-
-    Driver state is bounded: n_lists centroids + first-ksub rows +
-    nq query vectors (``MAX_PANDAS_QUERIES`` contract); LUT literal is
-    nq·n_probe·m·ksub doubles (4 KB at defaults).
-
-    Returns ``(q_id, neighbor_id, adc_dist, rank)``."""
-    if n_queries > MAX_PANDAS_QUERIES:
-        raise ValueError(
-            f"n_queries={n_queries} exceeds MAX_PANDAS_QUERIES="
-            f"{MAX_PANDAS_QUERIES}: the per-query LUT is driver-built"
-        )
-    base = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_emb")
-    )
-    # bounded collects: centroids, codebook seeds, queries — all prefixes
-    # of the corpus, fetched in ONE pass
-    seed_n = max(n_lists, ksub, n_queries)
-    seed_rows = sorted(
-        base.filter(F.col("vec_id") < seed_n).collect(), key=lambda r: r[0]
-    )
-    if len(seed_rows) < seed_n:
-        raise ValueError(f"corpus has {len(seed_rows)} rows < {seed_n}")
+def _ivfpq_model(seed_rows, n_lists: int, m: int, ksub: int):
+    """Deterministic IVF-PQ model from the sorted seed prefix: the
+    first ``n_lists`` vectors are the L2 coarse centroids and the first
+    ``ksub`` vectors' RESIDUALS (against their own L2-assigned centroid)
+    sub-slice into the PQ codebooks — the ``knn_ivf``/``pq_codebooks``
+    seeding precedent, SQL-replayable end to end. Returns
+    ``(cents, books, dsub)``."""
     cents = [[float(x) for x in r[1]] for r in seed_rows[:n_lists]]
     dim = len(cents[0])
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
 
-    def _py_l2(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += (x - y) * (x - y)
-        return acc
-
     def _py_assign(v):
-        # same arithmetic + lowest-id tie rule as the Spark fold below
+        # same arithmetic + lowest-id tie rule as the Spark fold
         ds = [_py_l2(v, c) for c in cents]
         return ds.index(min(ds))
 
-    # residual codebooks: sub-slices of the first ksub vectors' residuals
-    # against their OWN L2-assigned centroid (paper's residual encoding,
-    # deterministic seeding)
     seed_res = []
     for r in seed_rows[:ksub]:
         v = [float(x) for x in r[1]]
@@ -1805,8 +1749,15 @@ def ivfpq_topk(
         ]
         for s in range(m)
     ]
+    return cents, books, dsub
 
-    # ---- distributed pass: assign + residual-encode, zero exchanges ----
+
+def _ivfpq_encode_plan(base, cents, books, m: int, ksub: int, dsub: int):
+    """Assign + residual-encode as ONE zero-exchange codegen pass over
+    ``base`` (vec_id, _emb): centroid and codebook literals, L2-argmin
+    assignment (lowest-list tie), per-sub-space residual argmin codes.
+    Returns a (vec_id, list_id, codes) DataFrame."""
+    n_lists = len(cents)
     cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
     cdists = F.transform(
         F.sequence(F.lit(0), F.lit(n_lists - 1)),
@@ -1852,12 +1803,33 @@ def ivfpq_topk(
     codes = F.transform(
         dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int")
     )
-    encoded = assigned.select(
+    return assigned.select(
         "vec_id", "list_id", residual.alias("_res")
     ).select("vec_id", "list_id", codes.alias("codes"))
 
-    # ---- probes + per-(query, list) residual LUTs (driver, bounded) ----
-    q_rows = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows[:n_queries]]
+
+def _ivfpq_probe_plan(
+    spark,
+    encoded,
+    cents,
+    books,
+    q_rows,
+    *,
+    n_probe: int,
+    k: int,
+    round_dp: int,
+    dsub: int,
+):
+    """Probe tail shared by one-shot ``ivfpq_topk`` and the persisted
+    index: driver-built per-(query, probed-list) residual LUTs ride in
+    as a 4-D literal, the probe set broadcast-EQUI-joins the codes on
+    ``list_id`` (BroadcastHashJoin; drives partition pruning when
+    ``encoded`` is the hive-partitioned on-disk table), ADC is a LUT
+    fold, one top-k window."""
+    m = len(books)
+    ksub = len(books[0])
+    n_lists = len(cents)
+    dim = len(cents[0])
     probe_rows = []  # (q_id, qp_idx, list_id) + lut[qp_idx][s][j]
     luts = []
     for q_id, qv in q_rows:
@@ -1878,7 +1850,6 @@ def ivfpq_topk(
                 ]
             )
             probe_rows.append((q_id, len(luts) - 1, l))
-    spark = embeddings.sparkSession
     probes = spark.createDataFrame(
         probe_rows, "q_id long, qp int, list_id int"
     )
@@ -1917,6 +1888,180 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    n_probe: int = 4,
+    n_queries: int = 8,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF-PQ with residual encoding — the full Jégou et al. 2011
+    composite: IVF prunes WHICH vectors a query scans (``n_probe`` of
+    ``n_lists`` inverted lists), PQ shrinks WHAT each scan touches
+    (m residual codes per vector), and the ADC lookup table is built per
+    (query, probed list) on the query's residual against that list's
+    centroid. Coherently L2 end-to-end: L2-argmin assignment, L2 list
+    ranking, L2 ADC — unlike ``ivf_topk`` (cosine verify), this is the
+    paper's metric, so PQ error is the ONLY approximation added on top
+    of the IVF candidate cut. Measured recall@5 vs exact L2 at the
+    defaults on RANDOM 64-dim data: 0.15 (sf0.001) / 0.125 (sf0.01) —
+    the n_probe=4/16 candidate cut alone bounds recall near the probe
+    fraction when true neighbors are uniform across lists (flat
+    ``pq_adc_topk`` over the full corpus measures 0.25); on clustered
+    corpora the IVF cut recovers what the coarse structure captures.
+
+    Everything is deterministic (first-``n_lists`` centroids, residual
+    codebooks from the first ``ksub`` vectors' residuals) → the whole
+    pipeline replays in SQL (``knn_ivfpq`` driver oracle).
+
+    Plan shape: one codegen pass assigns + residual-encodes (centroid
+    and codebook literals, zero exchanges — ``_ivfpq_encode_plan``), the
+    probe set arrives as a BROADCAST EQUI-join on ``list_id``
+    (nq·n_probe rows — a BroadcastHashJoin, not a nested loop), ADC is a
+    4-D-literal LUT fold, and the only other exchange is the final top-k
+    window (``_ivfpq_probe_plan``). At corpus scale the
+    assignment/encode pass writes once (``build_ivfpq_index``) and
+    probes read ``n_probe/n_lists`` of the codes — the 32×-smaller scan
+    IVF alone cannot give.
+
+    Driver state is bounded: n_lists centroids + first-ksub rows +
+    nq query vectors (``MAX_PANDAS_QUERIES`` contract); LUT literal is
+    nq·n_probe·m·ksub doubles (4 KB at defaults).
+
+    Returns ``(q_id, neighbor_id, adc_dist, rank)``."""
+    if n_queries > MAX_PANDAS_QUERIES:
+        raise ValueError(
+            f"n_queries={n_queries} exceeds MAX_PANDAS_QUERIES="
+            f"{MAX_PANDAS_QUERIES}: the per-query LUT is driver-built"
+        )
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_emb")
+    )
+    # bounded collects: centroids, codebook seeds, queries — all prefixes
+    # of the corpus, fetched in ONE pass
+    seed_n = max(n_lists, ksub, n_queries)
+    seed_rows = sorted(
+        base.filter(F.col("vec_id") < seed_n).collect(), key=lambda r: r[0]
+    )
+    if len(seed_rows) < seed_n:
+        raise ValueError(f"corpus has {len(seed_rows)} rows < {seed_n}")
+    cents, books, dsub = _ivfpq_model(seed_rows, n_lists, m, ksub)
+    encoded = _ivfpq_encode_plan(base, cents, books, m, ksub, dsub)
+    q_rows = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows[:n_queries]]
+    return _ivfpq_probe_plan(
+        embeddings.sparkSession,
+        encoded,
+        cents,
+        books,
+        q_rows,
+        n_probe=n_probe,
+        k=k,
+        round_dp=round_dp,
+        dsub=dsub,
+    )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    max_queries: int = 100,
+) -> None:
+    """Materialize the IVF-PQ composite index — the corpus-scale form of
+    ``ivfpq_topk``: the residual CODE table (m small ints per vector,
+    32× smaller than the raw floats) written PARTITIONED BY ``list_id``
+    (a probe of p lists reads p/n_lists of an already-32×-smaller
+    table — the two compounding cuts are the whole point of the
+    composite), plus a one-row meta table carrying centroids + frozen
+    residual codebooks and a pre-extracted query block. Deterministic
+    first-k seeding throughout, so a probe of this index is
+    value-identical to the one-shot ``ivfpq_topk`` on the same corpus
+    (ints and doubles round-trip parquet exactly) — the
+    ``build_pq_code_table``/``build_ivf_index`` lifecycle contract,
+    composite edition."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_emb")
+    )
+    seed_n = max(n_lists, ksub)
+    seed_rows = sorted(
+        base.filter(F.col("vec_id") < seed_n).collect(), key=lambda r: r[0]
+    )
+    if len(seed_rows) < seed_n:
+        raise ValueError(f"corpus has {len(seed_rows)} rows < {seed_n}")
+    cents, books, dsub = _ivfpq_model(seed_rows, n_lists, m, ksub)
+    encoded = _ivfpq_encode_plan(base, cents, books, m, ksub, dsub)
+    # one file per inverted list, not one per (writer task × list) —
+    # the build_ivf_index layout discipline
+    encoded.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/codes")
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(n_lists, m, ksub, dsub, cents, books)],
+        "n_lists int, m int, ksub int, dsub int, "
+        "cents array<array<double>>, books array<array<array<double>>>",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    base.filter(F.col("vec_id") < max_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("_emb").cast("array<double>").alias("q_emb"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/queries")
+
+
+def ivfpq_probe_indexed(
+    spark,
+    path: str,
+    *,
+    n_queries: int = 8,
+    k: int = 5,
+    n_probe: int = 4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Probe-only IVF-PQ against a ``build_ivfpq_index`` layout: no
+    assignment or encoding in the plan — the scan reads only the
+    ``n_probe`` probed list partitions of the code table (partition
+    pruning via the broadcast probe join), m ints per candidate. Same
+    driver-built LUT arithmetic as the one-shot, so results are
+    value-identical to ``ivfpq_topk`` on the indexed corpus (pinned in
+    pytest and by the shared ``knn_ivfpq`` oracle)."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    cents = [[float(x) for x in c] for c in meta["cents"]]
+    books = [
+        [[float(v) for v in entry] for entry in sub] for sub in meta["books"]
+    ]
+    q_rows = sorted(
+        (int(r["q_id"]), [float(x) for x in r["q_emb"]])
+        for r in spark.read.parquet(f"{path}/queries")
+        .filter(F.col("q_id") < n_queries)
+        .collect()
+    )
+    encoded = spark.read.parquet(f"{path}/codes").select(
+        "vec_id", F.col("list_id").cast("int").alias("list_id"), "codes"
+    )
+    return _ivfpq_probe_plan(
+        spark,
+        encoded,
+        cents,
+        books,
+        q_rows,
+        n_probe=n_probe,
+        k=k,
+        round_dp=round_dp,
+        dsub=int(meta["dsub"]),
+    )
+
 
 
 def pq_train_codebooks(

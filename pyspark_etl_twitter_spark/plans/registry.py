@@ -61,6 +61,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_pq_adc": T.knn_pq_adc,
     "knn_ivfpq": T.knn_ivfpq,
     "knn_pq_indexed": T.knn_pq_indexed,
+    "knn_ivfpq_indexed": T.knn_ivfpq_indexed,
     "knn_pq_trained": T.knn_pq_trained,
     "mmr_diversified_topk": T.mmr_diversified_topk,
     "knn_sq8": T.knn_sq8,
@@ -326,6 +327,7 @@ ORACLES: dict[str, str] = {
     "knn_pq_adc": T.ORACLE_KNN_PQ_ADC,
     "knn_ivfpq": T.ORACLE_KNN_IVFPQ,
     "knn_pq_indexed": T.ORACLE_KNN_PQ_INDEXED,
+    "knn_ivfpq_indexed": T.ORACLE_KNN_IVFPQ_INDEXED,
     "bpe_encoded_fixed_merges": T.ORACLE_BPE_ENCODED_FIXED_MERGES,
     "knn_pq_trained": T.ORACLE_KNN_PQ_TRAINED,
     "mmr_diversified_topk": T.ORACLE_MMR_DIVERSIFIED_TOPK,
@@ -455,16 +457,17 @@ ORACLES: dict[str, str] = {
 # ROUND-12 WINDOW (r11 verdict ask #5): rotation stays DECLARATIVE — the
 # list below is reordered to the front of QUERIES at import time. After
 # r11 the staleness distribution of newest driver rows was
-# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 3 new-in-r12
-# queries, ALL 37 r8 rows, and the first 10 alphabetical ORACLE-BACKED
+# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 4 new-in-r12
+# queries, ALL 37 r8 rows, and the first 9 alphabetical ORACLE-BACKED
 # r9 rows (approx_summary, the xxhash64 dedup trio are rows-only by
 # design and stay in the tail) — so after r12 no registry query's newest
-# driver row is older than r9 (the remaining 38 r9 rows rotate in r13).
+# driver row is older than r9 (the remaining 39 r9 rows rotate in r13).
 ROUND12_WINDOW: list[str] = [
-    # new-this-round (3): never driver-verified — new queries always
+    # new-this-round (4): never driver-verified — new queries always
     # outrank stale-but-unchanged ones. All oracle-backed and verified
     # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots.
     "knn_pq_indexed",
+    "knn_ivfpq_indexed",
     "bpe_encoded_fixed_merges",
     "gopher_line_rules_by_source",
     # newest driver rows: r8 (all 37)
@@ -505,8 +508,8 @@ ROUND12_WINDOW: list[str] = [
     "string_funcs_part",
     "union_by_name_accounts",
     "window_rank_stats",
-    # newest driver rows: r9 (first 10 alphabetical oracle-backed of 48;
-    # the remaining 38 rotate in r13)
+    # newest driver rows: r9 (first 9 alphabetical oracle-backed of 48;
+    # the remaining 39 rotate in r13)
     "asof_purchase_click",
     "asof_tolerance_click",
     "binned_range_join_bands",
@@ -516,7 +519,6 @@ ROUND12_WINDOW: list[str] = [
     "char_entropy_by_source",
     "data_quality_lineitem",
     "decontaminate_counts",
-    "dedup_clusters",
 ]
 
 _win = set(ROUND12_WINDOW)

@@ -1426,6 +1426,36 @@ SELECT q_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+def knn_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe over the PERSISTED composite index — the two
+    compounding scale cuts driver-verified end to end:
+    ``build_ivfpq_index`` writes the residual code table (32× smaller
+    than the raw vectors) hive-partitioned by ``list_id``, and
+    ``ivfpq_probe_indexed`` reads ONLY the probed list partitions of it
+    (no assignment, no encoding, no raw-vector IO in the probe plan).
+    Deterministic first-k seeding + exact int/double parquet round-trips
+    make the probe value-identical to one-shot ``ivfpq_topk``, so the
+    ``knn_ivfpq`` oracle replays this row verbatim."""
+    import tempfile
+    from pathlib import Path
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_probe_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = Path(tempfile.gettempdir()) / "spark_graft_idx"
+    path = str(base / f"ivfpq_{Path(sf_dir).name}")
+    build_ivfpq_index(emb, path)
+    return ivfpq_probe_indexed(spark, path)
+
+
+# indexed probe ≡ one-shot (frozen model through meta, exact parquet
+# round-trip), so the row replays on the one-shot oracle
+ORACLE_KNN_IVFPQ_INDEXED = ORACLE_KNN_IVFPQ
+
+
 _PQT_ITERS = 2
 
 

@@ -425,3 +425,32 @@ def test_sq8_codes_and_constant_dims(spark):
     assert got[2][0] == 64  # round(0.25*255) HALF_UP
     step = (hi[0] - lo[0]) / 255.0
     assert abs((got[2][0] * step + lo[0]) - 0.25) < 1e-2
+
+
+def test_ivfpq_indexed_probe_equals_one_shot(spark, tmp_path):
+    """build_ivfpq_index + ivfpq_probe_indexed must be value-identical
+    to one-shot ivfpq_topk on the same corpus: the model (first-k
+    centroids + frozen residual codebooks) round-trips meta parquet as
+    exact doubles, codes as exact ints, and both paths share the
+    _ivfpq_probe_plan arithmetic. Also pins the on-disk layout: codes
+    are hive-partitioned by list_id (the probe-pruning contract)."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_probe_indexed,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path)
+    one_shot = sorted(
+        (r.q_id, r.neighbor_id, r.adc_dist, r.rank)
+        for r in ivfpq_topk(emb).collect()
+    )
+    indexed = sorted(
+        (r.q_id, r.neighbor_id, r.adc_dist, r.rank)
+        for r in ivfpq_probe_indexed(spark, path).collect()
+    )
+    assert indexed == one_shot
+    parts = {p.name for p in (tmp_path / "ivfpq" / "codes").iterdir()}
+    assert any(p.startswith("list_id=") for p in parts)

@@ -72,6 +72,10 @@ SHOWCASE = [
     ("dsir_weights_by_source", "md5 gram buckets, broadcast B-row dlog table, partial-agg per-doc sums"),
     ("gopher_rules_by_source", "published ruleset as exact-integer column pass: zero joins, one agg exchange"),
     ("semdedup_ivf_summary", "pruned per-list pair scan over the persisted hive-partitioned index"),
+    # round-12 additions
+    ("knn_ivfpq_indexed", "partition-pruned codes-only scan, BroadcastHashJoin probe, LUT fold"),
+    ("bpe_encoded_fixed_merges", "BPE encode as a codegen replace chain: zero exchanges before the agg"),
+    ("gopher_line_rules_by_source", "planted multi-line reshape + line rules, all codegen, one agg exchange"),
 ]
 
 

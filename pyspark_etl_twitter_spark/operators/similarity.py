@@ -1140,6 +1140,7 @@ def ivf_index_append(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse_probe: int | None | str = "auto",
 ) -> None:
     """Incrementally add vectors to a persisted IVF index WITHOUT
     rebuilding: assign the new batch to the EXISTING centroids (broadcast
@@ -1151,28 +1152,47 @@ def ivf_index_append(
     IVF maintenance tradeoff: cheap appends between periodic rebuilds).
     NULL vectors are dropped (they cannot be assigned to a list and must
     not be written as corrupt entries); an all-NULL/empty batch appends
-    nothing."""
+    nothing.
+
+    ``coarse_probe="auto"`` mirrors ``build_ivf_index``: exact
+    assignment below ``IVF_TWO_LEVEL_AUTO_NLISTS`` (every existing
+    test/registry index — bit-unchanged), the two-level rung at p=2 at
+    or above it — an append against a tens-of-thousands-lists index
+    pays the same O(batch·k) assignment wall the build does, and the
+    same O(batch·√k) rung cuts it. ``None`` forces exact at any k; an
+    int picks the probe width (>= ⌈√k⌉ is bit-identical to exact, the
+    ``ivf_assignments`` exhaustive contract)."""
     centroids = spark.read.parquet(f"{path}/centroids")
+    crows = sorted(centroids.collect(), key=lambda r: r["list_id"])
+    if coarse_probe == "auto":
+        coarse_probe = (
+            IVF_TWO_LEVEL_AUTO_PROBE
+            if len(crows) >= IVF_TWO_LEVEL_AUTO_NLISTS
+            else None
+        )
     base = new_embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("emb"),
         l2_norm(F.col(vec_col)).alias("nrm"),
     )
-    joined = base.crossJoin(F.broadcast(centroids))
-    sim = dot(F.col("emb"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
-    assigned = (
-        joined.withColumn("_sim", sim)
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.desc("_sim"), F.asc("list_id")
-                )
-            ),
+    if coarse_probe is not None and len(crows) > 1:
+        assigned = _ivf_assign_two_level(base, crows, coarse_probe)
+    else:
+        joined = base.crossJoin(F.broadcast(centroids))
+        sim = dot(F.col("emb"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
+        assigned = (
+            joined.withColumn("_sim", sim)
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.desc("_sim"), F.asc("list_id")
+                    )
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+            .select("vec_id", "emb", "nrm", "list_id")
         )
-        .filter(F.col("_rk") == 1)
-        .select("vec_id", "emb", "nrm", "list_id")
-    )
     # conform to the EXISTING index schema before writing: a batch whose
     # vector type differs (array<double> vs the index's array<float>)
     # would otherwise produce mixed-type parquet files that fail
@@ -2061,6 +2081,55 @@ def ivfpq_probe_indexed(
         round_dp=round_dp,
         dsub=int(meta["dsub"]),
     )
+
+
+def ivfpq_index_append(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVF-PQ index WITHOUT
+    rebuilding: assign + residual-encode the batch against the FROZEN
+    model from meta (same zero-exchange codegen pass as the build —
+    codes from different centroids/codebooks are not comparable) and
+    append into the ``list_id``-partitioned codes layout. Probes see the
+    union immediately. Both drift clocks of the composite tick here —
+    centroids (IVF re-center) AND codebooks (PQ re-train); re-run
+    ``build_ivfpq_index`` on a schedule, the standard tradeoff. NULL
+    vectors are dropped (unassignable); idempotence comes from the
+    caller's checkpoint (streaming) or run discipline (batch), the
+    ``ivf_index_append``/``pq_code_table_append`` contract."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    cents = [[float(x) for x in c] for c in meta["cents"]]
+    books = [
+        [[float(v) for v in entry] for entry in sub] for sub in meta["books"]
+    ]
+    base = new_embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_emb")
+    )
+    encoded = _ivfpq_encode_plan(
+        base, cents, books, int(meta["m"]), int(meta["ksub"]), int(meta["dsub"])
+    )
+    # conform to the EXISTING codes schema before writing (mixed-type
+    # parquet guard — the ivf_index_append contract)
+    existing = {
+        f.name: f.dataType
+        for f in spark.read.parquet(f"{path}/codes").schema.fields
+    }
+    encoded = encoded.select(
+        *[
+            F.col(name).cast(dtype).alias(name)
+            for name, dtype in existing.items()
+        ]
+    )
+    encoded.write.mode("append").partitionBy("list_id").parquet(
+        f"{path}/codes"
+    )
+    # in-place append invalidates any cached file listing for the path
+    spark.catalog.refreshByPath(f"{path}/codes")
 
 
 

@@ -225,3 +225,39 @@ def streaming_pq_ingest(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def streaming_ivfpq_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    timeout_s: int = 120,
+) -> None:
+    """Streaming maintenance of a persisted IVF-PQ index
+    (`build_ivfpq_index`): every arriving embedding batch is assigned +
+    residual-encoded against the index's FROZEN model (meta) and
+    appended into the list_id-partitioned codes layout — probes see new
+    vectors as soon as their batch commits, and the appended rows are
+    32× smaller than the raw vectors that arrived. ``availableNow`` +
+    checkpoint give exactly-once file intake across scheduled runs (the
+    ``streaming_lsh_ingest`` contract); both composite drift clocks
+    (centroids AND codebooks) are answered by scheduled rebuilds, not by
+    the stream."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        ivfpq_index_append,
+    )
+
+    stream = spark.readStream.schema(EMBEDDINGS_STREAM_SCHEMA).json(src_dir)
+
+    def append_batch(batch_df: DataFrame, _epoch: int) -> None:
+        ivfpq_index_append(spark, index_path, batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

@@ -262,3 +262,95 @@ def test_pq_split_build_append_equals_full_build(spark, tmp_path):
     a = sorted((r.vec_id, tuple(r.codes)) for r in full_codes.collect())
     b = sorted((r.vec_id, tuple(r.codes)) for r in split_codes.collect())
     assert a == b
+
+
+def test_ivfpq_index_append_and_streaming_ingest(spark, tmp_path):
+    """IVF-PQ lifecycle: (1) a streamed batch containing an exact copy
+    of query 0's vector is assigned + residual-encoded against the
+    FROZEN model and becomes the probe's minimal-distance neighbor;
+    (2) a replay of the same source directory appends nothing; (3) the
+    appended rows conform to the existing codes schema."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_probe_indexed,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+    from pyspark_etl_twitter_spark.streaming.incremental import (
+        streaming_ivfpq_ingest,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path)
+    schema_before = spark.read.parquet(f"{path}/codes").schema
+    n0 = spark.read.parquet(f"{path}/codes").count()
+
+    q0 = emb.filter(F.col("vec_id") == 0).first()
+    src = tmp_path / "incoming"
+    src.mkdir()
+    planted = {
+        "vec_id": 9_000_000,
+        "embedding": [float(v) for v in q0["embedding"]],
+        "label": 0,
+    }
+    (src / "a.json").write_text(json.dumps(planted))
+    ckpt = str(tmp_path / "ckpt")
+    streaming_ivfpq_ingest(spark, str(src), path, ckpt)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == n0 + 1
+    assert codes.schema == schema_before
+
+    # identical vector -> identical list + codes -> its ADC distance is
+    # the query's own quantization residual, the minimal possible. At
+    # m=8/ksub=16 on random data MANY vectors share that minimal code
+    # distance (ties at 0.0) and the planted id is the LARGEST, so probe
+    # wide enough to cover the whole tie class and assert by distance.
+    top = ivfpq_probe_indexed(spark, path, n_queries=1, k=500)
+    rows = sorted(
+        ((r.adc_dist, r.neighbor_id, r.rank) for r in top.collect())
+    )
+    planted_rows = [r for r in rows if r[1] == 9_000_000]
+    assert planted_rows, rows[:10]
+    assert planted_rows[0][0] == rows[0][0]  # minimal ADC distance
+
+    streaming_ivfpq_ingest(spark, str(src), path, ckpt)  # replay = no-op
+    assert spark.read.parquet(f"{path}/codes").count() == n0 + 1
+
+
+def test_ivf_index_append_two_level_matches_exact(spark, tmp_path):
+    """ivf_index_append(coarse_probe>=n_coarse) is bit-identical to the
+    exact crossJoin+window append (same fold, same (sim DESC, list_id)
+    tie rule — the ivf_assignments exhaustive contract applied to the
+    append path), and the "auto" default stays exact below the
+    break-even threshold."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+
+    def appended(p, **kw):
+        build_ivf_index(old, p, n_lists=16)
+        ivf_index_append(spark, p, batch, **kw)
+        return {
+            (r.vec_id, r.list_id)
+            for r in spark.read.parquet(f"{p}/assignments")
+            .filter(F.col("vec_id") >= 400)
+            .collect()
+        }
+
+    exact = appended(str(tmp_path / "exact"), coarse_probe=None)
+    auto = appended(str(tmp_path / "auto"))  # k=16 < 80 -> exact path
+    exhaustive = appended(str(tmp_path / "exh"), coarse_probe=16)
+    assert auto == exact
+    assert exhaustive == exact

@@ -168,6 +168,7 @@ HEADLINE = [
     "knn_pq_indexed",  # persisted PQ code table: build + append + probe
     "knn_ivfpq_indexed",  # persisted IVF-PQ: partitioned codes, pruned probe
     "bpe_encoded_fixed_merges",  # codegen replace-chain BPE encode
+    "bpe_train_portable_merges",  # DISTRIBUTED BPE train, oracle-replayable
     "gopher_line_rules_by_source",  # line-shape rules on planted multi-line
 ]
 

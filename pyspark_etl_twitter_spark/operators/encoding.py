@@ -506,3 +506,110 @@ def hashed_embedding(
             F.col(id_col), F.coalesce("embedding", zeros).alias("embedding")
         )
     )
+
+
+def bpe_train_portable(
+    docs: DataFrame,
+    *,
+    n_merges: int = 12,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fully DISTRIBUTED BPE training — the word-frequency table never
+    leaves the cluster (unlike ``bpe_train``, whose merge loop collects
+    a capped word table to the driver). Fixed ``n_merges`` rounds, each
+    a pure relational stage, so the whole trajectory replays in ANSI SQL
+    (the ``kmeans_fit_portable`` discipline applied to tokenizer
+    training; `bpe_train_portable_merges` oracle):
+
+    1. words = one explode→groupBy word-count aggregate (the
+       ``build_vocab`` exchange shape), each word rendered as the
+       delimiter-framed symbol string of ``bpe_apply_fixed_expr``.
+    2. per round: adjacent symbol pairs explode with word-count weights
+       (narrow — the exchange carries distinct (x, y) pairs, bounded by
+       vocabulary); the argmax pair with the EXACT ``bpe_train`` tie
+       rule (count desc, then (x, y) lexicographic) reduces to ONE row
+       via ``min(struct(-cnt, x, y))`` — an always-one-row aggregate, so
+       an exhausted pair table yields a NULL best and the remaining
+       rounds are no-ops (the driver trainer's ``break``); the best pair
+       rides back over the words table as a 1-row broadcast (the
+       engine's bounded-BNLJ scalar pattern) and one engine-native
+       string replace fuses every occurrence (leftmost non-overlapping —
+       bit-equal to the trainer's in-place scan, same argument as
+       ``bpe_apply_fixed_expr``).
+    3. the words relation localCheckpoints every ``checkpoint_every``
+       rounds — it is vocabulary-bounded BY CONTRACT (distinct words,
+       never corpus rows), exactly the bounded frontier the engine's
+       lineage rule names.
+
+    Returns (rank, left, right) — the merge list itself, 1-indexed,
+    equal to ``bpe_train(docs, n_merges, max_words >= |vocab|)`` (pinned
+    in pytest). Ties, termination, and overlap semantics all match the
+    driver trainer."""
+    d = BPE_DELIM
+    words = (
+        docs.select(F.explode(ws_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.regexp_replace(
+                F.replace(F.col("w"), F.lit(d), F.lit("")), "(.)", f"{d}$1{d}"
+            ).alias("s"),
+            "c",
+        )
+    )
+    merges = None
+    for r in range(1, n_merges + 1):
+        syms = F.split(F.btrim(F.col("s"), F.lit(d)), f"{d}{d}")
+        n = F.size(syms)
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        pairs = words.select(
+            "c", F.col("s").alias("_s"), F.explode(idx).alias("i")
+        ).select(
+            "c",
+            F.element_at(
+                F.split(F.btrim(F.col("_s"), F.lit(d)), f"{d}{d}"), F.col("i")
+            ).alias("x"),
+            F.element_at(
+                F.split(F.btrim(F.col("_s"), F.lit(d)), f"{d}{d}"),
+                F.col("i") + 1,
+            ).alias("y"),
+        )
+        best = (
+            pairs.groupBy("x", "y")
+            .agg(F.sum("c").alias("cnt"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("x"), F.col("y")
+                    )
+                ).alias("b")
+            )
+            .select(F.col("b.x").alias("bx"), F.col("b.y").alias("by"))
+        )
+        words = words.crossJoin(F.broadcast(best)).select(
+            F.when(
+                F.col("bx").isNotNull(),
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit(d), F.col("bx"), F.lit(d + d), F.col("by"), F.lit(d)
+                    ),
+                    F.concat(F.lit(d), F.col("bx"), F.col("by"), F.lit(d)),
+                ),
+            )
+            .otherwise(F.col("s"))
+            .alias("s"),
+            "c",
+        )
+        step = best.select(
+            F.lit(r).alias("rank"),
+            F.col("bx").alias("left"),
+            F.col("by").alias("right"),
+        ).filter(F.col("left").isNotNull())
+        merges = step if merges is None else merges.unionByName(step)
+        if r % checkpoint_every == 0 and r < n_merges:
+            words = words.localCheckpoint()
+    return merges

@@ -196,6 +196,7 @@ QUERIES: dict[str, QueryFn] = {
     # was defined but unreachable)
     "bpe_tokens_by_source": T.bpe_tokens_by_source,
     "bpe_encoded_fixed_merges": T.bpe_encoded_fixed_merges,
+    "bpe_train_portable_merges": T.bpe_train_portable_merges,
     "dedup_segments_rebuild": T.dedup_segments_rebuild,
     "pricing_summary": R.pricing_summary,
     "revenue_by_nation": R.revenue_by_nation,
@@ -329,6 +330,7 @@ ORACLES: dict[str, str] = {
     "knn_pq_indexed": T.ORACLE_KNN_PQ_INDEXED,
     "knn_ivfpq_indexed": T.ORACLE_KNN_IVFPQ_INDEXED,
     "bpe_encoded_fixed_merges": T.ORACLE_BPE_ENCODED_FIXED_MERGES,
+    "bpe_train_portable_merges": T.ORACLE_BPE_TRAIN_PORTABLE_MERGES,
     "knn_pq_trained": T.ORACLE_KNN_PQ_TRAINED,
     "mmr_diversified_topk": T.ORACLE_MMR_DIVERSIFIED_TOPK,
     "knn_sq8": T.ORACLE_KNN_SQ8,
@@ -457,18 +459,19 @@ ORACLES: dict[str, str] = {
 # ROUND-12 WINDOW (r11 verdict ask #5): rotation stays DECLARATIVE — the
 # list below is reordered to the front of QUERIES at import time. After
 # r11 the staleness distribution of newest driver rows was
-# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 4 new-in-r12
-# queries, ALL 37 r8 rows, and the first 9 alphabetical ORACLE-BACKED
+# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 5 new-in-r12
+# queries, ALL 37 r8 rows, and the first 8 alphabetical ORACLE-BACKED
 # r9 rows (approx_summary, the xxhash64 dedup trio are rows-only by
 # design and stay in the tail) — so after r12 no registry query's newest
-# driver row is older than r9 (the remaining 39 r9 rows rotate in r13).
+# driver row is older than r9 (the remaining 40 r9 rows rotate in r13).
 ROUND12_WINDOW: list[str] = [
-    # new-this-round (4): never driver-verified — new queries always
+    # new-this-round (5): never driver-verified — new queries always
     # outrank stale-but-unchanged ones. All oracle-backed and verified
     # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots.
     "knn_pq_indexed",
     "knn_ivfpq_indexed",
     "bpe_encoded_fixed_merges",
+    "bpe_train_portable_merges",
     "gopher_line_rules_by_source",
     # newest driver rows: r8 (all 37)
     "dedup_clusters_minhash_portable",
@@ -508,8 +511,8 @@ ROUND12_WINDOW: list[str] = [
     "string_funcs_part",
     "union_by_name_accounts",
     "window_rank_stats",
-    # newest driver rows: r9 (first 9 alphabetical oracle-backed of 48;
-    # the remaining 39 rotate in r13)
+    # newest driver rows: r9 (first 8 alphabetical oracle-backed of 48;
+    # the remaining 40 rotate in r13)
     "asof_purchase_click",
     "asof_tolerance_click",
     "binned_range_join_bands",
@@ -518,7 +521,6 @@ ROUND12_WINDOW: list[str] = [
     "budget_selection_by_source",
     "char_entropy_by_source",
     "data_quality_lineitem",
-    "decontaminate_counts",
 ]
 
 _win = set(ROUND12_WINDOW)

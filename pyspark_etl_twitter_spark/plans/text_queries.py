@@ -2724,6 +2724,75 @@ GROUP BY d.source
 ORACLE_BPE_ENCODED_FIXED_MERGES = _bpe_fixed_oracle()
 
 
+BPE_TRAIN_N = 12
+
+
+def bpe_train_portable_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING fully distributed and fully hash-verified: the
+    12-round merge trajectory of ``bpe_train_portable`` — word-count
+    aggregate, per-round weighted adjacent-pair counts, argmax with the
+    exact (count desc, pair lexicographic) tie rule, 1-row broadcast
+    fuse — emitted AS the merge list (rank, left, right). DuckDB replays
+    all 12 rounds as chained CTEs with scalar-subquery argmaxes, so the
+    training loop itself (previously the engine's one driver-side
+    iterative op, rows-only as `bpe_tokens_by_source`) is now
+    oracle-verified end to end. Pinned equal to the driver trainer
+    ``bpe_train`` in pytest."""
+    from pyspark_etl_twitter_spark.operators.encoding import (
+        bpe_train_portable,
+    )
+
+    return bpe_train_portable(
+        _t(spark, sf_dir, "documents"), n_merges=BPE_TRAIN_N
+    )
+
+
+def _bpe_train_oracle(n_merges: int = BPE_TRAIN_N) -> str:
+    """The merge loop unrolled as n_merges chained CTE rounds: w{r} is
+    the framed word table after round r, b{r} the round's argmax pair
+    (LEFT JOIN ON TRUE so an exhausted pair table makes later rounds
+    no-ops, mirroring the trainer's break)."""
+    d = "chr(31)"
+    parts = [
+        f"""w0 AS (
+  SELECT regexp_replace(replace(w, {d}, ''), '(.)', {d} || '\\1' || {d}, 'g') AS s, c
+  FROM (
+    SELECT w, count(*) AS c FROM (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+      FROM documents) GROUP BY w)
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT pr.x AS x, pr.y AS y, c FROM (
+    SELECT unnest(list_transform(range(1, len(l)),
+                                 i -> {{'x': l[i], 'y': l[i + 1]}})) AS pr, c
+    FROM (SELECT string_split(trim(s, {d}), {d} || {d}) AS l, c FROM w{r - 1}))
+),
+b{r} AS (
+  SELECT x, y FROM (
+    SELECT x, y, sum(c) AS cnt FROM p{r} GROUP BY x, y)
+  ORDER BY cnt DESC, x, y LIMIT 1
+),
+w{r} AS (
+  SELECT CASE WHEN b.x IS NULL THEN w.s
+              ELSE replace(w.s, {d} || b.x || {d} || {d} || b.y || {d},
+                                {d} || b.x || b.y || {d}) END AS s, w.c
+  FROM w{r - 1} w LEFT JOIN b{r} b ON TRUE
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f'SELECT {r} AS rank, x AS "left", y AS "right" FROM b{r}'
+        for r in range(1, n_merges + 1)
+    )
+    return f"WITH {''.join(parts)}\n{unions}"
+
+
+ORACLE_BPE_TRAIN_PORTABLE_MERGES = _bpe_train_oracle()
+
+
 def gopher_rules_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021, A1.1) rolled up per source:
     doc counts, composite keeps, and per-rule failure counts — the

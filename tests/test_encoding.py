@@ -434,3 +434,43 @@ def test_bpe_merge_chain_validation_rejects_untrained_lists(spark):
         validate_bpe_merge_chain([(BPE_DELIM, "x")])
     # valid: multi-char sides appearing after their producing merge
     validate_bpe_merge_chain([("a", "b"), ("ab", "c"), ("c", "ab")])
+
+
+def test_bpe_train_portable_equals_driver_trainer(spark):
+    """The distributed trainer must reproduce the driver trainer's merge
+    list EXACTLY — same weighted pair counts, same (count desc, pair
+    lexicographic) tie rule, same leftmost non-overlapping fuse, same
+    early-termination semantics — on the real corpus AND on a planted
+    overlap corpus where within-word repeated pairs and pair exhaustion
+    both occur."""
+    from pyspark_etl_twitter_spark.operators.encoding import (
+        bpe_train,
+        bpe_train_portable,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = bpe_train(docs, n_merges=12, max_words=100_000)
+    got = [
+        (r["left"], r["right"])
+        for r in sorted(
+            bpe_train_portable(docs, n_merges=12).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert got == want
+
+    tricky = spark.createDataFrame(
+        [(1, "aaaa aa ab"), (2, "ab ab b"), (3, "")],
+        "doc_id long, text string",
+    )
+    # n_merges far beyond exhaustion: the portable trainer must emit
+    # exactly as many merges as the driver trainer (break == no-op tail)
+    want_t = bpe_train(tricky, n_merges=20, max_words=100_000)
+    got_t = [
+        (r["left"], r["right"])
+        for r in sorted(
+            bpe_train_portable(tricky, n_merges=20).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert got_t == want_t

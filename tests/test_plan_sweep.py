@@ -101,6 +101,11 @@ SKIP = {
     "text_semantic_dedup_survivors",  # CC executes during plan build
     "semdedup_ivf_summary",    # build_ivf_index writes the index during build
     "bpe_tokens_by_source",    # bpe_train's bounded vocab collect executes
+    "knn_pq_indexed",          # build_pq_code_table writes during build
+    "knn_ivfpq_indexed",       # build_ivfpq_index writes during build
+    "bpe_train_portable_merges",  # per-4-round localCheckpoints execute;
+                                  # its 1-row best-pair broadcast is the
+                                  # documented bounded-BNLJ scalar shape
 }
 
 

@@ -1103,3 +1103,95 @@ def semdedup_from_ivf(
     )
     dups = pairs.filter(F.round(cos, round_dp) >= threshold)
     return dups.select(F.col("b.vec_id").alias("vec_id")).distinct()
+
+
+# --------------------------------------------------------------------------
+# Cross-document duplicated-span REMOVAL (round 12)
+# --------------------------------------------------------------------------
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact-substring deduplication at n-gram granularity — the REMOVAL
+    companion to the ``repeated_ngram_spans`` diagnostic (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": cut the
+    duplicated substring out of every occurrence, don't drop the doc).
+
+    A token is removed iff it is covered by ANY word ``n``-gram that
+    appears in at least ``min_docs`` DISTINCT documents; adjacent and
+    overlapping duplicated n-grams therefore merge into maximal removed
+    spans, which is exactly the paper's maximal-match semantics with a
+    minimum match length of ``n`` tokens (their suffix-array ExactSubstr
+    is the single-node construction; the n-gram fingerprint + groupBy
+    form is the shuffle-native equivalent).
+
+    Returns one row per document: ``id_col``, ``keep_cols``,
+    ``n_tokens`` (before), ``tokens_removed``, and the rebuilt
+    ``text_col`` (surviving tokens re-joined with single spaces; a doc
+    that was entirely boilerplate rebuilds to the empty string).
+
+    Scale: the gram stream is |tokens| rows of (doc, start, 32-hex md5)
+    — the one big exchange, keyed on the fingerprint (counts are
+    aggregated, never pairs, so a licence block in half the corpus is a
+    skewed REDUCER, not a pair blowup; AQE splits it). The flagged-start
+    relation that returns to each doc is bounded by the doc's own gram
+    count, and the rebuild is a per-row higher-order filter — zero
+    Python end to end, so DuckDB replays every stage verbatim.
+    """
+    from pyspark_etl_twitter_spark.operators.textstats import ws_tokens
+
+    toks = ws_tokens(text_col)
+    sz = F.size(toks)
+    idx = F.when(
+        sz >= n, F.sequence(F.lit(0), (sz - n).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    gram_fp = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx, lambda i: F.struct(i.alias("start"), gram_fp(i).alias("fp"))
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.start").alias("start"), F.col("g.fp").alias("fp"))
+
+    dup_fps = (
+        grams.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("fp")
+    )
+    flagged_starts = (
+        grams.join(dup_fps, "fp")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("start")).alias("ss"))
+    )
+
+    joined = docs.join(flagged_starts, id_col, "left").withColumn(
+        "ss", F.coalesce(F.col("ss"), F.array().cast("array<int>"))
+    )
+    ss = F.col("ss")
+    kept = F.filter(
+        F.transform(
+            toks,
+            lambda x, p: F.when(
+                ~F.exists(ss, lambda s: (s <= p) & (p < s + n)), x
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return joined.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        sz.alias("n_tokens"),
+        (sz - F.size(kept)).cast("long").alias("tokens_removed"),
+        F.array_join(kept, " ").alias(text_col),
+    )

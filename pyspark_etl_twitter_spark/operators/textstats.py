@@ -621,3 +621,99 @@ def gopher_line_flags(
     return flags.withColumn(
         "kept", F.col("ok_bullet_lines") & F.col("ok_ellipsis_lines")
     )
+
+
+# --------------------------------------------------------------------------
+# C4 cleaning rules (round 12)
+# --------------------------------------------------------------------------
+
+#: C4 cleaning constants (Raffel et al. 2020, §2.2 — the public C4
+#: ruleset). A line is admitted only if it ends in terminal punctuation
+#: (the double quote is C4's closing-quote case), carries at least five
+#: words, and does not mention "javascript"; a page survives only with at
+#: least three sentences and with neither "lorem ipsum" nor a curly brace
+#: anywhere in the raw text.
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_LINE_BAD_TOKEN = "javascript"
+C4_DOC_LOREM = "lorem ipsum"
+C4_DOC_BRACE = "{"
+
+
+def c4_quality_flags(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, §2.2) as engine-portable
+    line + document flags — the sibling of ``gopher_quality_flags`` /
+    ``gopher_line_flags`` for the other canonical public web-curation
+    ruleset.
+
+    Line-level (a line is a non-empty segment of the newline split);
+    a line is KEPT iff ALL of:
+
+    - ends in terminal punctuation (``C4_TERMINAL_PUNCT``),
+    - has at least ``C4_MIN_LINE_WORDS`` whitespace words,
+    - does not contain ``"javascript"`` case-insensitively.
+
+    Document-level; a document is KEPT iff ALL of:
+
+    - the kept text carries at least ``C4_MIN_SENTENCES`` sentence-final
+      marks (``[.!?]`` occurrences in the kept lines — the portable
+      stand-in for C4's sentence splitter),
+    - the RAW text does not contain ``"lorem ipsum"`` (case-insensitive),
+    - the RAW text does not contain ``"{"`` (C4's code-page heuristic).
+
+    Emits per document: ``n_lines``, ``n_kept_lines``, per-rule line
+    failure counts (``n_fail_punct`` / ``n_fail_short`` / ``n_fail_js``
+    — a line may fail several), ``n_sentences``, the three document
+    flags, ``kept``, and ``kept_text`` (newline re-join of surviving
+    lines — the cleaned page downstream stages consume).
+
+    Scale: one narrow codegen pass over ``text`` (higher-order filters
+    + string ops), zero shuffle, zero Python; every rule is exact
+    integer/string arithmetic so DuckDB replays it verbatim.
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda ln: F.length(ln) > 0
+    )
+    wc = lambda ln: F.size(  # noqa: E731
+        F.filter(F.split(ln, " "), lambda t: t != F.lit(""))
+    )
+    ok_punct = lambda ln: F.substring(ln, -1, 1).isin(  # noqa: E731
+        *C4_TERMINAL_PUNCT
+    )
+    ok_short = lambda ln: wc(ln) >= C4_MIN_LINE_WORDS  # noqa: E731
+    ok_js = lambda ln: (  # noqa: E731
+        F.instr(F.lower(ln), C4_LINE_BAD_TOKEN) == 0
+    )
+    kept_line = lambda ln: ok_punct(ln) & ok_short(ln) & ok_js(ln)  # noqa: E731
+
+    kept_lines = F.filter(lines, kept_line)
+    kept_text = F.array_join(kept_lines, "\n")
+    n_sentences = F.length(kept_text) - F.length(
+        F.regexp_replace(kept_text, "[.!?]", "")
+    )
+    raw_low = F.lower(F.col(text_col))
+    flags = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.size(lines).alias("n_lines"),
+        F.size(kept_lines).alias("n_kept_lines"),
+        F.size(F.filter(lines, lambda ln: ~ok_punct(ln))).alias("n_fail_punct"),
+        F.size(F.filter(lines, lambda ln: ~ok_short(ln))).alias("n_fail_short"),
+        F.size(F.filter(lines, lambda ln: ~ok_js(ln))).alias("n_fail_js"),
+        n_sentences.alias("n_sentences"),
+        (n_sentences >= C4_MIN_SENTENCES).alias("ok_sentences"),
+        (F.instr(raw_low, C4_DOC_LOREM) == 0).alias("ok_lorem"),
+        (F.instr(F.col(text_col), C4_DOC_BRACE) == 0).alias("ok_brace"),
+        kept_text.alias("kept_text"),
+    )
+    return flags.withColumn(
+        "kept",
+        F.col("ok_sentences") & F.col("ok_lorem") & F.col("ok_brace"),
+    )

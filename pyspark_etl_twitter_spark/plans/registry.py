@@ -190,6 +190,9 @@ QUERIES: dict[str, QueryFn] = {
     # Gopher quality rules (r11): exact-integer published ruleset
     "gopher_rules_by_source": T.gopher_rules_by_source,
     "gopher_line_rules_by_source": T.gopher_line_rules_by_source,
+    # C4 cleaning rules (r12): the other canonical public web-curation
+    # ruleset (Raffel et al. 2020 §2.2), planted multi-line fixture
+    "c4_rules_by_source": T.c4_rules_by_source,
     # BPE train+encode: rows-only by design (iterative merge loop — no
     # tractable recursive CTE); equality vs a brute-force trainer over
     # the expanded corpus pinned in tests/test_encoding.py (r10 ADVICE:
@@ -198,6 +201,9 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_encoded_fixed_merges": T.bpe_encoded_fixed_merges,
     "bpe_train_portable_merges": T.bpe_train_portable_merges,
     "dedup_segments_rebuild": T.dedup_segments_rebuild,
+    # Exact-substring dedup REMOVAL (r12, Lee et al. 2022): cut tokens
+    # covered by cross-doc duplicated 8-grams; planted boilerplate fixture
+    "dedup_span_removal_by_source": T.dedup_span_removal_by_source,
     "pricing_summary": R.pricing_summary,
     "revenue_by_nation": R.revenue_by_nation,
     "bucketed_join_revenue": B.bucketed_join_revenue,
@@ -387,7 +393,9 @@ ORACLES: dict[str, str] = {
     "dsir_gumbel_counts": CQ.ORACLE_DSIR_GUMBEL_COUNTS,
     "gopher_rules_by_source": T.ORACLE_GOPHER_RULES_BY_SOURCE,
     "gopher_line_rules_by_source": T.ORACLE_GOPHER_LINE_RULES_BY_SOURCE,
+    "c4_rules_by_source": T.ORACLE_C4_RULES_BY_SOURCE,
     "dedup_segments_rebuild": T.ORACLE_DEDUP_SEGMENTS_REBUILD,
+    "dedup_span_removal_by_source": T.ORACLE_DEDUP_SPAN_REMOVAL_BY_SOURCE,
     "semantic_dedup_survivors": AQ.ORACLE_SEMANTIC_DEDUP_SURVIVORS,
     "tpch_q3_shipping_priority": H.ORACLE_TPCH_Q3,
     "tpch_q4_order_priority": H.ORACLE_TPCH_Q4,

@@ -2979,3 +2979,292 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(CASE WHEN okb AND oke THEN 1 END) AS BIGINT) AS n_kept
 FROM g GROUP BY source
 """
+
+
+def c4_rules_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, §2.2) exercised END TO END
+    on a PLANTED multi-line fixture — the C4 sibling of
+    ``gopher_line_rules_by_source``: the single-line corpus is reshaped
+    into 7-token lines and deterministically decorated so every rule
+    genuinely discriminates —
+
+    - terminal ``.`` appended when ``md5_u32(doc:i:'p') % 10 < 6``
+      (~60% of lines pass the punctuation rule),
+    - the token ``javascript`` injected when ``md5_u32(doc:i:'j') % 13
+      == 0`` (those lines fail the javascript rule),
+    - a ``lorem ipsum dolor`` line appended when ``md5_u32(doc:'lor') %
+      23 == 0`` (the document fails the lorem rule),
+    - a ``{ code }`` line appended when ``md5_u32(doc:'brc') % 29 == 0``
+      (the document fails the brace rule),
+    - each document's 7-token framing leaves a short tail line
+      (< 5 words whenever ``n % 7`` is 1-4), exercising the word-count
+      rule without extra decoration.
+
+    The decorated text is fed through ``c4_quality_flags`` (the real
+    operator) and aggregated per source. Every stage is the portable
+    md5 idiom + string ops, so DuckDB replays construction AND rules
+    exactly."""
+    from pyspark_etl_twitter_spark.operators.textstats import (
+        c4_quality_flags,
+        ws_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    n = F.size(toks)
+    w = F.lit(_GLINE_W)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), F.floor((n - 1) / w).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    lines0 = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, _GLINE_W))
+    )
+
+    def _mark(tag: str, i=None):
+        parts = [F.col("doc_id").cast("string")]
+        if i is not None:
+            parts.append(i.cast("string"))
+        parts.append(F.lit(tag))
+        return (
+            F.conv(F.substring(F.md5(F.concat_ws(":", *parts)), 1, 8), 16, 10)
+            .cast("bigint")
+        )
+
+    deco = F.transform(
+        lines0,
+        lambda x, i: F.concat(
+            x,
+            F.when(_mark("j", i) % 13 == 0, F.lit(" javascript")).otherwise(
+                F.lit("")
+            ),
+            F.when(_mark("p", i) % 10 < 6, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    with_doc_lines = F.concat(
+        deco,
+        F.when(
+            _mark("lor") % 23 == 0, F.array(F.lit("lorem ipsum dolor"))
+        ).otherwise(F.array().cast("array<string>")),
+        F.when(_mark("brc") % 29 == 0, F.array(F.lit("{ code }"))).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    reshaped = docs.select(
+        "doc_id", "source", F.array_join(with_doc_lines, "\n").alias("text")
+    )
+    flags = c4_quality_flags(reshaped, keep_cols=("source",))
+    nfail = lambda c: F.sum((~F.col(c)).cast("long"))  # noqa: E731
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines").cast("long").alias("lines_total"),
+        F.sum("n_kept_lines").cast("long").alias("lines_kept"),
+        F.sum("n_fail_punct").cast("long").alias("fail_punct"),
+        F.sum("n_fail_short").cast("long").alias("fail_short"),
+        F.sum("n_fail_js").cast("long").alias("fail_js"),
+        nfail("ok_sentences").alias("fail_sentences"),
+        nfail("ok_lorem").alias("fail_lorem"),
+        nfail("ok_brace").alias("fail_brace"),
+        F.sum(F.col("kept").cast("long")).alias("docs_kept"),
+        F.sum(F.length("kept_text")).cast("long").alias("kept_chars"),
+    )
+
+
+_C4_MD5 = (
+    "('0x' || substr(md5(doc_id::VARCHAR || {parts}), 1, 8))::BIGINT"
+)
+
+
+ORACLE_C4_RULES_BY_SOURCE = f"""
+WITH tokd AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, source,
+         CASE WHEN len(t) > 0 THEN
+           list_transform(range(0, CAST(floor((len(t) - 1) / {_GLINE_W}) AS BIGINT) + 1),
+             i -> array_to_string(t[i * {_GLINE_W} + 1 : i * {_GLINE_W} + {_GLINE_W}], ' '))
+         ELSE [] END AS lines0
+  FROM tokd
+),
+deco AS (
+  SELECT doc_id, source,
+         list_transform(range(0, len(lines0)), i ->
+           lines0[i + 1]
+           || (CASE WHEN {_C4_MD5.format(parts="':' || i::VARCHAR || ':j'")} % 13 = 0
+                 THEN ' javascript' ELSE '' END)
+           || (CASE WHEN {_C4_MD5.format(parts="':' || i::VARCHAR || ':p'")} % 10 < 6
+                 THEN '.' ELSE '' END)
+         )
+         || (CASE WHEN {_C4_MD5.format(parts="':lor'")} % 23 = 0
+               THEN ['lorem ipsum dolor'] ELSE [] END)
+         || (CASE WHEN {_C4_MD5.format(parts="':brc'")} % 29 = 0
+               THEN ['{{ code }}'] ELSE [] END)
+         AS lines
+  FROM ln
+),
+txt AS (
+  SELECT source,
+         list_filter(lines, l -> len(l) > 0) AS nlines,
+         array_to_string(lines, chr(10)) AS text
+  FROM deco
+),
+r AS (
+  SELECT source, len(nlines) AS n_lines,
+         list_filter(nlines, l ->
+             right(l, 1) IN ('.', '!', '?', '"')
+             AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+             AND position('javascript' IN lower(l)) = 0) AS kept_lines,
+         len(list_filter(nlines, l ->
+             NOT (right(l, 1) IN ('.', '!', '?', '"')))) AS fp,
+         len(list_filter(nlines, l ->
+             NOT (len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5))) AS fs,
+         len(list_filter(nlines, l ->
+             NOT (position('javascript' IN lower(l)) = 0))) AS fj,
+         (position('lorem ipsum' IN lower(text)) = 0) AS okl,
+         (position('{{' IN text) = 0) AS okb
+  FROM txt
+),
+h AS (
+  SELECT source, n_lines, len(kept_lines) AS n_kept_lines, fp, fs, fj,
+         okl, okb,
+         length(coalesce(array_to_string(kept_lines, chr(10)), ''))
+           - length(regexp_replace(coalesce(array_to_string(kept_lines, chr(10)), ''), '[.!?]', '', 'g')) AS n_sent,
+         length(coalesce(array_to_string(kept_lines, chr(10)), '')) AS kept_chars
+  FROM r
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_lines) AS BIGINT) AS lines_total,
+       CAST(sum(n_kept_lines) AS BIGINT) AS lines_kept,
+       CAST(sum(fp) AS BIGINT) AS fail_punct,
+       CAST(sum(fs) AS BIGINT) AS fail_short,
+       CAST(sum(fj) AS BIGINT) AS fail_js,
+       CAST(count(CASE WHEN NOT (n_sent >= 3) THEN 1 END) AS BIGINT) AS fail_sentences,
+       CAST(count(CASE WHEN NOT okl THEN 1 END) AS BIGINT) AS fail_lorem,
+       CAST(count(CASE WHEN NOT okb THEN 1 END) AS BIGINT) AS fail_brace,
+       CAST(count(CASE WHEN (n_sent >= 3) AND okl AND okb THEN 1 END) AS BIGINT) AS docs_kept,
+       CAST(sum(kept_chars) AS BIGINT) AS kept_chars
+FROM h GROUP BY source
+"""
+
+
+#: planted boilerplate blocks for the span-removal fixture — both at least
+#: ``_SPAN_N`` tokens so their interior n-grams are cross-doc duplicates
+_SPAN_N = 8
+_SPAN_HDR = "copyright notice all rights reserved this text is provided as is"
+_SPAN_FTR = "generated by the synthetic corpus pipeline for benchmark use"
+
+
+def dedup_span_removal_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL (Lee et al. 2022) end to end on a
+    planted-boilerplate fixture: a 12-token licence header is prepended
+    when ``md5_u32(doc:'hdr') % 4 == 0`` and a 10-token footer appended
+    when ``md5_u32(doc:'ftr') % 5 == 0``, then
+    ``remove_duplicated_spans(n=8, min_docs=2)`` cuts every token
+    covered by an 8-gram shared across >= 2 documents — the planted
+    blocks vanish (their interior grams repeat corpus-wide; the grams
+    bridging into the unique body do not, so the cut is exactly the
+    block), while natural cross-doc 8-grams, if any, are removed
+    symmetrically in Spark and the oracle. Emits per-source totals plus
+    an md5-u32 content fingerprint sum of the rebuilt texts, so the
+    hash check pins the REBUILT BYTES, not just the counters."""
+    from pyspark_etl_twitter_spark.operators.dedup import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _mark(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("doc_id").cast("string"), F.lit(tag)
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        )
+
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ",
+            F.when(_mark("hdr") % 4 == 0, F.lit(_SPAN_HDR)).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(_mark("ftr") % 5 == 0, F.lit(_SPAN_FTR)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    cleaned = remove_duplicated_spans(
+        planted, n=_SPAN_N, min_docs=2, keep_cols=("source",)
+    )
+    fp = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("bigint")
+    return cleaned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("tokens_removed") > 0).cast("long")).alias("docs_modified"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum("tokens_removed").cast("long").alias("tokens_removed"),
+        F.sum(fp).alias("fp_sum"),
+    )
+
+
+ORACLE_DEDUP_SPAN_REMOVAL_BY_SOURCE = f"""
+WITH planted AS (
+  SELECT doc_id, source,
+         concat_ws(' ',
+           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':hdr'), 1, 8))::BIGINT % 4 = 0
+                THEN '{_SPAN_HDR}' ELSE '' END,
+           text,
+           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':ftr'), 1, 8))::BIGINT % 5 = 0
+                THEN '{_SPAN_FTR}' ELSE '' END) AS text
+  FROM documents
+),
+tokd AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM planted
+),
+g AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(t[i + 1 : i + {_SPAN_N}], ' ')) AS fp
+  FROM tokd, UNNEST(range(0, greatest(len(t) - {_SPAN_N} + 1, 0))) AS u(i)
+),
+dup AS (SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+fstarts AS (
+  SELECT doc_id, list(start ORDER BY start) AS ss
+  FROM g WHERE fp IN (SELECT fp FROM dup) GROUP BY doc_id
+),
+r AS (
+  SELECT t.doc_id, t.source, t.t,
+         coalesce(f.ss, CAST([] AS BIGINT[])) AS ss
+  FROM tokd t LEFT JOIN fstarts f USING (doc_id)
+),
+reb AS (
+  SELECT doc_id, source, len(t) AS n_tokens,
+         list_filter(
+           list_transform(range(0, len(t)), p ->
+             CASE WHEN len(list_filter(ss, s -> s <= p AND p < s + {_SPAN_N})) = 0
+                  THEN t[p + 1] END),
+           x -> x IS NOT NULL) AS kept
+  FROM r
+),
+fin AS (
+  SELECT source, n_tokens,
+         n_tokens - len(kept) AS tokens_removed,
+         coalesce(array_to_string(kept, ' '), '') AS new_text
+  FROM reb
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN tokens_removed > 0 THEN 1 END) AS BIGINT) AS docs_modified,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(sum(tokens_removed) AS BIGINT) AS tokens_removed,
+       CAST(sum(('0x' || substr(md5(new_text), 1, 8))::BIGINT) AS BIGINT) AS fp_sum
+FROM fin GROUP BY source
+"""

@@ -866,3 +866,54 @@ def test_semdedup_precollapse_equals_plain(spark):
         for r in semdedup_drop_ids_precollapsed(real, rcents, threshold=0.3).collect()
     }
     assert plain == fast and plain
+
+
+def test_remove_duplicated_spans_semantics(spark):
+    """Exact-substring removal (Lee et al. 2022, n-gram form) on a
+    hand-planted fixture: a shared block is cut from every occurrence
+    and only the block (boundary grams into unique text don't leak);
+    overlapping duplicated grams merge to one maximal span; within-doc
+    repetition alone does NOT trigger removal (min_docs counts DISTINCT
+    documents); sub-n docs are untouched; an all-boilerplate doc
+    rebuilds to the empty string."""
+    from pyspark_etl_twitter_spark.operators.dedup import remove_duplicated_spans
+
+    block = "b1 b2 b3 b4"  # shared 4-token block, n=4
+    docs = spark.createDataFrame(
+        [
+            (0, f"u01 u02 {block} u03 u04"),
+            (1, f"v01 {block} v02 v03 v04"),
+            # within-doc repeated gram, unique to this doc -> kept
+            (2, "w01 r1 r2 r3 r4 w02 r1 r2 r3 r4 w03"),
+            # shorter than n -> no grams, untouched
+            (3, "x01 x02 x03"),
+            # doc that is nothing but the shared block
+            (4, block),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(docs, n=4, min_docs=2).collect()
+    }
+    assert out[0].text == "u01 u02 u03 u04" and out[0].tokens_removed == 4
+    assert out[1].text == "v01 v02 v03 v04" and out[1].tokens_removed == 4
+    assert out[2].text == "w01 r1 r2 r3 r4 w02 r1 r2 r3 r4 w03"
+    assert out[2].tokens_removed == 0
+    assert out[3].text == "x01 x02 x03" and out[3].tokens_removed == 0
+    assert out[4].text == "" and out[4].tokens_removed == 4
+
+    # overlapping duplicated grams merge into one maximal span: two docs
+    # share a 6-token run; with n=4 the three covering grams overlap and
+    # the whole 6-token run is removed from both
+    run = "s1 s2 s3 s4 s5 s6"
+    docs2 = spark.createDataFrame(
+        [(0, f"a1 {run} a2"), (1, f"b1 b2 {run}")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(docs2, n=4, min_docs=2).collect()
+    }
+    assert out2[0].text == "a1 a2" and out2[0].tokens_removed == 6
+    assert out2[1].text == "b1 b2" and out2[1].tokens_removed == 6

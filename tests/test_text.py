@@ -268,3 +268,49 @@ def test_gopher_line_flags_rules(spark):
     assert got[3].ok_bullet_lines and not got[3].ok_ellipsis_lines
     assert got[4].n_lines == 2 and got[4].kept
     assert got[5].n_lines == 0 and got[5].kept
+
+
+def test_c4_quality_flags_rules(spark):
+    """C4 cleaning rules (Raffel et al. 2020, §2.2) on a hand-planted
+    fixture: each line rule (terminal punctuation, >=5 words, no
+    'javascript') and each document rule (>=3 sentences, no 'lorem
+    ipsum', no '{') verified at its boundary, plus kept_text rebuild."""
+    from pyspark_etl_twitter_spark.operators.textstats import c4_quality_flags
+
+    good = "alpha beta gamma delta epsilon."  # 5 words, terminal .
+    docs = spark.createDataFrame(
+        [
+            # 3 good lines -> kept (3 sentences)
+            (0, "\n".join([good] * 3)),
+            # 2 good lines -> fails the sentence rule
+            (1, "\n".join([good] * 2)),
+            # line rules: no terminal punct / short / javascript
+            (2, "\n".join([
+                "alpha beta gamma delta epsilon",   # no punct
+                "one two three four.",              # 4 words
+                "alpha beta gamma JavaScript epsilon.",  # js, case-insens
+                good, good, good,
+            ])),
+            # exclamation/question/quote all count as terminal
+            (3, "a b c d e!\nf g h i j?\nk l m n \"o.\""),
+            # lorem ipsum anywhere in RAW text kills the doc
+            (4, "\n".join([good] * 3) + "\nLorem Ipsum dolor sit amet."),
+            # brace anywhere in RAW text kills the doc
+            (5, "\n".join([good] * 3) + "\nvar x = { 1 }"),
+            # empty doc: no lines, 0 sentences -> dropped
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in c4_quality_flags(docs).collect()}
+    assert got[0].kept and got[0].n_kept_lines == 3 and got[0].n_sentences == 3
+    assert got[0].kept_text == "\n".join([good] * 3)
+    assert not got[1].kept and got[1].ok_lorem and got[1].ok_brace
+    r2 = got[2]
+    assert r2.n_lines == 6 and r2.n_kept_lines == 3
+    assert r2.n_fail_punct == 1 and r2.n_fail_short == 1 and r2.n_fail_js == 1
+    assert r2.kept  # 3 kept sentences survive
+    assert got[3].n_kept_lines == 3 and got[3].kept
+    assert not got[4].kept and not got[4].ok_lorem and got[4].ok_sentences
+    assert not got[5].kept and not got[5].ok_brace
+    assert not got[6].kept and got[6].n_lines == 0 and got[6].n_sentences == 0

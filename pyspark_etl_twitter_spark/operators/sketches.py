@@ -166,3 +166,99 @@ def hll_estimate(
         (raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
     ).otherwise(raw)
     return agg.select(*gcols, F.round(est, 4).alias("hll_distinct"))
+
+
+# --------------------------------------------------------------------------
+# PORTABLE Count-Min Sketch twin (round 12): the xxhash64 ``cms_build`` /
+# ``cms_estimate`` above stay the production default (JVM hash, fastest),
+# but their row hashes are not ANSI-SQL-expressible, so that family is
+# rows-only for the driver. These md5-derived twins replay verbatim in
+# DuckDB — the same twin precedent as ``approx_distinct_portable`` for
+# HLL and the md5 MinHash/SimHash family — making the FREQUENCY sketch
+# tier hash-verifiable end to end. Same mergeability contract: sum
+# matching (group, row, bucket) cells.
+# --------------------------------------------------------------------------
+
+#: portable CMS dimensions: depth 4 rows × width 1024 buckets. Error
+#: bound: est - true <= e/width · N with prob 1 - e^-depth ≈ 0.98.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(value: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Row ``row``'s bucket for ``value``: md5-u32 of "row:value" mod
+    width — independent-enough hash rows from one digest family, and
+    byte-identical in DuckDB."""
+    h = F.md5(F.concat_ws(":", F.lit(str(row)), value.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+    ).alias("bucket")
+
+
+def cms_portable_build(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    weight_col: str | None = None,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Counter relation (group..., row, bucket, cnt): each input row adds
+    its weight (default 1) to one bucket per hash row. One union of
+    ``CMS_DEPTH`` narrow projections + one hash agg; output is at most
+    groups · depth · width rows regardless of input size, map-side
+    combinable. Merge sketches by unioning relations and re-summing on
+    (group, row, bucket)."""
+    gcols = list(group_cols or [])
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    parts = [
+        df.select(
+            *gcols,
+            F.lit(r).alias("row"),
+            _cms_bucket(F.col(value_col), r, width),
+            w.alias("_w"),
+        )
+        for r in range(depth)
+    ]
+    from functools import reduce
+
+    stacked = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        stacked.groupBy(*gcols, "row", "bucket")
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+    )
+
+
+def cms_portable_lookup(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point estimates for ``items``: est = min over hash rows of the
+    row's bucket counter (missing counters are 0). The items relation is
+    exploded to its depth probes and joined on (group, row, bucket) —
+    a broadcast-able probe when items are a candidate list, which is the
+    intended use (CMS answers point queries, it does not enumerate).
+    Returns (group..., item, cms_est) with the one-sided guarantee
+    cms_est >= true count."""
+    gcols = list(group_cols or [])
+    probes = None
+    for r in range(depth):
+        p = items.select(
+            *gcols,
+            F.col(item_col).alias("item"),
+            F.lit(r).alias("row"),
+            _cms_bucket(F.col(item_col), r, width),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    joined = probes.join(sketch, gcols + ["row", "bucket"], "left").select(
+        *gcols, "item", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(*gcols, "item").agg(
+        F.min("cnt").cast("long").alias("cms_est")
+    )

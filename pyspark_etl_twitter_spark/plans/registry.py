@@ -69,6 +69,9 @@ QUERIES: dict[str, QueryFn] = {
     "quality_lr_scores_by_source": T.quality_lr_scores_by_source,
     "pagerank_suppliers": GQ.pagerank_suppliers,
     "approx_distinct_portable": R2.approx_distinct_portable,
+    # portable CMS twin (r12): frequency-sketch tier hash-verified, the
+    # HLL-twin precedent extended to point-queryable counts
+    "cms_heavy_hitters": R2.cms_heavy_hitters,
     "dedup_simhash_portable": T.dedup_simhash_portable,
     "dedup_simhash_portable_pairs": T.dedup_simhash_portable_pairs,
     "dedup_clusters_simhash_portable": T.dedup_clusters_simhash_portable,
@@ -344,6 +347,7 @@ ORACLES: dict[str, str] = {
     "quality_lr_scores_by_source": T.ORACLE_QUALITY_LR_SCORES_BY_SOURCE,
     "pagerank_suppliers": GQ.ORACLE_PAGERANK_SUPPLIERS,
     "approx_distinct_portable": R2.ORACLE_APPROX_DISTINCT_PORTABLE,
+    "cms_heavy_hitters": R2.ORACLE_CMS_HEAVY_HITTERS,
     # dedup_minhash_pairs / dedup_simhash_fingerprints: xxhash64 → rows-only
     "dedup_clusters": T.ORACLE_DEDUP_CLUSTERS,
     # dedup_clusters_minhash: xxhash64-seeded pairs → rows-only

@@ -968,3 +968,76 @@ SELECT a.grp AS l_returnflag,
        e.exact_distinct
 FROM agg a JOIN ex e USING (grp)
 """
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE Count-Min Sketch (Cormode & Muthukrishnan 2005) heavy
+    hitters: sketch the documents token stream into a 4×1024 md5-bucket
+    counter relation, then point-estimate the top-20 exact tokens —
+    each row shows exact count, CMS estimate (one-sided: est >= exact),
+    and rank. The HLL-twin precedent extended to the FREQUENCY sketch
+    tier: every stage (hashing, counters, min-over-rows) replays in
+    DuckDB, so the sketch math itself is hash-verified."""
+    from pyspark_etl_twitter_spark.operators.sketches import (
+        cms_portable_build,
+        cms_portable_lookup,
+    )
+    from pyspark_etl_twitter_spark.operators.textstats import ws_tokens
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(ws_tokens("text")).alias("token"))
+    sketch = cms_portable_build(tok, "token")
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # vocab-bounded relation -> the single-partition rank window is a
+    # bounded frontier, not a corpus sort
+    top = (
+        exact.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_cnt").desc(), "token")
+            ),
+        )
+        .filter(F.col("rank") <= 20)
+    )
+    est = cms_portable_lookup(sketch, top.select("token"), "token").withColumnRenamed(
+        "item", "token"
+    )
+    return top.join(est, "token").select(
+        "token",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        "cms_est",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+ORACLE_CMS_HEAVY_HITTERS = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+rows_(r) AS (VALUES (0), (1), (2), (3)),
+hashed AS (
+  SELECT r,
+         ('0x' || substr(md5(r::VARCHAR || ':' || token), 1, 8))::BIGINT % 1024 AS bucket
+  FROM tok CROSS JOIN rows_
+),
+sketch AS (SELECT r, bucket, count(*) AS cnt FROM hashed GROUP BY r, bucket),
+exact AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY token),
+top AS (
+  SELECT token, exact_cnt,
+         row_number() OVER (ORDER BY exact_cnt DESC, token) AS rank
+  FROM exact QUALIFY rank <= 20
+),
+probe AS (
+  SELECT t.token, t.exact_cnt, t.rank, s.cnt
+  FROM top t CROSS JOIN rows_ r2
+  JOIN sketch s
+    ON s.r = r2.r
+   AND s.bucket = ('0x' || substr(md5(r2.r::VARCHAR || ':' || t.token), 1, 8))::BIGINT % 1024
+)
+SELECT token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(min(cnt) AS BIGINT) AS cms_est,
+       CAST(rank AS INTEGER) AS rank
+FROM probe GROUP BY token, exact_cnt, rank
+"""

@@ -180,3 +180,68 @@ def test_hll_duplicates_are_free(spark):
     e1 = hll_estimate(hll_registers(df, "v")).first()["hll_distinct"]
     e3 = hll_estimate(hll_registers(dup, "v")).first()["hll_distinct"]
     assert e1 == e3
+
+
+def test_cms_portable_point_estimates_and_overestimate(spark):
+    """Portable-twin CMS invariants: with a roomy sketch the estimate is exact; with a
+    deliberately tiny width, collisions only ever INFLATE (one-sided
+    est >= true, never under); weighted builds count weights."""
+    from pyspark_etl_twitter_spark.operators.sketches import (
+        cms_portable_build,
+        cms_portable_lookup,
+    )
+
+    rows = [(f"k{i % 7}",) for i in range(70)] + [("hot",)] * 30
+    df = spark.createDataFrame(rows, "v string")
+    items = df.select("v").distinct()
+
+    exact = {r.v: 10 for r in items.collect()}
+    exact["hot"] = 30
+
+    sketch = cms_portable_build(df, "v")
+    got = {
+        r.item: r.cms_est for r in cms_portable_lookup(sketch, items, "v").collect()
+    }
+    assert got == exact  # 8 keys in 4x1024 -> collision-free, exact
+
+    tiny = cms_portable_build(df, "v", depth=2, width=3)
+    got_tiny = {
+        r.item: r.cms_est
+        for r in cms_portable_lookup(tiny, items, "v", depth=2, width=3).collect()
+    }
+    assert all(got_tiny[k] >= exact[k] for k in exact)  # one-sided
+    assert sum(got_tiny.values()) > sum(exact.values())  # 8 keys in 3 buckets MUST collide
+
+    wdf = spark.createDataFrame([("a", 5), ("a", 7), ("b", 1)], "v string, w int")
+    ws = cms_portable_build(wdf, "v", weight_col="w")
+    west = {
+        r.item: r.cms_est
+        for r in cms_portable_lookup(ws, wdf.select("v").distinct(), "v").collect()
+    }
+    assert west == {"a": 12, "b": 1}
+
+
+def test_cms_portable_shard_merge_equals_global_build(spark):
+    """The property that matters on 1000 executors: per-shard sketches
+    merged by (row, bucket) SUM are bit-identical to the one-pass global
+    sketch."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.sketches import (
+        cms_portable_build,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 37).cast("string").alias("v"),
+        (F.col("id") % 2).alias("shard"),
+    )
+    global_sk = {
+        (r.row, r.bucket): r.cnt for r in cms_portable_build(df, "v").collect()
+    }
+    shard_sk = (
+        cms_portable_build(df, "v", group_cols=["shard"])
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    merged = {(r.row, r.bucket): r.cnt for r in shard_sk.collect()}
+    assert merged == global_sk

@@ -81,3 +81,94 @@ def robust_outliers(
     return dev.join(F.broadcast(mad), group_cols).withColumn(
         "is_outlier", F.col("_adev") > k * F.col("_mad")
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test (round 12)
+# --------------------------------------------------------------------------
+
+#: asymptotic KS critical coefficient at alpha = 0.05:
+#: D_crit = 1.358 · sqrt((n_a + n_b) / (n_a · n_b))
+KS_C_ALPHA_05 = 1.358
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    b_flag_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    round_dp: int = 0,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the rows
+    where ``b_flag_col`` is false (sample A) and true (sample B) — the
+    distribution-drift check a corpus pipeline runs between snapshots,
+    sources, or time slices (did the price/length/score distribution
+    move, not just its mean?).
+
+    D = max over values v of |ECDF_A(v) - ECDF_B(v)|, computed as exact
+    integer cross-multiplication: with cumulative counts (ca, cb) and
+    totals (na, nb), the numerator |ca·nb - cb·na| is an integer, so the
+    argmax (and every tie-break) is exact — no float comparisons until
+    the final rounded report. ``ks_at`` is the smallest value attaining
+    D. ``drifted`` compares D against the asymptotic 5% critical value
+    1.358·sqrt((na+nb)/(na·nb)).
+
+    Scale: values are first quantized (``round_dp``) and aggregated —
+    the corpus collapses to the |distinct quantized values| relation in
+    ONE shuffle, and the cumulative window runs over THAT bounded
+    frontier (partitioned by ``group_cols`` when given; the unpartitioned
+    case is a deliberate single-partition window over the already-bounded
+    value-domain relation, the engine's bounded-frontier rule). At 100 TB
+    the quantization IS the knob: dollars not micro-cents.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    v = F.round(F.col(value_col), round_dp).alias("v")
+    b = F.col(b_flag_col).cast("boolean")
+    per_value = (
+        df.select(*gcols, v, b.alias("_b"))
+        .groupBy(*gcols, "v")
+        .agg(
+            F.sum(F.when(~F.col("_b"), 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("_cb"),
+        )
+    )
+    w = (
+        Window.partitionBy(*gcols).orderBy("v")
+        if gcols
+        else Window.orderBy("v")
+    )
+    wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    cum = per_value.select(
+        *gcols,
+        "v",
+        F.sum("_ca").over(w).alias("cuma"),
+        F.sum("_cb").over(w).alias("cumb"),
+        F.sum("_ca").over(wg).alias("na"),
+        F.sum("_cb").over(wg).alias("nb"),
+    )
+    dnum = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+    best = cum.select(
+        *gcols,
+        "na",
+        "nb",
+        F.struct(
+            (-dnum).alias("neg_d"), F.col("v").alias("at")
+        ).alias("_cand"),
+    ).groupBy(*gcols, "na", "nb").agg(F.min("_cand").alias("best"))
+    d = -F.col("best.neg_d")
+    ks_d = d / (F.col("na") * F.col("nb"))
+    crit = F.lit(KS_C_ALPHA_05) * F.sqrt(
+        (F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb"))
+    )
+    return best.select(
+        *gcols,
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(ks_d, 6).alias("ks_d"),
+        F.col("best.at").alias("ks_at"),
+        F.round(crit, 6).alias("crit_05"),
+        (ks_d > crit).alias("drifted"),
+    )

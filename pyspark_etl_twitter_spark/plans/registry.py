@@ -72,6 +72,9 @@ QUERIES: dict[str, QueryFn] = {
     # portable CMS twin (r12): frequency-sketch tier hash-verified, the
     # HLL-twin precedent extended to point-queryable counts
     "cms_heavy_hitters": R2.cms_heavy_hitters,
+    # exact two-sample KS drift test (r12): distribution-level data
+    # quality, integer cross-multiplied D over the quantized value domain
+    "ks_drift_order_prices": R2.ks_drift_order_prices,
     "dedup_simhash_portable": T.dedup_simhash_portable,
     "dedup_simhash_portable_pairs": T.dedup_simhash_portable_pairs,
     "dedup_clusters_simhash_portable": T.dedup_clusters_simhash_portable,
@@ -348,6 +351,7 @@ ORACLES: dict[str, str] = {
     "pagerank_suppliers": GQ.ORACLE_PAGERANK_SUPPLIERS,
     "approx_distinct_portable": R2.ORACLE_APPROX_DISTINCT_PORTABLE,
     "cms_heavy_hitters": R2.ORACLE_CMS_HEAVY_HITTERS,
+    "ks_drift_order_prices": R2.ORACLE_KS_DRIFT_ORDER_PRICES,
     # dedup_minhash_pairs / dedup_simhash_fingerprints: xxhash64 → rows-only
     "dedup_clusters": T.ORACLE_DEDUP_CLUSTERS,
     # dedup_clusters_minhash: xxhash64-seeded pairs → rows-only

@@ -1041,3 +1041,67 @@ SELECT token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
        CAST(rank AS INTEGER) AS rank
 FROM probe GROUP BY token, exact_cnt, rank
 """
+
+
+def ks_drift_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift check per order status: does
+    the order-price distribution differ between odd and even order
+    years? Exact integer cross-multiplied D (see
+    ``quality_checks.ks_two_sample``), dollar quantization, asymptotic
+    5% critical value — the distribution-level data-quality gate next to
+    the mean/stddev checks of ``data_quality_lineitem``."""
+    from pyspark_etl_twitter_spark.operators.quality_checks import (
+        ks_two_sample,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        (F.year("o_orderdate").cast("long") % 2 == 1).alias("is_odd_year"),
+    )
+    return ks_two_sample(
+        base,
+        "o_totalprice",
+        "is_odd_year",
+        group_cols=["o_orderstatus"],
+        round_dp=0,
+    )
+
+
+ORACLE_KS_DRIFT_ORDER_PRICES = """
+WITH base AS (
+  SELECT o_orderstatus, round(o_totalprice, 0) AS v,
+         (CAST(year(o_orderdate) AS BIGINT) % 2 = 1) AS b
+  FROM orders
+),
+pv AS (
+  SELECT o_orderstatus, v,
+         sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN b THEN 1 ELSE 0 END) AS cb
+  FROM base GROUP BY o_orderstatus, v
+),
+cum AS (
+  SELECT o_orderstatus, v,
+         sum(ca) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cuma,
+         sum(cb) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cumb,
+         sum(ca) OVER (PARTITION BY o_orderstatus) AS na,
+         sum(cb) OVER (PARTITION BY o_orderstatus) AS nb
+  FROM pv
+),
+sc AS (
+  SELECT o_orderstatus, na, nb, v,
+         abs(cuma * nb - cumb * na) AS dnum,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY abs(cuma * nb - cumb * na) DESC, v) AS rn
+  FROM cum
+)
+SELECT o_orderstatus,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       round(dnum::DOUBLE / (na * nb), 6) AS ks_d,
+       v AS ks_at,
+       round(1.358 * sqrt((na + nb)::DOUBLE / (na * nb)), 6) AS crit_05,
+       (dnum::DOUBLE / (na * nb) > 1.358 * sqrt((na + nb)::DOUBLE / (na * nb))) AS drifted
+FROM sc WHERE rn = 1
+"""

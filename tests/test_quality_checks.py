@@ -34,3 +34,72 @@ def test_observe_rides_along(spark):
     n = observed.count()  # the only action — metrics accumulate during it
     assert obs.get["n_rows"] == n == 500
     assert obs.get["null_doc_id"] == 0
+
+
+def test_ks_two_sample_exact_values(spark):
+    """KS statistic on hand-computed fixtures: disjoint supports give
+    D=1; identical samples give D=0; a textbook interleaved case gives
+    the exact rational D; ks_at is the smallest attaining value; the
+    grouped path computes each group independently."""
+    from pyspark_etl_twitter_spark.operators.quality_checks import (
+        ks_two_sample,
+    )
+
+    # disjoint: A = {1,2,3}, B = {11,12,13} -> D = 1 at v = 3
+    rows = [(float(v), False) for v in (1, 2, 3)] + [
+        (float(v), True) for v in (11, 12, 13)
+    ]
+    df = spark.createDataFrame(rows, "x double, b boolean")
+    r = ks_two_sample(df, "x", "b").collect()[0]
+    assert r.ks_d == 1.0 and r.ks_at == 3.0 and r.n_a == 3 and r.n_b == 3
+    # crit_05 = 1.358*sqrt((3+3)/(3*3)) ≈ 1.108797: even D=1 is not
+    # significant at n=3 — the asymptotic threshold is honest about
+    # sample size
+    assert r.crit_05 == 1.108802 and not r.drifted
+
+    # identical samples -> D = 0
+    rows2 = [(float(v), False) for v in (1, 2, 2, 5)] + [
+        (float(v), True) for v in (1, 2, 2, 5)
+    ]
+    r2 = ks_two_sample(
+        spark.createDataFrame(rows2, "x double, b boolean"), "x", "b"
+    ).collect()[0]
+    assert r2.ks_d == 0.0 and not r2.drifted
+
+    # interleaved: A = {1,3,5,7}, B = {2,4,6,8}:
+    # at each odd v the gap is 1/4 -> D = 0.25, first attained at v=1
+    rows3 = [(float(v), False) for v in (1, 3, 5, 7)] + [
+        (float(v), True) for v in (2, 4, 6, 8)
+    ]
+    r3 = ks_two_sample(
+        spark.createDataFrame(rows3, "x double, b boolean"), "x", "b"
+    ).collect()[0]
+    assert r3.ks_d == 0.25 and r3.ks_at == 1.0
+
+    # grouped: one drifting group, one identical group
+    rows4 = [("g1", float(v), False) for v in (1, 2, 3)] + [
+        ("g1", float(v), True) for v in (11, 12, 13)
+    ] + [("g2", float(v), False) for v in (1, 2)] + [
+        ("g2", float(v), True) for v in (1, 2)
+    ]
+    got = {
+        r.g: r
+        for r in ks_two_sample(
+            spark.createDataFrame(rows4, "g string, x double, b boolean"),
+            "x",
+            "b",
+            group_cols=["g"],
+        ).collect()
+    }
+    assert got["g1"].ks_d == 1.0 and got["g2"].ks_d == 0.0
+
+    # quantization collapses distinct values before the window
+    rows5 = [(1.24, False), (1.26, False), (1.31, True), (1.29, True)]
+    r5 = ks_two_sample(
+        spark.createDataFrame(rows5, "x double, b boolean"),
+        "x",
+        "b",
+        round_dp=1,
+    ).collect()
+    # A quantizes to {1.2, 1.3}, B to {1.3, 1.3}: D = 1/2 at 1.2
+    assert r5[0].ks_d == 0.5 and r5[0].ks_at == 1.2

@@ -264,3 +264,60 @@ def bigram_doc_logprob(
             F.round(mean, 6).alias("mean_logp2"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    *,
+    min_count: int = 5,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information
+    (Church & Hanks 1990): PMI(x,y) = ln( (c_xy/B) / ((c_x/T)·(c_y/T)) )
+    with bigram count table c_xy (total B) and unigram counts c_x
+    (total T). ``min_count`` floors the bigram count — classic PMI
+    otherwise surfaces hapax pairs. Ranking orders by the ROUNDED score
+    with (w1, w2) tiebreaks, the engine's cross-engine determinism rule.
+
+    Distributed shape: the corpus collapses to the bigram-count relation
+    in one groupBy (vocabulary², bounded in practice by observed pairs);
+    the two unigram lookups join on w1/w2 against the vocabulary-bounded
+    unigram table (broadcast); totals ride along as 1-row broadcast
+    scalars. The final top-k is a sort-limit over the min_count-filtered
+    pair table, never the corpus."""
+    pairs = bigram_pairs(docs, id_col=id_col, text_col=text_col)
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    toks = docs.select(F.explode(ws_tokens(text_col)).alias("w"))
+    c1 = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    totals = c1.agg(
+        F.sum("c_w").alias("t_tok")
+    ).crossJoin(c2.agg(F.sum("c_xy").alias("t_bg")))
+    scored = (
+        c2.filter(F.col("c_xy") >= min_count)
+        .join(F.broadcast(c1.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_x")), "w1")
+        .join(F.broadcast(c1.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_y")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            # double from the first multiply: identical left-to-right
+            # float evaluation in DuckDB, and no int64 overflow at corpus
+            # scale (t_tok^2 alone passes 2^63 near ~3e9 tokens)
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("t_tok") * F.col("t_tok"))
+                    / (F.col("t_bg").cast("double") * F.col("c_x") * F.col("c_y"))
+                ),
+                round_dp,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+        .select("w1", "w2", "c_xy", "pmi")
+    )

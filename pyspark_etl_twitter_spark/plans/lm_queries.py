@@ -163,3 +163,56 @@ alld AS (
 SELECT source, count(*) AS n_docs, round(avg(mean_logp2), 6) AS avg_logp2
 FROM alld GROUP BY source
 """
+
+
+def pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI (Church & Hanks 1990) with a
+    min-count-5 floor — the token-association signal next to the bigram
+    LM: which adjacent pairs co-occur far above their unigram chance.
+    Ranked by the ROUNDED score with (w1, w2) tiebreaks; a rank column
+    makes the hash order-sensitive."""
+    from pyspark.sql import Window
+
+    from pyspark_etl_twitter_spark.operators.lm import pmi_collocations
+
+    docs = _docs(spark, sf_dir)
+    top = pmi_collocations(docs, min_count=OOV_MIN_COUNT, k=20)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+        ).cast("int"),
+    )
+
+
+ORACLE_PMI_COLLOCATIONS_TOP = """
+WITH tokd AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT t[i + 1] AS w1, t[i + 2] AS w2
+  FROM tokd, UNNEST(range(0, greatest(len(t) - 1, 0))) AS u(i)
+),
+c2 AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY w1, w2),
+tok AS (SELECT unnest(t) AS w FROM tokd),
+c1 AS (SELECT w, count(*) AS c_w FROM tok GROUP BY w),
+tot AS (
+  SELECT (SELECT sum(c_w) FROM c1) AS t_tok,
+         (SELECT sum(c_xy) FROM c2) AS t_bg
+),
+scored AS (
+  SELECT c2.w1, c2.w2, c2.c_xy,
+         round(ln((c2.c_xy::DOUBLE * tot.t_tok * tot.t_tok)
+                  / (tot.t_bg::DOUBLE * cx.c_w * cy.c_w)), 6) AS pmi
+  FROM c2
+  JOIN c1 cx ON cx.w = c2.w1
+  JOIN c1 cy ON cy.w = c2.w2
+  CROSS JOIN tot
+  WHERE c2.c_xy >= 5
+)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 20
+"""

@@ -228,6 +228,9 @@ QUERIES: dict[str, QueryFn] = {
     "graph_triangle_count": GQ.graph_triangle_count,
     "lm_quality_by_source": LQ.lm_quality_by_source,
     "oov_rate_by_source": LQ.oov_rate_by_source,
+    # PMI collocations (r12): token-association mining next to the
+    # bigram LM (Church & Hanks 1990)
+    "pmi_collocations_top": LQ.pmi_collocations_top,
     "topk_orders_per_customer": R.topk_orders_per_customer,
     "running_revenue_by_supplier": R.running_revenue_by_supplier,
     "sessionize_events": R.sessionize_events,
@@ -430,6 +433,7 @@ ORACLES: dict[str, str] = {
     "graph_triangle_count": GQ.ORACLE_GRAPH_TRIANGLE_COUNT,
     "graph_triangles_per_node": GQ.ORACLE_GRAPH_TRIANGLES_PER_NODE,
     "lm_quality_by_source": LQ.ORACLE_LM_QUALITY_BY_SOURCE,
+    "pmi_collocations_top": LQ.ORACLE_PMI_COLLOCATIONS_TOP,
     "oov_rate_by_source": LQ.ORACLE_OOV_RATE_BY_SOURCE,
     "bloom_join_urgent_revenue": AQ.ORACLE_BLOOM_JOIN_URGENT_REVENUE,
     "funnel_view_click_purchase": FQ.ORACLE_FUNNEL_VIEW_CLICK_PURCHASE,

@@ -117,3 +117,33 @@ def test_bigram_logprob_separates_predictable_from_salad(spark):
     docs2 = spark.createDataFrame([(1, "one"), (2, "")], ["doc_id", "text"])
     rows = {r.doc_id: (r.n_bigrams, r.mean_logp2) for r in bigram_doc_logprob(docs2).collect()}
     assert rows == {1: (0, 0.0), 2: (0, 0.0)}
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """PMI on a tiny fixture: corpus 'a b a b' has c(a,b)=2, c(b,a)=1,
+    B=3, c_a=c_b=2, T=4 -> PMI(a,b) = ln((2/3)/(0.5*0.5)) = ln(8/3),
+    PMI(b,a) = ln(4/3); min_count floors hapax pairs; ordering is by
+    rounded PMI then (w1, w2)."""
+    import math
+
+    from pyspark_etl_twitter_spark.operators.lm import pmi_collocations
+
+    docs = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    got = {
+        (r.w1, r.w2): r
+        for r in pmi_collocations(docs, min_count=1, k=10).collect()
+    }
+    assert got[("a", "b")].c_xy == 2
+    assert got[("a", "b")].pmi == round(math.log(8.0 / 3.0), 6)
+    assert got[("b", "a")].pmi == round(math.log(4.0 / 3.0), 6)
+
+    # min_count=2 drops the hapax (b, a)
+    only = pmi_collocations(docs, min_count=2, k=10).collect()
+    assert [(r.w1, r.w2) for r in only] == [("a", "b")]
+
+    # k truncates after the (rounded pmi desc, w1, w2) order
+    docs2 = spark.createDataFrame(
+        [(0, "x y x y p q")], "doc_id long, text string"
+    )
+    top1 = pmi_collocations(docs2, min_count=1, k=1).collect()
+    assert len(top1) == 1

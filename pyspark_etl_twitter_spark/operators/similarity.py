@@ -2698,3 +2698,68 @@ def pq_adc_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (round 12): the DIMENSION
+# rung of the compression frontier, orthogonal to the PQ/SQ8 PRECISION
+# rungs — project dim-d vectors onto d' seeded Gaussian directions and
+# search in the reduced space. Cosine is scale-invariant, so the JL
+# 1/sqrt(d') normalization is dropped. The projection matrix is a seeded
+# Python literal (the LSH-hyperplane precedent), so DuckDB replays the
+# projection AND the reduced-space search exactly.
+# --------------------------------------------------------------------------
+
+#: default seed for the JL projection matrix — distinct from the LSH
+#: hyperplane seed so the two families never share directions
+RP_SEED = 31
+
+
+def rp_matrix(dim: int, out_dim: int, seed: int = RP_SEED) -> list[list[float]]:
+    """Seeded Gaussian projection rows (out_dim × dim) as plain floats —
+    embedded as literals on both engines."""
+    return _hyperplanes(dim, out_dim, seed)
+
+
+def rp_project(vec: Column, planes: list[list[float]]) -> Column:
+    """array<double> of ``len(planes)`` projections — one codegen fold
+    per component, zero shuffle, zero Python."""
+    return F.array(
+        *[
+            dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+            for plane in planes
+        ]
+    )
+
+
+def rp_cosine_topk(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 16,
+    n_queries: int = 10,
+    k: int = 5,
+    seed: int = RP_SEED,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k in the JL-reduced space: project once
+    (narrow pass), then run the exact ``cosine_topk`` machinery over
+    d'-dim vectors — 4x less exchange and 4x fewer fold steps at
+    out_dim=16/dim=64, with recall governed by the JL distortion bound
+    (pinned empirically in tests, not assumed). At corpus scale the
+    reduced vectors are the materialization candidate: 16 doubles ride
+    shuffles that 64 wouldn't."""
+    planes = rp_matrix(dim, out_dim, seed)
+    reduced = embeddings.select(
+        F.col(id_col), rp_project(F.col(vec_col), planes).alias("emb_rp")
+    )
+    return cosine_topk(
+        reduced,
+        id_col=id_col,
+        vec_col="emb_rp",
+        n_queries=n_queries,
+        k=k,
+        round_dp=round_dp,
+    )

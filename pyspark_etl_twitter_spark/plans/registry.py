@@ -65,6 +65,9 @@ QUERIES: dict[str, QueryFn] = {
     "knn_pq_trained": T.knn_pq_trained,
     "mmr_diversified_topk": T.mmr_diversified_topk,
     "knn_sq8": T.knn_sq8,
+    # JL random projection (r12): the DIMENSION rung of the compression
+    # frontier (seeded literal Gaussian directions, LSH-oracle trick)
+    "knn_rp_topk": T.knn_rp_topk,
     "quality_lr_weights": T.quality_lr_weights,
     "quality_lr_scores_by_source": T.quality_lr_scores_by_source,
     "pagerank_suppliers": GQ.pagerank_suppliers,
@@ -349,6 +352,7 @@ ORACLES: dict[str, str] = {
     "knn_pq_trained": T.ORACLE_KNN_PQ_TRAINED,
     "mmr_diversified_topk": T.ORACLE_MMR_DIVERSIFIED_TOPK,
     "knn_sq8": T.ORACLE_KNN_SQ8,
+    "knn_rp_topk": T.ORACLE_KNN_RP_TOPK,
     "quality_lr_weights": T.ORACLE_QUALITY_LR_WEIGHTS,
     "quality_lr_scores_by_source": T.ORACLE_QUALITY_LR_SCORES_BY_SOURCE,
     "pagerank_suppliers": GQ.ORACLE_PAGERANK_SUPPLIERS,

@@ -3268,3 +3268,57 @@ SELECT source,
        CAST(sum(('0x' || substr(md5(new_text), 1, 8))::BIGINT) AS BIGINT) AS fp_sum
 FROM fin GROUP BY source
 """
+
+
+def knn_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k in a Johnson-Lindenstrauss-reduced
+    16-dim space (seeded literal Gaussian directions, the LSH-oracle
+    trick) — the DIMENSION rung of the compression frontier next to the
+    PQ/SQ8 precision rungs: 4x less vector exchange per shuffle at
+    dim 64 → 16. Fully oracle-backed: DuckDB replays the projection and
+    the reduced-space search with the same literals; recall vs exact
+    KNN is pinned empirically in tests/test_similarity_rp.py."""
+    return S.rp_cosine_topk(_t(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+def _rp_topk_oracle() -> str:
+    """DuckDB replay of rp_cosine_topk (dim=64, out_dim=16, seed=31,
+    n_queries=10, k=5, round_dp=6)."""
+    from pyspark_etl_twitter_spark.operators.similarity import rp_matrix
+
+    planes = rp_matrix(64, 16, 31)
+    comps = ",\n           ".join(
+        f"list_dot_product(emb0, [{', '.join(repr(float(x)) for x in plane)}])"
+        for plane in planes
+    )
+    return f"""
+WITH raw AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb0 FROM embeddings
+),
+base AS (
+  SELECT vec_id,
+         [{comps}] AS emb
+  FROM raw
+),
+normed AS (
+  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM base
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM normed
+      WHERE vec_id < 10),
+pairs AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(e.emb, q.q_emb) / (e.nrm * q.q_nrm), 6) AS cos_sim
+  FROM normed e, q WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos_sim DESC, neighbor_id)
+              AS INTEGER) AS rank
+  FROM pairs
+)
+SELECT q_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+ORACLE_KNN_RP_TOPK = _rp_topk_oracle()

@@ -170,6 +170,12 @@ HEADLINE = [
     "bpe_encoded_fixed_merges",  # codegen replace-chain BPE encode
     "bpe_train_portable_merges",  # DISTRIBUTED BPE train, oracle-replayable
     "gopher_line_rules_by_source",  # line-shape rules on planted multi-line
+    "c4_rules_by_source",  # C4 line+doc cleaning rules, planted fixture
+    "dedup_span_removal_by_source",  # cross-doc exact-substring removal
+    "cms_heavy_hitters",  # portable Count-Min Sketch point estimates
+    "ks_drift_order_prices",  # exact two-sample KS over quantized ECDFs
+    "pmi_collocations_top",  # bigram PMI collocation mining
+    "knn_rp_topk",  # JL random-projection reduced-space kNN
 ]
 
 

@@ -483,13 +483,13 @@ ORACLES: dict[str, str] = {
 # ROUND-12 WINDOW (r11 verdict ask #5): rotation stays DECLARATIVE — the
 # list below is reordered to the front of QUERIES at import time. After
 # r11 the staleness distribution of newest driver rows was
-# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 5 new-in-r12
-# queries, ALL 37 r8 rows, and the first 8 alphabetical ORACLE-BACKED
+# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 11 new-in-r12
+# queries, ALL 37 r8 rows, and the first 2 alphabetical ORACLE-BACKED
 # r9 rows (approx_summary, the xxhash64 dedup trio are rows-only by
 # design and stay in the tail) — so after r12 no registry query's newest
-# driver row is older than r9 (the remaining 40 r9 rows rotate in r13).
+# driver row is older than r9 (the remaining 46 r9 rows rotate in r13).
 ROUND12_WINDOW: list[str] = [
-    # new-this-round (5): never driver-verified — new queries always
+    # new-this-round (11): never driver-verified — new queries always
     # outrank stale-but-unchanged ones. All oracle-backed and verified
     # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots.
     "knn_pq_indexed",
@@ -497,6 +497,12 @@ ROUND12_WINDOW: list[str] = [
     "bpe_encoded_fixed_merges",
     "bpe_train_portable_merges",
     "gopher_line_rules_by_source",
+    "c4_rules_by_source",
+    "dedup_span_removal_by_source",
+    "cms_heavy_hitters",
+    "ks_drift_order_prices",
+    "pmi_collocations_top",
+    "knn_rp_topk",
     # newest driver rows: r8 (all 37)
     "dedup_clusters_minhash_portable",
     "dedup_clusters_simhash_portable",
@@ -535,16 +541,10 @@ ROUND12_WINDOW: list[str] = [
     "string_funcs_part",
     "union_by_name_accounts",
     "window_rank_stats",
-    # newest driver rows: r9 (first 8 alphabetical oracle-backed of 48;
-    # the remaining 40 rotate in r13)
+    # newest driver rows: r9 (first 2 alphabetical oracle-backed of 48;
+    # the remaining 46 rotate in r13)
     "asof_purchase_click",
     "asof_tolerance_click",
-    "binned_range_join_bands",
-    "bm25_search_topk",
-    "bucketed_join_revenue",
-    "budget_selection_by_source",
-    "char_entropy_by_source",
-    "data_quality_lineitem",
 ]
 
 _win = set(ROUND12_WINDOW)

@@ -79,6 +79,11 @@ BNLJ_OK = {
     "dsir_weights_by_source",
     "dsir_selected_counts",
     "dsir_gumbel_counts",
+    # PMI totals (t_tok, t_bg) ride as a 1-row broadcast scalar frame
+    "pmi_collocations_top",
+    # broadcast query side over JL-reduced vectors — the knn_brute_cosine
+    # shape at out_dim=16
+    "knn_rp_topk",
 }
 
 # queries that EXECUTE during plan building (iterative/driver-bounded):

@@ -176,6 +176,7 @@ HEADLINE = [
     "ks_drift_order_prices",  # exact two-sample KS over quantized ECDFs
     "pmi_collocations_top",  # bigram PMI collocation mining
     "knn_rp_topk",  # JL random-projection reduced-space kNN
+    "kmv_profile_prices",  # portable KMV bottom-k sketch estimators
 ]
 
 

@@ -262,3 +262,103 @@ def cms_portable_lookup(
     return joined.groupBy(*gcols, "item").agg(
         F.min("cnt").cast("long").alias("cms_est")
     )
+
+
+# --------------------------------------------------------------------------
+# Portable KMV (bottom-k) sketch (round 12): k-minimum-values over the
+# md5-u32 hash of DISTINCT values (Bar-Yossef et al. 2002). One sketch,
+# two estimators: distinct count ((k-1)/h_k normalized) and a uniform
+# random sample of the distinct-value DOMAIN (order statistics give
+# domain quantiles). Mergeable by union + re-bottom-k — completes the
+# portable sketch family: HLL (distinct), CMS (frequency), KMV
+# (distinct + domain sample).
+# --------------------------------------------------------------------------
+
+#: 2^32 — the md5-u32 hash-space size the KMV estimator normalizes by
+KMV_SPACE = float(1 << 32)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Bottom-``k`` relation (group..., rnk, h, value): the k smallest
+    md5-u32 hashes over DISTINCT values. Pass integer- or string-typed
+    columns (the md5 idiom's standing string-render contract — float
+    rendering differs across engines; hash cents, not dollars).
+
+    Distributed shape: one hash agg collapses the corpus to its distinct
+    values, then a rank window ordered by (h, value) over that
+    value-domain-bounded relation keeps the bottom k — ≤ groups·k output
+    rows. Merge sketches by unioning relations and re-ranking (bottom-k
+    of a union of bottom-ks equals bottom-k of the union — order
+    statistics compose)."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    distinct = df.select(*gcols, F.col(value_col).alias("value")).distinct()
+    h = F.conv(
+        F.substring(F.md5(F.col("value").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = (
+        Window.partitionBy(*gcols).orderBy("h", "value")
+        if gcols
+        else Window.orderBy("h", "value")
+    )
+    return (
+        distinct.select(*gcols, "value", h.alias("h"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    *,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    quantiles: tuple[float, ...] = (0.5,),
+    round_dp: int = 4,
+) -> DataFrame:
+    """Estimators from a KMV relation: ``kmv_distinct`` = (k-1)·2³²/h_k
+    when the sketch is full (k rows), else the exact sample size (the
+    sketch SAW every distinct value); ``q_<pct>`` = the sample order
+    statistic at ceil(q·n) in VALUE order — a quantile of the distinct
+    DOMAIN (KMV samples distinct values uniformly; it is frequency-blind
+    by construction)."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    wv = (
+        Window.partitionBy(*gcols).orderBy("value")
+        if gcols
+        else Window.orderBy("value")
+    )
+    ranked = sketch.select(
+        *gcols,
+        "value",
+        "h",
+        F.row_number().over(wv).alias("_vr"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        ).alias("_n"),
+        F.max("h").over(
+            Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        ).alias("_hk"),
+    )
+    est = F.when(
+        F.col("_n") >= k,
+        F.round(F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("_hk"), round_dp),
+    ).otherwise(F.col("_n").cast("double"))
+    aggs = [F.min(est).alias("kmv_distinct")]
+    for q in quantiles:
+        pos = F.ceil(F.lit(q) * F.col("_n")).cast("int")
+        aggs.append(
+            F.min(F.when(F.col("_vr") == F.greatest(pos, F.lit(1)), F.col("value"))).alias(
+                f"q_{int(q * 100)}"
+            )
+        )
+    return ranked.groupBy(*gcols).agg(*aggs)

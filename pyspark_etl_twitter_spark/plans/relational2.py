@@ -1105,3 +1105,86 @@ SELECT o_orderstatus,
        (dnum::DOUBLE / (na * nb) > 1.358 * sqrt((na + nb)::DOUBLE / (na * nb))) AS drifted
 FROM sc WHERE rn = 1
 """
+
+
+def kmv_profile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable KMV (bottom-k) sketch profile of the price domain per
+    return flag: distinct-count estimate vs exact, plus the sampled
+    domain median vs the exact domain median — the third portable
+    sketch tier (HLL distinct / CMS frequency / KMV distinct+sample).
+    Prices are hashed as CENTS integers (the md5 idiom's string-render
+    contract) and reported back in dollars."""
+    from pyspark_etl_twitter_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    sk = kmv_sketch(cents, "cents", k=256, group_cols=["l_returnflag"])
+    est = kmv_estimate(
+        sk, k=256, group_cols=["l_returnflag"], quantiles=(0.5,)
+    )
+    exact = cents.groupBy("l_returnflag").agg(
+        F.countDistinct("cents").cast("long").alias("exact_distinct"),
+        F.round(
+            F.expr("percentile(DISTINCT cents, 0.5)") / 100.0, 2
+        ).alias("exact_domain_median"),
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "kmv_distinct",
+        "exact_distinct",
+        F.round(F.col("q_50") / 100.0, 2).alias("kmv_domain_median"),
+        "exact_domain_median",
+    )
+
+
+ORACLE_KMV_PROFILE_PRICES = """
+WITH cents AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+),
+d AS (SELECT DISTINCT l_returnflag, v FROM cents),
+hashed AS (
+  SELECT l_returnflag, v,
+         ('0x' || substr(md5(v::VARCHAR), 1, 8))::BIGINT AS h
+  FROM d
+),
+sk AS (
+  SELECT * FROM (
+    SELECT l_returnflag, v, h,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v) AS rnk
+    FROM hashed) r
+  WHERE rnk <= 256
+),
+st AS (
+  SELECT l_returnflag, v, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS vr,
+         count(*) OVER (PARTITION BY l_returnflag) AS n,
+         max(h) OVER (PARTITION BY l_returnflag) AS hk
+  FROM sk
+),
+est AS (
+  SELECT l_returnflag,
+         min(CASE WHEN n >= 256
+                  THEN round(255.0 * 4294967296.0 / hk, 4)
+                  ELSE n::DOUBLE END) AS kmv_distinct,
+         min(CASE WHEN vr = greatest(CAST(ceil(0.5 * n) AS INTEGER), 1)
+                  THEN v END) AS q50c
+  FROM st GROUP BY l_returnflag
+),
+ex AS (
+  SELECT l_returnflag,
+         CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct,
+         round(median(DISTINCT v) / 100.0, 2) AS exact_domain_median
+  FROM cents GROUP BY l_returnflag
+)
+SELECT est.l_returnflag, est.kmv_distinct, ex.exact_distinct,
+       round(est.q50c / 100.0, 2) AS kmv_domain_median,
+       ex.exact_domain_median
+FROM est JOIN ex USING (l_returnflag)
+"""

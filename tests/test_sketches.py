@@ -245,3 +245,46 @@ def test_cms_portable_shard_merge_equals_global_build(spark):
     )
     merged = {(r.row, r.bucket): r.cnt for r in shard_sk.collect()}
     assert merged == global_sk
+
+
+def test_kmv_sketch_merge_and_estimators(spark):
+    """KMV invariants: bottom-k of a union of per-shard bottom-ks equals
+    bottom-k of the union (order statistics compose); when distinct < k
+    the sketch is the exact distinct set and kmv_distinct reports it
+    exactly; the domain-median order statistic lands on the true sample
+    median; distinct estimates land within the ~1/sqrt(k) band."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.range(10_000).select((F.col("id") % 4000).alias("v"))
+
+    # shard-merge == global: re-rank the union of two shard sketches
+    a = kmv_sketch(df.filter(F.col("id") % 2 == 0), "v", k=64)
+    b = kmv_sketch(df.filter(F.col("id") % 2 == 1), "v", k=64)
+    merged = (
+        a.unionByName(b)
+        .select("value", "h")
+        .distinct()
+        .withColumn("rnk", F.row_number().over(Window.orderBy("h", "value")))
+        .filter(F.col("rnk") <= 64)
+    )
+    direct = kmv_sketch(df, "v", k=64)
+    assert {(r.value, r.h, r.rnk) for r in merged.collect()} == {
+        (r.value, r.h, r.rnk) for r in direct.collect()
+    }
+
+    # sub-k population: sketch IS the distinct set, estimate exact
+    small = spark.range(40).select((F.col("id") % 10).alias("v"))
+    est = kmv_estimate(kmv_sketch(small, "v", k=64), k=64).collect()[0]
+    assert est.kmv_distinct == 10.0
+    # domain 0..9 -> median order statistic at ceil(.5*10)=5 -> value 4
+    assert est.q_50 == 4
+
+    # full sketch: estimate within the ~1/sqrt(k) relative-error band
+    est2 = kmv_estimate(kmv_sketch(df, "v", k=256), k=256).collect()[0]
+    assert abs(est2.kmv_distinct - 4000) / 4000 < 4 / (256 ** 0.5)

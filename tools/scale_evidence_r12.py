@@ -148,8 +148,101 @@ def main():
     if "--ivfauto" in sys.argv:
         ivf_auto_section(spark, sf_dir)
         return
+    if "--spans" in sys.argv:
+        spans_section(spark, sf_dir)
+        return
     pagerank_section(spark, sf_dir)
     ivf_auto_section(spark, sf_dir)
+    spans_section(spark, sf_dir)
+
+
+
+
+def spans_section(spark, sf_dir, mults=(1, 10, 50)):
+    """Span-removal + portable-CMS scale envelope (round-12 session 2).
+
+    Corpus replicated ×m with REPLICA-UNIQUE body tokens (every token
+    suffixed with its replica id — cross-replica body grams must NOT
+    collide, otherwise the whole corpus is one duplicate) and the SAME
+    12-token boilerplate header planted by md5 mark on the ORIGINAL doc
+    id, so every replica plants identically: the removal totals must
+    scale exactly ×m (identical per-replica drop sets — the correctness
+    half of the envelope) while the wall tracks the gram-stream size
+    (the linearity half). The CMS build rides the same stream: its
+    output stays 4×1024 cells at every multiplier."""
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+    from pyspark_etl_twitter_spark.operators.sketches import (
+        cms_portable_build,
+    )
+    from pyspark_etl_twitter_spark.operators.textstats import ws_tokens
+
+    hdr = "copyright notice all rights reserved this text is provided as is"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_removed = None
+    for m in mults:
+        d = replicate(docs, m, ["doc_id"])
+        body = F.concat_ws(
+            " ",
+            F.transform(
+                ws_tokens("text"),
+                lambda t: F.concat(t, F.lit("_"), F.col("_rep").cast("string")),
+            ),
+        )
+        mark = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.pmod(F.col("doc_id"), F.lit(100_000_000)).cast(
+                                "string"
+                            ),
+                            F.lit("hdr"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        )
+        planted = d.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.when(mark % 4 == 0, F.lit(hdr)).otherwise(F.lit("")),
+                body,
+            ).alias("text"),
+        )
+        start = time.time()
+        agg = (
+            remove_duplicated_spans(planted, n=8)
+            .agg(
+                F.sum("tokens_removed").alias("rm"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        wall = time.time() - start
+        if m == mults[0]:
+            base_removed = agg.rm / m
+        exact = "EXACT" if agg.rm == base_removed * m else "MISMATCH"
+        print(
+            f"span_removal x{m}: {wall:.1f} s, docs={agg.n}, "
+            f"tokens_removed={agg.rm} ({exact} x{m} of base)",
+            flush=True,
+        )
+
+        tok = planted.select(F.explode(ws_tokens("text")).alias("token"))
+        start = time.time()
+        cells = cms_portable_build(tok, "token").count()
+        print(
+            f"cms_build x{m}: {time.time() - start:.1f} s, cells={cells}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

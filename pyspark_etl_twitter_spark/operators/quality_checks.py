@@ -135,6 +135,22 @@ def ks_two_sample(
             F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("_cb"),
         )
     )
+    return ks_from_counts(per_value, group_cols=gcols)
+
+
+def ks_from_counts(
+    per_value: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """KS statistic from a pre-aggregated (group..., v, _ca, _cb)
+    per-value count relation — the shared core of ``ks_two_sample``
+    (row-level entry) and the streaming histogram monitor
+    (``streaming/incremental.streaming_ks_monitor``), which maintains
+    the counts incrementally and must not re-explode its history."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
     w = (
         Window.partitionBy(*gcols).orderBy("v")
         if gcols

@@ -261,3 +261,107 @@ def streaming_ivfpq_ingest(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def streaming_ks_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: T.StructType,
+    value_col: str,
+    reference: DataFrame,
+    round_dp: int = 0,
+    timeout_s: int = 120,
+) -> None:
+    """Streaming distribution-drift monitor: maintain a quantized-value
+    histogram of everything that has arrived and, after every batch,
+    score the cumulative observed ECDF against a frozen ``reference``
+    distribution with the exact two-sample KS statistic — the in-stream
+    form of ``quality_checks.ks_two_sample``, the drift gate a corpus
+    intake pipeline runs continuously.
+
+    State layout under ``state_dir``: ``hist/v=N`` immutable per-epoch
+    histogram versions with an atomic ``_latest`` pointer (the package's
+    snapshot-isolation idiom from ``operators/scd2.py``) and
+    ``log/`` an append-only parquet drift log of
+    (batch_id, n_obs, ks_d, crit_05, drifted). foreachBatch replays
+    after a crash rewrite the same ``v=N`` dir and re-append the same
+    batch_id — consumers read ``_latest`` (never partial state) and
+    dedup the log on batch_id, the standing epoch-idempotence contract.
+
+    Scale: per batch the stream collapses to its quantized-value counts
+    (one narrow agg), merges into the value-domain-bounded histogram,
+    and the KS window runs over histogram ∪ reference — state and work
+    per batch are bounded by the value DOMAIN, not the stream length."""
+    import json
+    import os
+
+    from pyspark_etl_twitter_spark.operators.quality_checks import (
+        ks_from_counts,
+    )
+
+    ref_counts = (
+        reference.select(F.round(F.col(value_col), round_dp).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ref_counts.write.mode("overwrite").parquet(f"{state_dir}/reference")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        delta = (
+            batch_df.select(F.round(F.col(value_col), round_dp).alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        latest = f"{state_dir}/hist/_latest"
+        if os.path.exists(latest):
+            with open(latest) as fh:
+                prev_v = json.load(fh)["v"]
+            prev = bspark.read.parquet(f"{state_dir}/hist/v={prev_v}")
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("v")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            prev_v = -1
+            merged = delta
+        new_v = batch_id
+        merged.write.mode("overwrite").parquet(f"{state_dir}/hist/v={new_v}")
+        tmp = f"{latest}.tmp.{new_v}"
+        with open(tmp, "w") as fh:
+            json.dump({"v": new_v}, fh)
+        os.replace(tmp, latest)
+
+        obs = bspark.read.parquet(f"{state_dir}/hist/v={new_v}")
+        ref = bspark.read.parquet(f"{state_dir}/reference")
+        stacked = obs.withColumn("_b", F.lit(False)).unionByName(
+            ref.withColumn("_b", F.lit(True))
+        )
+        # the histograms ARE ks_two_sample's first stage (per-value
+        # counts), so feed the shared core directly — no re-explode
+        per_value = stacked.groupBy("v").agg(
+            F.sum(F.when(~F.col("_b"), F.col("cnt")).otherwise(0)).alias("_ca"),
+            F.sum(F.when(F.col("_b"), F.col("cnt")).otherwise(0)).alias("_cb"),
+        )
+        row = ks_from_counts(per_value).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.col("n_a").alias("n_obs"),
+            "ks_d",
+            "crit_05",
+            "drifted",
+        )
+        row.write.mode("append").parquet(f"{state_dir}/log")
+
+    q = (
+        spark.readStream.schema(schema)
+        .json(src_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

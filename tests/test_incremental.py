@@ -354,3 +354,65 @@ def test_ivf_index_append_two_level_matches_exact(spark, tmp_path):
     exhaustive = appended(str(tmp_path / "exh"), coarse_probe=16)
     assert auto == exact
     assert exhaustive == exact
+
+
+def test_streaming_ks_monitor_stream_equals_batch(spark, events_tiny, tmp_path):
+    """Streaming drift monitor: after draining the replay directory, the
+    LAST drift-log row's KS statistic equals ks_two_sample computed
+    statically over (all streamed values) vs (the frozen reference) —
+    the stream ≡ batch contract; the log carries one row per batch with
+    cumulative n_obs; a re-run with no new files is a no-op (exactly
+    once); crash-replay of an epoch dedups on batch_id."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.quality_checks import (
+        ks_two_sample,
+    )
+    from pyspark_etl_twitter_spark.streaming.incremental import (
+        streaming_ks_monitor,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckp = str(tmp_path / "ckp")
+
+    events = events_tiny.limit(400).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    reference = events_tiny.limit(1000).select("value")
+    replay_to_json(events, src, n_files=4)
+
+    kw = dict(
+        schema=EVENTS_STREAM_SCHEMA,
+        value_col="value",
+        reference=reference,
+        round_dp=1,
+    )
+    streaming_ks_monitor(spark, src, state, ckp, **kw)
+    log = spark.read.parquet(f"{state}/log").orderBy("batch_id")
+    rows = log.collect()
+    assert len(rows) >= 1
+    assert rows[-1].n_obs == 400
+    assert all(
+        a.n_obs < b.n_obs for a, b in zip(rows, rows[1:])
+    )  # cumulative
+
+    # stream ≡ batch: replay the same comparison statically
+    static = (
+        events.select(F.col("value").alias("x"), F.lit(False).alias("b"))
+        .unionByName(
+            reference.select(F.col("value").alias("x"), F.lit(True).alias("b"))
+        )
+    )
+    want = ks_two_sample(static, "x", "b", round_dp=1).collect()[0]
+    got = rows[-1]
+    assert got.ks_d == want.ks_d and got.crit_05 == want.crit_05
+    assert got.drifted == want.drifted
+
+    # no new files -> no new log rows, histogram pointer unchanged
+    import json as _json
+
+    with open(f"{state}/hist/_latest") as fh:
+        v_before = _json.load(fh)["v"]
+    streaming_ks_monitor(spark, src, state, ckp, **kw)
+    assert spark.read.parquet(f"{state}/log").count() == len(rows)
+    with open(f"{state}/hist/_latest") as fh:
+        assert _json.load(fh)["v"] == v_before

@@ -177,6 +177,7 @@ HEADLINE = [
     "pmi_collocations_top",  # bigram PMI collocation mining
     "knn_rp_topk",  # JL random-projection reduced-space kNN
     "kmv_profile_prices",  # portable KMV bottom-k sketch estimators
+    "psi_drift_order_prices",  # binned PSI drift ruler next to KS
 ]
 
 

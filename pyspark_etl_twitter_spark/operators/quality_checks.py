@@ -188,3 +188,76 @@ def ks_from_counts(
         F.round(crit, 6).alias("crit_05"),
         (ks_d > crit).alias("drifted"),
     )
+
+
+#: PSI interpretation thresholds (the standard scorecard convention):
+#: < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 major shift
+PSI_MODERATE = 0.1
+PSI_MAJOR = 0.25
+
+
+def psi_two_sample(
+    df: DataFrame,
+    value_col: str,
+    b_flag_col: str,
+    *,
+    bin_width: float,
+    group_cols: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Population Stability Index between the rows where ``b_flag_col``
+    is false (A, "expected") and true (B, "actual") over equi-width
+    bins: PSI = Σ_bins (p_A - p_B) · ln(p_A / p_B) — the scorecard
+    companion to ``ks_two_sample`` (KS reacts to the single worst ECDF
+    gap; PSI integrates shift across the whole distribution).
+
+    Bins are ``floor(v / bin_width)``; probabilities are Laplace-
+    smoothed with +0.5 per observed bin (p = (c + 0.5)/(n + 0.5·K),
+    K = bins observed in the UNION), so a bin empty on one side
+    contributes a finite, deterministic term instead of ±inf. Returns
+    (group..., n_a, n_b, n_bins, psi, shift) with the standard
+    0.1 / 0.25 interpretation labels.
+
+    Scale: one hash agg collapses the corpus to its observed-bin counts
+    (domain-bounded); everything after runs on that relation."""
+    gcols = list(group_cols or [])
+    b = F.col(b_flag_col).cast("boolean")
+    bin_col = F.floor(F.col(value_col) / bin_width).cast("long").alias("bin")
+    per_bin = (
+        df.select(*gcols, bin_col, b.alias("_b"))
+        .groupBy(*gcols, "bin")
+        .agg(
+            F.sum(F.when(~F.col("_b"), 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("_cb"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    stats = per_bin.select(
+        *gcols,
+        "_ca",
+        "_cb",
+        F.sum("_ca").over(wg).alias("na"),
+        F.sum("_cb").over(wg).alias("nb"),
+        F.count(F.lit(1)).over(wg).alias("k"),
+    )
+    pa = (F.col("_ca") + 0.5) / (F.col("na") + 0.5 * F.col("k"))
+    pb = (F.col("_cb") + 0.5) / (F.col("nb") + 0.5 * F.col("k"))
+    term = (pa - pb) * F.log(pa / pb)
+    agg = stats.groupBy(*gcols, "na", "nb", "k").agg(
+        F.round(F.sum(term), round_dp).alias("psi")
+    )
+    shift = (
+        F.when(F.col("psi") > PSI_MAJOR, F.lit("major"))
+        .when(F.col("psi") > PSI_MODERATE, F.lit("moderate"))
+        .otherwise(F.lit("stable"))
+    )
+    return agg.select(
+        *gcols,
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("k").cast("long").alias("n_bins"),
+        "psi",
+        shift.alias("shift"),
+    )

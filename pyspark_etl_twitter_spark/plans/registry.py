@@ -81,6 +81,8 @@ QUERIES: dict[str, QueryFn] = {
     # portable KMV bottom-k sketch (r12): distinct estimate + uniform
     # domain sample from one mergeable relation
     "kmv_profile_prices": R2.kmv_profile_prices,
+    # PSI drift ruler (r12): binned, Laplace-smoothed companion to KS
+    "psi_drift_order_prices": R2.psi_drift_order_prices,
     "dedup_simhash_portable": T.dedup_simhash_portable,
     "dedup_simhash_portable_pairs": T.dedup_simhash_portable_pairs,
     "dedup_clusters_simhash_portable": T.dedup_clusters_simhash_portable,
@@ -363,6 +365,7 @@ ORACLES: dict[str, str] = {
     "cms_heavy_hitters": R2.ORACLE_CMS_HEAVY_HITTERS,
     "ks_drift_order_prices": R2.ORACLE_KS_DRIFT_ORDER_PRICES,
     "kmv_profile_prices": R2.ORACLE_KMV_PROFILE_PRICES,
+    "psi_drift_order_prices": R2.ORACLE_PSI_DRIFT_ORDER_PRICES,
     # dedup_minhash_pairs / dedup_simhash_fingerprints: xxhash64 → rows-only
     "dedup_clusters": T.ORACLE_DEDUP_CLUSTERS,
     # dedup_clusters_minhash: xxhash64-seeded pairs → rows-only
@@ -487,13 +490,12 @@ ORACLES: dict[str, str] = {
 # ROUND-12 WINDOW (r11 verdict ask #5): rotation stays DECLARATIVE — the
 # list below is reordered to the front of QUERIES at import time. After
 # r11 the staleness distribution of newest driver rows was
-# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 12 new-in-r12
-# queries, ALL 37 r8 rows, and the first 1 alphabetical ORACLE-BACKED
-# r9 rows (approx_summary, the xxhash64 dedup trio are rows-only by
-# design and stay in the tail) — so after r12 no registry query's newest
-# driver row is older than r9 (the remaining 47 r9 rows rotate in r13).
+# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 13 new-in-r12
+# queries and ALL 37 r8 rows — so after r12 no registry query's newest
+# driver row is older than r9 (all 48 r9 rows rotate in r13; the
+# rows-only-by-design set stays in the tail as always).
 ROUND12_WINDOW: list[str] = [
-    # new-this-round (12): never driver-verified — new queries always
+    # new-this-round (13): never driver-verified — new queries always
     # outrank stale-but-unchanged ones. All oracle-backed and verified
     # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots.
     "knn_pq_indexed",
@@ -508,6 +510,7 @@ ROUND12_WINDOW: list[str] = [
     "pmi_collocations_top",
     "knn_rp_topk",
     "kmv_profile_prices",
+    "psi_drift_order_prices",
     # newest driver rows: r8 (all 37)
     "dedup_clusters_minhash_portable",
     "dedup_clusters_simhash_portable",
@@ -546,9 +549,6 @@ ROUND12_WINDOW: list[str] = [
     "string_funcs_part",
     "union_by_name_accounts",
     "window_rank_stats",
-    # newest driver rows: r9 (first 1 alphabetical oracle-backed of 48;
-    # the remaining 47 rotate in r13)
-    "asof_purchase_click",
 ]
 
 _win = set(ROUND12_WINDOW)

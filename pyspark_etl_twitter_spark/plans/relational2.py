@@ -1188,3 +1188,68 @@ SELECT est.l_returnflag, est.kmv_distinct, ex.exact_distinct,
        ex.exact_domain_median
 FROM est JOIN ex USING (l_returnflag)
 """
+
+
+def psi_drift_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per order status over $10k price bins,
+    same odd-vs-even-year split as ``ks_drift_order_prices`` — the two
+    standard drift rulers side by side: KS finds the worst single ECDF
+    gap, PSI integrates shift across all bins (Laplace-smoothed, so
+    one-sided-empty bins stay finite and deterministic)."""
+    from pyspark_etl_twitter_spark.operators.quality_checks import (
+        psi_two_sample,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        (F.year("o_orderdate").cast("long") % 2 == 1).alias("is_odd_year"),
+    )
+    return psi_two_sample(
+        base,
+        "o_totalprice",
+        "is_odd_year",
+        bin_width=10_000.0,
+        group_cols=["o_orderstatus"],
+    )
+
+
+ORACLE_PSI_DRIFT_ORDER_PRICES = """
+WITH base AS (
+  SELECT o_orderstatus,
+         CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS bin,
+         (CAST(year(o_orderdate) AS BIGINT) % 2 = 1) AS b
+  FROM orders
+),
+pb AS (
+  SELECT o_orderstatus, bin,
+         sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN b THEN 1 ELSE 0 END) AS cb
+  FROM base GROUP BY o_orderstatus, bin
+),
+st AS (
+  SELECT o_orderstatus, ca, cb,
+         sum(ca) OVER (PARTITION BY o_orderstatus) AS na,
+         sum(cb) OVER (PARTITION BY o_orderstatus) AS nb,
+         count(*) OVER (PARTITION BY o_orderstatus) AS k
+  FROM pb
+),
+terms AS (
+  SELECT o_orderstatus, na, nb, k,
+         ((ca + 0.5) / (na + 0.5 * k) - (cb + 0.5) / (nb + 0.5 * k))
+           * ln(((ca + 0.5) / (na + 0.5 * k)) / ((cb + 0.5) / (nb + 0.5 * k))) AS t
+  FROM st
+),
+agg AS (
+  SELECT o_orderstatus, na, nb, k, round(sum(t), 6) AS psi
+  FROM terms GROUP BY o_orderstatus, na, nb, k
+)
+SELECT o_orderstatus,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(k AS BIGINT) AS n_bins, psi,
+       CASE WHEN psi > 0.25 THEN 'major'
+            WHEN psi > 0.1 THEN 'moderate'
+            ELSE 'stable' END AS shift
+FROM agg
+"""

@@ -103,3 +103,36 @@ def test_ks_two_sample_exact_values(spark):
     ).collect()
     # A quantizes to {1.2, 1.3}, B to {1.3, 1.3}: D = 1/2 at 1.2
     assert r5[0].ks_d == 0.5 and r5[0].ks_at == 1.2
+
+
+def test_psi_two_sample_hand_computed(spark):
+    """PSI on a hand-computed fixture: identical distributions give
+    PSI=0 exactly (terms vanish even with smoothing); a fully shifted
+    distribution lands in 'major'; the Laplace smoothing keeps
+    one-sided-empty bins finite; bin_width controls the bin key."""
+    import math
+
+    from pyspark_etl_twitter_spark.operators.quality_checks import (
+        psi_two_sample,
+    )
+
+    # identical: 10 values each side, same bins -> every (pa - pb) = 0
+    rows = [(float(v), False) for v in range(10)] + [
+        (float(v), True) for v in range(10)
+    ]
+    r = psi_two_sample(
+        spark.createDataFrame(rows, "x double, b boolean"), "x", "b",
+        bin_width=2.0,
+    ).collect()[0]
+    assert r.psi == 0.0 and r.shift == "stable" and r.n_bins == 5
+
+    # disjoint: A in bin 0, B in bin 5 -> K=2,
+    # pa = (10.5/11, 0.5/11), pb = (0.5/11, 10.5/11):
+    # psi = 2 * (10/11) * ln(21) = hand value
+    rows2 = [(0.0, False)] * 10 + [(10.0, True)] * 10
+    r2 = psi_two_sample(
+        spark.createDataFrame(rows2, "x double, b boolean"), "x", "b",
+        bin_width=2.0,
+    ).collect()[0]
+    want = round(2 * (10.0 / 11.0) * math.log(10.5 / 0.5), 6)
+    assert r2.psi == want and r2.shift == "major"

@@ -178,6 +178,7 @@ HEADLINE = [
     "knn_rp_topk",  # JL random-projection reduced-space kNN
     "kmv_profile_prices",  # portable KMV bottom-k sketch estimators
     "psi_drift_order_prices",  # binned PSI drift ruler next to KS
+    "ann_recall_report",  # hash-verified recall scoreboard of all ANN rungs
 ]
 
 

@@ -68,6 +68,10 @@ QUERIES: dict[str, QueryFn] = {
     # JL random projection (r12): the DIMENSION rung of the compression
     # frontier (seeded literal Gaussian directions, LSH-oracle trick)
     "knn_rp_topk": T.knn_rp_topk,
+    # hash-verified ANN recall scoreboard (r12): every deterministic
+    # rung vs exact, composed relationally; oracle composes the rungs'
+    # own DuckDB replays as CTEs
+    "ann_recall_report": T.ann_recall_report,
     "quality_lr_weights": T.quality_lr_weights,
     "quality_lr_scores_by_source": T.quality_lr_scores_by_source,
     "pagerank_suppliers": GQ.pagerank_suppliers,
@@ -358,6 +362,7 @@ ORACLES: dict[str, str] = {
     "mmr_diversified_topk": T.ORACLE_MMR_DIVERSIFIED_TOPK,
     "knn_sq8": T.ORACLE_KNN_SQ8,
     "knn_rp_topk": T.ORACLE_KNN_RP_TOPK,
+    "ann_recall_report": T.ORACLE_ANN_RECALL_REPORT,
     "quality_lr_weights": T.ORACLE_QUALITY_LR_WEIGHTS,
     "quality_lr_scores_by_source": T.ORACLE_QUALITY_LR_SCORES_BY_SOURCE,
     "pagerank_suppliers": GQ.ORACLE_PAGERANK_SUPPLIERS,
@@ -490,12 +495,12 @@ ORACLES: dict[str, str] = {
 # ROUND-12 WINDOW (r11 verdict ask #5): rotation stays DECLARATIVE — the
 # list below is reordered to the front of QUERIES at import time. After
 # r11 the staleness distribution of newest driver rows was
-# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 13 new-in-r12
-# queries and ALL 37 r8 rows — so after r12 no registry query's newest
-# driver row is older than r9 (all 48 r9 rows rotate in r13; the
-# rows-only-by-design set stays in the tail as always).
+# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 14 new-in-r12
+# queries and 36 of the 37 r8 rows — window_rank_stats (r8) plus all 48
+# r9 rows rotate in r13; the rows-only-by-design set stays in the tail
+# as always.
 ROUND12_WINDOW: list[str] = [
-    # new-this-round (13): never driver-verified — new queries always
+    # new-this-round (14): never driver-verified — new queries always
     # outrank stale-but-unchanged ones. All oracle-backed and verified
     # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots.
     "knn_pq_indexed",
@@ -511,7 +516,8 @@ ROUND12_WINDOW: list[str] = [
     "knn_rp_topk",
     "kmv_profile_prices",
     "psi_drift_order_prices",
-    # newest driver rows: r8 (all 37)
+    "ann_recall_report",
+    # newest driver rows: r8 (36 of 37; window_rank_stats rotates r13)
     "dedup_clusters_minhash_portable",
     "dedup_clusters_simhash_portable",
     "dedup_exact_groups",
@@ -548,7 +554,6 @@ ROUND12_WINDOW: list[str] = [
     "source_vocab_overlap_top",
     "string_funcs_part",
     "union_by_name_accounts",
-    "window_rank_stats",
 ]
 
 _win = set(ROUND12_WINDOW)

@@ -3322,3 +3322,82 @@ SELECT q_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
 
 
 ORACLE_KNN_RP_TOPK = _rp_topk_oracle()
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verified ANN quality SCOREBOARD: recall@5 of every
+    deterministic approximate rung (LSH, IVF, JL random projection, SQ8,
+    PQ-ADC) against exact brute-force cosine, computed as one DataFrame
+    — the composition is pure relational algebra over the rungs'
+    existing plans, and the oracle composes their existing DuckDB
+    replays as CTEs, so the recall NUMBERS themselves are driver
+    hash-checked (not just pytest-pinned floors). ``total`` stays
+    honest: a rung that returns fewer than 50 rows (sparse buckets)
+    shows it here."""
+    ex = knn_brute_cosine(spark, sf_dir).select("q_id", "neighbor_id")
+    methods = {
+        "ivf": knn_ivf,
+        "lsh": knn_ann_lsh,
+        "pq_adc": knn_pq_adc,
+        "rp": knn_rp_topk,
+        "sq8": knn_sq8,
+    }
+    stacked = None
+    for name in sorted(methods):
+        part = methods[name](spark, sf_dir).select(
+            F.lit(name).alias("method"), "q_id", "neighbor_id"
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    tot = stacked.groupBy("method").agg(F.count(F.lit(1)).alias("total"))
+    hit = (
+        stacked.join(ex, ["q_id", "neighbor_id"], "leftsemi")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        tot.join(hit, "method", "left")
+        .select(
+            "method",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.col("total").cast("long").alias("total"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.col("total"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def _ann_recall_oracle() -> str:
+    subs = {
+        "ivf": ORACLE_KNN_IVF,
+        "lsh": ORACLE_KNN_ANN_LSH,
+        "pq_adc": ORACLE_KNN_PQ_ADC,
+        "rp": ORACLE_KNN_RP_TOPK,
+        "sq8": ORACLE_KNN_SQ8,
+    }
+    stacked = "\n  UNION ALL\n".join(
+        f"  SELECT '{name}' AS method, q_id, neighbor_id FROM ({sql}\n) s_{name}"
+        for name, sql in sorted(subs.items())
+    )
+    return f"""
+WITH exact AS (
+  SELECT q_id, neighbor_id FROM ({ORACLE_KNN_BRUTE_COSINE}\n) e0
+),
+stacked AS (
+{stacked}
+),
+tot AS (SELECT method, count(*) AS total FROM stacked GROUP BY method),
+hit AS (
+  SELECT method, count(*) AS hits
+  FROM stacked s JOIN exact e USING (q_id, neighbor_id)
+  GROUP BY method
+)
+SELECT t.method,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST(t.total AS BIGINT) AS total,
+       round(coalesce(h.hits, 0)::DOUBLE / t.total, 4) AS recall
+FROM tot t LEFT JOIN hit h USING (method)
+"""
+
+
+ORACLE_ANN_RECALL_REPORT = _ann_recall_oracle()

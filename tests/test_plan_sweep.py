@@ -111,6 +111,8 @@ SKIP = {
     "bpe_train_portable_merges",  # per-4-round localCheckpoints execute;
                                   # its 1-row best-pair broadcast is the
                                   # documented bounded-BNLJ scalar shape
+    "ann_recall_report",          # composes knn_ivf/knn_ann_lsh, whose
+                                  # plan builds execute bounded actions
 }
 
 

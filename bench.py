@@ -172,6 +172,7 @@ HEADLINE = [
     "gopher_line_rules_by_source",  # line-shape rules on planted multi-line
     "c4_rules_by_source",  # C4 line+doc cleaning rules, planted fixture
     "dedup_span_removal_by_source",  # cross-doc exact-substring removal
+    "dedup_span_keepfirst_by_source",  # paper-faithful keep-one retention
     "cms_heavy_hitters",  # portable Count-Min Sketch point estimates
     "ks_drift_order_prices",  # exact two-sample KS over quantized ECDFs
     "pmi_collocations_top",  # bigram PMI collocation mining

@@ -1114,6 +1114,7 @@ def remove_duplicated_spans(
     *,
     n: int = 8,
     min_docs: int = 2,
+    keep_first: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_cols: tuple[str, ...] = (),
@@ -1130,6 +1131,14 @@ def remove_duplicated_spans(
     minimum match length of ``n`` tokens (their suffix-array ExactSubstr
     is the single-node construction; the n-gram fingerprint + groupBy
     form is the shuffle-native equivalent).
+
+    ``keep_first=True`` is the paper-faithful retention mode: each
+    duplicated n-gram's CANONICAL occurrence — the (doc, start) argmin,
+    deterministic — is exempt from removal, so one copy of every
+    boilerplate block survives the corpus instead of none (the variant
+    that matters when the duplicated text is the only copy of real
+    content). The argmin rides the same fingerprint aggregate that
+    counts distinct docs: zero extra shuffles.
 
     Returns one row per document: ``id_col``, ``keep_cols``,
     ``n_tokens`` (before), ``tokens_removed``, and the rebuilt
@@ -1165,14 +1174,25 @@ def remove_duplicated_spans(
 
     dup_fps = (
         grams.groupBy("fp")
-        .agg(F.countDistinct(id_col).alias("nd"))
+        .agg(
+            F.countDistinct(id_col).alias("nd"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("start").alias("s"))
+            ).alias("canon"),
+        )
         .filter(F.col("nd") >= min_docs)
-        .select("fp")
+        .select("fp", "canon")
     )
-    flagged_starts = (
-        grams.join(dup_fps, "fp")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("start")).alias("ss"))
+    flagged = grams.join(dup_fps, "fp")
+    if keep_first:
+        flagged = flagged.filter(
+            ~(
+                (F.col(id_col) == F.col("canon.d"))
+                & (F.col("start") == F.col("canon.s"))
+            )
+        )
+    flagged_starts = flagged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("start")).alias("ss")
     )
 
     joined = docs.join(flagged_starts, id_col, "left").withColumn(

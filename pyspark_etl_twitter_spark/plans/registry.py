@@ -222,6 +222,7 @@ QUERIES: dict[str, QueryFn] = {
     # Exact-substring dedup REMOVAL (r12, Lee et al. 2022): cut tokens
     # covered by cross-doc duplicated 8-grams; planted boilerplate fixture
     "dedup_span_removal_by_source": T.dedup_span_removal_by_source,
+    "dedup_span_keepfirst_by_source": T.dedup_span_keepfirst_by_source,
     "pricing_summary": R.pricing_summary,
     "revenue_by_nation": R.revenue_by_nation,
     "bucketed_join_revenue": B.bucketed_join_revenue,
@@ -423,6 +424,7 @@ ORACLES: dict[str, str] = {
     "c4_rules_by_source": T.ORACLE_C4_RULES_BY_SOURCE,
     "dedup_segments_rebuild": T.ORACLE_DEDUP_SEGMENTS_REBUILD,
     "dedup_span_removal_by_source": T.ORACLE_DEDUP_SPAN_REMOVAL_BY_SOURCE,
+    "dedup_span_keepfirst_by_source": T.ORACLE_DEDUP_SPAN_KEEPFIRST_BY_SOURCE,
     "semantic_dedup_survivors": AQ.ORACLE_SEMANTIC_DEDUP_SURVIVORS,
     "tpch_q3_shipping_priority": H.ORACLE_TPCH_Q3,
     "tpch_q4_order_priority": H.ORACLE_TPCH_Q4,
@@ -495,12 +497,12 @@ ORACLES: dict[str, str] = {
 # ROUND-12 WINDOW (r11 verdict ask #5): rotation stays DECLARATIVE — the
 # list below is reordered to the front of QUERIES at import time. After
 # r11 the staleness distribution of newest driver rows was
-# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 14 new-in-r12
-# queries and 36 of the 37 r8 rows — window_rank_stats (r8) plus all 48
-# r9 rows rotate in r13; the rows-only-by-design set stays in the tail
-# as always.
+# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 15 new-in-r12
+# queries and 35 of the 37 r8 rows — union_by_name_accounts and
+# window_rank_stats (r8) plus all 48 r9 rows rotate in r13; the
+# rows-only-by-design set stays in the tail as always.
 ROUND12_WINDOW: list[str] = [
-    # new-this-round (14): never driver-verified — new queries always
+    # new-this-round (15): never driver-verified — new queries always
     # outrank stale-but-unchanged ones. All oracle-backed and verified
     # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots.
     "knn_pq_indexed",
@@ -510,6 +512,7 @@ ROUND12_WINDOW: list[str] = [
     "gopher_line_rules_by_source",
     "c4_rules_by_source",
     "dedup_span_removal_by_source",
+    "dedup_span_keepfirst_by_source",
     "cms_heavy_hitters",
     "ks_drift_order_prices",
     "pmi_collocations_top",
@@ -517,7 +520,8 @@ ROUND12_WINDOW: list[str] = [
     "kmv_profile_prices",
     "psi_drift_order_prices",
     "ann_recall_report",
-    # newest driver rows: r8 (36 of 37; window_rank_stats rotates r13)
+    # newest driver rows: r8 (35 of 37; union_by_name_accounts and
+    # window_rank_stats rotate r13)
     "dedup_clusters_minhash_portable",
     "dedup_clusters_simhash_portable",
     "dedup_exact_groups",
@@ -553,7 +557,6 @@ ROUND12_WINDOW: list[str] = [
     "sliding_window_events",
     "source_vocab_overlap_top",
     "string_funcs_part",
-    "union_by_name_accounts",
 ]
 
 _win = set(ROUND12_WINDOW)

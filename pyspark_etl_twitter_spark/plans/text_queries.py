@@ -3401,3 +3401,121 @@ FROM tot t LEFT JOIN hit h USING (method)
 
 
 ORACLE_ANN_RECALL_REPORT = _ann_recall_oracle()
+
+
+def dedup_span_keepfirst_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep_first retention mode of exact-substring removal on the
+    same planted-boilerplate fixture as ``dedup_span_removal_by_source``:
+    the canonical (min doc, min start) occurrence of every duplicated
+    8-gram survives, so corpus-wide exactly ONE copy of each planted
+    block remains — tokens_removed drops by exactly the surviving
+    copies' length relative to the remove-all row, and the fp_sum pins
+    the rebuilt bytes of this mode independently."""
+    from pyspark_etl_twitter_spark.operators.dedup import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _mark(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("doc_id").cast("string"), F.lit(tag)
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        )
+
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ",
+            F.when(_mark("hdr") % 4 == 0, F.lit(_SPAN_HDR)).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(_mark("ftr") % 5 == 0, F.lit(_SPAN_FTR)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    cleaned = remove_duplicated_spans(
+        planted, n=_SPAN_N, min_docs=2, keep_first=True, keep_cols=("source",)
+    )
+    fp = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("bigint")
+    return cleaned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("tokens_removed") > 0).cast("long")).alias("docs_modified"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum("tokens_removed").cast("long").alias("tokens_removed"),
+        F.sum(fp).alias("fp_sum"),
+    )
+
+
+ORACLE_DEDUP_SPAN_KEEPFIRST_BY_SOURCE = f"""
+WITH planted AS (
+  SELECT doc_id, source,
+         concat_ws(' ',
+           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':hdr'), 1, 8))::BIGINT % 4 = 0
+                THEN '{_SPAN_HDR}' ELSE '' END,
+           text,
+           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':ftr'), 1, 8))::BIGINT % 5 = 0
+                THEN '{_SPAN_FTR}' ELSE '' END) AS text
+  FROM documents
+),
+tokd AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM planted
+),
+g AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(t[i + 1 : i + {_SPAN_N}], ' ')) AS fp
+  FROM tokd, UNNEST(range(0, greatest(len(t) - {_SPAN_N} + 1, 0))) AS u(i)
+),
+dup AS (
+  SELECT fp, min(doc_id) AS cd FROM g
+  GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+),
+dup2 AS (
+  SELECT d.fp, d.cd, min(g.start) AS cs
+  FROM dup d JOIN g ON g.fp = d.fp AND g.doc_id = d.cd
+  GROUP BY d.fp, d.cd
+),
+fstarts AS (
+  SELECT g.doc_id, list(g.start ORDER BY g.start) AS ss
+  FROM g JOIN dup2 ON g.fp = dup2.fp
+  WHERE NOT (g.doc_id = dup2.cd AND g.start = dup2.cs)
+  GROUP BY g.doc_id
+),
+r AS (
+  SELECT t.doc_id, t.source, t.t,
+         coalesce(f.ss, CAST([] AS BIGINT[])) AS ss
+  FROM tokd t LEFT JOIN fstarts f USING (doc_id)
+),
+reb AS (
+  SELECT doc_id, source, len(t) AS n_tokens,
+         list_filter(
+           list_transform(range(0, len(t)), p ->
+             CASE WHEN len(list_filter(ss, s -> s <= p AND p < s + {_SPAN_N})) = 0
+                  THEN t[p + 1] END),
+           x -> x IS NOT NULL) AS kept
+  FROM r
+),
+fin AS (
+  SELECT source, n_tokens,
+         n_tokens - len(kept) AS tokens_removed,
+         coalesce(array_to_string(kept, ' '), '') AS new_text
+  FROM reb
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN tokens_removed > 0 THEN 1 END) AS BIGINT) AS docs_modified,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(sum(tokens_removed) AS BIGINT) AS tokens_removed,
+       CAST(sum(('0x' || substr(md5(new_text), 1, 8))::BIGINT) AS BIGINT) AS fp_sum
+FROM fin GROUP BY source
+"""

@@ -917,3 +917,44 @@ def test_remove_duplicated_spans_semantics(spark):
     }
     assert out2[0].text == "a1 a2" and out2[0].tokens_removed == 6
     assert out2[1].text == "b1 b2" and out2[1].tokens_removed == 6
+
+
+def test_remove_duplicated_spans_keep_first(spark):
+    """keep_first=True (the paper-faithful retention mode): the
+    canonical (min doc, min start) occurrence of each duplicated block
+    survives; every other copy is cut — including extra copies INSIDE
+    the canonical document."""
+    from pyspark_etl_twitter_spark.operators.dedup import remove_duplicated_spans
+
+    block = "b1 b2 b3 b4"
+    docs = spark.createDataFrame(
+        [
+            (0, f"u01 {block} u02"),
+            (1, f"v01 {block} v02"),
+            (2, f"{block} w01"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(
+            docs, n=4, min_docs=2, keep_first=True
+        ).collect()
+    }
+    assert out[0].text == f"u01 {block} u02" and out[0].tokens_removed == 0
+    assert out[1].text == "v01 v02" and out[1].tokens_removed == 4
+    assert out[2].text == "w01" and out[2].tokens_removed == 4
+
+    # a second copy inside the canonical doc is still cut
+    docs2 = spark.createDataFrame(
+        [(0, f"{block} x01 {block}"), (1, f"y01 {block}")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(
+            docs2, n=4, min_docs=2, keep_first=True
+        ).collect()
+    }
+    assert out2[0].text == f"{block} x01" and out2[0].tokens_removed == 4
+    assert out2[1].text == "y01" and out2[1].tokens_removed == 4

@@ -5,10 +5,10 @@ dict order is load-bearing. Rotation is declarative since round 9:
 ``registry.ROUND12_WINDOW`` is reordered to the front of ``QUERIES`` at
 import time and these tests pin its composition.
 
-Round-12 rule (r11 verdict ask #5): the window is the 14 new-in-r12
-queries plus 36 of the 37 queries whose newest driver row was r8 — so
-after r12 no registry query's newest driver row is older than r9
-(window_rank_stats (r8) and the 48 r9 rows rotate in r13).
+Round-12 rule (r11 verdict ask #5): the window is the 15 new-in-r12
+queries plus 35 of the 37 queries whose newest driver row was r8 — so
+after r12 max staleness is r8 on exactly two rows (union_by_name_accounts,
+window_rank_stats — both rotate first in r13 with the 48 r9 rows).
 """
 
 import pytest
@@ -53,8 +53,8 @@ def test_window_is_the_declared_rotation():
 
 
 def test_window_composition_r12():
-    """All 50 slots oracle-backed this round: the 14 new-in-r12 rows
-    ship with full DuckDB oracles, and the rotation picks (36 r8 rows)
+    """All 50 slots oracle-backed this round: the 15 new-in-r12 rows
+    ship with full DuckDB oracles, and the rotation picks (35 r8 rows)
     skip the rows-only-by-design set, which stays in the tail (each
     refreshed r9-r11 with a hash-green portable twin)."""
     window = list(QUERIES)[:DRIVER_WINDOW]

@@ -127,8 +127,13 @@ def ks_two_sample(
     gcols = list(group_cols or [])
     v = F.round(F.col(value_col), round_dp).alias("v")
     b = F.col(b_flag_col).cast("boolean")
+    # NULL values are dropped, not binned: Spark orders NULLS FIRST in an
+    # ascending window, DuckDB NULLS LAST — a null bin would silently
+    # desynchronize the two ECDFs (and a null carries no distribution
+    # evidence anyway)
     per_value = (
-        df.select(*gcols, v, b.alias("_b"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gcols, v, b.alias("_b"))
         .groupBy(*gcols, "v")
         .agg(
             F.sum(F.when(~F.col("_b"), 1).otherwise(0)).alias("_ca"),
@@ -224,7 +229,8 @@ def psi_two_sample(
     b = F.col(b_flag_col).cast("boolean")
     bin_col = F.floor(F.col(value_col) / bin_width).cast("long").alias("bin")
     per_bin = (
-        df.select(*gcols, bin_col, b.alias("_b"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gcols, bin_col, b.alias("_b"))
         .groupBy(*gcols, "bin")
         .agg(
             F.sum(F.when(~F.col("_b"), 1).otherwise(0)).alias("_ca"),

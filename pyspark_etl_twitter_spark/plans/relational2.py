@@ -1073,7 +1073,7 @@ ORACLE_KS_DRIFT_ORDER_PRICES = """
 WITH base AS (
   SELECT o_orderstatus, round(o_totalprice, 0) AS v,
          (CAST(year(o_orderdate) AS BIGINT) % 2 = 1) AS b
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 ),
 pv AS (
   SELECT o_orderstatus, v,
@@ -1220,7 +1220,7 @@ WITH base AS (
   SELECT o_orderstatus,
          CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS bin,
          (CAST(year(o_orderdate) AS BIGINT) % 2 = 1) AS b
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 ),
 pb AS (
   SELECT o_orderstatus, bin,

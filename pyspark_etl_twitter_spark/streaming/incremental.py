@@ -303,7 +303,8 @@ def streaming_ks_monitor(
     )
 
     ref_counts = (
-        reference.select(F.round(F.col(value_col), round_dp).alias("v"))
+        reference.filter(F.col(value_col).isNotNull())
+        .select(F.round(F.col(value_col), round_dp).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -312,7 +313,8 @@ def streaming_ks_monitor(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         bspark = batch_df.sparkSession
         delta = (
-            batch_df.select(F.round(F.col(value_col), round_dp).alias("v"))
+            batch_df.filter(F.col(value_col).isNotNull())
+            .select(F.round(F.col(value_col), round_dp).alias("v"))
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )

@@ -76,6 +76,13 @@ SHOWCASE = [
     ("knn_ivfpq_indexed", "partition-pruned codes-only scan, BroadcastHashJoin probe, LUT fold"),
     ("bpe_encoded_fixed_merges", "BPE encode as a codegen replace chain: zero exchanges before the agg"),
     ("gopher_line_rules_by_source", "planted multi-line reshape + line rules, all codegen, one agg exchange"),
+    # round-12 session-2 additions
+    ("dedup_span_removal_by_source", "gram-fingerprint count agg (never pairs), flagged-start join-back, HOF rebuild"),
+    ("c4_rules_by_source", "C4 line+doc rules as one codegen pass over the planted reshape"),
+    ("cms_heavy_hitters", "depth-stacked md5 buckets, map-side-combined cells, bounded rank window"),
+    ("ks_drift_order_prices", "corpus -> distinct-value relation in one shuffle, ECDF window on the bounded frontier"),
+    ("kmv_profile_prices", "distinct collapse, bottom-k rank over the value domain, estimators ride along"),
+    ("knn_rp_topk", "literal-matrix JL projection in codegen, reduced-space broadcast-query scan"),
 ]
 
 

@@ -958,3 +958,67 @@ def test_remove_duplicated_spans_keep_first(spark):
     }
     assert out2[0].text == f"{block} x01" and out2[0].tokens_removed == 4
     assert out2[1].text == "y01" and out2[1].tokens_removed == 4
+
+
+def test_remove_duplicated_spans_property_vs_python_oracle(spark):
+    """Property test vs an independent brute-force Python oracle: for
+    any random small corpus and n, both remove-all and keep-first modes
+    match the oracle's rebuilt text and removal counts exactly. The
+    oracle implements the SPEC directly (n-gram postings, distinct-doc
+    count, canonical argmin, coverage, rebuild) with none of the
+    DataFrame machinery."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    token = st.sampled_from(["a", "b", "c", "d"])
+    text = st.lists(token, min_size=0, max_size=12).map(" ".join)
+    corpus = st.lists(text, min_size=1, max_size=5)
+
+    def oracle(texts, n, keep_first):
+        toks = [([t for t in x.split(" ") if t]) for x in texts]
+        posts = {}
+        for d, ts in enumerate(toks):
+            for s in range(len(ts) - n + 1):
+                posts.setdefault(tuple(ts[s : s + n]), []).append((d, s))
+        out = []
+        for d, ts in enumerate(toks):
+            removed = set()
+            for gram, occ in posts.items():
+                if len({dd for dd, _ in occ}) < 2:
+                    continue
+                canon = min(occ)
+                for dd, s in occ:
+                    if dd != d:
+                        continue
+                    if keep_first and (dd, s) == canon:
+                        continue
+                    removed.update(range(s, s + n))
+            kept = [t for p, t in enumerate(ts) if p not in removed]
+            out.append((d, len(ts), len(ts) - len(kept), " ".join(kept)))
+        return sorted(out)
+
+    @given(
+        texts=corpus,
+        n=st.integers(min_value=2, max_value=4),
+        keep_first=st.booleans(),
+    )
+    @settings(
+        max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    def run(texts, n, keep_first):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = sorted(
+            (r.doc_id, r.n_tokens, r.tokens_removed, r.text)
+            for r in remove_duplicated_spans(
+                df, n=n, min_docs=2, keep_first=keep_first
+            ).collect()
+        )
+        assert got == oracle(texts, n, keep_first)
+
+    run()

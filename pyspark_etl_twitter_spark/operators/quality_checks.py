@@ -227,20 +227,34 @@ def psi_two_sample(
     (domain-bounded); everything after runs on that relation."""
     gcols = list(group_cols or [])
     b = F.col(b_flag_col).cast("boolean")
-    bin_col = F.floor(F.col(value_col) / bin_width).cast("long").alias("bin")
+    bin_col = F.floor(F.col(value_col) / bin_width).cast("long").alias("v")
     per_bin = (
         df.filter(F.col(value_col).isNotNull())
         .select(*gcols, bin_col, b.alias("_b"))
-        .groupBy(*gcols, "bin")
+        .groupBy(*gcols, "v")
         .agg(
             F.sum(F.when(~F.col("_b"), 1).otherwise(0)).alias("_ca"),
             F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("_cb"),
         )
     )
+    return psi_from_counts(per_bin, group_cols=gcols, round_dp=round_dp)
+
+
+def psi_from_counts(
+    per_value: DataFrame,
+    *,
+    group_cols: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """PSI from a pre-aggregated (group..., v, _ca, _cb) per-bin count
+    relation — the shared core mirroring ``ks_from_counts``; the
+    streaming monitor feeds its maintained histogram here (its quantized
+    values ARE the bins)."""
     from pyspark.sql import Window
 
+    gcols = list(group_cols or [])
     wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
-    stats = per_bin.select(
+    stats = per_value.select(
         *gcols,
         "_ca",
         "_cb",

@@ -300,6 +300,7 @@ def streaming_ks_monitor(
 
     from pyspark_etl_twitter_spark.operators.quality_checks import (
         ks_from_counts,
+        psi_from_counts,
     )
 
     ref_counts = (
@@ -349,14 +350,23 @@ def streaming_ks_monitor(
             F.sum(F.when(~F.col("_b"), F.col("cnt")).otherwise(0)).alias("_ca"),
             F.sum(F.when(F.col("_b"), F.col("cnt")).otherwise(0)).alias("_cb"),
         )
-        row = ks_from_counts(per_value).select(
+        ks_row = ks_from_counts(per_value).select(
             F.lit(batch_id).cast("long").alias("batch_id"),
             F.col("n_a").alias("n_obs"),
             "ks_d",
             "crit_05",
             "drifted",
         )
-        row.write.mode("append").parquet(f"{state_dir}/log")
+        # both drift rulers from the SAME maintained counts (quantized
+        # values are the PSI bins); 1-row x 1-row join on batch_id
+        psi_row = psi_from_counts(per_value).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "psi",
+            F.col("shift").alias("psi_shift"),
+        )
+        ks_row.join(psi_row, "batch_id").write.mode("append").parquet(
+            f"{state_dir}/log"
+        )
 
     q = (
         spark.readStream.schema(schema)

@@ -407,6 +407,23 @@ def test_streaming_ks_monitor_stream_equals_batch(spark, events_tiny, tmp_path):
     assert got.ks_d == want.ks_d and got.crit_05 == want.crit_05
     assert got.drifted == want.drifted
 
+    # the PSI ruler rides the same counts: quantized values ARE the bins,
+    # so psi_two_sample at bin_width=0.1 over 10x-scaled values replays it
+    from pyspark_etl_twitter_spark.operators.quality_checks import (
+        psi_from_counts,
+    )
+
+    pv = (
+        static.select((F.round(F.col("x"), 1)).alias("v"), "b")
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(~F.col("b"), 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(F.col("b"), 1).otherwise(0)).alias("_cb"),
+        )
+    )
+    want_psi = psi_from_counts(pv).collect()[0]
+    assert got.psi == want_psi.psi and got.psi_shift == want_psi.shift
+
     # no new files -> no new log rows, histogram pointer unchanged
     import json as _json
 

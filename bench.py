@@ -180,6 +180,7 @@ HEADLINE = [
     "kmv_profile_prices",  # portable KMV bottom-k sketch estimators
     "psi_drift_order_prices",  # binned PSI drift ruler next to KS
     "ann_recall_report",  # hash-verified recall scoreboard of all ANN rungs
+    "trigram_lm_quality_by_source",  # third rung of the LM-curation ladder
 ]
 
 

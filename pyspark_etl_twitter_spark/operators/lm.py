@@ -321,3 +321,105 @@ def pmi_collocations(
         .limit(k)
         .select("w1", "w2", "c_xy", "pmi")
     )
+
+
+def trigram_pairs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Adjacent token triples ``(id, w1, w2, w3)`` — the trigram analog
+    of ``bigram_pairs`` (same zip_with-over-slices codegen shape, no
+    fan-out for the same measured reasons); <3-token docs contribute no
+    rows."""
+    toks = ws_tokens(text_col)
+    n2 = F.greatest(F.size(toks) - 2, F.lit(0))
+    pairs12 = F.zip_with(
+        F.slice(toks, 1, n2),
+        F.slice(toks, 2, n2),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    pairs12,
+                    F.slice(toks, 3, n2),
+                    lambda p, c: F.struct(
+                        p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+                    ),
+                )
+            ).alias("tg"),
+        )
+        .select(id_col, "tg.w1", "tg.w2", "tg.w3")
+    )
+
+
+def trigram_doc_logprob(
+    docs: DataFrame,
+    *,
+    lam3: float = 0.5,
+    lam2: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document mean trigram log-probability under an interpolated
+    trigram/bigram/unigram model self-trained on the corpus:
+    ``p(w3|w1w2) = lam3·c(w1w2w3)/c(w1w2·) + lam2·c(w2w3)/c(w2·)
+    + (1-lam3-lam2)·p_addone(w3)`` — one order up from
+    ``bigram_doc_logprob`` (interpolation rather than stupid backoff
+    because a self-trained model never has zero counts on its own
+    corpus, so backoff would never fire).
+
+    Distributed shape mirrors the bigram: the trigram count table and
+    its (w1,w2) context table are the two corpus-sized relations
+    (shuffle joins on their own keys); the bigram backoff tables and the
+    unigram model are vocabulary-bounded and broadcast. <3-token docs
+    score 0.0 (every-doc-scored rule)."""
+    tri = trigram_pairs(docs, id_col=id_col, text_col=text_col)
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    c2ctx = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2ctx"))
+    bg = bigram_pairs(docs, id_col=id_col, text_col=text_col)
+    c2b = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2b"))
+        .select(
+            F.col("w1").alias("w2"), F.col("w2").alias("w3"), "c2b"
+        )
+    )
+    c1b = c2b.groupBy("w2").agg(F.sum("c2b").alias("c1b"))
+    uni = unigram_model(docs, text_col=text_col).select(
+        F.col("term").alias("w3"), F.exp("logp").alias("pu")
+    )
+    b = F.broadcast if broadcast_model else (lambda df: df)
+    lam1 = 1.0 - lam3 - lam2
+    scored = (
+        tri.join(c3, ["w1", "w2", "w3"])
+        .join(c2ctx, ["w1", "w2"])
+        .join(c2b, ["w2", "w3"])
+        .join(b(c1b), "w2")
+        .join(b(uni), "w3")
+        .select(
+            id_col,
+            F.log(
+                F.lit(lam3)
+                * (F.col("c3").cast("double") / F.col("c2ctx").cast("double"))
+                + F.lit(lam2)
+                * (F.col("c2b").cast("double") / F.col("c1b").cast("double"))
+                + F.lit(lam1) * F.col("pu")
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_nt"), F.sum("lp").alias("_s")
+    )
+    mean = F.coalesce(F.col("_s") / F.col("_nt"), F.lit(0.0))
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_nt"), F.lit(0)).cast("long").alias("n_trigrams"),
+            F.round(mean, 6).alias("mean_logp3"),
+        )
+    )

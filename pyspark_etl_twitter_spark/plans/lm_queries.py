@@ -216,3 +216,76 @@ SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy, pmi,
 FROM scored
 QUALIFY rank <= 20
 """
+
+
+def trigram_lm_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source interpolated trigram-LM quality
+    (operators/lm.trigram_doc_logprob, lam=(0.5, 0.3, 0.2)): doc count
+    and mean of per-doc mean trigram log-prob — the third rung of the
+    LM-curation ladder (unigram → bigram → trigram)."""
+    from pyspark_etl_twitter_spark.operators.lm import trigram_doc_logprob
+
+    docs = _docs(spark, sf_dir)
+    scored = trigram_doc_logprob(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("mean_logp3"), 6).alias("avg_logp3"),
+    )
+
+
+ORACLE_TRIGRAM_LM_QUALITY_BY_SOURCE = """
+WITH docsarr AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS arr
+  FROM documents
+),
+tg AS (
+  SELECT doc_id,
+         unnest(arr[1:len(arr) - 2]) AS w1,
+         unnest(arr[2:len(arr) - 1]) AS w2,
+         unnest(arr[3:len(arr)]) AS w3
+  FROM docsarr
+  WHERE len(arr) >= 3
+),
+c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY w1, w2, w3),
+c2ctx AS (SELECT w1, w2, sum(c3) AS c2ctx FROM c3 GROUP BY w1, w2),
+bg AS (
+  SELECT unnest(arr[1:len(arr) - 1]) AS a,
+         unnest(arr[2:len(arr)]) AS b
+  FROM docsarr
+  WHERE len(arr) >= 2
+),
+c2b AS (SELECT a AS w2, b AS w3, count(*) AS c2b FROM bg GROUP BY a, b),
+c1b AS (SELECT w2, sum(c2b) AS c1b FROM c2b GROUP BY w2),
+tok AS (
+  SELECT term
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+),
+counts AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+scal AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM counts),
+uni AS (SELECT term, (c + 1) / (n + v) AS pu FROM counts, scal),
+scored AS (
+  SELECT tg.doc_id,
+         ln(0.5 * (CAST(c3.c3 AS DOUBLE) / CAST(c2ctx.c2ctx AS DOUBLE))
+            + 0.3 * (CAST(c2b.c2b AS DOUBLE) / CAST(c1b.c1b AS DOUBLE))
+            + 0.2 * uni.pu) AS lp
+  FROM tg
+  JOIN c3 USING (w1, w2, w3)
+  JOIN c2ctx USING (w1, w2)
+  JOIN c2b USING (w2, w3)
+  JOIN c1b USING (w2)
+  JOIN uni ON tg.w3 = uni.term
+),
+per AS (
+  SELECT doc_id, round(sum(lp) / count(*), 6) AS mean_logp3
+  FROM scored GROUP BY doc_id
+),
+alld AS (
+  SELECT d.doc_id, d.source, coalesce(p.mean_logp3, 0.0) AS mean_logp3
+  FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+)
+SELECT source, count(*) AS n_docs, round(avg(mean_logp3), 6) AS avg_logp3
+FROM alld GROUP BY source
+"""

@@ -244,6 +244,8 @@ QUERIES: dict[str, QueryFn] = {
     # PMI collocations (r12): token-association mining next to the
     # bigram LM (Church & Hanks 1990)
     "pmi_collocations_top": LQ.pmi_collocations_top,
+    # trigram LM rung (r12): unigram -> bigram -> trigram ladder
+    "trigram_lm_quality_by_source": LQ.trigram_lm_quality_by_source,
     "topk_orders_per_customer": R.topk_orders_per_customer,
     "running_revenue_by_supplier": R.running_revenue_by_supplier,
     "sessionize_events": R.sessionize_events,
@@ -452,6 +454,7 @@ ORACLES: dict[str, str] = {
     "graph_triangles_per_node": GQ.ORACLE_GRAPH_TRIANGLES_PER_NODE,
     "lm_quality_by_source": LQ.ORACLE_LM_QUALITY_BY_SOURCE,
     "pmi_collocations_top": LQ.ORACLE_PMI_COLLOCATIONS_TOP,
+    "trigram_lm_quality_by_source": LQ.ORACLE_TRIGRAM_LM_QUALITY_BY_SOURCE,
     "oov_rate_by_source": LQ.ORACLE_OOV_RATE_BY_SOURCE,
     "bloom_join_urgent_revenue": AQ.ORACLE_BLOOM_JOIN_URGENT_REVENUE,
     "funnel_view_click_purchase": FQ.ORACLE_FUNNEL_VIEW_CLICK_PURCHASE,
@@ -497,12 +500,12 @@ ORACLES: dict[str, str] = {
 # ROUND-12 WINDOW (r11 verdict ask #5): rotation stays DECLARATIVE — the
 # list below is reordered to the front of QUERIES at import time. After
 # r11 the staleness distribution of newest driver rows was
-# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 15 new-in-r12
-# queries and 35 of the 37 r8 rows — union_by_name_accounts and
-# window_rank_stats (r8) plus all 48 r9 rows rotate in r13; the
-# rows-only-by-design set stays in the tail as always.
+# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 16 new-in-r12
+# queries and 34 of the 37 r8 rows — string_funcs_part,
+# union_by_name_accounts and window_rank_stats (r8) plus all 48 r9 rows
+# rotate in r13; the rows-only-by-design set stays in the tail as always.
 ROUND12_WINDOW: list[str] = [
-    # new-this-round (15): never driver-verified — new queries always
+    # new-this-round (16): never driver-verified — new queries always
     # outrank stale-but-unchanged ones. All oracle-backed and verified
     # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots.
     "knn_pq_indexed",
@@ -520,8 +523,9 @@ ROUND12_WINDOW: list[str] = [
     "kmv_profile_prices",
     "psi_drift_order_prices",
     "ann_recall_report",
-    # newest driver rows: r8 (35 of 37; union_by_name_accounts and
-    # window_rank_stats rotate r13)
+    "trigram_lm_quality_by_source",
+    # newest driver rows: r8 (34 of 37; string_funcs_part,
+    # union_by_name_accounts, window_rank_stats rotate r13)
     "dedup_clusters_minhash_portable",
     "dedup_clusters_simhash_portable",
     "dedup_exact_groups",
@@ -556,7 +560,6 @@ ROUND12_WINDOW: list[str] = [
     "set_union_active_keys",
     "sliding_window_events",
     "source_vocab_overlap_top",
-    "string_funcs_part",
 ]
 
 _win = set(ROUND12_WINDOW)

@@ -147,3 +147,36 @@ def test_pmi_collocations_hand_computed(spark):
     )
     top1 = pmi_collocations(docs2, min_count=1, k=1).collect()
     assert len(top1) == 1
+
+
+def test_trigram_doc_logprob_hand_computed(spark):
+    """Interpolated trigram LM on a tiny fixture: corpus 'a b c a b c'
+    has trigrams (a,b,c)x2, (b,c,a), (c,a,b); hand-compute one doc's
+    mean; <3-token docs score 0.0 with n_trigrams=0; the per-trigram
+    probability mass is a valid interpolation (component weights sum
+    to 1)."""
+    import math
+
+    from pyspark_etl_twitter_spark.operators.lm import trigram_doc_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "x y")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in trigram_doc_logprob(docs).collect()}
+    assert got[1].n_trigrams == 0 and got[1].mean_logp3 == 0.0
+    assert got[0].n_trigrams == 4
+
+    # unigram add-one: tokens = a,b,c,a,b,c,x,y (n=8, v=5):
+    # p(a)=p(b)=p(c)=3/13, p(x)=p(y)=2/13
+    # trigram counts: abc=2, bca=1, cab=1; contexts: ab=2, bc=1, ca=1
+    # bigram counts: ab=2, bc=2, ca=1, xy=1; contexts: a=2, b=2, c=1, x=1
+    def p(c3, ctx3, c2, ctx2, pu):
+        return 0.5 * c3 / ctx3 + 0.3 * c2 / ctx2 + 0.2 * pu
+
+    lps = [
+        math.log(p(2, 2, 2, 2, 3 / 13)),  # a b c (x2)
+        math.log(p(2, 2, 2, 2, 3 / 13)),
+        math.log(p(1, 1, 1, 1, 3 / 13)),  # b c a
+        math.log(p(1, 1, 2, 2, 3 / 13)),  # c a b
+    ]
+    assert got[0].mean_logp3 == round(sum(lps) / 4, 6)

@@ -29,6 +29,7 @@ BNLJ_OK = {
     "lm_quality_by_source",     # broadcast 1-row scalars (N, V, oov_logp)
     "oov_rate_by_source",
     "bigram_lm_quality_by_source",
+    "trigram_lm_quality_by_source",  # same unigram 1-row (N, V) scalars
     "bm25_search_topk",         # broadcast 1-row (N, avgdl)
     "sentiment_classes",
     "sentiment_doc_scores",

@@ -181,6 +181,7 @@ HEADLINE = [
     "psi_drift_order_prices",  # binned PSI drift ruler next to KS
     "ann_recall_report",  # hash-verified recall scoreboard of all ANN rungs
     "trigram_lm_quality_by_source",  # third rung of the LM-curation ladder
+    "quantile_norm_price_map",  # cross-source quantile calibration map
 ]
 
 

@@ -744,3 +744,85 @@ def bloom_contamination(
         .withColumn("n_bloom_hits", F.coalesce("n_bloom_hits", F.lit(0)))
         .withColumn("bloom_flagged", F.col("n_bloom_hits") > 0)
     )
+
+
+def quantile_map(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    n_q: int = 10,
+    round_dp: int = 0,
+) -> DataFrame:
+    """Per-group inverse-ECDF quantile map vs the pooled distribution —
+    the calibration table for cross-source score normalization (a
+    quality threshold tuned on one source is meaningless on another
+    unless their score distributions are aligned; quantile mapping IS
+    the alignment).
+
+    For each interior quantile q = i/n_q the step inverse ECDF is the
+    smallest quantized value v with cum_count(v) >= q·total — computed
+    with EXACT integer cross-multiplication (n_q·cum >= i·total), no
+    float thresholds. Returns (group, q_pct, group_value, pooled_value,
+    shift) where shift = group − pooled at that quantile.
+
+    Scale: one hash agg collapses the corpus to its per-(group,
+    quantized value) counts; every later stage (cumulative window,
+    min-when fold, the pooled twin, the unpivot) runs on that
+    domain-bounded relation. Apply-side: join a row's (group, bucket)
+    against this map — the map is groups·n_q rows, always broadcast."""
+    v = F.round(F.col(value_col), round_dp).alias("v")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), v)
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def _inv(rel: DataFrame, keys: list[str]) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(*keys).orderBy("v")
+            if keys
+            else Window.orderBy("v")
+        )
+        wg = Window.partitionBy(*keys) if keys else Window.partitionBy()
+        cum = rel.select(
+            *keys,
+            "v",
+            F.sum("c").over(w).alias("cum"),
+            F.sum("c").over(wg).alias("tot"),
+        )
+        aggs = [
+            F.min(
+                F.when(
+                    F.col("cum") * n_q >= F.col("tot") * i, F.col("v")
+                )
+            ).alias(f"q{i}")
+            for i in range(1, n_q)
+        ]
+        return cum.groupBy(*keys).agg(*aggs)
+
+    per_group = _inv(counts, ["g"])
+    pooled = _inv(
+        counts.groupBy("v").agg(F.sum("c").alias("c")), []
+    )
+    stack_expr = ", ".join(
+        f"int({100 * i / n_q}) , q{i}" for i in range(1, n_q)
+    )
+    gl = per_group.selectExpr(
+        "g", f"stack({n_q - 1}, {stack_expr}) AS (q_pct, group_value)"
+    )
+    pl = pooled.selectExpr(
+        f"stack({n_q - 1}, {stack_expr}) AS (q_pct, pooled_value)"
+    )
+    return gl.join(F.broadcast(pl), "q_pct").select(
+        F.col("g").alias(group_col),
+        F.col("q_pct").cast("int").alias("q_pct"),
+        "group_value",
+        "pooled_value",
+        F.round(F.col("group_value") - F.col("pooled_value"), round_dp + 2).alias(
+            "shift"
+        ),
+    )

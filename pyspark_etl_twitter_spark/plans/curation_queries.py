@@ -785,3 +785,51 @@ sel AS (
 )
 SELECT source, count(*) AS n_sampled FROM sel GROUP BY source
 """
+
+
+def quantile_norm_price_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile-normalization map: per order status, the
+    inverse-ECDF deciles of order price vs the pooled deciles and the
+    shift between them — the calibration table that makes a score
+    threshold tuned on one source meaningful on another
+    (operators/curation.quantile_map; exact integer threshold tests,
+    everything after one hash agg runs on the value-domain-bounded
+    relation)."""
+    orders = _t(spark, sf_dir, "orders")
+    return C.quantile_map(
+        orders, "o_totalprice", "o_orderstatus", n_q=10, round_dp=0
+    )
+
+
+ORACLE_QUANTILE_NORM_PRICE_MAP = """
+WITH counts AS (
+  SELECT o_orderstatus AS g, round(o_totalprice, 0) AS v, count(*) AS c
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+),
+qs AS (SELECT unnest(range(1, 10)) AS i),
+cumg AS (
+  SELECT g, v,
+         sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g) AS tot
+  FROM counts
+),
+qg AS (
+  SELECT g, i * 10 AS q_pct,
+         min(CASE WHEN cum * 10 >= tot * i THEN v END) AS group_value
+  FROM cumg CROSS JOIN qs GROUP BY g, i
+),
+cnt0 AS (SELECT v, sum(c) AS c FROM counts GROUP BY v),
+cump AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS tot
+  FROM cnt0
+),
+qp AS (
+  SELECT i * 10 AS q_pct,
+         min(CASE WHEN cum * 10 >= tot * i THEN v END) AS pooled_value
+  FROM cump CROSS JOIN qs GROUP BY i
+)
+SELECT qg.g AS o_orderstatus, CAST(qg.q_pct AS INTEGER) AS q_pct,
+       qg.group_value, qp.pooled_value,
+       round(qg.group_value - qp.pooled_value, 2) AS shift
+FROM qg JOIN qp USING (q_pct)
+"""

@@ -232,6 +232,8 @@ QUERIES: dict[str, QueryFn] = {
     "fuzzy_decontaminate_counts": CQ.fuzzy_decontaminate_counts,
     "budget_selection_by_source": CQ.budget_selection_by_source,
     "temperature_mix_counts": CQ.temperature_mix_counts,
+    # cross-source quantile-normalization map (r12)
+    "quantile_norm_price_map": CQ.quantile_norm_price_map,
     "repeated_spans_top": T.repeated_spans_top,
     "asof_tolerance_click": R.asof_tolerance_click,
     "winsorized_price_stats": R2.winsorized_price_stats,
@@ -464,6 +466,7 @@ ORACLES: dict[str, str] = {
     "fuzzy_decontaminate_counts": CQ.ORACLE_FUZZY_DECONTAMINATE_COUNTS,
     "budget_selection_by_source": CQ.ORACLE_BUDGET_SELECTION_BY_SOURCE,
     "temperature_mix_counts": CQ.ORACLE_TEMPERATURE_MIX_COUNTS,
+    "quantile_norm_price_map": CQ.ORACLE_QUANTILE_NORM_PRICE_MAP,
     "char_entropy_by_source": T.ORACLE_CHAR_ENTROPY_BY_SOURCE,
     "repeated_spans_top": T.ORACLE_REPEATED_SPANS_TOP,
     "source_vocab_overlap_top": CQ.ORACLE_SOURCE_VOCAB_OVERLAP_TOP,
@@ -500,12 +503,13 @@ ORACLES: dict[str, str] = {
 # ROUND-12 WINDOW (r11 verdict ask #5): rotation stays DECLARATIVE — the
 # list below is reordered to the front of QUERIES at import time. After
 # r11 the staleness distribution of newest driver rows was
-# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 16 new-in-r12
-# queries and 34 of the 37 r8 rows — string_funcs_part,
-# union_by_name_accounts and window_rank_stats (r8) plus all 48 r9 rows
-# rotate in r13; the rows-only-by-design set stays in the tail as always.
+# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 17 new-in-r12
+# queries and 33 of the 37 r8 rows — source_vocab_overlap_top,
+# string_funcs_part, union_by_name_accounts and window_rank_stats (r8)
+# plus all 48 r9 rows rotate in r13; the rows-only-by-design set stays
+# in the tail as always.
 ROUND12_WINDOW: list[str] = [
-    # new-this-round (16): never driver-verified — new queries always
+    # new-this-round (17): never driver-verified — new queries always
     # outrank stale-but-unchanged ones. All oracle-backed and verified
     # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots.
     "knn_pq_indexed",
@@ -524,8 +528,10 @@ ROUND12_WINDOW: list[str] = [
     "psi_drift_order_prices",
     "ann_recall_report",
     "trigram_lm_quality_by_source",
-    # newest driver rows: r8 (34 of 37; string_funcs_part,
-    # union_by_name_accounts, window_rank_stats rotate r13)
+    "quantile_norm_price_map",
+    # newest driver rows: r8 (33 of 37; source_vocab_overlap_top,
+    # string_funcs_part, union_by_name_accounts, window_rank_stats
+    # rotate r13)
     "dedup_clusters_minhash_portable",
     "dedup_clusters_simhash_portable",
     "dedup_exact_groups",
@@ -559,7 +565,6 @@ ROUND12_WINDOW: list[str] = [
     "set_intersect_custkeys",
     "set_union_active_keys",
     "sliding_window_events",
-    "source_vocab_overlap_top",
 ]
 
 _win = set(ROUND12_WINDOW)

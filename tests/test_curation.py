@@ -385,3 +385,27 @@ def test_fan_out_gate_skips_corpus_shuffle_on_wide_input(spark):
     a = sorted(map(tuple, C.ngram_profile(wide, n=2, k=10).collect()))
     b = sorted(map(tuple, C.ngram_profile(docs, n=2, k=10).collect()))
     assert a == b
+
+
+def test_quantile_map_hand_computed(spark):
+    """Quantile map on a planted fixture: group A = 1..10, group B =
+    11..20 (pooled = 1..20). Step inverse ECDF: A's q50 = 5, B's q50 =
+    15, pooled q50 = 10 -> shifts -5 / +5; q10 of A = 1 (cum 1 >= 1);
+    ties and exact integer thresholds have no float wobble."""
+    from pyspark_etl_twitter_spark.operators.curation import quantile_map
+
+    rows = [("A", float(v)) for v in range(1, 11)] + [
+        ("B", float(v)) for v in range(11, 21)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        (r.g, r.q_pct): r
+        for r in quantile_map(df, "x", "g", n_q=10, round_dp=0).collect()
+    }
+    assert got[("A", 50)].group_value == 5.0
+    assert got[("B", 50)].group_value == 15.0
+    assert got[("A", 50)].pooled_value == 10.0
+    assert got[("A", 50)].shift == -5.0 and got[("B", 50)].shift == 5.0
+    assert got[("A", 10)].group_value == 1.0
+    assert got[("B", 90)].group_value == 19.0
+    assert len(got) == 18  # 2 groups x 9 interior deciles

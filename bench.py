@@ -182,6 +182,8 @@ HEADLINE = [
     "ann_recall_report",  # hash-verified recall scoreboard of all ANN rungs
     "trigram_lm_quality_by_source",  # third rung of the LM-curation ladder
     "quantile_norm_price_map",  # cross-source quantile calibration map
+    "hard_negatives_topk",  # contrastive hard-negative mining
+    "seeded_negatives_sample",  # seeded uniform negatives baseline
 ]
 
 

@@ -2763,3 +2763,136 @@ def rp_cosine_topk(
         k=k,
         round_dp=round_dp,
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive training-pair mining (round 12): the operators that turn a
+# labeled embedding corpus into contrastive training pairs — hard
+# negatives (nearest vectors with a DIFFERENT label: the pairs that
+# actually move a contrastive loss) and seeded uniform negatives (the
+# cheap baseline every recipe mixes in). Both fully deterministic and
+# ANSI-replayable.
+# --------------------------------------------------------------------------
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_queries: int = 10,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-``k`` HARD NEGATIVES per query: the most cosine-similar
+    corpus vectors whose ``label_col`` differs from the query's — the
+    mining step of a contrastive training loop (in-batch negatives are
+    easy; the near-miss different-label neighbors carry the gradient).
+
+    Same distributed shape as ``cosine_topk`` (norms precomputed,
+    query block broadcast, rounded-score ranking) plus the one label
+    filter; at corpus scale swap the scan for any ANN rung upstream —
+    the filter and ranking compose unchanged."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        F.col(label_col).alias("lbl"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("lbl").alias("q_lbl"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("lbl") != F.col("q_lbl"))
+            & (F.col("nrm") > 0)
+            & (F.col("q_nrm") > 0)
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("lbl").alias("neg_label"),
+            F.round(
+                dot(F.col("emb"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                round_dp,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "neg_label", "cos_sim", "rank")
+    )
+
+
+def seeded_negatives(
+    ids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    k: int = 4,
+    pad: int = 4,
+    seed: int = 97,
+) -> DataFrame:
+    """``k`` seeded uniform negative ids per anchor — deterministic,
+    engine-portable (md5 idiom), collision-safe: ``k + pad`` candidates
+    are drawn as ``md5_u32(seed:anchor:i) % N`` (N = corpus size, a
+    1-row broadcast scalar), self-hits and duplicate draws are dropped
+    keeping the SMALLEST draw index per (anchor, candidate), and the
+    first ``k`` surviving draws are kept in draw order. Returns
+    (anchor_id, neg_id, draw). Entirely narrow generate/filter/rank —
+    the corpus-sized relations never shuffle on anything but the anchor.
+
+    ``pad`` bounds the failure mode honestly: an anchor keeps fewer
+    than ``k`` rows only if more than ``pad`` of its draws collided
+    (self-hit or duplicate) — at k+pad=8 draws over any realistic N the
+    shortfall probability is negligible, and a short anchor is visible
+    in the output rather than silently refilled."""
+    from pyspark.sql import Window
+
+    n_total = ids.agg(F.count(F.lit(1)).alias("_n"))
+    draws = ids.select(F.col(id_col).alias("anchor_id")).crossJoin(
+        F.broadcast(n_total)
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.lit(k + pad - 1))).alias("draw")
+    cand = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(seed)),
+                        F.col("anchor_id").cast("string"),
+                        F.col("draw").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("_n")
+    ).alias("neg_id")
+    exploded = draws.select("anchor_id", "_n", idx).select(
+        "anchor_id", "draw", cand
+    )
+    dedup = (
+        exploded.filter(F.col("neg_id") != F.col("anchor_id"))
+        .groupBy("anchor_id", "neg_id")
+        .agg(F.min("draw").alias("draw"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy("draw")
+    return (
+        dedup.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("anchor_id", "neg_id", F.col("draw").cast("int").alias("draw"))
+    )

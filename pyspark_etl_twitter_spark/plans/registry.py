@@ -72,6 +72,10 @@ QUERIES: dict[str, QueryFn] = {
     # rung vs exact, composed relationally; oracle composes the rungs'
     # own DuckDB replays as CTEs
     "ann_recall_report": T.ann_recall_report,
+    # contrastive training-pair mining (r12): hard negatives + seeded
+    # uniform negatives
+    "hard_negatives_topk": T.hard_negatives_topk,
+    "seeded_negatives_sample": T.seeded_negatives_sample,
     "quality_lr_weights": T.quality_lr_weights,
     "quality_lr_scores_by_source": T.quality_lr_scores_by_source,
     "pagerank_suppliers": GQ.pagerank_suppliers,
@@ -368,6 +372,8 @@ ORACLES: dict[str, str] = {
     "knn_sq8": T.ORACLE_KNN_SQ8,
     "knn_rp_topk": T.ORACLE_KNN_RP_TOPK,
     "ann_recall_report": T.ORACLE_ANN_RECALL_REPORT,
+    "hard_negatives_topk": T.ORACLE_HARD_NEGATIVES_TOPK,
+    "seeded_negatives_sample": T.ORACLE_SEEDED_NEGATIVES_SAMPLE,
     "quality_lr_weights": T.ORACLE_QUALITY_LR_WEIGHTS,
     "quality_lr_scores_by_source": T.ORACLE_QUALITY_LR_SCORES_BY_SOURCE,
     "pagerank_suppliers": GQ.ORACLE_PAGERANK_SUPPLIERS,
@@ -503,13 +509,13 @@ ORACLES: dict[str, str] = {
 # ROUND-12 WINDOW (r11 verdict ask #5): rotation stays DECLARATIVE — the
 # list below is reordered to the front of QUERIES at import time. After
 # r11 the staleness distribution of newest driver rows was
-# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 17 new-in-r12
-# queries and 33 of the 37 r8 rows — source_vocab_overlap_top,
-# string_funcs_part, union_by_name_accounts and window_rank_stats (r8)
-# plus all 48 r9 rows rotate in r13; the rows-only-by-design set stays
-# in the tail as always.
+# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 19 new-in-r12
+# queries and 31 of the 37 r8 rows — set_union_active_keys,
+# sliding_window_events, source_vocab_overlap_top, string_funcs_part,
+# union_by_name_accounts and window_rank_stats (r8) plus all 48 r9 rows
+# rotate in r13; the rows-only-by-design set stays in the tail as always.
 ROUND12_WINDOW: list[str] = [
-    # new-this-round (17): never driver-verified — new queries always
+    # new-this-round (19): never driver-verified — new queries always
     # outrank stale-but-unchanged ones. All oracle-backed and verified
     # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots.
     "knn_pq_indexed",
@@ -529,9 +535,11 @@ ROUND12_WINDOW: list[str] = [
     "ann_recall_report",
     "trigram_lm_quality_by_source",
     "quantile_norm_price_map",
-    # newest driver rows: r8 (33 of 37; source_vocab_overlap_top,
-    # string_funcs_part, union_by_name_accounts, window_rank_stats
-    # rotate r13)
+    "hard_negatives_topk",
+    "seeded_negatives_sample",
+    # newest driver rows: r8 (31 of 37; set_union_active_keys,
+    # sliding_window_events, source_vocab_overlap_top, string_funcs_part,
+    # union_by_name_accounts, window_rank_stats rotate r13)
     "dedup_clusters_minhash_portable",
     "dedup_clusters_simhash_portable",
     "dedup_exact_groups",
@@ -563,8 +571,6 @@ ROUND12_WINDOW: list[str] = [
     "sentiment_doc_scores",
     "set_except_custkeys",
     "set_intersect_custkeys",
-    "set_union_active_keys",
-    "sliding_window_events",
 ]
 
 _win = set(ROUND12_WINDOW)

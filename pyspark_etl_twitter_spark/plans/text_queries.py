@@ -3519,3 +3519,69 @@ SELECT source,
        CAST(sum(('0x' || substr(md5(new_text), 1, 8))::BIGINT) AS BIGINT) AS fp_sum
 FROM fin GROUP BY source
 """
+
+
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query, the top-5 most
+    cosine-similar corpus vectors with a DIFFERENT label — the pairs
+    that carry gradient in a contrastive loss (in-batch negatives are
+    easy by construction). Exact scan form here; any ANN rung composes
+    upstream unchanged."""
+    return S.hard_negative_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=10, k=5
+    )
+
+
+ORACLE_HARD_NEGATIVES_TOPK = """
+WITH base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, label AS q_lbl, emb AS q_emb, nrm AS q_nrm
+      FROM base WHERE vec_id < 10),
+pairs AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+         round(list_dot_product(e.emb, q.q_emb) / (e.nrm * q.q_nrm), 6) AS cos_sim
+  FROM base e, q
+  WHERE e.vec_id <> q.q_id AND e.label <> q.q_lbl
+    AND e.nrm > 0 AND q.q_nrm > 0
+)
+SELECT q_id, neighbor_id, neg_label, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
+def seeded_negatives_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded uniform negative sampling (the contrastive baseline the
+    hard negatives mix with): 4 deterministic md5-drawn negative ids
+    per anchor, self-hits and duplicate draws dropped keeping draw
+    order; emitted for the first 100 anchors (the draw machinery runs
+    corpus-wide — the filter only bounds the hash-compared output)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.seeded_negatives(emb, k=4, pad=4, seed=97).filter(
+        F.col("anchor_id") < 100
+    )
+
+
+ORACLE_SEEDED_NEGATIVES_SAMPLE = """
+WITH n AS (SELECT count(*) AS n FROM embeddings),
+anchors AS (SELECT vec_id AS anchor_id FROM embeddings),
+d AS (
+  SELECT anchor_id, i AS draw,
+         ('0x' || substr(md5('97:' || anchor_id::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT % n.n AS neg_id
+  FROM anchors CROSS JOIN n, UNNEST(range(0, 8)) AS u(i)
+),
+dd AS (
+  SELECT anchor_id, neg_id, min(draw) AS draw
+  FROM d WHERE neg_id <> anchor_id GROUP BY 1, 2
+)
+SELECT anchor_id, neg_id, CAST(draw AS INTEGER) AS draw FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY draw) AS rk
+  FROM dd
+) WHERE rk <= 4 AND anchor_id < 100
+"""

@@ -85,6 +85,10 @@ BNLJ_OK = {
     # broadcast query side over JL-reduced vectors — the knn_brute_cosine
     # shape at out_dim=16
     "knn_rp_topk",
+    # broadcast query side + label filter — the knn_brute_cosine shape
+    "hard_negatives_topk",
+    # corpus-size 1-row scalar rides every anchor's draw generator
+    "seeded_negatives_sample",
 }
 
 # queries that EXECUTE during plan building (iterative/driver-bounded):

@@ -86,3 +86,68 @@ def test_rp_topk_recall_floor_and_oracle_shape(spark):
     want = {(r.q_id, r.neighbor_id) for r in ex}
     recall = len(got & want) / len(want)
     assert recall >= 0.10, recall
+
+
+def test_hard_negative_topk_label_filter(spark):
+    """Hard negatives: neighbors share no label with their query; ranks
+    are per-query dense 1..k over the different-label pool; a planted
+    near-duplicate with the SAME label is excluded even though it is the
+    global nearest neighbor."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    labels = {r.vec_id: r.label for r in emb.filter(F.col("vec_id") < 10).collect()}
+    out = hard_negative_topk(emb, n_queries=10, k=5).collect()
+    assert len(out) == 50
+    by_q = {}
+    neighbor_labels = {
+        r.vec_id: r.label
+        for r in emb.select("vec_id", "label").collect()
+    }
+    for r in out:
+        assert r.neg_label != labels[r.q_id]
+        assert neighbor_labels[r.neighbor_id] == r.neg_label
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+    # planted same-label twin: nearest overall but NOT a hard negative
+    twin = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(999_999).cast("long").alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    emb2 = emb.unionByName(twin)
+    out2 = hard_negative_topk(emb2, n_queries=1, k=5).collect()
+    assert all(r.neighbor_id != 999_999 for r in out2)
+
+
+def test_seeded_negatives_contract(spark):
+    """Seeded negatives: deterministic across runs, no self-hits, no
+    duplicate (anchor, neg) pairs, k rows per anchor (pad absorbed all
+    collisions on this corpus), draws strictly increasing per anchor."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        seeded_negatives,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(
+        (r.anchor_id, r.neg_id, r.draw)
+        for r in seeded_negatives(emb, k=4).collect()
+    )
+    b = sorted(
+        (r.anchor_id, r.neg_id, r.draw)
+        for r in seeded_negatives(emb, k=4).collect()
+    )
+    assert a == b and len(a) == 4 * 500
+    assert all(anchor != neg for anchor, neg, _ in a)
+    assert len({(x, y) for x, y, _ in a}) == len(a)
+    # different seed -> different draws somewhere
+    c = sorted(
+        (r.anchor_id, r.neg_id, r.draw)
+        for r in seeded_negatives(emb, k=4, seed=98).collect()
+    )
+    assert c != a

@@ -184,6 +184,7 @@ HEADLINE = [
     "quantile_norm_price_map",  # cross-source quantile calibration map
     "hard_negatives_topk",  # contrastive hard-negative mining
     "seeded_negatives_sample",  # seeded uniform negatives baseline
+    "kcore_suppliers",  # k-core peel finds the planted quasi-clique
 ]
 
 

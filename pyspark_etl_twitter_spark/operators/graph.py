@@ -184,3 +184,43 @@ def pagerank_portable(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
             pr = pr.localCheckpoint()
     return pr.select("node", F.col("pr").alias("pagerank"))
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    k: int,
+    *,
+    rounds: int = 6,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-round k-core peel over undirected (u < v) edges: each round
+    drops every node whose CURRENT degree is below ``k`` and every edge
+    touching a dropped node. The k-core is the classic dense-subgraph
+    extractor (spam/link-farm detection, community seeds); the peel is
+    confluent, so a FIXED round count is deterministic and
+    oracle-replayable — at the fixpoint further rounds are no-ops, and
+    the fixpoint is reached once a round removes nothing (pin
+    convergence by choosing ``rounds`` past the measured fixpoint, the
+    ``pagerank_portable`` fixed-iteration discipline).
+
+    Returns the surviving (node, degree) relation — degrees counted in
+    the final surviving edge set.
+
+    Scale: per round one union-aggregate on node (degree) and two
+    node-keyed semi joins; no driver state at all. The iterated relation
+    is the EDGE set, which shrinks monotonically — it is
+    localCheckpointed every ``checkpoint_every`` rounds because each
+    round's plan references its predecessor twice (degree + filter), so
+    an uncut lineage tree doubles per round (the MMR/PageRank lineage
+    rule applied to the one bounded-above-by-input relation in the
+    loop)."""
+    e = edges
+    for r in range(rounds):
+        deg = degrees(e)
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e = e.join(
+            keep.select(F.col("node").alias("u")), "u", "leftsemi"
+        ).join(keep.select(F.col("node").alias("v")), "v", "leftsemi")
+        if checkpoint_every and (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
+            e = e.localCheckpoint(eager=False)
+    return degrees(e)

@@ -9,6 +9,7 @@ not rows-only."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pyspark_etl_twitter_spark.operators import graph as G
 from pyspark_etl_twitter_spark.session import pin_oracle_confs
@@ -154,3 +155,77 @@ p{i + 1} AS (
 
 
 ORACLE_PAGERANK_SUPPLIERS = _pagerank_oracle()
+
+
+_KCORE_K = 12
+_KCORE_ROUNDS = 6
+
+
+def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core dense-subgraph extraction (k=12, 6 fixed peel rounds —
+    measured fixpoint is round 4 at the gate SF) over a PLANTED
+    fixture: the complete supplier co-occurrence graph is md5-sparsified
+    to ~10% of its edges and a clique is planted on the suppliers
+    divisible by 7 — the peel must erase the random background (whose
+    degrees sit below k) and return exactly the planted quasi-clique
+    with its internal degrees. The canonical spam-ring/link-farm
+    detection shape, fully oracle-replayed round by round."""
+    e = G.supplier_edges(_li(spark, sf_dir))
+    mark = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("u").cast("string"),
+                    F.col("v").cast("string"),
+                    F.lit("e"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sparse = e.filter(
+        (mark % 10 < 1) | ((F.col("u") % 7 == 0) & (F.col("v") % 7 == 0))
+    )
+    return G.kcore_nodes(sparse, _KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    parts = [
+        f"""WITH {_EDGE_CTES},
+e0 AS MATERIALIZED (
+  SELECT u, v FROM edges
+  WHERE ('0x' || substr(md5(u::VARCHAR || ':' || v::VARCHAR || ':e'), 1, 8))::BIGINT % 10 < 1
+     OR (u % 7 = 0 AND v % 7 = 0)
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        # MATERIALIZED: each round references its predecessor several
+        # times — inlined CTEs would expand the scan tree exponentially
+        # in rounds (observed: DuckDB ran out of file handles at 6)
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (
+  SELECT node, count(*) AS dg
+  FROM (SELECT u AS node FROM e{i-1} UNION ALL SELECT v AS node FROM e{i-1})
+  GROUP BY node
+),
+k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE dg >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM e{i-1}
+  WHERE u IN (SELECT node FROM k{i}) AND v IN (SELECT node FROM k{i})
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v AS node FROM e{rounds})
+GROUP BY node"""
+    )
+    return "".join(parts)
+
+
+ORACLE_KCORE_SUPPLIERS = _kcore_oracle()

@@ -79,6 +79,8 @@ QUERIES: dict[str, QueryFn] = {
     "quality_lr_weights": T.quality_lr_weights,
     "quality_lr_scores_by_source": T.quality_lr_scores_by_source,
     "pagerank_suppliers": GQ.pagerank_suppliers,
+    # k-core dense-subgraph extraction (r12): planted-clique fixture
+    "kcore_suppliers": GQ.kcore_suppliers,
     "approx_distinct_portable": R2.approx_distinct_portable,
     # portable CMS twin (r12): frequency-sketch tier hash-verified, the
     # HLL-twin precedent extended to point-queryable counts
@@ -377,6 +379,7 @@ ORACLES: dict[str, str] = {
     "quality_lr_weights": T.ORACLE_QUALITY_LR_WEIGHTS,
     "quality_lr_scores_by_source": T.ORACLE_QUALITY_LR_SCORES_BY_SOURCE,
     "pagerank_suppliers": GQ.ORACLE_PAGERANK_SUPPLIERS,
+    "kcore_suppliers": GQ.ORACLE_KCORE_SUPPLIERS,
     "approx_distinct_portable": R2.ORACLE_APPROX_DISTINCT_PORTABLE,
     "cms_heavy_hitters": R2.ORACLE_CMS_HEAVY_HITTERS,
     "ks_drift_order_prices": R2.ORACLE_KS_DRIFT_ORDER_PRICES,
@@ -509,13 +512,14 @@ ORACLES: dict[str, str] = {
 # ROUND-12 WINDOW (r11 verdict ask #5): rotation stays DECLARATIVE — the
 # list below is reordered to the front of QUERIES at import time. After
 # r11 the staleness distribution of newest driver rows was
-# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 19 new-in-r12
-# queries and 31 of the 37 r8 rows — set_union_active_keys,
-# sliding_window_events, source_vocab_overlap_top, string_funcs_part,
-# union_by_name_accounts and window_rank_stats (r8) plus all 48 r9 rows
-# rotate in r13; the rows-only-by-design set stays in the tail as always.
+# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 20 new-in-r12
+# queries and 30 of the 37 r8 rows — set_intersect_custkeys,
+# set_union_active_keys, sliding_window_events, source_vocab_overlap_top,
+# string_funcs_part, union_by_name_accounts and window_rank_stats (r8)
+# plus all 48 r9 rows rotate in r13; the rows-only-by-design set stays
+# in the tail as always.
 ROUND12_WINDOW: list[str] = [
-    # new-this-round (19): never driver-verified — new queries always
+    # new-this-round (20): never driver-verified — new queries always
     # outrank stale-but-unchanged ones. All oracle-backed and verified
     # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots.
     "knn_pq_indexed",
@@ -537,9 +541,9 @@ ROUND12_WINDOW: list[str] = [
     "quantile_norm_price_map",
     "hard_negatives_topk",
     "seeded_negatives_sample",
-    # newest driver rows: r8 (31 of 37; set_union_active_keys,
-    # sliding_window_events, source_vocab_overlap_top, string_funcs_part,
-    # union_by_name_accounts, window_rank_stats rotate r13)
+    "kcore_suppliers",
+    # newest driver rows: r8 (30 of 37; set_intersect_custkeys and the
+    # five other alphabetical-tail r8 rows rotate r13)
     "dedup_clusters_minhash_portable",
     "dedup_clusters_simhash_portable",
     "dedup_exact_groups",
@@ -570,7 +574,6 @@ ROUND12_WINDOW: list[str] = [
     "rollup_revenue",
     "sentiment_doc_scores",
     "set_except_custkeys",
-    "set_intersect_custkeys",
 ]
 
 _win = set(ROUND12_WINDOW)

@@ -123,3 +123,36 @@ def test_pagerank_uniform_on_regular_graph(spark):
     assert len(pr) == n
     for r in pr:
         assert abs(r["pagerank"] - 0.1) < 1e-8, r
+
+
+def test_kcore_planted_clique_and_background_peel(spark):
+    """k-core on a hand-planted graph: a 4-clique (k=3 core) plus a
+    pendant chain — the peel erases the chain (degrees < 3 cascade) and
+    returns exactly the clique with internal degree 3; rounds past the
+    fixpoint are no-ops; checkpoint placement is value-neutral."""
+    from pyspark_etl_twitter_spark.operators.graph import kcore_nodes
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    edges = spark.createDataFrame(clique + chain, "u long, v long")
+
+    got = {
+        r.node: r.degree for r in kcore_nodes(edges, 3, rounds=4).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # extra rounds are no-ops at the fixpoint
+    got6 = {
+        r.node: r.degree for r in kcore_nodes(edges, 3, rounds=6).collect()
+    }
+    assert got6 == got
+
+    # checkpoint cadence cannot change values
+    got_nc = {
+        r.node: r.degree
+        for r in kcore_nodes(edges, 3, rounds=4, checkpoint_every=0).collect()
+    }
+    assert got_nc == got
+
+    # k above the max core -> empty
+    assert kcore_nodes(edges, 4, rounds=4).count() == 0

@@ -118,6 +118,7 @@ SKIP = {
                                   # documented bounded-BNLJ scalar shape
     "ann_recall_report",          # composes knn_ivf/knn_ann_lsh, whose
                                   # plan builds execute bounded actions
+    "kcore_suppliers",            # per-3-round localCheckpoints execute
 }
 
 

@@ -185,6 +185,7 @@ HEADLINE = [
     "hard_negatives_topk",  # contrastive hard-negative mining
     "seeded_negatives_sample",  # seeded uniform negatives baseline
     "kcore_suppliers",  # k-core peel finds the planted quasi-clique
+    "ewma_hourly_by_type",  # portable array-fold EWMA twin
 ]
 
 

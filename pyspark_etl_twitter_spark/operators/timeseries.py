@@ -357,3 +357,56 @@ def cumulative_sum_chunked(
         .withColumn(out_col, F.col("_run_local") + F.col("_off"))
         .drop("_chunk", "_cents", "_run_local", "_off")
     )
+
+
+def ewma_portable(
+    df: DataFrame,
+    *,
+    alpha: float = 0.3,
+    group_col: str = "group",
+    time_col: str = "t",
+    value_col: str = "v",
+    round_dp: int = 6,
+) -> DataFrame:
+    """PORTABLE twin of ``ewma_by_group``: the same adjust=False
+    recurrence ``e_t = alpha·x_t + (1-alpha)·e_{t-1}`` (e_1 = x_1)
+    computed as ONE array fold per group — collect the group's ordered
+    values, left-fold building the EWMA array (identical floating-point
+    operation sequence to the pandas recurrence: two products and one
+    add per step), posexplode back. Zero Python, and DuckDB replays the
+    fold with ``list_reduce`` over per-row prefixes, so the smoothing
+    tier gets a driver-hash-verified row next to the Arrow production
+    twin (equality pinned in pytest).
+
+    Scale contract: the GROUP is collected as one array, so partitions
+    must be bounded by construction (per-type hourly series, per-device
+    daily series — the rollup shapes this targets). For unbounded
+    per-group series use ``ewma_by_group``'s chunked guidance."""
+    grouped = df.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(time_col).alias("t"), F.col(value_col).alias("v")
+                )
+            )
+        ).alias("xs")
+    )
+    step = lambda acc, x: F.concat(  # noqa: E731
+        acc,
+        F.array(
+            F.when(F.size(acc) == 0, x["v"].cast("double")).otherwise(
+                F.lit(alpha) * x["v"] + F.lit(1.0 - alpha) * F.element_at(acc, -1)
+            )
+        ),
+    )
+    ew = F.aggregate(F.col("xs"), F.array().cast("array<double>"), step)
+    z = F.arrays_zip(F.col("xs"), ew.alias("ew"))
+    return (
+        grouped.select(group_col, F.explode(z).alias("r"))
+        .select(
+            group_col,
+            F.col("r.xs.t").alias(time_col),
+            F.col("r.xs.v").alias(value_col),
+            F.round(F.col("r.ew"), round_dp).alias("ewma"),
+        )
+    )

@@ -262,6 +262,8 @@ QUERIES: dict[str, QueryFn] = {
     "pii_pseudonymize_customers": CQ.pii_pseudonymize_customers,
     "data_quality_lineitem": R2.data_quality_lineitem,
     "hourly_event_rollup": R.hourly_event_rollup,
+    # portable EWMA twin (r12): smoothing tier hash-verified
+    "ewma_hourly_by_type": R.ewma_hourly_by_type,
     "sentiment_classes": T.sentiment_classes,
     "sentiment_weights_head": T.sentiment_weights_head,
     "dedup_exact_summary": T.dedup_exact_summary,
@@ -331,6 +333,7 @@ ORACLES: dict[str, str] = {
     "date_funcs_orders": R.ORACLE_DATE_FUNCS_ORDERS,
     "json_extract_events": R.ORACLE_JSON_EXTRACT_EVENTS,
     "hourly_event_rollup": R.ORACLE_HOURLY_EVENT_ROLLUP,
+    "ewma_hourly_by_type": R.ORACLE_EWMA_HOURLY_BY_TYPE,
     "sliding_window_events": R.ORACLE_SLIDING_WINDOW_EVENTS,
     "math_funcs_lineitem": R2.ORACLE_MATH_FUNCS_LINEITEM,
     "percentile_prices": R2.ORACLE_PERCENTILE_PRICES,
@@ -512,14 +515,12 @@ ORACLES: dict[str, str] = {
 # ROUND-12 WINDOW (r11 verdict ask #5): rotation stays DECLARATIVE — the
 # list below is reordered to the front of QUERIES at import time. After
 # r11 the staleness distribution of newest driver rows was
-# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 20 new-in-r12
-# queries and 30 of the 37 r8 rows — set_intersect_custkeys,
-# set_union_active_keys, sliding_window_events, source_vocab_overlap_top,
-# string_funcs_part, union_by_name_accounts and window_rank_stats (r8)
-# plus all 48 r9 rows rotate in r13; the rows-only-by-design set stays
-# in the tail as always.
+# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 21 new-in-r12
+# queries and 29 of the 37 r8 rows — the eight alphabetical-tail r8
+# rows (set_except_custkeys .. window_rank_stats) plus all 48 r9 rows
+# rotate in r13; the rows-only-by-design set stays in the tail as always.
 ROUND12_WINDOW: list[str] = [
-    # new-this-round (20): never driver-verified — new queries always
+    # new-this-round (21): never driver-verified — new queries always
     # outrank stale-but-unchanged ones. All oracle-backed and verified
     # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots.
     "knn_pq_indexed",
@@ -542,8 +543,9 @@ ROUND12_WINDOW: list[str] = [
     "hard_negatives_topk",
     "seeded_negatives_sample",
     "kcore_suppliers",
-    # newest driver rows: r8 (30 of 37; set_intersect_custkeys and the
-    # five other alphabetical-tail r8 rows rotate r13)
+    "ewma_hourly_by_type",
+    # newest driver rows: r8 (29 of 37; the eight alphabetical-tail r8
+    # rows rotate r13)
     "dedup_clusters_minhash_portable",
     "dedup_clusters_simhash_portable",
     "dedup_exact_groups",
@@ -573,7 +575,6 @@ ROUND12_WINDOW: list[str] = [
     "regex_extract_part",
     "rollup_revenue",
     "sentiment_doc_scores",
-    "set_except_custkeys",
 ]
 
 _win = set(ROUND12_WINDOW)

@@ -996,3 +996,46 @@ SELECT l_suppkey, l_orderkey, l_linenumber,
          AS BIGINT) AS running_cents
 FROM lineitem
 """
+
+
+def ewma_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing of the hourly per-type value series
+    (alpha=0.3, adjust=False recurrence) via the PORTABLE array-fold
+    twin — the smoothing tier's driver-hash-verified row (the Arrow
+    ``ewma_by_group`` production twin is equality-pinned in pytest).
+    Hourly means are rounded to 6dp BEFORE smoothing on both engines."""
+    from pyspark_etl_twitter_spark.operators.timeseries import ewma_portable
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    return ewma_portable(
+        hourly,
+        alpha=0.3,
+        group_col="event_type",
+        time_col="hour_start",
+        value_col="avg_value",
+    )
+
+
+ORACLE_EWMA_HOURLY_BY_TYPE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+         round(avg(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type,
+         list(hour_start ORDER BY hour_start) AS hs,
+         list(avg_value ORDER BY hour_start) AS xs
+  FROM h GROUP BY event_type
+)
+SELECT event_type,
+       unnest(hs) AS hour_start,
+       unnest(xs) AS avg_value,
+       unnest(list_transform(range(1, len(xs) + 1),
+         i -> round(list_reduce(xs[1:i], (a, v) -> 0.3 * v + 0.7 * a), 6)
+       )) AS ewma
+FROM g
+"""

@@ -151,9 +151,17 @@ def main():
     if "--spans" in sys.argv:
         spans_section(spark, sf_dir)
         return
+    if "--kcore" in sys.argv:
+        kcore_section(spark, sf_dir)
+        return
+    if "--negatives" in sys.argv:
+        negatives_section(spark, sf_dir)
+        return
     pagerank_section(spark, sf_dir)
     ivf_auto_section(spark, sf_dir)
     spans_section(spark, sf_dir)
+    kcore_section(spark, sf_dir)
+    negatives_section(spark, sf_dir)
 
 
 
@@ -241,6 +249,83 @@ def spans_section(spark, sf_dir, mults=(1, 10, 50)):
         cells = cms_portable_build(tok, "token").count()
         print(
             f"cms_build x{m}: {time.time() - start:.1f} s, cells={cells}",
+            flush=True,
+        )
+
+
+
+
+def kcore_section(spark, sf_dir, mults=(1, 10, 50)):
+    """k-core scale envelope: edges replicated ×m as m DISJOINT copies
+    of the sparsified+planted supplier graph (node ids shifted per
+    replica), so the fixpoint structure is preserved and the core must
+    be exactly m planted cliques — correctness AND wall tracked
+    together. Per round the work is one degree agg + two semi joins on
+    the (shrinking) edge set; rounds are fixed, so wall should scale
+    ~linearly in edges."""
+    from pyspark_etl_twitter_spark.operators.graph import (
+        kcore_nodes,
+        supplier_edges,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = supplier_edges(li)
+    mark = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("u").cast("string"),
+                    F.col("v").cast("string"),
+                    F.lit("e"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sparse = e.filter(
+        (mark % 10 < 1) | ((F.col("u") % 7 == 0) & (F.col("v") % 7 == 0))
+    ).localCheckpoint()
+    base = None
+    for m in mults:
+        em = replicate(sparse, m, ["u", "v"])
+        start = time.time()
+        n = kcore_nodes(em, 12, rounds=6).count()
+        wall = time.time() - start
+        if m == mults[0]:
+            base = n
+        tag = "EXACT" if n == base * m else "MISMATCH"
+        print(
+            f"kcore x{m}: {wall:.1f} s, core_nodes={n} ({tag} x{m} of base)",
+            flush=True,
+        )
+
+
+def negatives_section(spark, sf_dir, mults=(1, 10, 50)):
+    """Contrastive-mining envelope: seeded_negatives over ×m replicated
+    anchor sets — the draw generator is embarrassingly row-local, so
+    wall should be near-flat until the semi-structural stages (dedup
+    agg + per-anchor rank window) dominate; row count must be exactly
+    linear (k rows per anchor on this corpus: pad absorbs collisions)."""
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        seeded_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    base = None
+    for m in mults:
+        ids = replicate(emb, m, ["vec_id"])
+        start = time.time()
+        n = seeded_negatives(ids, k=4).count()
+        wall = time.time() - start
+        if m == mults[0]:
+            base = n
+        tag = "EXACT" if n == base * m else f"{n} vs {base * m}"
+        print(
+            f"seeded_negatives x{m}: {wall:.1f} s, rows={n} ({tag})",
             flush=True,
         )
 

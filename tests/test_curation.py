@@ -409,3 +409,52 @@ def test_quantile_map_hand_computed(spark):
     assert got[("A", 10)].group_value == 1.0
     assert got[("B", 90)].group_value == 19.0
     assert len(got) == 18  # 2 groups x 9 interior deciles
+
+
+def test_quantile_map_property_vs_python_oracle(spark):
+    """Property test vs a direct-spec Python oracle: for random grouped
+    integer samples, every (group, q_pct) cell of quantile_map matches
+    the brute-force step inverse ECDF (smallest v with n_q*cum >=
+    i*total over the distinct-value domain ... counts, not distincts)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_etl_twitter_spark.operators.curation import quantile_map
+
+    group_vals = st.lists(
+        st.integers(min_value=0, max_value=20), min_size=1, max_size=20
+    )
+
+    def inv(vals, n_q=4):
+        from collections import Counter
+
+        c = Counter(float(v) for v in vals)
+        tot = sum(c.values())
+        out = {}
+        for i in range(1, n_q):
+            cum = 0
+            for v in sorted(c):
+                cum += c[v]
+                if cum * n_q >= i * tot:
+                    out[int(100 * i / n_q)] = v
+                    break
+        return out
+
+    @given(a=group_vals, b=group_vals)
+    @settings(
+        max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    def run(a, b):
+        rows = [("A", float(v)) for v in a] + [("B", float(v)) for v in b]
+        df = spark.createDataFrame(rows, "g string, x double")
+        got = {
+            (r.g, r.q_pct): (r.group_value, r.pooled_value)
+            for r in quantile_map(df, "x", "g", n_q=4, round_dp=0).collect()
+        }
+        pooled = inv(a + b)
+        for g, vals in (("A", a), ("B", b)):
+            want = inv(vals)
+            for q, v in want.items():
+                assert got[(g, q)] == (v, pooled[q])
+
+    run()

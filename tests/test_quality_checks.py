@@ -136,3 +136,46 @@ def test_psi_two_sample_hand_computed(spark):
     ).collect()[0]
     want = round(2 * (10.0 / 11.0) * math.log(10.5 / 0.5), 6)
     assert r2.psi == want and r2.shift == "major"
+
+
+def test_ks_two_sample_property_vs_python_oracle(spark):
+    """Property test vs a direct-spec Python oracle: for random small
+    A/B samples, ks_two_sample's (n_a, n_b, ks_d, ks_at) match an
+    independent brute-force ECDF computation exactly (quantization
+    included)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_etl_twitter_spark.operators.quality_checks import (
+        ks_two_sample,
+    )
+
+    vals = st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=25
+    )
+
+    def oracle(a_vals, b_vals):
+        va = sorted(float(v) for v in a_vals)
+        vb = sorted(float(v) for v in b_vals)
+        na, nb = len(va), len(vb)
+        best = None
+        for v in sorted(set(va) | set(vb)):
+            ca = sum(1 for x in va if x <= v)
+            cb = sum(1 for x in vb if x <= v)
+            dnum = abs(ca * nb - cb * na)
+            if best is None or dnum > best[0]:
+                best = (dnum, v)
+        return na, nb, round(best[0] / (na * nb), 6), best[1]
+
+    @given(a=vals, b=vals)
+    @settings(
+        max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    def run(a, b):
+        rows = [(float(v), False) for v in a] + [(float(v), True) for v in b]
+        df = spark.createDataFrame(rows, "x double, b boolean")
+        r = ks_two_sample(df, "x", "b").collect()[0]
+        na, nb, d, at = oracle(a, b)
+        assert (r.n_a, r.n_b, r.ks_d, r.ks_at) == (na, nb, d, at)
+
+    run()

@@ -2855,7 +2855,10 @@ def seeded_negatives(
     than ``k`` rows only if more than ``pad`` of its draws collided
     (self-hit or duplicate) — at k+pad=8 draws over any realistic N the
     shortfall probability is negligible, and a short anchor is visible
-    in the output rather than silently refilled."""
+    in the output rather than silently refilled. The ``% N`` draw has
+    the usual modulo bias (the first 2^32 mod N values are favored by
+    N/2^32 ≈ 1e-5 at a 100M-row corpus) — irrelevant for negative
+    sampling, stated so nobody mistakes this for a uniform RNG."""
     from pyspark.sql import Window
 
     n_total = ids.agg(F.count(F.lit(1)).alias("_n"))

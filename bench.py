@@ -186,6 +186,7 @@ HEADLINE = [
     "seeded_negatives_sample",  # seeded uniform negatives baseline
     "kcore_suppliers",  # k-core peel finds the planted quasi-clique
     "ewma_hourly_by_type",  # portable array-fold EWMA twin
+    "calibrated_ppl_filter_by_source",  # quantile-map APPLY: calibrated vs pooled cut
 ]
 
 

@@ -289,3 +289,87 @@ alld AS (
 SELECT source, count(*) AS n_docs, round(avg(mean_logp3), 6) AS avg_logp3
 FROM alld GROUP BY source
 """
+
+
+def calibrated_ppl_filter_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of cross-source quantile calibration, end to end:
+    score every document with the unigram LM, derive each source's q25
+    log-prob AND the pooled q25 via ``curation.quantile_map`` (n_q=4),
+    then count survivors of the two filter policies side by side —
+    ``kept_calibrated`` (each source keeps its own top 75%: mix
+    proportions preserved) vs ``kept_pooled`` (one global threshold:
+    low-quality sources shrink). The difference between those two
+    columns IS the reason the calibration table exists."""
+    from pyspark_etl_twitter_spark.operators.curation import quantile_map
+    from pyspark_etl_twitter_spark.operators.lm import doc_logprob
+
+    docs = _docs(spark, sf_dir)
+    scored = doc_logprob(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    qm = quantile_map(
+        scored, "mean_logp", "source", n_q=4, round_dp=6
+    ).filter(F.col("q_pct") == 25)
+    q25 = qm.select(
+        "source",
+        F.col("group_value").alias("q25_source"),
+        F.col("pooled_value").alias("q25_pooled"),
+    )
+    return (
+        scored.join(F.broadcast(q25), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("mean_logp") >= F.col("q25_source")).cast("long")
+            ).alias("kept_calibrated"),
+            F.sum(
+                (F.col("mean_logp") >= F.col("q25_pooled")).cast("long")
+            ).alias("kept_pooled"),
+            F.round(F.min("q25_source"), 6).alias("q25_source"),
+            F.round(F.min("q25_pooled"), 6).alias("q25_pooled"),
+        )
+    )
+
+
+ORACLE_CALIBRATED_PPL_FILTER_BY_SOURCE = """
+WITH tok AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+),
+counts AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+scal AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM counts),
+model AS (SELECT term, ln((c + 1) / (n + v)) AS logp FROM counts, scal),
+per AS (
+  SELECT tok.doc_id, count(*) AS nt, sum(logp) AS s
+  FROM tok JOIN model USING (term) GROUP BY tok.doc_id
+),
+alld AS (
+  SELECT d.doc_id, d.source,
+         round(coalesce(p.s / p.nt, 0.0), 6) AS mean_logp
+  FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+),
+cnts AS (SELECT source, mean_logp AS v, count(*) AS c FROM alld GROUP BY 1, 2),
+cum AS (
+  SELECT source, v,
+         sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY source) AS tot
+  FROM cnts
+),
+qg AS (
+  SELECT source, min(CASE WHEN cum * 4 >= tot * 1 THEN v END) AS q25_source
+  FROM cum GROUP BY source
+),
+pc AS (SELECT v, sum(c) AS c FROM cnts GROUP BY v),
+pcum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS tot FROM pc),
+qp AS (SELECT min(CASE WHEN cum * 4 >= tot * 1 THEN v END) AS q25_pooled FROM pcum)
+SELECT a.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN a.mean_logp >= qg.q25_source THEN 1 ELSE 0 END) AS BIGINT) AS kept_calibrated,
+       CAST(sum(CASE WHEN a.mean_logp >= qp.q25_pooled THEN 1 ELSE 0 END) AS BIGINT) AS kept_pooled,
+       round(min(qg.q25_source), 6) AS q25_source,
+       round(min(qp.q25_pooled), 6) AS q25_pooled
+FROM alld a JOIN qg USING (source) CROSS JOIN qp
+GROUP BY a.source
+"""

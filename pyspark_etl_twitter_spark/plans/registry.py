@@ -254,6 +254,8 @@ QUERIES: dict[str, QueryFn] = {
     "pmi_collocations_top": LQ.pmi_collocations_top,
     # trigram LM rung (r12): unigram -> bigram -> trigram ladder
     "trigram_lm_quality_by_source": LQ.trigram_lm_quality_by_source,
+    # calibrated ppl filter (r12): the quantile-map APPLY side end-to-end
+    "calibrated_ppl_filter_by_source": LQ.calibrated_ppl_filter_by_source,
     "topk_orders_per_customer": R.topk_orders_per_customer,
     "running_revenue_by_supplier": R.running_revenue_by_supplier,
     "sessionize_events": R.sessionize_events,
@@ -469,6 +471,7 @@ ORACLES: dict[str, str] = {
     "lm_quality_by_source": LQ.ORACLE_LM_QUALITY_BY_SOURCE,
     "pmi_collocations_top": LQ.ORACLE_PMI_COLLOCATIONS_TOP,
     "trigram_lm_quality_by_source": LQ.ORACLE_TRIGRAM_LM_QUALITY_BY_SOURCE,
+    "calibrated_ppl_filter_by_source": LQ.ORACLE_CALIBRATED_PPL_FILTER_BY_SOURCE,
     "oov_rate_by_source": LQ.ORACLE_OOV_RATE_BY_SOURCE,
     "bloom_join_urgent_revenue": AQ.ORACLE_BLOOM_JOIN_URGENT_REVENUE,
     "funnel_view_click_purchase": FQ.ORACLE_FUNNEL_VIEW_CLICK_PURCHASE,
@@ -515,12 +518,13 @@ ORACLES: dict[str, str] = {
 # ROUND-12 WINDOW (r11 verdict ask #5): rotation stays DECLARATIVE — the
 # list below is reordered to the front of QUERIES at import time. After
 # r11 the staleness distribution of newest driver rows was
-# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 21 new-in-r12
-# queries and 29 of the 37 r8 rows — the eight alphabetical-tail r8
-# rows (set_except_custkeys .. window_rank_stats) plus all 48 r9 rows
-# rotate in r13; the rows-only-by-design set stays in the tail as always.
+# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 22 new-in-r12
+# queries and 28 of the 37 r8 rows — the nine alphabetical-tail r8 rows
+# (sentiment_doc_scores, set_except_custkeys .. window_rank_stats) plus
+# all 48 r9 rows rotate in r13; the rows-only-by-design set stays in
+# the tail as always.
 ROUND12_WINDOW: list[str] = [
-    # new-this-round (21): never driver-verified — new queries always
+    # new-this-round (22): never driver-verified — new queries always
     # outrank stale-but-unchanged ones. All oracle-backed and verified
     # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots.
     "knn_pq_indexed",
@@ -544,7 +548,8 @@ ROUND12_WINDOW: list[str] = [
     "seeded_negatives_sample",
     "kcore_suppliers",
     "ewma_hourly_by_type",
-    # newest driver rows: r8 (29 of 37; the eight alphabetical-tail r8
+    "calibrated_ppl_filter_by_source",
+    # newest driver rows: r8 (28 of 37; the nine alphabetical-tail r8
     # rows rotate r13)
     "dedup_clusters_minhash_portable",
     "dedup_clusters_simhash_portable",
@@ -574,7 +579,6 @@ ROUND12_WINDOW: list[str] = [
     "range_join_price_bands",
     "regex_extract_part",
     "rollup_revenue",
-    "sentiment_doc_scores",
 ]
 
 _win = set(ROUND12_WINDOW)

@@ -27,6 +27,7 @@ BNLJ_OK = {
     "orders_above_avg",         # broadcast 1-row scalar
     "customers_above_nation_avg",
     "lm_quality_by_source",     # broadcast 1-row scalars (N, V, oov_logp)
+    "calibrated_ppl_filter_by_source",  # same LM scalars + q25 map broadcast
     "oov_rate_by_source",
     "bigram_lm_quality_by_source",
     "trigram_lm_quality_by_source",  # same unigram 1-row (N, V) scalars

@@ -5,10 +5,10 @@ dict order is load-bearing. Rotation is declarative since round 9:
 ``registry.ROUND12_WINDOW`` is reordered to the front of ``QUERIES`` at
 import time and these tests pin its composition.
 
-Round-12 rule (r11 verdict ask #5): the window is the 21 new-in-r12
-queries plus 29 of the 37 queries whose newest driver row was r8 — so
-after r12 max staleness is r8 on exactly the eight alphabetical-tail r8
-rows (set_except_custkeys through window_rank_stats), which rotate
+Round-12 rule (r11 verdict ask #5): the window is the 22 new-in-r12
+queries plus 28 of the 37 queries whose newest driver row was r8 — so
+after r12 max staleness is r8 on exactly the nine alphabetical-tail r8
+rows (sentiment_doc_scores through window_rank_stats), which rotate
 first in r13 with the 48 r9 rows.
 """
 
@@ -54,8 +54,8 @@ def test_window_is_the_declared_rotation():
 
 
 def test_window_composition_r12():
-    """All 50 slots oracle-backed this round: the 21 new-in-r12 rows
-    ship with full DuckDB oracles, and the rotation picks (29 r8 rows)
+    """All 50 slots oracle-backed this round: the 22 new-in-r12 rows
+    ship with full DuckDB oracles, and the rotation picks (28 r8 rows)
     skip the rows-only-by-design set, which stays in the tail (each
     refreshed r9-r11 with a hash-green portable twin)."""
     window = list(QUERIES)[:DRIVER_WINDOW]

@@ -180,3 +180,70 @@ def test_trigram_doc_logprob_hand_computed(spark):
         math.log(p(1, 1, 2, 2, 3 / 13)),  # c a b
     ]
     assert got[0].mean_logp3 == round(sum(lps) / 4, 6)
+
+
+def test_trigram_doc_logprob_property_vs_python_oracle(spark):
+    """Property test vs a direct count-model Python oracle on random
+    tiny corpora: per-doc (n_trigrams, mean_logp3) match the
+    independent reimplementation of the interpolated model exactly at
+    6dp."""
+    import math
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_etl_twitter_spark.operators.lm import trigram_doc_logprob
+
+    token = st.sampled_from(["a", "b", "c"])
+    text = st.lists(token, min_size=0, max_size=8).map(" ".join)
+    corpus = st.lists(text, min_size=1, max_size=4)
+
+    def oracle(texts):
+        toks = [[t for t in x.split(" ") if t] for x in texts]
+        uni = Counter(t for ts in toks for t in ts)
+        n, v = sum(uni.values()), len(uni)
+        c3, c2b = Counter(), Counter()
+        for ts in toks:
+            for i in range(len(ts) - 2):
+                c3[(ts[i], ts[i + 1], ts[i + 2])] += 1
+            for i in range(len(ts) - 1):
+                c2b[(ts[i], ts[i + 1])] += 1
+        ctx3 = Counter()
+        for (w1, w2, _), c in c3.items():
+            ctx3[(w1, w2)] += c
+        ctx2 = Counter()
+        for (w1, _), c in c2b.items():
+            ctx2[w1] += c
+        out = {}
+        for d, ts in enumerate(toks):
+            lps = []
+            for i in range(len(ts) - 2):
+                w1, w2, w3 = ts[i], ts[i + 1], ts[i + 2]
+                p = (
+                    0.5 * c3[(w1, w2, w3)] / ctx3[(w1, w2)]
+                    + 0.3 * c2b[(w2, w3)] / ctx2[w2]
+                    + 0.2 * (uni[w3] + 1) / (n + v)
+                )
+                lps.append(math.log(p))
+            out[d] = (
+                len(lps),
+                round(sum(lps) / len(lps), 6) if lps else 0.0,
+            )
+        return out
+
+    @given(texts=corpus)
+    @settings(
+        max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    def run(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_trigrams, r.mean_logp3)
+            for r in trigram_doc_logprob(df).collect()
+        }
+        assert got == oracle(texts)
+
+    run()

@@ -288,3 +288,65 @@ def test_kmv_sketch_merge_and_estimators(spark):
     # full sketch: estimate within the ~1/sqrt(k) relative-error band
     est2 = kmv_estimate(kmv_sketch(df, "v", k=256), k=256).collect()[0]
     assert abs(est2.kmv_distinct - 4000) / 4000 < 4 / (256 ** 0.5)
+
+
+def test_cms_portable_property_vs_python_md5_oracle(spark):
+    """Property test vs a direct hashlib-md5 Python oracle: for random
+    value multisets and tiny sketch shapes, every cell of the portable
+    CMS and every point estimate match the independent reimplementation
+    exactly (same md5("row:value") bucketing)."""
+    import hashlib
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_etl_twitter_spark.operators.sketches import (
+        cms_portable_build,
+        cms_portable_lookup,
+    )
+
+    vals = st.lists(
+        st.integers(min_value=0, max_value=9), min_size=1, max_size=30
+    )
+
+    def bucket(row, v, width):
+        h = hashlib.md5(f"{row}:{v}".encode()).hexdigest()
+        return int(h[:8], 16) % width
+
+    @given(vs=vals, depth=st.integers(2, 3), width=st.integers(2, 8))
+    @settings(
+        max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    def run(vs, depth, width):
+        df = spark.createDataFrame([(str(v),) for v in vs], "v string")
+        cells = {
+            (r.row, r.bucket): r.cnt
+            for r in cms_portable_build(
+                df, "v", depth=depth, width=width
+            ).collect()
+        }
+        want_cells = Counter()
+        for v in vs:
+            for r in range(depth):
+                want_cells[(r, bucket(r, v, width))] += 1
+        assert cells == dict(want_cells)
+
+        items = df.distinct()
+        est = {
+            r.item: r.cms_est
+            for r in cms_portable_lookup(
+                cms_portable_build(df, "v", depth=depth, width=width),
+                items,
+                "v",
+                depth=depth,
+                width=width,
+            ).collect()
+        }
+        for v in set(vs):
+            want = min(
+                want_cells[(r, bucket(r, str(v), width))] for r in range(depth)
+            )
+            assert est[str(v)] == want
+
+    run()

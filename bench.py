@@ -167,6 +167,7 @@ HEADLINE = [
     # round-12 families (all FULL oracles)
     "knn_pq_indexed",  # persisted PQ code table: build + append + probe
     "knn_ivfpq_indexed",  # persisted IVF-PQ: partitioned codes, pruned probe
+    "dedup_incremental_minhash",  # persisted MinHash store: build + probe-append
     "bpe_encoded_fixed_merges",  # codegen replace-chain BPE encode
     "bpe_train_portable_merges",  # DISTRIBUTED BPE train, oracle-replayable
     "gopher_line_rules_by_source",  # line-shape rules on planted multi-line
@@ -180,6 +181,7 @@ HEADLINE = [
     "kmv_profile_prices",  # portable KMV bottom-k sketch estimators
     "psi_drift_order_prices",  # binned PSI drift ruler next to KS
     "ann_recall_report",  # hash-verified recall scoreboard of all ANN rungs
+    "ann_recall_planted",  # same scoreboard on the clustered planted blobs
     "trigram_lm_quality_by_source",  # third rung of the LM-curation ladder
     "quantile_norm_price_map",  # cross-source quantile calibration map
     "hard_negatives_topk",  # contrastive hard-negative mining
@@ -241,6 +243,33 @@ def normalized_plan_text(df) -> str:
     for pat, repl in _FP_NOISE:
         text = pat.sub(repl, text)
     return text
+
+
+#: Rows whose plans legitimately contain an unpartitioned window: each
+#: one's window input is bounded by a value DOMAIN (quantized distinct
+#: values / vocabulary heads / sketch cells), never by the corpus — the
+#: deliberate spec-twin shape. Anything else with a global window is a
+#: scale bug and is reported as `unexpected` (r12 verdict ask #7).
+GLOBAL_WINDOW_OK = {
+    "calibrated_ppl_filter_by_source",  # pooled decile map: |quantized scores|
+    "cms_heavy_hitters",  # CMS cells: depth × width, constant
+    "pmi_collocations_top",  # global top-k over vocabulary-bounded pairs
+    "quantile_norm_price_map",  # pooled quantile thresholds: |cents domain|
+}
+
+
+def count_unpartitioned_windows(plan_text: str) -> int:
+    """Number of unpartitioned window specs in a formatted plan: a
+    ``windowspecdefinition(...)`` whose FIRST argument is already an
+    ordering column (``ASC``/``DESC``) has an empty partition list — the
+    shape that executes on one task whatever the input size."""
+    n = 0
+    for m in re.finditer(r"windowspecdefinition\(", plan_text):
+        head = plan_text[m.end() : m.end() + 400].split("specifiedwindowframe")[0]
+        first = head.split(",")[0]
+        if " ASC" in first or " DESC" in first:
+            n += 1
+    return n
 
 
 def plan_fingerprint(df_or_dfs) -> tuple[str, str]:
@@ -616,6 +645,126 @@ def main() -> None:
         errors["ann_block"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"bench: ann_block FAILED: {errors['ann_block']}", file=sys.stderr)
 
+    # ---- build vs probe wall split (r12 verdict ask #3) ----
+    # The persisted-index HEADLINE rows (knn_pq_indexed, knn_ivfpq_indexed,
+    # dedup_incremental_minhash) time build + append + probe in ONE row —
+    # correct for driver hashing, misleading for scale reading: at 100 TB
+    # the build amortizes across every query/batch while ONLY the probe
+    # (or the per-batch append) is the recurring cost. This block re-runs
+    # each row's stages with the registry row's exact parameters and
+    # reports {build_sec, probe_sec} so BENCH_DETAIL shows which wall is
+    # which. Probe uses the same warm-median discipline as run_timed.
+    build_probe_split: dict[str, dict] = {}
+
+    def _timed_stage(fn) -> float:
+        fn()  # warm (codegen + file listing off the clock)
+        ts = []
+        for _ in range(max(1, reps)):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return round(sorted(ts)[len(ts) // 2], 3)
+
+    try:
+        from pyspark_etl_twitter_spark.operators.dedup import (
+            build_minhash_index,
+            minhash_index_append,
+        )
+        from pyspark_etl_twitter_spark.operators.similarity import (
+            build_ivfpq_index,
+            build_pq_code_table,
+            ivfpq_probe_indexed,
+            pq_adc_topk_indexed,
+            pq_code_table_append,
+        )
+        from pyspark_etl_twitter_spark.plans.text_queries import (
+            _PMH_BANDS,
+            _PMH_HASHES,
+            _PMH_STAR,
+            _PQ_IDX_SPLIT,
+        )
+        from pyspark_etl_twitter_spark.sources.catalog import load_table as _lt4
+        from pyspark.sql import functions as F
+
+        emb_sp = _lt4(spark, sf_dir, "embeddings")
+        # knn_pq_indexed: build = code table + frozen-codebook append
+        pq_p = f"{bench_tmp}/split_pq"
+
+        def _pq_build():
+            build_pq_code_table(
+                emb_sp.filter(F.col("vec_id") < _PQ_IDX_SPLIT), pq_p
+            )
+            pq_code_table_append(
+                spark, pq_p, emb_sp.filter(F.col("vec_id") >= _PQ_IDX_SPLIT)
+            )
+
+        b = _timed_stage(_pq_build)
+        q8 = sorted(
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in emb_sp.filter(F.col("vec_id") < 8)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        p = _timed_stage(
+            lambda: pq_adc_topk_indexed(spark, pq_p, q8)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        build_probe_split["knn_pq_indexed"] = {"build_sec": b, "probe_sec": p}
+
+        # knn_ivfpq_indexed: registry-row defaults
+        ivfpq_p = f"{bench_tmp}/split_ivfpq"
+        b = _timed_stage(lambda: build_ivfpq_index(emb_sp, ivfpq_p))
+        p = _timed_stage(
+            lambda: ivfpq_probe_indexed(spark, ivfpq_p)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        build_probe_split["knn_ivfpq_indexed"] = {"build_sec": b, "probe_sec": p}
+
+        # dedup_incremental_minhash: probe_sec is the full per-batch cost
+        # (band-probe + verify + survivor append) — the recurring unit
+        docs_mh = _lt4(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 == 0
+        )
+        mh_corpus = docs_mh.filter(F.col("doc_id") % 20 != 0)
+        mh_batch = docs_mh.filter(F.col("doc_id") % 20 == 0)
+        mh_p = f"{bench_tmp}/split_minhash"
+        mh_kw = dict(
+            num_hashes=_PMH_HASHES,
+            bands=_PMH_BANDS,
+            shingle_n=1,
+            threshold=0.5,
+            star_bucket_threshold=_PMH_STAR,
+        )
+        b = _timed_stage(lambda: build_minhash_index(mh_corpus, mh_p, **mh_kw))
+
+        def _mh_probe():
+            # rebuild between reps: the append mutates the store, and the
+            # recurring cost being measured is one batch against the
+            # corpus-sized index, not against its own prior appends
+            build_minhash_index(mh_corpus, mh_p, **mh_kw)
+            t0 = time.perf_counter()
+            minhash_index_append(spark, mh_p, mh_batch).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        _mh_probe()  # warm
+        mh_ts = sorted(_mh_probe() for _ in range(max(1, reps)))
+        build_probe_split["dedup_incremental_minhash"] = {
+            "build_sec": b,
+            "probe_sec": round(mh_ts[len(mh_ts) // 2], 3),
+        }
+    except Exception as exc:  # noqa: BLE001
+        errors["build_probe_split"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(
+            f"bench: build_probe_split FAILED: {errors['build_probe_split']}",
+            file=sys.stderr,
+        )
+
     # Media decode throughput (r8 verdict ask #5): the pure-Python codec
     # path had a quadratic bit-accumulator for two rounds and no bench row
     # noticed. Real BMP/PNG/JPEG/WAV payloads (deterministic synth),
@@ -782,6 +931,32 @@ def main() -> None:
         detail["drift"] = drift
     if recall:
         detail["recall_at_5"] = recall
+    if build_probe_split:
+        detail["build_probe_split"] = build_probe_split
+    # ---- global-window audit (r12 verdict ask #7) ----
+    # Some rows RUN an unpartitioned window on purpose: their window input
+    # is a value-DOMAIN-bounded frontier (quantized distinct values,
+    # vocabulary heads, CMS cells), so the single partition holds |domain|
+    # rows regardless of corpus size — the engine's bounded-frontier rule.
+    # Labeling them here keeps the expected `WindowExec: No Partition
+    # Defined` warnings from masking a future ACCIDENTAL global window in
+    # a production row: any row outside the whitelist lands in
+    # `unexpected` and is printed to stderr.
+    gw = {
+        name: n
+        for name, text in plan_texts.items()
+        if (n := count_unpartitioned_windows(text))
+    }
+    detail["global_windows"] = {
+        "spec_twin": {k: v for k, v in gw.items() if k in GLOBAL_WINDOW_OK},
+        "unexpected": sorted(set(gw) - GLOBAL_WINDOW_OK),
+    }
+    for name in detail["global_windows"]["unexpected"]:
+        print(
+            f"bench: UNEXPECTED unpartitioned window in {name} — a "
+            "production row must never plan a global window",
+            file=sys.stderr,
+        )
     if streaming:
         detail["streaming_score_throughput"] = streaming
     if streaming_stateful:

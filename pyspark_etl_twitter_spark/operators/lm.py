@@ -359,6 +359,7 @@ def trigram_doc_logprob(
     *,
     lam3: float = 0.5,
     lam2: float = 0.3,
+    lam1: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_model: bool = True,
@@ -366,10 +367,17 @@ def trigram_doc_logprob(
     """Per-document mean trigram log-probability under an interpolated
     trigram/bigram/unigram model self-trained on the corpus:
     ``p(w3|w1w2) = lam3·c(w1w2w3)/c(w1w2·) + lam2·c(w2w3)/c(w2·)
-    + (1-lam3-lam2)·p_addone(w3)`` — one order up from
+    + lam1·p_addone(w3)`` — one order up from
     ``bigram_doc_logprob`` (interpolation rather than stupid backoff
     because a self-trained model never has zero counts on its own
     corpus, so backoff would never fire).
+
+    ``lam1`` is an EXPLICIT parameter, not derived as ``1 - lam3 - lam2``
+    (r12 advice): the derivation yields 0.19999999999999998 in binary
+    while the DuckDB oracle hardcodes the literal 0.2 — a last-ulp
+    divergence inside ``log()`` before the 6dp round. The weights must
+    sum to 1 (validated to 1e-9) and each engine must receive the SAME
+    literal.
 
     Distributed shape mirrors the bigram: the trigram count table and
     its (w1,w2) context table are the two corpus-sized relations
@@ -392,7 +400,10 @@ def trigram_doc_logprob(
         F.col("term").alias("w3"), F.exp("logp").alias("pu")
     )
     b = F.broadcast if broadcast_model else (lambda df: df)
-    lam1 = 1.0 - lam3 - lam2
+    if abs(lam1 + lam2 + lam3 - 1.0) > 1e-9:
+        raise ValueError(
+            f"interpolation weights must sum to 1: {lam3}+{lam2}+{lam1}"
+        )
     scored = (
         tri.join(c3, ["w1", "w2", "w3"])
         .join(c2ctx, ["w1", "w2"])

@@ -170,7 +170,18 @@ def ks_from_counts(
         F.sum("_ca").over(wg).alias("na"),
         F.sum("_cb").over(wg).alias("nb"),
     )
-    dnum = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+    # Cross-products in decimal, not long (r12 advice): cuma·nb and the
+    # na·nb divisor pass 2^63 once BOTH samples exceed ~3e9 rows — real
+    # at the engine's design scale. decimal(19,0) holds any int64; the
+    # product promotes to decimal(38,0) (max 8.5e37 < 1e38, never
+    # truncates), so the argmax and every tie-break stay EXACT. DuckDB's
+    # BIGINT·BIGINT promotes to HUGEINT (int128) natively — the oracle
+    # side is already exact.
+    dec = "decimal(19,0)"
+    dnum = F.abs(
+        F.col("cuma").cast(dec) * F.col("nb").cast(dec)
+        - F.col("cumb").cast(dec) * F.col("na").cast(dec)
+    )
     best = cum.select(
         *gcols,
         "na",
@@ -179,10 +190,11 @@ def ks_from_counts(
             (-dnum).alias("neg_d"), F.col("v").alias("at")
         ).alias("_cand"),
     ).groupBy(*gcols, "na", "nb").agg(F.min("_cand").alias("best"))
-    d = -F.col("best.neg_d")
-    ks_d = d / (F.col("na") * F.col("nb"))
+    d = (-F.col("best.neg_d")).cast("double")
+    nanb = (F.col("na").cast(dec) * F.col("nb").cast(dec)).cast("double")
+    ks_d = d / nanb
     crit = F.lit(KS_C_ALPHA_05) * F.sqrt(
-        (F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb"))
+        (F.col("na") + F.col("nb")).cast("double") / nanb
     )
     return best.select(
         *gcols,

@@ -1686,13 +1686,17 @@ def pq_encode_pandas(
     tensor and each Arrow batch computes all m argmins as one broadcasted
     ``(batch, ksub, dsub)`` subtraction per sub-space, replacing the
     m·ksub·dsub-op codegen fold per row with BLAS-shaped batch math.
-    Both sides are float64 with the same argmin/lowest-j tie rule, and
-    equality is pinned by test on the full corpus — but numpy's
-    ``.sum(axis=2)`` uses pairwise/unrolled summation, not the fold's
-    sequential left-to-right order, so a last-ulp difference could in
-    principle flip a near-exact argmin tie; the equivalence is an
-    empirical pin (exact on every tested corpus), not an arithmetic
-    identity. Measured at sf0.1 ×100 (200k 64-dim
+    Both sides are float64 with the same argmin/lowest-j tie rule, AND
+    the same accumulation order: the per-subspace distance accumulates
+    with an explicit left-to-right loop over the ``dsub`` dimensions
+    (``d += sq[:, :, t]``) instead of numpy's ``.sum(axis=2)`` —
+    pairwise summation there could differ from the codegen fold's
+    sequential order by a last ulp and flip a near-exact argmin tie
+    (r12 verdict). With the loop, every ``d[i, j]`` is the IDENTICAL
+    FP operation sequence ``(((sq₀+sq₁)+sq₂)+…)`` the fold executes, so
+    the equivalence is an arithmetic identity, not an empirical pin
+    (the full-corpus equality test remains as the regression guard).
+    Measured at sf0.1 ×100 (200k 64-dim
     vectors, m=8/ksub=16): codegen fold 48.5 s → Arrow twin 2.0 s — the
     vectorized-linear-algebra exception to "UDFs are the slow path"."""
     from pyspark.sql.functions import pandas_udf
@@ -1706,7 +1710,14 @@ def pq_encode_pandas(
         codes = np.empty((mat.shape[0], m), dtype=np.int32)
         for s in range(m):
             sub = mat[:, s * dsub : (s + 1) * dsub]
-            d = ((sub[:, None, :] - books_np[s][None, :, :]) ** 2).sum(axis=2)
+            diff = sub[:, None, :] - books_np[s][None, :, :]
+            sq = diff * diff  # (batch, ksub, dsub)
+            # sequential left-to-right accumulation over dsub — the
+            # codegen fold's exact FP operation order (NOT .sum(axis=2),
+            # whose pairwise summation is a different rounding sequence)
+            d = sq[:, :, 0].copy()
+            for t in range(1, dsub):
+                d += sq[:, :, t]
             codes[:, s] = d.argmin(axis=1)  # np argmin ties → lowest j
         return pd.Series(list(codes))
 

@@ -633,6 +633,13 @@ def gopher_line_flags(
 #: words, and does not mention "javascript"; a page survives only with at
 #: least three sentences and with neither "lorem ipsum" nor a curly brace
 #: anywhere in the raw text.
+#:
+#: NOTE on the 5/3 constants (r12 advice): the paper's §2.2 PROSE says
+#: lines need "at least 3 words" and pages "at least 5 sentences", but
+#: the RELEASED C4 implementation (TensorFlow-Datasets ``c4_utils``:
+#: ``_MIN_WORDS_PER_LINE = 5``, ``_MIN_NUM_SENTENCES = 3``) swaps them.
+#: This operator follows the released code — the ruleset that actually
+#: produced the public C4 corpus — not the paper prose.
 C4_TERMINAL_PUNCT = (".", "!", "?", '"')
 C4_MIN_LINE_WORDS = 5
 C4_MIN_SENTENCES = 3

@@ -72,6 +72,7 @@ QUERIES: dict[str, QueryFn] = {
     # rung vs exact, composed relationally; oracle composes the rungs'
     # own DuckDB replays as CTEs
     "ann_recall_report": T.ann_recall_report,
+    "ann_recall_planted": T.ann_recall_planted,
     # contrastive training-pair mining (r12): hard negatives + seeded
     # uniform negatives
     "hard_negatives_topk": T.hard_negatives_topk,
@@ -295,6 +296,7 @@ QUERIES: dict[str, QueryFn] = {
     "equidepth_price_deciles": R2.equidepth_price_deciles,
     "char_entropy_by_source": T.char_entropy_by_source,
     "dedup_incremental": T.dedup_incremental,
+    "dedup_incremental_minhash": T.dedup_incremental_minhash,
     "multi_resolution_rollup": T.multi_resolution_rollup,
     "semi_join_customers": R.semi_join_customers,
     "snapshot_diff_counts": R2.snapshot_diff_counts,
@@ -379,6 +381,7 @@ ORACLES: dict[str, str] = {
     "knn_sq8": T.ORACLE_KNN_SQ8,
     "knn_rp_topk": T.ORACLE_KNN_RP_TOPK,
     "ann_recall_report": T.ORACLE_ANN_RECALL_REPORT,
+    "ann_recall_planted": T.ORACLE_ANN_RECALL_PLANTED,
     "hard_negatives_topk": T.ORACLE_HARD_NEGATIVES_TOPK,
     "seeded_negatives_sample": T.ORACLE_SEEDED_NEGATIVES_SAMPLE,
     "quality_lr_weights": T.ORACLE_QUALITY_LR_WEIGHTS,
@@ -394,6 +397,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": T.ORACLE_DEDUP_CLUSTERS,
     # dedup_clusters_minhash: xxhash64-seeded pairs → rows-only
     "dedup_incremental": T.ORACLE_DEDUP_INCREMENTAL,
+    "dedup_incremental_minhash": T.ORACLE_DEDUP_INCREMENTAL_MINHASH,
     "repetition_stats": T.ORACLE_REPETITION_STATS,
     "quality_gate_by_source": T.ORACLE_QUALITY_GATE_BY_SOURCE,
     "knn_brute_cosine": T.ORACLE_KNN_BRUTE_COSINE,

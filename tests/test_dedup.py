@@ -960,6 +960,47 @@ def test_remove_duplicated_spans_keep_first(spark):
     assert out2[1].text == "y01" and out2[1].tokens_removed == 4
 
 
+def test_remove_duplicated_spans_aggjoin_equals_postings(spark):
+    """scale_mode='aggjoin' (no posting array ever materializes — the
+    100 TB shape for corpus-hot fingerprints, r12 advice) returns
+    byte-identical rows to the default postings mode, in both retention
+    modes, including the hot-fingerprint case (one block shared by
+    every doc) and in-canonical-doc repeats."""
+    import pytest
+
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    block = "b1 b2 b3 b4"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{block} x01 {block}"),
+            (1, f"y01 {block} y02"),
+            (2, f"{block}"),
+            (3, f"z01 z02 {block} z03"),
+            (4, "q01 q02 q03 q04 q05"),
+        ],
+        "doc_id long, text string",
+    )
+    for kf in (False, True):
+        a = {
+            r.doc_id: (r.text, r.tokens_removed, r.n_tokens)
+            for r in remove_duplicated_spans(
+                docs, n=4, min_docs=2, keep_first=kf
+            ).collect()
+        }
+        b = {
+            r.doc_id: (r.text, r.tokens_removed, r.n_tokens)
+            for r in remove_duplicated_spans(
+                docs, n=4, min_docs=2, keep_first=kf, scale_mode="aggjoin"
+            ).collect()
+        }
+        assert a == b
+    with pytest.raises(ValueError, match="scale_mode"):
+        remove_duplicated_spans(docs, scale_mode="nope")
+
+
 def test_remove_duplicated_spans_property_vs_python_oracle(spark):
     """Property test vs an independent brute-force Python oracle: for
     any random small corpus and n, both remove-all and keep-first modes
@@ -1022,3 +1063,116 @@ def test_remove_duplicated_spans_property_vs_python_oracle(spark):
         assert got == oracle(texts, n, keep_first)
 
     run()
+
+
+# --------------------------------------------------------------------------
+# Persisted MinHash index → incremental near-dup dedup (round 13)
+# --------------------------------------------------------------------------
+
+def _mh_index_kw():
+    # bands=8/rows=2 keeps banded collision probability near 1 for the
+    # planted J≈0.8 pairs (1-(1-j²)⁸), so the fixture is deterministic
+    return dict(num_hashes=16, bands=8, shingle_n=1, threshold=0.5,
+                star_bucket_threshold=64)
+
+
+def _mh_fixture(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+            (10, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),
+            (20, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 0 (9/11 = 0.818 unigram Jaccard)
+            (100, "a1 a2 a3 a4 a5 a6 a7 a8 a9 z1"),
+            # unique -> survives
+            (110, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"),
+            # 120/130 near-dup each other only -> 120 survives (pair-min)
+            (120, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"),
+            (130, "e1 e2 e3 e4 e5 e6 e7 e8 e9 z2"),
+            # exact text copy of corpus doc 10 -> J=1.0, dropped
+            (140, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, batch
+
+
+def test_minhash_index_incremental_semantics(spark, tmp_path):
+    """Persisted-signature incremental near-dup dedup: a batch doc near-
+    dupping an indexed doc is dropped (whatever the id order), within-batch
+    near-dups keep the min id, unique docs survive, and the store ends up
+    holding corpus + survivors' band rows + texts."""
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_append,
+    )
+
+    corpus, batch = _mh_fixture(spark)
+    path = str(tmp_path / "idx")
+    build_minhash_index(corpus, path, **_mh_index_kw())
+    surv = sorted(
+        r.doc_id for r in minhash_index_append(spark, path, batch).collect()
+    )
+    assert surv == [110, 120]
+    stored_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{path}/texts").select("doc_id").collect()
+    }
+    assert stored_ids == {0, 10, 20, 110, 120}
+
+
+def test_minhash_index_append_equals_rebuild(spark, tmp_path):
+    """The store after an append is EXACTLY what a from-scratch build over
+    (corpus ∪ survivors) produces — signatures are deterministic per doc,
+    so the incremental path never diverges from the rebuild."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_append,
+    )
+
+    corpus, batch = _mh_fixture(spark)
+    p_inc = str(tmp_path / "inc")
+    kw = _mh_index_kw()
+    build_minhash_index(corpus, p_inc, **kw)
+    surv = minhash_index_append(spark, p_inc, batch)
+    p_full = str(tmp_path / "full")
+    build_minhash_index(corpus.unionByName(surv), p_full, **kw)
+    rows = lambda p: {  # noqa: E731
+        (r.doc_id, r.band_id, r.band_key)
+        for r in spark.read.parquet(f"{p}/bands").collect()
+    }
+    assert rows(p_inc) == rows(p_full)
+
+
+def test_minhash_index_reappend_is_noop(spark, tmp_path):
+    """Idempotence (the streaming-replay contract): re-appending an
+    already-processed batch adds nothing — replayed ids are dropped by the
+    id guard, and a same-text/new-id copy verifies at J=1.0."""
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_append,
+    )
+
+    corpus, batch = _mh_fixture(spark)
+    path = str(tmp_path / "idx")
+    build_minhash_index(corpus, path, **_mh_index_kw())
+    minhash_index_append(spark, path, batch)
+    n_bands = spark.read.parquet(f"{path}/bands").count()
+
+    again = minhash_index_append(spark, path, batch)
+    assert again.count() == 0
+    assert spark.read.parquet(f"{path}/bands").count() == n_bands
+
+    # same text under a NEW id: caught by verification, not the id guard
+    clone = spark.createDataFrame(
+        [(999, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10")], "doc_id long, text string"
+    )
+    assert minhash_index_append(spark, path, clone).count() == 0
+    assert spark.read.parquet(f"{path}/bands").count() == n_bands

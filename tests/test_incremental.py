@@ -356,6 +356,66 @@ def test_ivf_index_append_two_level_matches_exact(spark, tmp_path):
     assert exhaustive == exact
 
 
+def test_ks_monitor_mid_epoch_replay_idempotent(spark, events_tiny, tmp_path):
+    """Crash-replay safety of the drift monitor's per-batch logic (r12
+    advice): a replay AFTER the ``_latest`` flip (prev_v == batch_id,
+    i.e. the crash hit the log append) must neither raise (Spark refuses
+    to overwrite ``hist/v=N`` while reading it) nor double-count the
+    delta — the guard treats the histogram version as already merged and
+    only re-scores + re-appends the (consumer-deduped) log row."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.streaming.incremental import (
+        ks_monitor_process_batch,
+    )
+
+    state = str(tmp_path / "state")
+    events = events_tiny.limit(300).select("value")
+    reference = events_tiny.limit(800).select("value")
+    ref_counts = (
+        reference.filter(F.col("value").isNotNull())
+        .select(F.round(F.col("value"), 1).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ref_counts.write.mode("overwrite").parquet(f"{state}/reference")
+
+    b0 = events.limit(200)
+    b1 = events.subtract(b0)
+    kw = dict(state_dir=state, value_col="value", round_dp=1)
+    ks_monitor_process_batch(b0, 0, **kw)
+    ks_monitor_process_batch(b1, 1, **kw)
+
+    hist = lambda: sorted(  # noqa: E731
+        (r.v, r.cnt)
+        for r in spark.read.parquet(f"{state}/hist/v=1").collect()
+    )
+    before = hist()
+    log_before = spark.read.parquet(f"{state}/log")
+    row_before = log_before.filter(F.col("batch_id") == 1).collect()[0]
+
+    # mid-epoch replay: _latest already points at v=1 (crash-after-flip)
+    with open(f"{state}/hist/_latest") as fh:
+        assert _json.load(fh)["v"] == 1
+    ks_monitor_process_batch(b1, 1, **kw)  # must not raise
+
+    assert hist() == before  # no double count, no wedged overwrite
+    replayed = spark.read.parquet(f"{state}/log").filter(
+        F.col("batch_id") == 1
+    ).collect()
+    assert len(replayed) == 2  # re-appended; consumers dedup on batch_id
+    for r in replayed:  # identical stats both times
+        assert (r.ks_d, r.crit_05, r.drifted, r.n_obs, r.psi) == (
+            row_before.ks_d,
+            row_before.crit_05,
+            row_before.drifted,
+            row_before.n_obs,
+            row_before.psi,
+        )
+
+
 def test_streaming_ks_monitor_stream_equals_batch(spark, events_tiny, tmp_path):
     """Streaming drift monitor: after draining the replay directory, the
     LAST drift-log row's KS statistic equals ks_two_sample computed

@@ -519,82 +519,80 @@ ORACLES: dict[str, str] = {
     "text_semantic_dedup_survivors": T.ORACLE_TEXT_SEMANTIC_DEDUP_SURVIVORS,
 }
 
-# ROUND-12 WINDOW (r11 verdict ask #5): rotation stays DECLARATIVE — the
+# ROUND-13 WINDOW (r12 verdict ask #1): rotation stays DECLARATIVE — the
 # list below is reordered to the front of QUERIES at import time. After
-# r11 the staleness distribution of newest driver rows was
-# {r11: 50, r10: 50, r9: 48, r8: 37}. This window takes the 22 new-in-r12
-# queries and 28 of the 37 r8 rows — the nine alphabetical-tail r8 rows
-# (sentiment_doc_scores, set_except_custkeys .. window_rank_stats) plus
-# all 48 r9 rows rotate in r13; the rows-only-by-design set stays in
-# the tail as always.
-ROUND12_WINDOW: list[str] = [
-    # new-this-round (22): never driver-verified — new queries always
-    # outrank stale-but-unchanged ones. All oracle-backed and verified
-    # vs DuckDB locally at sf0.001/0.01/0.1 before taking slots.
-    "knn_pq_indexed",
-    "knn_ivfpq_indexed",
-    "bpe_encoded_fixed_merges",
-    "bpe_train_portable_merges",
-    "gopher_line_rules_by_source",
-    "c4_rules_by_source",
-    "dedup_span_removal_by_source",
-    "dedup_span_keepfirst_by_source",
-    "cms_heavy_hitters",
-    "ks_drift_order_prices",
-    "pmi_collocations_top",
-    "knn_rp_topk",
-    "kmv_profile_prices",
-    "psi_drift_order_prices",
-    "ann_recall_report",
-    "trigram_lm_quality_by_source",
-    "quantile_norm_price_map",
-    "hard_negatives_topk",
-    "seeded_negatives_sample",
-    "kcore_suppliers",
-    "ewma_hourly_by_type",
-    "calibrated_ppl_filter_by_source",
-    # newest driver rows: r8 (28 of 37; the nine alphabetical-tail r8
-    # rows rotate r13)
-    "dedup_clusters_minhash_portable",
-    "dedup_clusters_simhash_portable",
-    "dedup_exact_groups",
-    "dedup_sha_fingerprints",
-    "dedup_simhash_portable",
-    "dedup_simhash_portable_pairs",
-    "except_all_quantities",
-    "full_outer_nation_counts",
-    "global_top_orders",
-    "grouping_sets_revenue",
-    "intersect_all_quantities",
-    "json_extract_events",
-    "knn_ann_lsh",
-    "knn_ann_lsh_high_recall",
-    "knn_ivf",
-    "knn_ivf_trained",
-    "lang_token_stats",
-    "map_funcs_events",
-    "math_funcs_lineitem",
-    "null_conditionals_customer",
-    "orders_above_avg",
-    "orders_with_many_items",
-    "outer_join_order_counts",
-    "pack_documents_salted_2048",
-    "pivot_status_qty",
-    "range_join_price_bands",
-    "regex_extract_part",
-    "rollup_revenue",
+# r12 the staleness distribution of newest driver rows was
+# {r12: 50, r11: 50, r10: 50, r9: 48, r8: 9}. This window takes the 2
+# new-in-r13 rows (dedup_incremental_minhash, ann_recall_planted), ALL
+# nine remaining r8 rows, and the 39 alphabetically-first r9 rows — the
+# nine alphabetical-tail r9 rows (repeated_spans_top .. weekly_revenue_wow)
+# rotate in r14, which brings max staleness to r9 as asked. Four of the
+# r9 rows are rows-only by design (xxhash64 paths whose md5 portable
+# twins are hash-verified); they occupy slots for the crash/row-drift
+# refresh exactly as in r9.
+ROUND13_WINDOW: list[str] = [
+    "dedup_incremental_minhash",
+    "ann_recall_planted",
+    "sentiment_doc_scores",
+    "set_except_custkeys",
+    "set_intersect_custkeys",
+    "set_union_active_keys",
+    "sliding_window_events",
+    "source_vocab_overlap_top",
+    "string_funcs_part",
+    "union_by_name_accounts",
+    "window_rank_stats",
+    "approx_summary",
+    "asof_purchase_click",
+    "asof_tolerance_click",
+    "binned_range_join_bands",
+    "bm25_search_topk",
+    "bucketed_join_revenue",
+    "budget_selection_by_source",
+    "char_entropy_by_source",
+    "data_quality_lineitem",
+    "decontaminate_counts",
+    "dedup_clusters",
+    "dedup_clusters_minhash",
+    "dedup_exact_summary",
+    "dedup_incremental",
+    "dedup_minhash_pairs",
+    "dedup_simhash_fingerprints",
+    "doc_fingerprints",
+    "embedding_near_dup",
+    "equidepth_price_deciles",
+    "event_gaps",
+    "funnel_view_click_purchase",
+    "fuzzy_decontaminate_counts",
+    "graph_triangle_count",
+    "hash_split_counts",
+    "hashed_embedding_profile",
+    "hof_funcs_documents",
+    "hourly_event_rollup",
+    "knn_brute_cosine",
+    "lang_detect_counts",
+    "lm_quality_by_source",
+    "multi_resolution_rollup",
+    "oov_rate_by_source",
+    "pack_documents_2048",
+    "percentile_prices",
+    "pii_pseudonymize_customers",
+    "pricing_summary",
+    "profile_orders_columns",
+    "quality_gate_by_source",
+    "referential_integrity_audit",
 ]
 
-_win = set(ROUND12_WINDOW)
+_win = set(ROUND13_WINDOW)
 # explicit raise, not assert: a module-level assert is stripped under
 # `python -O`, and a malformed window would then silently corrupt the
 # QUERIES ordering the driver's correctness gate depends on (r9 ADVICE)
-if len(ROUND12_WINDOW) != 50 or len(_win) != 50 or not _win <= set(QUERIES):
+if len(ROUND13_WINDOW) != 50 or len(_win) != 50 or not _win <= set(QUERIES):
     raise ValueError(
-        "window/registry drift: ROUND12_WINDOW must be 50 distinct "
-        f"registry keys (got {len(ROUND12_WINDOW)} entries, "
+        "window/registry drift: ROUND13_WINDOW must be 50 distinct "
+        f"registry keys (got {len(ROUND13_WINDOW)} entries, "
         f"{len(_win)} distinct, unknown={sorted(_win - set(QUERIES))})"
     )
-QUERIES = {k: QUERIES[k] for k in ROUND12_WINDOW} | {
+QUERIES = {k: QUERIES[k] for k in ROUND13_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in _win
 }

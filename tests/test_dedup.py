@@ -1176,3 +1176,62 @@ def test_minhash_index_reappend_is_noop(spark, tmp_path):
     )
     assert minhash_index_append(spark, path, clone).count() == 0
     assert spark.read.parquet(f"{path}/bands").count() == n_bands
+
+
+def test_streaming_minhash_dedup_ingest(spark, tmp_path):
+    """Streaming half of the incremental near-dup lifecycle: documents
+    arriving as files are deduped against the persisted store (near-dup
+    of an indexed doc dropped, unique doc appended), later probes see the
+    survivor, and re-running the drained directory is a no-op (offsets
+    committed — the exactly-once intake contract)."""
+    import json
+
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_append,
+    )
+    from pyspark_etl_twitter_spark.streaming.incremental import (
+        streaming_minhash_dedup_ingest,
+    )
+
+    corpus, _ = _mh_fixture(spark)
+    idx = str(tmp_path / "idx")
+    build_minhash_index(corpus, idx, **_mh_index_kw())
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    rows = [
+        # near-dup of indexed doc 0 -> dropped
+        {"doc_id": 300, "text": "a1 a2 a3 a4 a5 a6 a7 a8 a9 z9"},
+        # unique -> survives
+        {"doc_id": 310, "text": "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10"},
+    ]
+    (src / "batch.json").write_text(
+        "\n".join(
+            json.dumps({**r, "lang": "en", "source": "s", "n_chars": len(r["text"])})
+            for r in rows
+        )
+    )
+    ckpt = str(tmp_path / "ckpt")
+    streaming_minhash_dedup_ingest(spark, str(src), idx, ckpt)
+    ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{idx}/texts").select("doc_id").collect()
+    }
+    assert 310 in ids and 300 not in ids
+    n = spark.read.parquet(f"{idx}/bands").count()
+
+    # a LATER batch near-dupping the streamed survivor 310 is dropped —
+    # the store dedups against earlier batches, not just the build corpus
+    surv = minhash_index_append(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(320, "f1 f2 f3 f4 f5 f6 f7 f8 f9 z8")], "doc_id long, text string"
+        ),
+    )
+    assert surv.count() == 0
+
+    # drained directory -> replay is a no-op
+    streaming_minhash_dedup_ingest(spark, str(src), idx, ckpt)
+    assert spark.read.parquet(f"{idx}/bands").count() == n

@@ -117,8 +117,11 @@ SKIP = {
     "bpe_train_portable_merges",  # per-4-round localCheckpoints execute;
                                   # its 1-row best-pair broadcast is the
                                   # documented bounded-BNLJ scalar shape
-    "ann_recall_report",          # composes knn_ivf/knn_ann_lsh, whose
-                                  # plan builds execute bounded actions
+    "ann_recall_report",          # builds the ivf/lsh/pq indexes during
+                                  # plan build (r13: persisted probes)
+    "ann_recall_planted",         # bounded 8-center collect + rung plan
+                                  # builds execute bounded actions
+    "dedup_incremental_minhash",  # build_minhash_index writes during build
     "kcore_suppliers",            # per-3-round localCheckpoints execute
 }
 

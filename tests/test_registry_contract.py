@@ -2,14 +2,16 @@
 
 The driver's correctness gate checks the first 50 registry keys, so the
 dict order is load-bearing. Rotation is declarative since round 9:
-``registry.ROUND12_WINDOW`` is reordered to the front of ``QUERIES`` at
+``registry.ROUND13_WINDOW`` is reordered to the front of ``QUERIES`` at
 import time and these tests pin its composition.
 
-Round-12 rule (r11 verdict ask #5): the window is the 22 new-in-r12
-queries plus 28 of the 37 queries whose newest driver row was r8 — so
-after r12 max staleness is r8 on exactly the nine alphabetical-tail r8
-rows (sentiment_doc_scores through window_rank_stats), which rotate
-first in r13 with the 48 r9 rows.
+Round-13 rule (r12 verdict ask #1): the window is the 2 new-in-r13 rows
+plus ALL nine remaining r8 rows plus the 39 alphabetically-first r9 rows
+— max staleness after r13 is r9 on exactly the nine alphabetical-tail r9
+rows (repeated_spans_top through weekly_revenue_wow), which rotate first
+in r14. Four slots are rows-only by design this round (the r9 precedent:
+they take slots for the crash/row-drift refresh; their portable twins
+are hash-verified).
 """
 
 import pytest
@@ -17,7 +19,7 @@ import pytest
 from pyspark_etl_twitter_spark.plans.registry import (
     ORACLES,
     QUERIES,
-    ROUND12_WINDOW,
+    ROUND13_WINDOW,
 )
 
 DRIVER_WINDOW = 50
@@ -49,18 +51,25 @@ ROWS_ONLY_BY_DESIGN = {
 
 
 def test_window_is_the_declared_rotation():
-    assert list(QUERIES)[:DRIVER_WINDOW] == ROUND12_WINDOW
-    assert len(set(ROUND12_WINDOW)) == DRIVER_WINDOW
+    assert list(QUERIES)[:DRIVER_WINDOW] == ROUND13_WINDOW
+    assert len(set(ROUND13_WINDOW)) == DRIVER_WINDOW
 
 
-def test_window_composition_r12():
-    """All 50 slots oracle-backed this round: the 22 new-in-r12 rows
-    ship with full DuckDB oracles, and the rotation picks (28 r8 rows)
-    skip the rows-only-by-design set, which stays in the tail (each
-    refreshed r9-r11 with a hash-green portable twin)."""
+def test_window_composition_r13():
+    """46 of 50 slots oracle-backed; the other 4 are exactly the
+    rows-only r9 stale rows taking their scheduled refresh (the r9
+    precedent — the driver records rows; their md5 portable twins are
+    hash-verified). The 2 new rows lead the window and carry FULL
+    oracles."""
     window = list(QUERIES)[:DRIVER_WINDOW]
-    assert not set(window) & ROWS_ONLY_BY_DESIGN
-    assert all(k in ORACLES for k in window)
+    assert set(window) & ROWS_ONLY_BY_DESIGN == {
+        "approx_summary",
+        "dedup_clusters_minhash",
+        "dedup_minhash_pairs",
+        "dedup_simhash_fingerprints",
+    }
+    assert all(k in ORACLES for k in window if k not in ROWS_ONLY_BY_DESIGN)
+    assert window[:2] == ["dedup_incremental_minhash", "ann_recall_planted"]
 
 
 def test_rows_only_is_exactly_the_sanctioned_set():

@@ -182,6 +182,9 @@ HEADLINE = [
     "psi_drift_order_prices",  # binned PSI drift ruler next to KS
     "ann_recall_report",  # hash-verified recall scoreboard of all ANN rungs
     "ann_recall_planted",  # same scoreboard on the clustered planted blobs
+    "cusum_hourly_by_type",  # changepoint tier of the drift ladder (r13)
+    "benford_order_prices",  # leading-digit conformity ruler (r13)
+    "readability_by_source",  # Flesch readability rung (r13)
     "trigram_lm_quality_by_source",  # third rung of the LM-curation ladder
     "quantile_norm_price_map",  # cross-source quantile calibration map
     "hard_negatives_topk",  # contrastive hard-negative mining

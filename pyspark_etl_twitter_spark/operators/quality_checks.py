@@ -293,3 +293,91 @@ def psi_from_counts(
         "psi",
         shift.alias("shift"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benford leading-digit conformity (round 13)
+# --------------------------------------------------------------------------
+
+#: Benford's-law expected first-digit proportions, log10(1 + 1/d) for
+#: d = 1..9 — Python-computed ONCE so the Spark literals and the DuckDB
+#: oracle literals (emitted via repr(), the JL-plane trick) are the same
+#: doubles bit for bit.
+BENFORD_P: tuple[float, ...] = tuple(
+    __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)
+)
+
+#: conventional conformity threshold on the max absolute deviation
+#: between observed and expected first-digit proportions (the
+#: Kolmogorov-flavored ruler; order-free, unlike a chi-square sum)
+BENFORD_MAX_DEV = 0.03
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution of a positive money-like
+    column vs Benford's law — the classic fabricated/truncated-data
+    ruler a corpus intake runs next to KS/PSI drift: organically
+    generated amounts follow log10(1 + 1/d); capped, minimum-priced, or
+    synthesized columns do not, and the DEVIATION is the signal.
+
+    The digit is extracted from the integer CENTS rendered as a string
+    (first character), never from ``floor(v / 10^floor(log10(v)))`` —
+    integer-to-string is bit-identical across engines while ``log10``
+    may differ in the last ulp exactly at power-of-ten boundaries. The
+    conformity statistic is ``max_d |obs_p(d) - exp_p(d)|`` (a max, so
+    no cross-digit float summation order to pin down).
+
+    Returns one row per (group..., digit 1-9): ``n_d`` (count,
+    zero-filled), ``obs_p``, ``exp_p``, plus the group-level ``max_dev``
+    and ``benford_ok`` repeated on each row. One narrow aggregate over
+    the corpus; the digit frontier is 9 rows per group."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .select(*gcols, digit.alias("digit"))
+        .groupBy(*gcols, "digit")
+        .agg(F.count(F.lit(1)).alias("n_d"))
+    )
+    # zero-fill digits 1..9 per group so sparse groups still compare
+    # against the full expectation vector
+    digits = counts.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in BENFORD_P]), F.col("id").cast("int")
+        ).alias("exp_p"),
+    )
+    frame = (
+        counts.select(*gcols).distinct().crossJoin(F.broadcast(digits))
+        if gcols
+        else digits
+    )
+    wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    full = (
+        frame.join(counts, [*gcols, "digit"], "left")
+        .withColumn("n_d", F.coalesce(F.col("n_d"), F.lit(0)))
+        .withColumn("n", F.sum("n_d").over(wg))
+    )
+    obs_p = F.col("n_d").cast("double") / F.col("n").cast("double")
+    dev = F.abs(obs_p - F.col("exp_p"))
+    out = full.withColumn("_dev", dev).withColumn(
+        "max_dev", F.max("_dev").over(wg)
+    )
+    return out.select(
+        *gcols,
+        "digit",
+        F.col("n_d").cast("long").alias("n_d"),
+        F.round(obs_p, round_dp).alias("obs_p"),
+        F.round(F.col("exp_p"), round_dp).alias("exp_p"),
+        F.round(F.col("max_dev"), round_dp).alias("max_dev"),
+        (F.col("max_dev") <= BENFORD_MAX_DEV).alias("benford_ok"),
+    )

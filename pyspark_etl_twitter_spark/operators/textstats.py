@@ -724,3 +724,82 @@ def c4_quality_flags(
         "kept",
         F.col("ok_sentences") & F.col("ok_lorem") & F.col("ok_brace"),
     )
+
+
+# --------------------------------------------------------------------------
+# Flesch reading ease (round 13)
+# --------------------------------------------------------------------------
+
+#: Flesch (1948) reading-ease coefficients, the public formula:
+#: 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+FLESCH_BASE = 206.835
+FLESCH_WPS = 1.015
+FLESCH_SPW = 84.6
+#: conventional bucket edges: >= 60 "easy", >= 30 "standard", else "difficult"
+FLESCH_EASY = 60.0
+FLESCH_STANDARD = 30.0
+
+
+def flesch_reading_ease(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document Flesch reading-ease score with the standard
+    relational approximations — the readability rung of the quality
+    ladder (length/punct ratios → Gopher/C4 rules → LM perplexity →
+    THIS: a classic human-oriented difficulty score used as a curation
+    feature):
+
+    - sentences = runs of terminal punctuation ``[.!?]+`` (min 1, so an
+      unpunctuated fragment counts as one sentence),
+    - syllables per word = vowel-GROUP count ``[aeiouy]+`` on the
+      lowercased word, floored at 1 (the standard heuristic; exact
+      syllabification needs a dictionary),
+    - score = 206.835 − 1.015·(W/S) − 84.6·(Syl/W); empty docs score 0.
+
+    Everything is ``regexp_count``/higher-order-array arithmetic — one
+    codegen pass, zero shuffle, and DuckDB replays it verbatim
+    (``len(regexp_extract_all(...))``); counts are integers, so the only
+    float ops are the two divisions and the final affine combination —
+    identical IEEE sequence on both engines."""
+    toks = ws_tokens(text_col)
+    n_words = F.size(toks)
+    n_sents = F.greatest(
+        F.lit(1), F.regexp_count(F.col(text_col), F.lit(r"[.!?]+"))
+    )
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.lit(1), F.regexp_count(F.lower(w), F.lit("[aeiouy]+"))
+            ),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    score = (
+        F.lit(FLESCH_BASE)
+        - F.lit(FLESCH_WPS)
+        * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(FLESCH_SPW) * (syl.cast("double") / n_words.cast("double"))
+    )
+    flesch = F.when(n_words == 0, F.lit(0.0)).otherwise(score)
+    bucket = (
+        F.when(n_words == 0, F.lit("empty"))
+        .when(flesch >= FLESCH_EASY, F.lit("easy"))
+        .when(flesch >= FLESCH_STANDARD, F.lit("standard"))
+        .otherwise(F.lit("difficult"))
+    )
+    return docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+        F.round(flesch, round_dp).alias("flesch"),
+        bucket.alias("flesch_bucket"),
+    )

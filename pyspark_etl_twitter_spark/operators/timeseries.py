@@ -366,7 +366,7 @@ def ewma_portable(
     group_col: str = "group",
     time_col: str = "t",
     value_col: str = "v",
-    round_dp: int = 6,
+    round_dp: int | None = 6,
 ) -> DataFrame:
     """PORTABLE twin of ``ewma_by_group``: the same adjust=False
     recurrence ``e_t = alpha·x_t + (1-alpha)·e_{t-1}`` (e_1 = x_1)
@@ -407,6 +407,96 @@ def ewma_portable(
             group_col,
             F.col("r.xs.t").alias(time_col),
             F.col("r.xs.v").alias(value_col),
-            F.round(F.col("r.ew"), round_dp).alias("ewma"),
+            (
+                F.round(F.col("r.ew"), round_dp)
+                if round_dp is not None
+                else F.col("r.ew")
+            ).alias("ewma"),
+        )
+    )
+
+
+def cusum_portable(
+    df: DataFrame,
+    *,
+    group_col: str = "group",
+    time_col: str = "t",
+    value_col: str = "v",
+    k: float = 0.0,
+    h: float = 3.0,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detector per bounded group — the
+    CHANGE-POINT ruler next to the engine's level rulers (KS/PSI compare
+    two snapshots, EWMA smooths a series; CUSUM localizes WHEN a mean
+    shift happened): ``s⁺_t = max(0, s⁺_{t-1} + (x_t − target − k))``,
+    ``s⁻_t = max(0, s⁻_{t-1} + (target − x_t − k))``, alarm when either
+    exceeds ``h`` (Page 1954). The reference level ``target`` is the
+    series' FIRST value — deterministic on both engines, no mean to
+    pin — and ``k`` is the usual half-shift slack.
+
+    Same portability construction as ``ewma_portable``: the ordered
+    group series folds as one array aggregate (identical FP op sequence
+    ``max(0, a + (v − target − k))`` on both engines; each one-sided
+    recurrence depends only on its own state, so DuckDB replays it with
+    ``list_reduce`` over per-row prefixes). Same scale contract too:
+    groups must be bounded by construction (per-type hourly rollups),
+    the corpus collapses to those series in one aggregate."""
+    grouped = df.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(time_col).alias("t"), F.col(value_col).alias("v")
+                )
+            )
+        ).alias("xs")
+    )
+    target = F.element_at(F.col("xs"), 1)["v"].cast("double")
+
+    def side(sign: float):
+        def step(acc, x):
+            d = (
+                (x["v"].cast("double") - target - F.lit(k))
+                if sign > 0
+                else (target - x["v"].cast("double") - F.lit(k))
+            )
+            # first step guarded like ewma_portable: element_at(acc, -1)
+            # on an empty array raises under ANSI; s_0 = 0 and 0 + d ≡ d
+            # in IEEE, so the branch keeps the fold's FP sequence equal
+            # to the oracle's 0.0-prepended list_reduce
+            return F.concat(
+                acc,
+                F.array(
+                    F.when(
+                        F.size(acc) == 0, F.greatest(F.lit(0.0), d)
+                    ).otherwise(
+                        F.greatest(F.lit(0.0), F.element_at(acc, -1) + d)
+                    )
+                ),
+            )
+        return F.aggregate(F.col("xs"), F.array().cast("array<double>"), step)
+
+    z = F.arrays_zip(
+        F.col("xs"), side(1.0).alias("sp"), side(-1.0).alias("sn")
+    )
+    return (
+        grouped.select(group_col, F.explode(z).alias("r"))
+        .select(
+            group_col,
+            F.col("r.xs.t").alias(time_col),
+            F.col("r.xs.v").alias(value_col),
+            (
+                F.round(F.col("r.sp"), round_dp)
+                if round_dp is not None
+                else F.col("r.sp")
+            ).alias("cusum_pos"),
+            (
+                F.round(F.col("r.sn"), round_dp)
+                if round_dp is not None
+                else F.col("r.sn")
+            ).alias("cusum_neg"),
+            (
+                (F.col("r.sp") > F.lit(h)) | (F.col("r.sn") > F.lit(h))
+            ).alias("alarm"),
         )
     )

@@ -267,6 +267,12 @@ QUERIES: dict[str, QueryFn] = {
     "hourly_event_rollup": R.hourly_event_rollup,
     # portable EWMA twin (r12): smoothing tier hash-verified
     "ewma_hourly_by_type": R.ewma_hourly_by_type,
+    # r13: changepoint tier of the drift ladder (portable CUSUM fold)
+    "cusum_hourly_by_type": R.cusum_hourly_by_type,
+    # r13: Benford leading-digit conformity ruler
+    "benford_order_prices": R2.benford_order_prices,
+    # r13: Flesch readability rung of the quality ladder
+    "readability_by_source": T.readability_by_source,
     "sentiment_classes": T.sentiment_classes,
     "sentiment_weights_head": T.sentiment_weights_head,
     "dedup_exact_summary": T.dedup_exact_summary,
@@ -338,6 +344,9 @@ ORACLES: dict[str, str] = {
     "json_extract_events": R.ORACLE_JSON_EXTRACT_EVENTS,
     "hourly_event_rollup": R.ORACLE_HOURLY_EVENT_ROLLUP,
     "ewma_hourly_by_type": R.ORACLE_EWMA_HOURLY_BY_TYPE,
+    "cusum_hourly_by_type": R.ORACLE_CUSUM_HOURLY_BY_TYPE,
+    "benford_order_prices": R2.ORACLE_BENFORD_ORDER_PRICES,
+    "readability_by_source": T.ORACLE_READABILITY_BY_SOURCE,
     "sliding_window_events": R.ORACLE_SLIDING_WINDOW_EVENTS,
     "math_funcs_lineitem": R2.ORACLE_MATH_FUNCS_LINEITEM,
     "percentile_prices": R2.ORACLE_PERCENTILE_PRICES,
@@ -522,17 +531,22 @@ ORACLES: dict[str, str] = {
 # ROUND-13 WINDOW (r12 verdict ask #1): rotation stays DECLARATIVE — the
 # list below is reordered to the front of QUERIES at import time. After
 # r12 the staleness distribution of newest driver rows was
-# {r12: 50, r11: 50, r10: 50, r9: 48, r8: 9}. This window takes the 2
-# new-in-r13 rows (dedup_incremental_minhash, ann_recall_planted), ALL
-# nine remaining r8 rows, and the 39 alphabetically-first r9 rows — the
-# nine alphabetical-tail r9 rows (repeated_spans_top .. weekly_revenue_wow)
-# rotate in r14, which brings max staleness to r9 as asked. Four of the
+# {r12: 50, r11: 50, r10: 50, r9: 48, r8: 9}. This window takes the 5
+# new-in-r13 rows (dedup_incremental_minhash, ann_recall_planted,
+# cusum_hourly_by_type, benford_order_prices, readability_by_source), ALL
+# nine remaining r8 rows, and the 36 alphabetically-first r9 rows — the
+# twelve alphabetical-tail r9 rows (profile_orders_columns ..
+# weekly_revenue_wow) rotate in r14, which brings max staleness to r9 as
+# asked. Four of the
 # r9 rows are rows-only by design (xxhash64 paths whose md5 portable
 # twins are hash-verified); they occupy slots for the crash/row-drift
 # refresh exactly as in r9.
 ROUND13_WINDOW: list[str] = [
     "dedup_incremental_minhash",
     "ann_recall_planted",
+    "cusum_hourly_by_type",
+    "benford_order_prices",
+    "readability_by_source",
     "sentiment_doc_scores",
     "set_except_custkeys",
     "set_intersect_custkeys",
@@ -578,9 +592,6 @@ ROUND13_WINDOW: list[str] = [
     "percentile_prices",
     "pii_pseudonymize_customers",
     "pricing_summary",
-    "profile_orders_columns",
-    "quality_gate_by_source",
-    "referential_integrity_audit",
 ]
 
 _win = set(ROUND13_WINDOW)

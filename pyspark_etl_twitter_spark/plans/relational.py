@@ -998,31 +998,69 @@ FROM lineitem
 """
 
 
+def _hourly_avg_exact(ev: DataFrame) -> DataFrame:
+    """Hourly per-type mean as EXACT integer-cents division: the sum of
+    2dp cents is an order-free integer aggregate, so ``sum/(n·100)`` is
+    ONE float division on identical operands — bit-identical doubles on
+    both engines BY CONSTRUCTION. ``round(avg(value), 6)`` is not: float
+    summation order differs per engine, and an hourly group whose exact
+    mean terminates at 7 decimals ending in 5 (observed at sf0.1:
+    signup 2024-01-18 22:00 = 43.4728125) lands the two engines' round
+    semantics (shortest-decimal HALF_UP vs binary half-away) on opposite
+    sides — the DESIGN §5 boundary trap, caught by the r13 3-SF gate."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        (
+            F.sum(cents).cast("double")
+            / (F.count(F.lit(1)) * 100).cast("double")
+        ).alias("avg_value")
+    )
+
+
+def _q6(c: Column) -> Column:
+    """Portable 6dp quantizer: ``floor(x·1e6 + 0.5)/1e6`` — every step is
+    a plain IEEE op with no engine-discretionary tie rule, so identical
+    input doubles give identical output doubles (unlike ``round(x, 6)``,
+    where Spark rounds the shortest decimal rendering and DuckDB the
+    binary value — they disagree exactly at .5 ulp of the target scale)."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
 def ewma_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential smoothing of the hourly per-type value series
     (alpha=0.3, adjust=False recurrence) via the PORTABLE array-fold
     twin — the smoothing tier's driver-hash-verified row (the Arrow
     ``ewma_by_group`` production twin is equality-pinned in pytest).
-    Hourly means are rounded to 6dp BEFORE smoothing on both engines."""
+    Inputs are exact cents-division means and outputs are ``_q6``
+    quantized, so the whole row is bit-deterministic on both engines
+    (r13: the previous ``round(avg, 6)`` input hit the §5 half-way trap
+    at sf0.1)."""
     from pyspark_etl_twitter_spark.operators.timeseries import ewma_portable
 
     ev = _t(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.col("event_type"), F.date_trunc("hour", "ts").alias("hour_start")
-    ).agg(F.round(F.avg("value"), 6).alias("avg_value"))
-    return ewma_portable(
-        hourly,
+    out = ewma_portable(
+        _hourly_avg_exact(ev),
         alpha=0.3,
         group_col="event_type",
         time_col="hour_start",
         value_col="avg_value",
+        round_dp=None,
+    )
+    return out.select(
+        "event_type",
+        "hour_start",
+        _q6(F.col("avg_value")).alias("avg_value"),
+        _q6(F.col("ewma")).alias("ewma"),
     )
 
 
 ORACLE_EWMA_HOURLY_BY_TYPE = """
 WITH h AS (
   SELECT event_type, date_trunc('hour', ts) AS hour_start,
-         round(avg(value), 6) AS avg_value
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) * 100 AS DOUBLE) AS avg_value
   FROM events GROUP BY 1, 2
 ),
 g AS (
@@ -1033,9 +1071,89 @@ g AS (
 )
 SELECT event_type,
        unnest(hs) AS hour_start,
-       unnest(xs) AS avg_value,
+       unnest(list_transform(xs,
+         x -> floor(x * 1000000.0 + 0.5) / 1000000.0)) AS avg_value,
        unnest(list_transform(range(1, len(xs) + 1),
-         i -> round(list_reduce(xs[1:i], (a, v) -> 0.3 * v + 0.7 * a), 6)
+         i -> floor(list_reduce(xs[1:i], (a, v) -> 0.3 * v + 0.7 * a)
+                    * 1000000.0 + 0.5) / 1000000.0
        )) AS ewma
 FROM g
 """
+
+
+def cusum_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint detection over the hourly per-type
+    value series (k=0.25 slack, h=5.0 alarm, target = each series' first
+    hour) — the CHANGE-POINT tier of the drift ladder (KS/PSI compare
+    snapshots, EWMA smooths, CUSUM localizes WHEN the mean shifted),
+    via the same portable array-fold construction as the EWMA row —
+    exact cents-division means in, ``_q6``-quantized columns out, so the
+    row is bit-deterministic on both engines."""
+    from pyspark_etl_twitter_spark.operators.timeseries import cusum_portable
+
+    ev = _t(spark, sf_dir, "events")
+    out = cusum_portable(
+        _hourly_avg_exact(ev),
+        group_col="event_type",
+        time_col="hour_start",
+        value_col="avg_value",
+        k=0.25,
+        h=5.0,
+        round_dp=None,
+    )
+    return out.select(
+        "event_type",
+        "hour_start",
+        _q6(F.col("avg_value")).alias("avg_value"),
+        _q6(F.col("cusum_pos")).alias("cusum_pos"),
+        _q6(F.col("cusum_neg")).alias("cusum_neg"),
+        "alarm",
+    )
+
+
+# DuckDB replays each one-sided recurrence s_i = max(0, s_{i-1} + d_i)
+# as list_reduce over a 0.0-PREPENDED prefix of the deviation list —
+# list_reduce seeds with the first element, and the raw d_1 is not
+# max(0, d_1); the prepended zero makes the seed the true s_0 = 0 and
+# keeps the fold's FP operation sequence identical to the engine's
+ORACLE_CUSUM_HOURLY_BY_TYPE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) * 100 AS DOUBLE) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type,
+         list(hour_start ORDER BY hour_start) AS hs,
+         list(avg_value ORDER BY hour_start) AS xs
+  FROM h GROUP BY event_type
+),
+r AS (
+  SELECT event_type,
+         unnest(hs) AS hour_start,
+         unnest(list_transform(xs,
+           x -> floor(x * 1000000.0 + 0.5) / 1000000.0)) AS avg_value,
+         unnest(list_transform(range(1, len(xs) + 1),
+           i -> floor(list_reduce(
+             list_prepend(0.0, list_transform(xs[1:i], v -> v - xs[1] - 0.25)),
+             (a, v) -> greatest(0.0, a + v)) * 1000000.0 + 0.5) / 1000000.0
+         )) AS cusum_pos,
+         unnest(list_transform(range(1, len(xs) + 1),
+           i -> floor(list_reduce(
+             list_prepend(0.0, list_transform(xs[1:i], v -> xs[1] - v - 0.25)),
+             (a, v) -> greatest(0.0, a + v)) * 1000000.0 + 0.5) / 1000000.0
+         )) AS cusum_neg,
+         unnest(list_transform(range(1, len(xs) + 1),
+           i -> list_reduce(
+             list_prepend(0.0, list_transform(xs[1:i], v -> v - xs[1] - 0.25)),
+             (a, v) -> greatest(0.0, a + v)) > 5.0
+             OR list_reduce(
+             list_prepend(0.0, list_transform(xs[1:i], v -> xs[1] - v - 0.25)),
+             (a, v) -> greatest(0.0, a + v)) > 5.0
+         )) AS alarm
+  FROM g
+)
+SELECT event_type, hour_start, avg_value, cusum_pos, cusum_neg, alarm FROM r
+"""
+

@@ -1043,6 +1043,72 @@ FROM probe GROUP BY token, exact_cnt, rank
 """
 
 
+def benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit conformity of order prices per status — the
+    fabricated/truncated-data ruler next to the KS/PSI drift rows
+    (``quality_checks.benford_profile``): first significant digit taken
+    from the integer CENTS string (never log10 — last-ulp safe), digits
+    zero-filled, conformity = max absolute deviation vs log10(1 + 1/d).
+    Synthetic uniform-ish prices are expected to FAIL conformity
+    (max_dev >> 0.03) — the row pins that the ruler detects it."""
+    from pyspark_etl_twitter_spark.operators.quality_checks import (
+        benford_profile,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return benford_profile(
+        orders, "o_totalprice", group_cols=["o_orderstatus"]
+    )
+
+
+# expected proportions are repr()'d from the SAME Python-computed
+# doubles the Spark literals use (the JL-plane trick)
+ORACLE_BENFORD_ORDER_PRICES = """
+WITH pos AS (
+  SELECT o_orderstatus,
+         CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+),
+counts AS (
+  SELECT o_orderstatus, digit, count(*) AS n_d FROM pos GROUP BY 1, 2
+),
+expd(digit, exp_p) AS (
+  VALUES (CAST(1 AS INTEGER), 0.3010299956639812),
+           (CAST(2 AS INTEGER), 0.17609125905568124),
+           (CAST(3 AS INTEGER), 0.12493873660829992),
+           (CAST(4 AS INTEGER), 0.09691001300805642),
+           (CAST(5 AS INTEGER), 0.07918124604762482),
+           (CAST(6 AS INTEGER), 0.06694678963061322),
+           (CAST(7 AS INTEGER), 0.05799194697768673),
+           (CAST(8 AS INTEGER), 0.05115252244738129),
+           (CAST(9 AS INTEGER), 0.04575749056067514)
+),
+frame AS (
+  SELECT g.o_orderstatus, e.digit, CAST(e.exp_p AS DOUBLE) AS exp_p
+  FROM (SELECT DISTINCT o_orderstatus FROM counts) g CROSS JOIN expd e
+),
+fullf AS (
+  SELECT f.o_orderstatus, f.digit, f.exp_p, coalesce(c.n_d, 0) AS n_d,
+         sum(coalesce(c.n_d, 0)) OVER (PARTITION BY f.o_orderstatus) AS n
+  FROM frame f LEFT JOIN counts c
+    ON c.o_orderstatus = f.o_orderstatus AND c.digit = f.digit
+),
+dev AS (
+  SELECT *,
+         max(abs(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) - exp_p))
+           OVER (PARTITION BY o_orderstatus) AS max_dev
+  FROM fullf
+)
+SELECT o_orderstatus, digit,
+       CAST(n_d AS BIGINT) AS n_d,
+       round(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_p,
+       round(exp_p, 6) AS exp_p,
+       round(max_dev, 6) AS max_dev,
+       max_dev <= 0.03 AS benford_ok
+FROM dev
+"""
+
+
 def ks_drift_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift check per order status: does
     the order-price distribution differ between odd and even order

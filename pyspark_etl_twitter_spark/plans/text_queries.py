@@ -3834,3 +3834,76 @@ SELECT anchor_id, neg_id, CAST(draw AS INTEGER) AS draw FROM (
   FROM dd
 ) WHERE rk <= 4 AND anchor_id < 100
 """
+
+
+def readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading-ease profile
+    (``textstats.flesch_reading_ease``): doc count, mean score, and the
+    standard difficulty buckets — the readability rung of the quality
+    ladder (surface ratios → Gopher/C4 rules → LM perplexity →
+    human-difficulty score), used as a curation feature when mixing
+    sources. Scores are rounded per doc BEFORE the mean on both engines."""
+    from pyspark_etl_twitter_spark.operators.textstats import (
+        flesch_reading_ease,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    f = flesch_reading_ease(docs, keep_cols=("source",))
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("flesch"), 6).alias("avg_flesch"),
+        F.sum((F.col("flesch_bucket") == "easy").cast("int"))
+        .cast("long")
+        .alias("n_easy"),
+        F.sum((F.col("flesch_bucket") == "standard").cast("int"))
+        .cast("long")
+        .alias("n_standard"),
+        F.sum((F.col("flesch_bucket") == "difficult").cast("int"))
+        .cast("long")
+        .alias("n_difficult"),
+    )
+
+
+ORACLE_READABILITY_BY_SOURCE = """
+WITH toks AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS arr
+  FROM documents
+),
+per AS (
+  SELECT doc_id, source,
+         len(arr) AS w,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+         CAST(coalesce(list_sum(list_transform(arr,
+           t -> greatest(1, len(regexp_extract_all(lower(t), '[aeiouy]+'))))),
+           0) AS BIGINT) AS syl
+  FROM toks
+),
+scored AS (
+  SELECT doc_id, source, w,
+         CASE WHEN w = 0 THEN 0.0
+              ELSE 206.835
+                   - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                   - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))
+         END AS raw
+  FROM per
+),
+bucketed AS (
+  -- bucket on the UNROUNDED score (the engine buckets before its 6dp
+  -- output round); the averaged column is the rounded per-doc output
+  SELECT source,
+         CASE WHEN w = 0 THEN 0.0 ELSE round(raw, 6) END AS flesch,
+         CASE WHEN w = 0 THEN 'empty'
+              WHEN raw >= 60.0 THEN 'easy'
+              WHEN raw >= 30.0 THEN 'standard'
+              ELSE 'difficult' END AS b
+  FROM scored
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(flesch), 6) AS avg_flesch,
+       CAST(sum(CASE WHEN b = 'easy' THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+       CAST(sum(CASE WHEN b = 'standard' THEN 1 ELSE 0 END) AS BIGINT) AS n_standard,
+       CAST(sum(CASE WHEN b = 'difficult' THEN 1 ELSE 0 END) AS BIGINT) AS n_difficult
+FROM bucketed GROUP BY source
+"""

@@ -1,6 +1,7 @@
 """Data-quality report + observe() metric tests."""
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from pyspark_etl_twitter_spark.operators.quality_checks import (
     data_quality_report,
@@ -179,3 +180,44 @@ def test_ks_two_sample_property_vs_python_oracle(spark):
         assert (r.n_a, r.n_b, r.ks_d, r.ks_at) == (na, nb, d, at)
 
     run()
+
+
+def test_benford_profile_conformant_vs_uniform(spark):
+    """The Benford ruler must PASS a Benford-distributed sample (built by
+    inverse-CDF: value 10^u for u uniform in [0,1)) and FAIL a uniform
+    sample (leading digits equidistributed → max_dev vs log-law ≈ 0.08);
+    digits are zero-filled, proportions sum to 1, and the expected
+    vector is the log10(1 + 1/d) law."""
+    import math
+
+    from pyspark_etl_twitter_spark.operators.quality_checks import (
+        BENFORD_P,
+        benford_profile,
+    )
+
+    n = 4000
+    benford_rows = [(i, 10.0 ** ((i * 0.6180339887498949) % 1.0)) for i in range(n)]
+    uniform_rows = [(i, 1.0 + 8.998 * ((i * 0.6180339887498949) % 1.0)) for i in range(n)]
+    bdf = spark.createDataFrame(benford_rows, "id long, v double")
+    udf_ = spark.createDataFrame(uniform_rows, "id long, v double")
+
+    b = {r.digit: r for r in benford_profile(bdf, "v").collect()}
+    u = {r.digit: r for r in benford_profile(udf_, "v").collect()}
+    assert set(b) == set(range(1, 10)) and set(u) == set(range(1, 10))
+    assert abs(sum(r.obs_p for r in b.values()) - 1.0) < 1e-6
+    for d in range(1, 10):
+        assert abs(b[d].exp_p - round(BENFORD_P[d - 1], 6)) < 1e-9
+    assert all(r.benford_ok for r in b.values())
+    assert not any(r.benford_ok for r in u.values())
+    assert u[1].max_dev > 0.05  # uniform digits: ~0.111 each vs 0.301 at d=1
+
+    # grouped: each group gets its own zero-filled frame and verdict
+    both = bdf.withColumn("g", F.lit("ben")).unionByName(
+        udf_.withColumn("g", F.lit("uni"))
+    )
+    g = {
+        (r.g, r.digit): r.benford_ok
+        for r in benford_profile(both, "v", group_cols=["g"]).collect()
+    }
+    assert len(g) == 18
+    assert g[("ben", 1)] and not g[("uni", 1)]

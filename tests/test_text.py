@@ -314,3 +314,45 @@ def test_c4_quality_flags_rules(spark):
     assert not got[4].kept and not got[4].ok_lorem and got[4].ok_sentences
     assert not got[5].kept and not got[5].ok_brace
     assert not got[6].kept and got[6].n_lines == 0 and got[6].n_sentences == 0
+
+
+def test_flesch_reading_ease_semantics(spark):
+    """Flesch scoring on hand-countable fixtures: known word/sentence/
+    syllable counts give the formula value exactly; unpunctuated text
+    counts one sentence; no-vowel words floor at one syllable; empty
+    docs score 0.0 in the 'empty' bucket; simple prose scores easier
+    than clause-heavy prose."""
+    from pyspark_etl_twitter_spark.operators.textstats import (
+        flesch_reading_ease,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 4 words, 2 sentences, syllables: the(1)+cat(1)+sat(1)+down(1)=4
+            (0, "the cat sat. down!"),
+            # unpunctuated: 3 words, 1 sentence, tv has no vowel -> 1
+            (1, "tv hums xyz"),
+            (2, ""),
+            # clause-heavy: many words, one sentence, polysyllabic
+            (3, "considerable administrative organizations repeatedly "
+                "demonstrate extraordinary bureaucratic complications"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in flesch_reading_ease(docs).collect()}
+
+    r0 = out[0]
+    assert (r0.n_words, r0.n_sentences, r0.n_syllables) == (4, 2, 4)
+    want0 = round(206.835 - 1.015 * (4 / 2) - 84.6 * (4 / 4), 6)
+    assert r0.flesch == want0 and r0.flesch_bucket == "easy"
+
+    r1 = out[1]
+    # hums: 'u' one group; xyz: 'y' one group; tv: floored to 1
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (3, 1, 3)
+    assert r1.flesch == round(206.835 - 1.015 * 3 - 84.6 * 1, 6)
+
+    r2 = out[2]
+    assert r2.flesch == 0.0 and r2.flesch_bucket == "empty"
+
+    assert out[3].flesch < out[0].flesch
+    assert out[3].flesch_bucket == "difficult"

@@ -40,3 +40,43 @@ def test_ewma_portable_equals_pandas_twin(spark):
     single = spark.createDataFrame([(1, 5, 2.5)], "g long, t long, v double")
     out = ewma_portable(single, group_col="g", time_col="t", value_col="v").collect()
     assert out[0].ewma == 2.5
+
+
+def test_cusum_portable_detects_planted_shift(spark):
+    """CUSUM changepoint semantics on a hand-planted series: flat at the
+    target → both sides stay 0 (the k slack absorbs noise below it); a
+    sustained +2 shift after t=5 accumulates s⁺ by (2 − k) per step and
+    alarms once past h; the mirrored −2 series alarms on s⁻; and the
+    recurrence matches a Python reference exactly."""
+    from pyspark_etl_twitter_spark.operators.timeseries import cusum_portable
+
+    k, h = 0.5, 3.0
+    up = [10.0] * 5 + [12.0] * 5
+    down = [10.0] * 5 + [8.0] * 5
+    rows = [("up", t, v) for t, v in enumerate(up)] + [
+        ("down", t, v) for t, v in enumerate(down)
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    got = {
+        (r.g, r.t): (r.cusum_pos, r.cusum_neg, r.alarm)
+        for r in cusum_portable(
+            df, group_col="g", time_col="t", value_col="v", k=k, h=h
+        ).collect()
+    }
+
+    def ref(xs):
+        sp = sn = 0.0
+        out = []
+        for x in xs:
+            sp = max(0.0, sp + (x - xs[0] - k))
+            sn = max(0.0, sn + (xs[0] - x - k))
+            out.append((round(sp, 6), round(sn, 6), sp > h or sn > h))
+        return out
+
+    for g, xs in (("up", up), ("down", down)):
+        for t, want in enumerate(ref(xs)):
+            assert got[(g, t)] == want, (g, t)
+    # flat prefix never alarms; the shifted tail does, on the right side
+    assert not any(got[("up", t)][2] for t in range(5))
+    assert got[("up", 9)][2] and got[("up", 9)][0] > h
+    assert got[("down", 9)][2] and got[("down", 9)][1] > h

@@ -185,6 +185,7 @@ HEADLINE = [
     "cusum_hourly_by_type",  # changepoint tier of the drift ladder (r13)
     "benford_order_prices",  # leading-digit conformity ruler (r13)
     "readability_by_source",  # Flesch readability rung (r13)
+    "leakage_safe_split_counts",  # near-dup-cluster-keyed split (r13)
     "trigram_lm_quality_by_source",  # third rung of the LM-curation ladder
     "quantile_norm_price_map",  # cross-source quantile calibration map
     "hard_negatives_topk",  # contrastive hard-negative mining

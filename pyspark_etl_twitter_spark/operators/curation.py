@@ -826,3 +826,46 @@ def quantile_map(
             "shift"
         ),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "leak-v1",
+    weights: tuple[tuple[str, int], ...] = (
+        ("train", 80),
+        ("val", 10),
+        ("test", 10),
+    ),
+    split_name: str = "split",
+) -> DataFrame:
+    """Near-dup-CLUSTER-keyed train/val/test assignment — the leakage
+    guard ``hash_split`` alone cannot give: two near-duplicate documents
+    split independently by id WILL eventually straddle train and test,
+    and the eval set then scores memorization (the core motivation of
+    Lee et al. 2022). Here the split key is the duplicate-cluster
+    canonical id (``dedup.duplicate_clusters`` over the given pairs;
+    unpaired docs key by their own id), so an entire near-dup cluster
+    lands in ONE split by construction — and, like ``hash_split``, the
+    assignment of a cluster never changes as the corpus grows.
+
+    Adds ``_cluster_key`` and ``split_name`` columns. Scale: the pairs
+    relation is the banded-LSH output (never all-pairs), the CC runs on
+    pairs only, and the split itself is row-local."""
+    from pyspark_etl_twitter_spark.operators.dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(pairs).withColumnRenamed(
+        "doc_id", id_col
+    )
+    assigned = docs.join(clusters, id_col, "left").withColumn(
+        "_cluster_key", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    ).drop("cluster_id")
+    return hash_split(
+        assigned,
+        "_cluster_key",
+        seed=seed,
+        weights=weights,
+        split_name=split_name,
+    )

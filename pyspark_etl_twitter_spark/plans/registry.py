@@ -273,6 +273,8 @@ QUERIES: dict[str, QueryFn] = {
     "benford_order_prices": R2.benford_order_prices,
     # r13: Flesch readability rung of the quality ladder
     "readability_by_source": T.readability_by_source,
+    # r13: near-dup-cluster-keyed split (eval-leakage guard)
+    "leakage_safe_split_counts": T.leakage_safe_split_counts,
     "sentiment_classes": T.sentiment_classes,
     "sentiment_weights_head": T.sentiment_weights_head,
     "dedup_exact_summary": T.dedup_exact_summary,
@@ -347,6 +349,7 @@ ORACLES: dict[str, str] = {
     "cusum_hourly_by_type": R.ORACLE_CUSUM_HOURLY_BY_TYPE,
     "benford_order_prices": R2.ORACLE_BENFORD_ORDER_PRICES,
     "readability_by_source": T.ORACLE_READABILITY_BY_SOURCE,
+    "leakage_safe_split_counts": T.ORACLE_LEAKAGE_SAFE_SPLIT_COUNTS,
     "sliding_window_events": R.ORACLE_SLIDING_WINDOW_EVENTS,
     "math_funcs_lineitem": R2.ORACLE_MATH_FUNCS_LINEITEM,
     "percentile_prices": R2.ORACLE_PERCENTILE_PRICES,
@@ -531,13 +534,13 @@ ORACLES: dict[str, str] = {
 # ROUND-13 WINDOW (r12 verdict ask #1): rotation stays DECLARATIVE — the
 # list below is reordered to the front of QUERIES at import time. After
 # r12 the staleness distribution of newest driver rows was
-# {r12: 50, r11: 50, r10: 50, r9: 48, r8: 9}. This window takes the 5
+# {r12: 50, r11: 50, r10: 50, r9: 48, r8: 9}. This window takes the 6
 # new-in-r13 rows (dedup_incremental_minhash, ann_recall_planted,
-# cusum_hourly_by_type, benford_order_prices, readability_by_source), ALL
-# nine remaining r8 rows, and the 36 alphabetically-first r9 rows — the
-# twelve alphabetical-tail r9 rows (profile_orders_columns ..
-# weekly_revenue_wow) rotate in r14, which brings max staleness to r9 as
-# asked. Four of the
+# cusum_hourly_by_type, benford_order_prices, readability_by_source,
+# leakage_safe_split_counts), ALL nine remaining r8 rows, and the 35
+# alphabetically-first r9 rows — the thirteen alphabetical-tail r9 rows
+# (pricing_summary .. weekly_revenue_wow) rotate in r14, which brings max
+# staleness to r9 as asked. Four of the
 # r9 rows are rows-only by design (xxhash64 paths whose md5 portable
 # twins are hash-verified); they occupy slots for the crash/row-drift
 # refresh exactly as in r9.
@@ -547,6 +550,7 @@ ROUND13_WINDOW: list[str] = [
     "cusum_hourly_by_type",
     "benford_order_prices",
     "readability_by_source",
+    "leakage_safe_split_counts",
     "sentiment_doc_scores",
     "set_except_custkeys",
     "set_intersect_custkeys",
@@ -591,7 +595,6 @@ ROUND13_WINDOW: list[str] = [
     "pack_documents_2048",
     "percentile_prices",
     "pii_pseudonymize_customers",
-    "pricing_summary",
 ]
 
 _win = set(ROUND13_WINDOW)

@@ -3907,3 +3907,69 @@ SELECT source,
        CAST(sum(CASE WHEN b = 'difficult' THEN 1 ELSE 0 END) AS BIGINT) AS n_difficult
 FROM bucketed GROUP BY source
 """
+
+
+def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-keyed train/val/test split
+    (``curation.leakage_safe_split`` over the portable-MinHash pairs):
+    documents that near-duplicate each other land in the SAME split by
+    construction, closing the eval-leakage hole an id-keyed split leaves
+    open (Lee et al. 2022's motivation). Counts per (split, source) plus
+    distinct cluster keys — the whole chain (signatures → banded LSH →
+    verify → connected components → md5 split) replays in DuckDB."""
+    from pyspark_etl_twitter_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pairs = D.near_dup_pairs_minhash_portable(
+        docs,
+        num_hashes=_PMH_HASHES,
+        bands=_PMH_BANDS,
+        shingle_n=1,
+        threshold=0.5,
+        star_bucket_threshold=_PMH_STAR,
+    )
+    out = leakage_safe_split(docs, pairs)
+    return out.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(F.col("_cluster_key")).cast("long").alias(
+            "n_clusters"
+        ),
+    )
+
+
+ORACLE_LEAKAGE_SAFE_SPLIT_COUNTS = f"""
+WITH RECURSIVE {_portable_minhash_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+  UNION
+  SELECT doc_b, doc_a FROM vpairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+clusters AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, d.source, coalesce(c.cluster_id, d.doc_id) AS ckey
+  FROM sub d LEFT JOIN clusters c USING (doc_id)
+),
+bucketed AS (
+  SELECT source, ckey,
+         ('0x' || substr(md5(CAST(ckey AS VARCHAR) || ':leak-v1'), 1, 8))::BIGINT % 100 AS bkt
+  FROM assigned
+),
+labeled AS (
+  SELECT source, ckey,
+         CASE WHEN bkt < 80 THEN 'train'
+              WHEN bkt < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM bucketed
+)
+SELECT split, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT ckey) AS BIGINT) AS n_clusters
+FROM labeled GROUP BY split, source
+"""

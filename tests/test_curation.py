@@ -458,3 +458,44 @@ def test_quantile_map_property_vs_python_oracle(spark):
                 assert got[(g, q)] == (v, pooled[q])
 
     run()
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """The leakage guard itself: every member of a near-dup cluster gets
+    the SAME split (chains included — A~B, B~C with no A~C edge), the
+    canonical member's key decides it (hash_split equivalence on the
+    cluster id), and unpaired docs split exactly as id-keyed hash_split
+    would — so the operator only changes assignments where leakage was
+    possible."""
+    from pyspark_etl_twitter_spark.operators.curation import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: (r.split, r._cluster_key)
+        for r in leakage_safe_split(docs, pairs).collect()
+    }
+    assert out[1][0] == out[5][0] == out[9][0]  # chain -> one split
+    assert out[20][0] == out[21][0]
+    assert out[1][1] == 1 and out[9][1] == 1 and out[21][1] == 20
+
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(
+            docs, "doc_id", seed="leak-v1",
+            weights=(("train", 80), ("val", 10), ("test", 10)),
+        ).collect()
+    }
+    clustered = {1, 5, 9, 20, 21}
+    for i in range(40):
+        if i not in clustered:
+            assert out[i][0] == plain[i]  # singletons unchanged
+    # cluster members inherit the CANONICAL id's assignment
+    assert out[5][0] == plain[1] and out[21][0] == plain[20]

@@ -5,11 +5,11 @@ dict order is load-bearing. Rotation is declarative since round 9:
 ``registry.ROUND13_WINDOW`` is reordered to the front of ``QUERIES`` at
 import time and these tests pin its composition.
 
-Round-13 rule (r12 verdict ask #1): the window is the 5 new-in-r13 rows
-plus ALL nine remaining r8 rows plus the 36 alphabetically-first r9 rows
-— max staleness after r13 is r9 on exactly the twelve alphabetical-tail
-r9 rows (profile_orders_columns through weekly_revenue_wow), which rotate
-first in r14. Four slots are rows-only by design this round (the r9 precedent:
+Round-13 rule (r12 verdict ask #1): the window is the 6 new-in-r13 rows
+plus ALL nine remaining r8 rows plus the 35 alphabetically-first r9 rows
+— max staleness after r13 is r9 on exactly the thirteen alphabetical-tail
+r9 rows (pricing_summary through weekly_revenue_wow), which rotate first
+in r14. Four slots are rows-only by design this round (the r9 precedent:
 they take slots for the crash/row-drift refresh; their portable twins
 are hash-verified).
 """
@@ -69,12 +69,13 @@ def test_window_composition_r13():
         "dedup_simhash_fingerprints",
     }
     assert all(k in ORACLES for k in window if k not in ROWS_ONLY_BY_DESIGN)
-    assert window[:5] == [
+    assert window[:6] == [
         "dedup_incremental_minhash",
         "ann_recall_planted",
         "cusum_hourly_by_type",
         "benford_order_prices",
         "readability_by_source",
+        "leakage_safe_split_counts",
     ]
 
 

@@ -1483,3 +1483,40 @@ def remove_duplicated_spans(
         (sz - F.size(kept)).cast("long").alias("tokens_removed"),
         F.array_join(kept, " ").alias(text_col),
     )
+
+
+def compact_minhash_index(spark: SparkSession, path: str) -> tuple[int, int]:
+    """MinHash twin of ``similarity.compact_lsh_index``: every
+    ``minhash_index_append`` / ``streaming_minhash_dedup_ingest`` batch
+    appends files to ``bands/`` and ``texts/``, and probe latency is
+    footer-read-bound — periodic compaction is the maintenance half of
+    the incremental-dedup story. Rewrites both tables in the build
+    layout (range-partitioned + sorted: (band_id, band_key) for bands,
+    doc_id for texts), leaving contents, meta, and probe results
+    untouched (equality tested). Each table is localCheckpoint-ed first
+    so the rewrite never reads the files it overwrites. Single-writer by
+    contract. Returns (files_before, files_after) over both tables."""
+    import os
+
+    def _count_files() -> int:
+        n = 0
+        for sub in ("bands", "texts"):
+            root = f"{path.removeprefix('file://')}/{sub}"
+            n += sum(
+                1
+                for _dir, _s, files in os.walk(root)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return n
+
+    before = _count_files()
+    bands = spark.read.parquet(f"{path}/bands").localCheckpoint()
+    bands.repartitionByRange("band_id", "band_key").sortWithinPartitions(
+        "band_id", "band_key"
+    ).write.mode("overwrite").parquet(f"{path}/bands")
+    texts = spark.read.parquet(f"{path}/texts").localCheckpoint()
+    texts.repartitionByRange("doc_id").sortWithinPartitions(
+        "doc_id"
+    ).write.mode("overwrite").parquet(f"{path}/texts")
+    return before, _count_files()

@@ -1235,3 +1235,41 @@ def test_streaming_minhash_dedup_ingest(spark, tmp_path):
     # drained directory -> replay is a no-op
     streaming_minhash_dedup_ingest(spark, str(src), idx, ckpt)
     assert spark.read.parquet(f"{idx}/bands").count() == n
+
+
+def test_compact_minhash_index_preserves_probes(spark, tmp_path):
+    """Compaction after appends must shrink the file count and leave the
+    store's CONTENT — and therefore every future probe decision —
+    byte-identical (the compact_lsh_index contract applied to the
+    near-dup store)."""
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+        minhash_index_append,
+    )
+
+    corpus, batch = _mh_fixture(spark)
+    path = str(tmp_path / "idx")
+    build_minhash_index(corpus, path, **_mh_index_kw())
+    # several appends -> several small files
+    for i, row in enumerate(batch.collect()):
+        minhash_index_append(
+            spark,
+            path,
+            spark.createDataFrame([(row.doc_id, row.text)], "doc_id long, text string"),
+        )
+    rows = lambda sub, cols: sorted(  # noqa: E731
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(f"{path}/{sub}").collect()
+    )
+    b_before = rows("bands", ["doc_id", "band_id", "band_key"])
+    t_before = rows("texts", ["doc_id", "text"])
+    before, after = compact_minhash_index(spark, path)
+    assert after < before
+    assert rows("bands", ["doc_id", "band_id", "band_key"]) == b_before
+    assert rows("texts", ["doc_id", "text"]) == t_before
+    # probes still dedup against the compacted store
+    clone = spark.createDataFrame(
+        [(999, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10")], "doc_id long, text string"
+    )
+    assert minhash_index_append(spark, path, clone).count() == 0

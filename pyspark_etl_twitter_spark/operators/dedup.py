@@ -579,7 +579,12 @@ def minhash_index_append(
     dropped_a = a_new.join(
         new_ids, F.col("doc_b") == F.col("_nid"), "left_anti"
     ).select(F.col("doc_a").alias("_d"))
-    dropped = dropped_b.union(dropped_a).distinct()
+    # ONE execution of the probe+verify pipeline: everything downstream
+    # (bands append, texts append, the survivors the caller acts on)
+    # consumes the dropped-id set, which is bounded by the BATCH size —
+    # without this cut the expensive corpus-side probe re-runs for every
+    # write/action (measured 3× on the registry row)
+    dropped = dropped_b.union(dropped_a).distinct().localCheckpoint()
     survivors = new_docs.join(
         dropped, F.col(id_col) == F.col("_d"), "left_anti"
     )

@@ -83,6 +83,13 @@ SHOWCASE = [
     ("ks_drift_order_prices", "corpus -> distinct-value relation in one shuffle, ECDF window on the bounded frontier"),
     ("kmv_profile_prices", "distinct collapse, bottom-k rank over the value domain, estimators ride along"),
     ("knn_rp_topk", "literal-matrix JL projection in codegen, reduced-space broadcast-query scan"),
+    # round-13 additions
+    ("dedup_incremental_minhash", "band-probe semi-join against the persisted signature store, verify colliding candidates only"),
+    ("ann_recall_planted", "five ANN rungs + exact over the portable planted-blob relation in one union scoreboard"),
+    ("cusum_hourly_by_type", "exact cents-division means, per-group array fold, q6-floor outputs (no engine-discretionary rounding)"),
+    ("benford_order_prices", "integer-cents leading-digit agg, zero-filled digit frame, order-free max-deviation"),
+    ("readability_by_source", "regexp word/sentence/syllable counting in one codegen pass, one agg exchange"),
+    ("leakage_safe_split_counts", "near-dup-cluster-keyed md5 split: LSH pairs -> connected components -> row-local buckets"),
 ]
 
 
@@ -93,6 +100,42 @@ def main() -> None:
            "",
            f"Generated by tools/dump_plans.py at {sf_dir}. See DESIGN.md §3 for",
            "the shuffle-discipline rules these plans demonstrate.", ""]
+    # Build-vs-probe walls (r12 verdict ask #3): the persisted-index
+    # HEADLINE rows time build + append + probe in ONE row for driver
+    # hashing; at 100 TB the build amortizes and only the probe (or the
+    # per-batch append) recurs. Surface the split here so a reader of the
+    # probe plans below sees the recurring wall, not the fused row total.
+    import json
+
+    try:
+        detail = json.loads(Path("BENCH_DETAIL.json").read_text())
+    except (OSError, ValueError):
+        detail = {}
+    split = detail.get("build_probe_split", {})
+    if split:
+        out += [
+            "## Build vs probe walls (sf0.1, BENCH_DETAIL.json build_probe_split)",
+            "",
+            "Fused lifecycle rows amortize their build at scale; the recurring",
+            "per-query / per-batch cost is the probe wall:",
+            "",
+        ]
+        for k, v in sorted(split.items()):
+            out.append(
+                f"- `{k}`: build {v['build_sec']} s (once per corpus), "
+                f"probe {v['probe_sec']} s (recurring)"
+            )
+        out.append("")
+    gw = detail.get("global_windows", {})
+    if gw.get("spec_twin"):
+        out += [
+            "Deliberate bounded-frontier global windows (spec twins — their",
+            "window input is a value-domain relation, not the corpus): "
+            + ", ".join(f"`{k}`" for k in sorted(gw["spec_twin"]))
+            + ". Any other row planning an unpartitioned window fails the",
+            "bench audit (`global_windows.unexpected`).",
+            "",
+        ]
     import contextlib
     import io
 

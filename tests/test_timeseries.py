@@ -80,3 +80,53 @@ def test_cusum_portable_detects_planted_shift(spark):
     assert not any(got[("up", t)][2] for t in range(5))
     assert got[("up", 9)][2] and got[("up", 9)][0] > h
     assert got[("down", 9)][2] and got[("down", 9)][1] > h
+
+
+def test_cusum_portable_property_vs_python_oracle(spark):
+    """Hypothesis: on arbitrary small multi-group series (2dp values,
+    including constant, negative, and alternating shapes), the fold's
+    cusum columns and alarm flags equal an independently written Python
+    reference executing the same recurrence — state per group never
+    leaks across groups, and the q6-free raw semantics match at the
+    operator's default rounding."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_etl_twitter_spark.operators.timeseries import cusum_portable
+
+    series = st.lists(
+        st.integers(min_value=-500, max_value=500).map(lambda c: c / 100.0),
+        min_size=1,
+        max_size=12,
+    )
+    corpora = st.lists(series, min_size=1, max_size=3)
+
+    @given(groups=corpora, k=st.sampled_from([0.0, 0.25]), h=st.sampled_from([1.0, 3.0]))
+    @settings(
+        max_examples=12, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    def run(groups, k, h):
+        rows = [
+            (f"g{gi}", t, v)
+            for gi, xs in enumerate(groups)
+            for t, v in enumerate(xs)
+        ]
+        df = spark.createDataFrame(rows, "g string, t long, v double")
+        got = {
+            (r.g, r.t): (r.cusum_pos, r.cusum_neg, r.alarm)
+            for r in cusum_portable(
+                df, group_col="g", time_col="t", value_col="v", k=k, h=h
+            ).collect()
+        }
+        for gi, xs in enumerate(groups):
+            sp = sn = 0.0
+            for t, x in enumerate(xs):
+                sp = max(0.0, sp + (x - xs[0] - k))
+                sn = max(0.0, sn + (xs[0] - x - k))
+                assert got[(f"g{gi}", t)] == (
+                    round(sp, 6),
+                    round(sn, 6),
+                    sp > h or sn > h,
+                ), (gi, t)
+
+    run()

@@ -90,6 +90,9 @@ BNLJ_OK = {
     "hard_negatives_topk",
     # corpus-size 1-row scalar rides every anchor's draw generator
     "seeded_negatives_sample",
+    # zero-fill digit frame: |groups| × 9-digit broadcast cross join —
+    # both sides bounded by construction (statuses × Benford digits)
+    "benford_order_prices",
 }
 
 # queries that EXECUTE during plan building (iterative/driver-bounded):

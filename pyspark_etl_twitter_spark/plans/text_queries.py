@@ -3410,10 +3410,30 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     base = Path(tempfile.gettempdir()) / "spark_graft_idx"
-    root = str(base / f"recall_{Path(sf_dir).name}")
-    build_ivf_index(emb, f"{root}/ivf", n_lists=16)
-    build_lsh_index(emb, f"{root}/lsh")  # engine defaults ≡ ann_lsh_topk
-    build_pq_code_table(emb, f"{root}/pq")
+    # params are part of the path: a build-parameter change can never
+    # probe a stale cache (v2 retires the pre-cache layout)
+    root = str(base / f"recall_v2_ivf16_lshdef_pq8x16_{Path(sf_dir).name}")
+
+    def _ensure(sentinel: str, builder) -> None:
+        # index-CACHE semantics — the production shape this scoreboard
+        # measures: indexes build once per corpus and are probed
+        # repeatedly. Contents are fully deterministic (seeded planes /
+        # first-k centroids / first-16 codebooks + exact parquet
+        # round-trips), so a cached index is bit-identical to a rebuild
+        # (pinned by the indexed≡one-shot tests); reuse turns this row's
+        # recurring cost into probe-only. The sentinel is each layout's
+        # LAST-written table, so a crashed partial build always rebuilds.
+        try:
+            spark.read.parquet(f"{root}/{sentinel}").first()
+        except Exception:  # noqa: BLE001 — absent/partial: (re)build
+            builder()
+
+    _ensure(
+        "ivf/queries", lambda: build_ivf_index(emb, f"{root}/ivf", n_lists=16)
+    )
+    # engine-default LSH build ≡ ann_lsh_topk
+    _ensure("lsh/meta", lambda: build_lsh_index(emb, f"{root}/lsh"))
+    _ensure("pq/meta", lambda: build_pq_code_table(emb, f"{root}/pq"))
     q8 = sorted(
         (int(r[0]), [float(x) for x in r[1]])
         for r in emb.filter(F.col("vec_id") < 8)

@@ -303,6 +303,23 @@ def plan_fingerprint(df_or_dfs) -> tuple[str, str]:
 CANARY_REF_SEC = {"jvm": 1.42, "py": 0.17}
 
 
+def bytecode_canary_sample() -> float:
+    """Pure-Python BYTECODE throughput sample (fixed integer-hash loop,
+    no NumPy/BLAS): the wall the pure-Python codec rows (JPEG Huffman +
+    IDCT under mapInPandas) actually ride on. Recorded alongside the
+    frozen two-op canary because r13 observed media rows/s decaying
+    across runs whose BLAS canary looked HEALTHIER — bytecode and BLAS
+    throughput move independently under container contention. Raw
+    seconds only this round (no pinned reference yet); r14 pins the
+    reference from an idle run and can fold it into the media floor's
+    normalizer."""
+    t0 = time.perf_counter()
+    h = 0
+    for i in range(2_000_000):
+        h = (h * 31 + (i & 0xFF)) & 0xFFFFFFFF
+    return time.perf_counter() - t0
+
+
 def canary_sample(spark) -> tuple[float, float]:
     """One (jvm_sec, py_sec) sample of the two deterministic reference
     ops. Plan-free and data-free by construction: the JVM op is a fixed
@@ -356,6 +373,7 @@ def main() -> None:
     canary_samples: list[tuple[float, float]] = []
     canary_sample(spark)  # warmup, off the record
     canary_samples += [canary_sample(spark) for _ in range(3)]
+    bytecode_samples: list[float] = [bytecode_canary_sample() for _ in range(3)]
 
     # r11: streaming/stateful sections moved BEFORE the query gauntlet.
     # Measured run-position dependence with byte-identical streaming code:
@@ -809,6 +827,7 @@ def main() -> None:
     # the end of a 70+-query run; the reported figure is the median over
     # both ends
     canary_samples += [canary_sample(spark) for _ in range(3)]
+    bytecode_samples += [bytecode_canary_sample() for _ in range(3)]
     jvm_med = sorted(s[0] for s in canary_samples)[len(canary_samples) // 2]
     py_med = sorted(s[1] for s in canary_samples)[len(canary_samples) // 2]
     canary = {
@@ -819,6 +838,11 @@ def main() -> None:
         "speed_ratio": round(
             (jvm_med + py_med) / (CANARY_REF_SEC["jvm"] + CANARY_REF_SEC["py"]), 3
         ),  # >1 == this machine state is slower than the pinned reference
+        # raw pure-bytecode sample (r13; no pinned reference yet) — the
+        # ruler for pure-Python rows the BLAS canary under-corrects
+        "bytecode_sec": round(
+            sorted(bytecode_samples)[len(bytecode_samples) // 2], 3
+        ),
     }
 
     # ---- fingerprint pass: one canonical position, after ALL timing ----

@@ -803,3 +803,72 @@ def flesch_reading_ease(
         F.round(flesch, round_dp).alias("flesch"),
         bucket.alias("flesch_bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency fit (round 13)
+# --------------------------------------------------------------------------
+
+def zipf_fit(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_n: int = 100,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Least-squares fit of log(frequency) vs log(rank) over each
+    group's ``top_n`` vocabulary — the Zipf's-law corpus-health ruler:
+    natural text fits a slope near −1; template-generated, keyword-
+    stuffed, or truncated-vocabulary corpora bend away from it, so the
+    slope (and fit r²) is a cheap distribution-level quality feature
+    next to entropy and the repetition ratios.
+
+    Distributed shape: one (group, term) count aggregate over the
+    corpus, a per-group rank window over it, and the top-``top_n`` rows
+    collapse to ONE bounded list per group — the regression's four sums
+    run as sequential array folds over that ordered list (identical FP
+    op sequence on both engines; DuckDB replays them with list_reduce),
+    so the only cross-engine float risk is ln()'s last ulp, absorbed by
+    the ``round_dp`` output round like every LM row. Ranks tie-break on
+    the term, so the ranking is a total order."""
+    from pyspark.sql import Window
+
+    toks = ws_tokens(text_col)
+    counts = (
+        fan_out(docs, F.col(group_col))
+        .select(F.col(group_col).alias("g"), F.explode(toks).alias("term"))
+        .groupBy("g", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("cnt"), F.col("term"))
+    ranked = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col("rank"), F.col("cnt")))
+    )
+    g = ranked.groupBy("g").agg(lst.alias("xs"))
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+    lx = F.transform(F.col("xs"), lambda s: F.log(s["rank"].cast("double")))
+    ly = F.transform(F.col("xs"), lambda s: F.log(s["cnt"].cast("double")))
+    lxy = F.zip_with(lx, ly, lambda a, b: a * b)
+    lxx = F.transform(lx, lambda a: a * a)
+    lyy = F.transform(ly, lambda a: a * a)
+    n = F.size(F.col("xs")).cast("double")
+    sx, sy, sxy, sxx, syy = fold(lx), fold(ly), fold(lxy), fold(lxx), fold(lyy)
+    dnum = n * sxy - sx * sy
+    dden = n * sxx - sx * sx
+    slope = dnum / dden
+    intercept = (sy - slope * sx) / n
+    r2 = (dnum * dnum) / (dden * (n * syy - sy * sy))
+    return g.select(
+        F.col("g").alias(group_col),
+        F.size(F.col("xs")).cast("long").alias("n_terms"),
+        F.round(slope, round_dp).alias("zipf_slope"),
+        F.round(intercept, round_dp).alias("zipf_intercept"),
+        F.round(r2, round_dp).alias("zipf_r2"),
+    )

@@ -275,6 +275,9 @@ QUERIES: dict[str, QueryFn] = {
     "readability_by_source": T.readability_by_source,
     # r13: near-dup-cluster-keyed split (eval-leakage guard)
     "leakage_safe_split_counts": T.leakage_safe_split_counts,
+    # r13 tail addition (leads the r14 rotation queue): Zipf corpus-
+    # health ruler — full oracle, 3-SF verified locally
+    "zipf_by_source": T.zipf_by_source,
     "sentiment_classes": T.sentiment_classes,
     "sentiment_weights_head": T.sentiment_weights_head,
     "dedup_exact_summary": T.dedup_exact_summary,
@@ -350,6 +353,7 @@ ORACLES: dict[str, str] = {
     "benford_order_prices": R2.ORACLE_BENFORD_ORDER_PRICES,
     "readability_by_source": T.ORACLE_READABILITY_BY_SOURCE,
     "leakage_safe_split_counts": T.ORACLE_LEAKAGE_SAFE_SPLIT_COUNTS,
+    "zipf_by_source": T.ORACLE_ZIPF_BY_SOURCE,
     "sliding_window_events": R.ORACLE_SLIDING_WINDOW_EVENTS,
     "math_funcs_lineitem": R2.ORACLE_MATH_FUNCS_LINEITEM,
     "percentile_prices": R2.ORACLE_PERCENTILE_PRICES,

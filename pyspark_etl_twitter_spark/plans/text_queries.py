@@ -3993,3 +3993,58 @@ SELECT split, source,
        CAST(count(DISTINCT ckey) AS BIGINT) AS n_clusters
 FROM labeled GROUP BY split, source
 """
+
+
+def zipf_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit per source (``textstats.zipf_fit``,
+    top-100 vocabulary): least-squares slope/intercept/r² of log-freq vs
+    log-rank — the distribution-level corpus-health ruler next to
+    entropy and the repetition ratios (natural text slopes near −1;
+    templated or truncated-vocabulary corpora bend away). The regression
+    sums run as sequential array folds over each group's bounded ranked
+    list, so DuckDB replays them with list_reduce."""
+    from pyspark_etl_twitter_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_ZIPF_BY_SOURCE = """
+WITH counts AS (
+  SELECT source AS g, t.term, count(*) AS cnt
+  FROM (SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        FROM documents) t
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT g, term, cnt,
+         row_number() OVER (PARTITION BY g ORDER BY cnt DESC, term) AS rank
+  FROM counts
+  QUALIFY rank <= 100
+),
+gl AS (
+  SELECT g,
+         list(ln(CAST(rank AS DOUBLE)) ORDER BY rank) AS lx,
+         list(ln(CAST(cnt AS DOUBLE)) ORDER BY rank) AS ly
+  FROM ranked GROUP BY g
+),
+sums AS (
+  SELECT g, CAST(len(lx) AS DOUBLE) AS n, len(lx) AS n_terms,
+         list_reduce(lx, (a, v) -> a + v) AS sx,
+         list_reduce(ly, (a, v) -> a + v) AS sy,
+         list_reduce(list_transform(range(1, len(lx) + 1),
+                                    i -> lx[i] * ly[i]),
+                     (a, v) -> a + v) AS sxy,
+         list_reduce(list_transform(lx, v -> v * v), (a, v) -> a + v) AS sxx,
+         list_reduce(list_transform(ly, v -> v * v), (a, v) -> a + v) AS syy
+  FROM gl
+)
+SELECT g AS source,
+       CAST(n_terms AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS zipf_intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS zipf_r2
+FROM sums
+"""

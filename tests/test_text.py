@@ -356,3 +356,42 @@ def test_flesch_reading_ease_semantics(spark):
 
     assert out[3].flesch < out[0].flesch
     assert out[3].flesch_bucket == "difficult"
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """Fitting a corpus built to an exact power law recovers the planted
+    slope: term t_r occurs round(1000·r^s) times (s = −1), so the
+    regression over the ranked log-log points returns slope ≈ −1 with
+    r² ≈ 1; a uniform-frequency corpus returns slope 0; and the rank
+    ordering tie-breaks deterministically on the term."""
+    import math
+
+    from pyspark_etl_twitter_spark.operators.textstats import zipf_fit
+
+    def corpus(name, freq):
+        words = []
+        for r in range(1, 31):
+            words += [f"{name}t{r:02d}"] * freq(r)
+        return (0, " ".join(words), name)
+
+    rows = [
+        corpus("zipf", lambda r: round(1000 / r)),
+        corpus("flat", lambda r: 50),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, (_, t, s) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in zipf_fit(docs, top_n=30).collect()}
+    z, f = out["zipf"], out["flat"]
+    assert z.n_terms == 30 and f.n_terms == 30
+    assert abs(z.zipf_slope - (-1.0)) < 0.02 and z.zipf_r2 > 0.999
+    assert abs(f.zipf_slope) < 1e-9
+
+    # closed-form check on a tiny exact case: two points (r=1,c=4),(r=2,c=2)
+    tiny = spark.createDataFrame(
+        [(0, "a a a a b b", "s")], "doc_id long, text string, source string"
+    )
+    t = zipf_fit(tiny, top_n=10).collect()[0]
+    want = (math.log(2.0) - math.log(4.0)) / (math.log(2.0) - math.log(1.0))
+    assert t.zipf_slope == round(want, 6) and t.zipf_r2 == 1.0

@@ -193,6 +193,8 @@ HEADLINE = [
     "kcore_suppliers",  # k-core peel finds the planted quasi-clique
     "ewma_hourly_by_type",  # portable array-fold EWMA twin
     "calibrated_ppl_filter_by_source",  # quantile-map APPLY: calibrated vs pooled cut
+    # round-14 family (FULL oracle)
+    "dedup_minhash_maintenance",  # store lifecycle + re-cluster rebuild
 ]
 
 

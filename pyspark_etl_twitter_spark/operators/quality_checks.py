@@ -333,6 +333,12 @@ def benford_profile(
     conformity statistic is ``max_d |obs_p(d) - exp_p(d)|`` (a max, so
     no cross-digit float summation order to pin down).
 
+    SUB-CENT EXCLUSION: values in (0, 0.005) round to 0 cents and carry
+    no first significant digit at cent precision, so they are filtered
+    out EXPLICITLY (``round(v·100) >= 1``) — they contribute to neither
+    ``n_d`` nor the denominator ``n``. A column dominated by sub-cent
+    values should be rescaled by the caller before profiling.
+
     Returns one row per (group..., digit 1-9): ``n_d`` (count,
     zero-filled), ``obs_p``, ``exp_p``, plus the group-level ``max_dev``
     and ``benford_ok`` repeated on each row. One narrow aggregate over
@@ -343,7 +349,7 @@ def benford_profile(
     cents = F.round(F.col(value_col) * 100).cast("long")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     counts = (
-        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        df.filter(F.col(value_col).isNotNull() & (cents >= 1))
         .select(*gcols, digit.alias("digit"))
         .groupBy(*gcols, "digit")
         .agg(F.count(F.lit(1)).alias("n_d"))

@@ -865,10 +865,20 @@ def zipf_fit(
     slope = dnum / dden
     intercept = (sy - slope * sx) / n
     r2 = (dnum * dnum) / (dden * (n * syy - sy * sy))
+    # degenerate-group guard (r13 advice): a single-rank group makes
+    # dden = 0 → 0/0, which is NaN on Spark doubles but NULL/inf under
+    # DuckDB's division semantics — pin the case to explicit NULLs on
+    # both engines instead of an engine-dependent value
+    ok = F.size(F.col("xs")) >= 2
+    null_d = F.lit(None).cast("double")
+
+    def _guard(c: Column) -> Column:
+        return F.when(ok, F.round(c, round_dp)).otherwise(null_d)
+
     return g.select(
         F.col("g").alias(group_col),
         F.size(F.col("xs")).cast("long").alias("n_terms"),
-        F.round(slope, round_dp).alias("zipf_slope"),
-        F.round(intercept, round_dp).alias("zipf_intercept"),
-        F.round(r2, round_dp).alias("zipf_r2"),
+        _guard(slope).alias("zipf_slope"),
+        _guard(intercept).alias("zipf_intercept"),
+        _guard(r2).alias("zipf_r2"),
     )

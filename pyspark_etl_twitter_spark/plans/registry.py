@@ -308,6 +308,7 @@ QUERIES: dict[str, QueryFn] = {
     "char_entropy_by_source": T.char_entropy_by_source,
     "dedup_incremental": T.dedup_incremental,
     "dedup_incremental_minhash": T.dedup_incremental_minhash,
+    "dedup_minhash_maintenance": T.dedup_minhash_maintenance,
     "multi_resolution_rollup": T.multi_resolution_rollup,
     "semi_join_customers": R.semi_join_customers,
     "snapshot_diff_counts": R2.snapshot_diff_counts,
@@ -414,6 +415,7 @@ ORACLES: dict[str, str] = {
     # dedup_clusters_minhash: xxhash64-seeded pairs → rows-only
     "dedup_incremental": T.ORACLE_DEDUP_INCREMENTAL,
     "dedup_incremental_minhash": T.ORACLE_DEDUP_INCREMENTAL_MINHASH,
+    "dedup_minhash_maintenance": T.ORACLE_DEDUP_MINHASH_MAINTENANCE,
     "repetition_stats": T.ORACLE_REPETITION_STATS,
     "quality_gate_by_source": T.ORACLE_QUALITY_GATE_BY_SOURCE,
     "knn_brute_cosine": T.ORACLE_KNN_BRUTE_COSINE,
@@ -535,82 +537,82 @@ ORACLES: dict[str, str] = {
     "text_semantic_dedup_survivors": T.ORACLE_TEXT_SEMANTIC_DEDUP_SURVIVORS,
 }
 
-# ROUND-13 WINDOW (r12 verdict ask #1): rotation stays DECLARATIVE — the
-# list below is reordered to the front of QUERIES at import time. After
-# r12 the staleness distribution of newest driver rows was
-# {r12: 50, r11: 50, r10: 50, r9: 48, r8: 9}. This window takes the 6
-# new-in-r13 rows (dedup_incremental_minhash, ann_recall_planted,
-# cusum_hourly_by_type, benford_order_prices, readability_by_source,
-# leakage_safe_split_counts), ALL nine remaining r8 rows, and the 35
-# alphabetically-first r9 rows — the thirteen alphabetical-tail r9 rows
-# (pricing_summary .. weekly_revenue_wow) rotate in r14, which brings max
-# staleness to r9 as asked. Four of the
-# r9 rows are rows-only by design (xxhash64 paths whose md5 portable
-# twins are hash-verified); they occupy slots for the crash/row-drift
-# refresh exactly as in r9.
-ROUND13_WINDOW: list[str] = [
-    "dedup_incremental_minhash",
-    "ann_recall_planted",
-    "cusum_hourly_by_type",
-    "benford_order_prices",
-    "readability_by_source",
-    "leakage_safe_split_counts",
-    "sentiment_doc_scores",
-    "set_except_custkeys",
-    "set_intersect_custkeys",
-    "set_union_active_keys",
-    "sliding_window_events",
-    "source_vocab_overlap_top",
-    "string_funcs_part",
-    "union_by_name_accounts",
-    "window_rank_stats",
-    "approx_summary",
-    "asof_purchase_click",
-    "asof_tolerance_click",
-    "binned_range_join_bands",
-    "bm25_search_topk",
-    "bucketed_join_revenue",
-    "budget_selection_by_source",
-    "char_entropy_by_source",
-    "data_quality_lineitem",
-    "decontaminate_counts",
-    "dedup_clusters",
-    "dedup_clusters_minhash",
-    "dedup_exact_summary",
-    "dedup_incremental",
-    "dedup_minhash_pairs",
-    "dedup_simhash_fingerprints",
-    "doc_fingerprints",
-    "embedding_near_dup",
-    "equidepth_price_deciles",
-    "event_gaps",
-    "funnel_view_click_purchase",
-    "fuzzy_decontaminate_counts",
-    "graph_triangle_count",
-    "hash_split_counts",
-    "hashed_embedding_profile",
-    "hof_funcs_documents",
-    "hourly_event_rollup",
-    "knn_brute_cosine",
-    "lang_detect_counts",
-    "lm_quality_by_source",
-    "multi_resolution_rollup",
-    "oov_rate_by_source",
-    "pack_documents_2048",
-    "percentile_prices",
-    "pii_pseudonymize_customers",
+# ROUND-14 WINDOW: rotation stays DECLARATIVE — the list below is
+# reordered to the front of QUERIES at import time. After r13 the
+# staleness distribution of newest driver rows was
+# {r13: 50, r12: 50, r11: 50, r10: 50, r9: 13} plus two never-checked
+# rows (zipf_by_source, new r13 and never windowed; and the new-in-r14
+# dedup_minhash_maintenance). This window takes both never-checked rows,
+# ALL thirteen remaining r9 rows (the alphabetical tail the r13 window
+# could not fit), and the 35 alphabetically-first r10 rows — the fifteen
+# alphabetical-tail r10 rows (sessionize_events .. winsorized_price_stats)
+# rotate in r15, which brings max staleness to r10. One slot
+# (semdedup_fast_summary) is rows-only by design (the documented BLAS
+# kernel; its fold twin semdedup_cluster_summary is hash-verified in the
+# same window).
+ROUND14_WINDOW: list[str] = [
+    "dedup_minhash_maintenance",
+    "zipf_by_source",
+    "pricing_summary",
+    "profile_orders_columns",
+    "quality_gate_by_source",
+    "referential_integrity_audit",
+    "repeated_spans_top",
+    "repetition_stats",
+    "resample_ffill_hourly",
+    "rolling_1h_event_stats",
+    "running_revenue_by_supplier",
+    "semi_join_customers",
+    "snapshot_diff_counts",
+    "top_revenue_orders",
+    "weekly_revenue_wow",
+    "asof_forward_next_click",
+    "bigram_lm_quality_by_source",
+    "bloom_decontaminate_counts",
+    "bloom_join_urgent_revenue",
+    "chunk_documents_64",
+    "cohort_retention_weekly",
+    "curation_pipeline_counts",
+    "customers_above_nation_avg",
+    "dedup_keep_canonical",
+    "dedup_minhash_portable_pairs",
+    "dedup_normalized_summary",
+    "dedup_segments_rebuild",
+    "doc_length_histogram",
+    "epoch_shuffle_head",
+    "fuzzy_part_name_pairs",
+    "graph_degree_histogram",
+    "graph_triangles_per_node",
+    "kmeans_cluster_sizes",
+    "minmax_by_orders",
+    "null_safe_join_segments",
+    "outlier_events_by_type",
+    "percentile_window_customers",
+    "resample_interpolate_hourly",
+    "revenue_by_nation",
+    "running_revenue_chunked",
+    "salted_join_brand_revenue",
+    "script_profile_by_source",
+    "semantic_dedup_survivors",
+    "semantic_near_dup_pairs",
+    "semantic_prune_by_centroid",
+    "semdedup_cluster_summary",
+    "semdedup_fast_summary",
+    "sentiment_classes",
+    "sentiment_weights_head",
+    "session_conversion_rate",
 ]
 
-_win = set(ROUND13_WINDOW)
+_win = set(ROUND14_WINDOW)
 # explicit raise, not assert: a module-level assert is stripped under
 # `python -O`, and a malformed window would then silently corrupt the
 # QUERIES ordering the driver's correctness gate depends on (r9 ADVICE)
-if len(ROUND13_WINDOW) != 50 or len(_win) != 50 or not _win <= set(QUERIES):
+if len(ROUND14_WINDOW) != 50 or len(_win) != 50 or not _win <= set(QUERIES):
     raise ValueError(
-        "window/registry drift: ROUND13_WINDOW must be 50 distinct "
-        f"registry keys (got {len(ROUND13_WINDOW)} entries, "
+        "window/registry drift: ROUND14_WINDOW must be 50 distinct "
+        f"registry keys (got {len(ROUND14_WINDOW)} entries, "
         f"{len(_win)} distinct, unknown={sorted(_win - set(QUERIES))})"
     )
-QUERIES = {k: QUERIES[k] for k in ROUND13_WINDOW} | {
+QUERIES = {k: QUERIES[k] for k in ROUND14_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in _win
 }

@@ -1067,7 +1067,10 @@ ORACLE_BENFORD_ORDER_PRICES = """
 WITH pos AS (
   SELECT o_orderstatus,
          CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
-  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+  -- sub-cent exclusion mirrors benford_profile: rows rounding to 0
+  -- cents carry no first digit and leave both n_d and n
+  FROM orders WHERE o_totalprice IS NOT NULL
+    AND CAST(round(o_totalprice * 100) AS BIGINT) >= 1
 ),
 counts AS (
   SELECT o_orderstatus, digit, count(*) AS n_d FROM pos GROUP BY 1, 2

@@ -224,6 +224,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PMH_HASHES = 16
 _PMH_BANDS = 4
 _PMH_STAR = 64
+_PMH_THRESHOLD = 0.5
+#: append-probe signature-estimate slack: cutoff = threshold − slack =
+#: 5/16, one signature quantum below the 4/16 floor a single band
+#: collision guarantees — prunes only pairs with no agreement beyond
+#: their colliding band (dedup.minhash_index_append step 3)
+_PMH_EST_SLACK = 0.1875
 
 
 def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,70 +249,100 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _portable_minhash_ctes() -> str:
+def _portable_minhash_ctes(
+    *,
+    base: str = "sub AS (SELECT * FROM documents WHERE doc_id % 10 = 0)",
+    src: str = "sub",
+    sfx: str = "",
+    prefilter: bool = False,
+) -> str:
     """The shared CTE chain (subset → signatures → star-guarded candidates
-    → verified pairs) — reused by the pairs oracle and the clusters
-    oracle, so both twins verify the SAME candidate algebra."""
+    → verified pairs) — reused by the pairs/clusters/incremental oracles,
+    so every twin verifies the SAME candidate algebra. ``base``/``src``
+    rebase the chain on another doc-set CTE and ``sfx`` suffixes every
+    CTE name (the maintenance oracle runs a second chain over the
+    post-append store); ``prefilter=True`` inserts the append path's
+    signature-estimate cut (matched positions / num_hashes ≥ threshold −
+    est_slack) between candidates and the exact verify, replaying
+    ``minhash_index_append`` exactly."""
     rows = _PMH_HASHES // _PMH_BANDS
     hash_cols = ",\n         ".join(
         f"min(('0x' || substr(md5('{i}:' || term), 1, 15))::BIGINT) AS h{i}"
         for i in range(_PMH_HASHES)
     )
     band_rows = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {j} AS band_id, concat_ws('|', {cols}) AS band_key FROM sigs".format(
+        "  SELECT doc_id, {j} AS band_id, concat_ws('|', {cols}) AS band_key FROM sigs{s}".format(
             j=j,
+            s=sfx,
             cols=", ".join(
                 f"CAST(h{j * rows + r} AS VARCHAR)" for r in range(rows)
             ),
         )
         for j in range(_PMH_BANDS)
     )
-    return f"""sub AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
-terms AS (
+    matched = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(_PMH_HASHES)
+    )
+    if prefilter:
+        verify_src = f"""candf{sfx} AS (
+  SELECT c.doc_a, c.doc_b FROM cand{sfx} c
+  JOIN sigs{sfx} a ON a.doc_id = c.doc_a
+  JOIN sigs{sfx} b ON b.doc_id = c.doc_b
+  WHERE CAST({matched} AS DOUBLE) / {float(_PMH_HASHES)}
+        >= {_PMH_THRESHOLD} - {_PMH_EST_SLACK}
+),
+"""
+        cand_name = f"candf{sfx}"
+    else:
+        verify_src = ""
+        cand_name = f"cand{sfx}"
+    return f"""{base},
+terms{sfx} AS (
   SELECT DISTINCT doc_id, t.term
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM sub) t
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {src}) t
   WHERE t.term <> ''
 ),
-sigs AS (
+sigs{sfx} AS (
   SELECT doc_id,
          {hash_cols}
-  FROM terms GROUP BY doc_id
+  FROM terms{sfx} GROUP BY doc_id
 ),
-bands AS (
+bands{sfx} AS (
 {band_rows}
 ),
-bstats AS (
+bstats{sfx} AS (
   SELECT doc_id, band_id, band_key,
          count(*) OVER (PARTITION BY band_id, band_key) AS bsz,
          min(doc_id) OVER (PARTITION BY band_id, band_key) AS bmin
-  FROM bands
+  FROM bands{sfx}
 ),
-cand AS (
+cand{sfx} AS (
   SELECT DISTINCT doc_a, doc_b FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bstats a JOIN bstats b
+    FROM bstats{sfx} a JOIN bstats{sfx} b
       ON a.band_id = b.band_id AND a.band_key = b.band_key
      AND a.doc_id < b.doc_id
     WHERE a.bsz <= {_PMH_STAR}
     UNION ALL
-    SELECT bmin, doc_id FROM bstats WHERE bsz > {_PMH_STAR} AND doc_id <> bmin
+    SELECT bmin, doc_id FROM bstats{sfx} WHERE bsz > {_PMH_STAR} AND doc_id <> bmin
   )
 ),
-sizes AS (SELECT doc_id, count(*) AS sz FROM terms GROUP BY doc_id),
-inter AS (
+{verify_src}sizes{sfx} AS (SELECT doc_id, count(*) AS sz FROM terms{sfx} GROUP BY doc_id),
+inter{sfx} AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-  FROM cand c
-  JOIN terms a ON a.doc_id = c.doc_a
-  JOIN terms b ON b.doc_id = c.doc_b AND b.term = a.term
+  FROM {cand_name} c
+  JOIN terms{sfx} a ON a.doc_id = c.doc_a
+  JOIN terms{sfx} b ON b.doc_id = c.doc_b AND b.term = a.term
   GROUP BY 1, 2
 ),
-vpairs AS (
+vpairs{sfx} AS (
   SELECT doc_a, doc_b,
          round(CAST(n_inter AS DOUBLE)
                / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
+  FROM inter{sfx}
+  JOIN sizes{sfx} sa ON sa.doc_id = doc_a
+  JOIN sizes{sfx} sb ON sb.doc_id = doc_b
   WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
 )"""
 
@@ -587,22 +623,25 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_PMH_HASHES,
         bands=_PMH_BANDS,
         shingle_n=1,
-        threshold=0.5,
+        threshold=_PMH_THRESHOLD,
         star_bucket_threshold=_PMH_STAR,
+        est_slack=_PMH_EST_SLACK,
     )
     survivors = D.minhash_index_append(spark, path, batch)
     return survivors.select("doc_id").orderBy("doc_id")
 
 
 # The probe generates exactly the batch-involving subset of the one-shot
-# candidate algebra (bucket membership, bsz/bmin star stats, and the
-# exact-Jaccard verify are computed over identical sets), so the shared
-# portable-MinHash CTE chain + the survivor rule IS the replay: a batch
-# doc (% 20 = 0) is dropped iff a verified pair links it to an indexed
-# doc (any order) or to a smaller-id batch doc (pairs carry doc_a < doc_b,
-# so "appears as doc_b" covers both of those at once).
+# candidate algebra (bucket membership, bsz/bmin star stats, the
+# signature-estimate prefilter, and the exact-Jaccard verify are computed
+# over identical sets), so the shared portable-MinHash CTE chain (with
+# ``prefilter=True`` replaying the append's estimate ≥ threshold − slack
+# cut) + the survivor rule IS the replay: a batch doc (% 20 = 0) is
+# dropped iff a verified pair links it to an indexed doc (any order) or
+# to a smaller-id batch doc (pairs carry doc_a < doc_b, so "appears as
+# doc_b" covers both of those at once).
 ORACLE_DEDUP_INCREMENTAL_MINHASH = f"""
-WITH {_portable_minhash_ctes()},
+WITH {_portable_minhash_ctes(prefilter=True)},
 dropped AS (
   SELECT doc_b AS d FROM vpairs WHERE doc_b % 20 = 0
   UNION
@@ -610,6 +649,72 @@ dropped AS (
 )
 SELECT doc_id FROM sub
 WHERE doc_id % 20 = 0 AND doc_id NOT IN (SELECT d FROM dropped)
+ORDER BY doc_id
+"""
+
+
+def dedup_minhash_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full store lifecycle with the maintenance rebuild (r13 verdict ask
+    #5): build the index on the 'existing corpus' (% 20 != 0 of the % 10
+    subset), incremental-append the 'new batch' (% 20 == 0), then
+    ``rebuild_minhash_index`` — re-cluster the WHOLE store (the one-shot
+    pair algebra over persisted bands/terms, connected components,
+    min-id canonical per cluster) and drop everything the non-transitive
+    append rule admitted, including the corpus-internal near-dups a
+    build never dedups. Returns the store's surviving doc ids. Oracle:
+    replay append survivors, form the store set, run the portable chain
+    a second time over it, recursive-CTE the clusters, keep canonicals —
+    pinning rebuild-after-appends ≡ clusters+keep-canonical on the
+    union."""
+    import tempfile
+    from pathlib import Path
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    batch = docs.filter(F.col("doc_id") % 20 == 0)
+    base = Path(tempfile.gettempdir()) / "spark_graft_idx"
+    path = str(base / f"minhash_maint_{Path(sf_dir).name}")
+    D.build_minhash_index(
+        corpus,
+        path,
+        num_hashes=_PMH_HASHES,
+        bands=_PMH_BANDS,
+        shingle_n=1,
+        threshold=_PMH_THRESHOLD,
+        star_bucket_threshold=_PMH_STAR,
+        est_slack=_PMH_EST_SLACK,
+    )
+    D.minhash_index_append(spark, path, batch)
+    kept = D.rebuild_minhash_index(spark, path)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+ORACLE_DEDUP_MINHASH_MAINTENANCE = f"""
+WITH RECURSIVE {_portable_minhash_ctes(prefilter=True)},
+dropped AS (
+  SELECT doc_b AS d FROM vpairs WHERE doc_b % 20 = 0
+  UNION
+  SELECT doc_a FROM vpairs WHERE doc_a % 20 = 0 AND doc_b % 20 <> 0
+),
+store AS (
+  SELECT * FROM sub
+  WHERE doc_id % 20 <> 0 OR doc_id NOT IN (SELECT d FROM dropped)
+),
+{_portable_minhash_ctes(base="store2 AS (SELECT doc_id, text FROM store)", src="store2", sfx="2")},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs2
+  UNION
+  SELECT doc_b, doc_a FROM vpairs2
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+clusters AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT s.doc_id FROM store s
+WHERE NOT EXISTS (SELECT 1 FROM clusters c
+                  WHERE c.doc_id = s.doc_id AND c.cluster_id <> s.doc_id)
 ORDER BY doc_id
 """
 
@@ -3862,16 +3967,26 @@ def readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard difficulty buckets — the readability rung of the quality
     ladder (surface ratios → Gopher/C4 rules → LM perplexity →
     human-difficulty score), used as a curation feature when mixing
-    sources. Scores are rounded per doc BEFORE the mean on both engines."""
+    sources. Scores are rounded per doc BEFORE the mean on both engines,
+    and the mean itself is computed over EXACT integers (each 6dp score
+    scaled to micro-units, summed as longs, divided once by n·1e6) with a
+    ``_q6`` output quantizer — never ``round(avg(double), 6)``, whose
+    float-summation-order + engine tie rules split Spark and DuckDB at
+    7th-decimal-5 boundaries (the r13 EWMA sf0.1 trap, DESIGN §5)."""
     from pyspark_etl_twitter_spark.operators.textstats import (
         flesch_reading_ease,
     )
+    from pyspark_etl_twitter_spark.plans.relational import _q6
 
     docs = _t(spark, sf_dir, "documents")
     f = flesch_reading_ease(docs, keep_cols=("source",))
+    units = F.round(F.col("flesch") * 1000000).cast("long")
     return f.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("flesch"), 6).alias("avg_flesch"),
+        _q6(
+            F.sum(units).cast("double")
+            / (F.count(F.lit(1)) * 1000000).cast("double")
+        ).alias("avg_flesch"),
         F.sum((F.col("flesch_bucket") == "easy").cast("int"))
         .cast("long")
         .alias("n_easy"),
@@ -3921,7 +4036,11 @@ bucketed AS (
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(flesch), 6) AS avg_flesch,
+       -- exact-integer mean + q6 quantizer (one float division on
+       -- identical operands; no engine-discretionary round-half rule)
+       floor(CAST(sum(CAST(round(flesch * 1000000) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) * 1000000 AS DOUBLE) * 1000000 + 0.5)
+         / 1000000 AS avg_flesch,
        CAST(sum(CASE WHEN b = 'easy' THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
        CAST(sum(CASE WHEN b = 'standard' THEN 1 ELSE 0 END) AS BIGINT) AS n_standard,
        CAST(sum(CASE WHEN b = 'difficult' THEN 1 ELSE 0 END) AS BIGINT) AS n_difficult
@@ -4041,10 +4160,17 @@ sums AS (
 )
 SELECT g AS source,
        CAST(n_terms AS BIGINT) AS n_terms,
-       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
-       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-         AS zipf_intercept,
-       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS zipf_r2
+       -- degenerate-group guard: n_terms < 2 → NULL on both engines
+       -- (matches zipf_fit; 0/0 is otherwise engine-dependent)
+       CASE WHEN n_terms >= 2 THEN
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+       END AS zipf_slope,
+       CASE WHEN n_terms >= 2 THEN
+         round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+       END AS zipf_intercept,
+       CASE WHEN n_terms >= 2 THEN
+         round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS zipf_r2
 FROM sums
 """

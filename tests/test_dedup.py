@@ -1273,3 +1273,145 @@ def test_compact_minhash_index_preserves_probes(spark, tmp_path):
         [(999, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10")], "doc_id long, text string"
     )
     assert minhash_index_append(spark, path, clone).count() == 0
+
+
+def test_minhash_index_rebuild_drops_chain_dups(spark, tmp_path):
+    """rebuild_minhash_index (r13 verdict ask #5) closes both holes the
+    incremental lifecycle leaves open: build never dedups the corpus
+    (internal near-dups persist) and the append rule is non-transitive.
+    Rebuilding keeps one canonical (min-id) doc per near-dup CLUSTER —
+    A~B and B~C collapse to A even when A~C was never a verified pair."""
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_append,
+        rebuild_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            # 0 ~ 5 (9/11) and 5 ~ 7 (9/11): one cluster {0, 5, 7}
+            (0, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+            (5, "a1 a2 a3 a4 a5 a6 a7 a8 a9 z1"),
+            (7, "a1 a2 a3 a4 a5 a6 a7 a8 a9 z2"),
+            (10, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    build_minhash_index(corpus, path, **_mh_index_kw())
+    assert sorted(
+        r.doc_id for r in minhash_index_append(spark, path, batch).collect()
+    ) == [100]
+    kept = rebuild_minhash_index(spark, path)
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 10, 100]
+    for sub in ("bands", "sigs", "terms", "texts"):
+        ids = {
+            r.doc_id
+            for r in spark.read.parquet(f"{path}/{sub}")
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert ids == {0, 10, 100}, sub
+
+
+def test_minhash_index_store_tables_consistent(spark, tmp_path):
+    """append ≡ rebuild across ALL four store tables (bands was pinned
+    since r13; sigs/terms/texts joined the store in r14): the appended
+    store's contents equal a from-scratch build over corpus ∪ survivors."""
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_append,
+    )
+
+    corpus, batch = _mh_fixture(spark)
+    kw = _mh_index_kw()
+    p_inc = str(tmp_path / "inc")
+    build_minhash_index(corpus, p_inc, **kw)
+    surv = minhash_index_append(spark, p_inc, batch)
+    p_full = str(tmp_path / "full")
+    build_minhash_index(corpus.unionByName(surv), p_full, **kw)
+    for sub in ("bands", "sigs", "terms", "texts"):
+        rows = lambda p: {  # noqa: E731
+            tuple(r)
+            for r in spark.read.parquet(f"{p}/{sub}").collect()
+        }
+        assert rows(p_inc) == rows(p_full), sub
+
+
+def test_minhash_torn_append_replay_is_repaired(spark, tmp_path):
+    """Crash-consistency contract (r13 ADVICE, medium): texts/ is the
+    commit surface written LAST — a crash after the bands/sigs/terms
+    appends leaves orphan rows whose ids the replayed epoch re-processes.
+    The replay must see the pre-crash store (batch-id anti-join +
+    defensive dropDuplicates), produce the same survivors, and leave a
+    store whose LOGICAL contents match a clean single append; compaction
+    physically removes the duplicated rows."""
+    import shutil
+
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+        minhash_index_append,
+    )
+
+    corpus, batch = _mh_fixture(spark)
+    kw = _mh_index_kw()
+    path = str(tmp_path / "idx")
+    build_minhash_index(corpus, path, **kw)
+    # snapshot the commit surface, then 'crash' right before it commits:
+    # run a full append and roll texts/ back to the snapshot
+    shutil.copytree(f"{path}/texts", str(tmp_path / "texts_snap"))
+    first = sorted(
+        r.doc_id for r in minhash_index_append(spark, path, batch).collect()
+    )
+    shutil.rmtree(f"{path}/texts")
+    shutil.copytree(str(tmp_path / "texts_snap"), f"{path}/texts")
+
+    # replay the same batch against the torn store
+    again = sorted(
+        r.doc_id for r in minhash_index_append(spark, path, batch).collect()
+    )
+    assert again == first == [110, 120]
+
+    # logical contents equal a clean single append on a fresh store
+    clean = str(tmp_path / "clean")
+    build_minhash_index(corpus, clean, **kw)
+    minhash_index_append(spark, clean, batch)
+    for sub in ("bands", "sigs", "terms", "texts"):
+        rows = lambda p: {  # noqa: E731
+            tuple(r) for r in spark.read.parquet(f"{p}/{sub}").collect()
+        }
+        assert rows(path) == rows(clean), sub
+
+    # the torn store carries physical duplicates until compaction
+    n_dup = (
+        spark.read.parquet(f"{path}/bands").count()
+        - spark.read.parquet(f"{path}/bands").distinct().count()
+    )
+    assert n_dup > 0
+    compact_minhash_index(spark, path)
+    b = spark.read.parquet(f"{path}/bands")
+    assert b.count() == b.distinct().count()
+
+    # and a follow-up probe behaves exactly like one on the clean store
+    probe = spark.createDataFrame(
+        [(500, "d1 d2 d3 d4 d5 d6 d7 d8 d9 z5")], "doc_id long, text string"
+    )
+    assert minhash_index_append(spark, path, probe).count() == 0
+
+
+def test_sig_match_estimate_counts_matched_positions(spark):
+    """The prefilter's signature-estimated Jaccard is matched-positions /
+    num_hashes — exact integer compares, one division."""
+    from pyspark_etl_twitter_spark.operators.dedup import _sig_match_estimate
+
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4, 1, 9, 3, 9)],
+        "a0 long, a1 long, a2 long, a3 long, b0 long, b1 long, b2 long, b3 long",
+    )
+    got = df.select(_sig_match_estimate(4).alias("est")).first().est
+    assert got == 0.5

@@ -125,6 +125,7 @@ SKIP = {
     "ann_recall_planted",         # bounded 8-center collect + rung plan
                                   # builds execute bounded actions
     "dedup_incremental_minhash",  # build_minhash_index writes during build
+    "dedup_minhash_maintenance",  # build+append+rebuild write during build
     "leakage_safe_split_counts",  # duplicate_clusters CC executes in build
     "kcore_suppliers",            # per-3-round localCheckpoints execute
 }

@@ -2,16 +2,18 @@
 
 The driver's correctness gate checks the first 50 registry keys, so the
 dict order is load-bearing. Rotation is declarative since round 9:
-``registry.ROUND13_WINDOW`` is reordered to the front of ``QUERIES`` at
+``registry.ROUND14_WINDOW`` is reordered to the front of ``QUERIES`` at
 import time and these tests pin its composition.
 
-Round-13 rule (r12 verdict ask #1): the window is the 6 new-in-r13 rows
-plus ALL nine remaining r8 rows plus the 35 alphabetically-first r9 rows
-— max staleness after r13 is r9 on exactly the thirteen alphabetical-tail
-r9 rows (pricing_summary through weekly_revenue_wow), which rotate first
-in r14. Four slots are rows-only by design this round (the r9 precedent:
-they take slots for the crash/row-drift refresh; their portable twins
-are hash-verified).
+Round-14 rule (r13 verdict ask #2): the window is the two never-
+driver-checked rows (the new-in-r14 dedup_minhash_maintenance and
+zipf_by_source, new in r13 but never windowed) plus ALL thirteen
+remaining r9 rows plus the 35 alphabetically-first r10 rows — max
+staleness after r14 is r10 on exactly the fifteen alphabetical-tail r10
+rows (sessionize_events through winsorized_price_stats), which rotate
+first in r15. One slot (semdedup_fast_summary) is rows-only by design
+(the documented BLAS kernel; its fold twin is hash-verified in the same
+window).
 """
 
 import pytest
@@ -19,7 +21,7 @@ import pytest
 from pyspark_etl_twitter_spark.plans.registry import (
     ORACLES,
     QUERIES,
-    ROUND13_WINDOW,
+    ROUND14_WINDOW,
 )
 
 DRIVER_WINDOW = 50
@@ -51,31 +53,23 @@ ROWS_ONLY_BY_DESIGN = {
 
 
 def test_window_is_the_declared_rotation():
-    assert list(QUERIES)[:DRIVER_WINDOW] == ROUND13_WINDOW
-    assert len(set(ROUND13_WINDOW)) == DRIVER_WINDOW
+    assert list(QUERIES)[:DRIVER_WINDOW] == ROUND14_WINDOW
+    assert len(set(ROUND14_WINDOW)) == DRIVER_WINDOW
 
 
-def test_window_composition_r13():
-    """46 of 50 slots oracle-backed; the other 4 are exactly the
-    rows-only r9 stale rows taking their scheduled refresh (the r9
-    precedent — the driver records rows; their md5 portable twins are
-    hash-verified). The 2 new rows lead the window and carry FULL
+def test_window_composition_r14():
+    """49 of 50 slots oracle-backed; the one rows-only slot is exactly
+    semdedup_fast_summary taking its scheduled r10 refresh (the
+    documented BLAS kernel — the driver records rows; its fold twin
+    semdedup_cluster_summary is hash-verified in this same window). The
+    2 never-driver-checked rows lead the window and carry FULL
     oracles."""
     window = list(QUERIES)[:DRIVER_WINDOW]
-    assert set(window) & ROWS_ONLY_BY_DESIGN == {
-        "approx_summary",
-        "dedup_clusters_minhash",
-        "dedup_minhash_pairs",
-        "dedup_simhash_fingerprints",
-    }
+    assert set(window) & ROWS_ONLY_BY_DESIGN == {"semdedup_fast_summary"}
     assert all(k in ORACLES for k in window if k not in ROWS_ONLY_BY_DESIGN)
-    assert window[:6] == [
-        "dedup_incremental_minhash",
-        "ann_recall_planted",
-        "cusum_hourly_by_type",
-        "benford_order_prices",
-        "readability_by_source",
-        "leakage_safe_split_counts",
+    assert window[:2] == [
+        "dedup_minhash_maintenance",
+        "zipf_by_source",
     ]
 
 

@@ -395,3 +395,21 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     t = zipf_fit(tiny, top_n=10).collect()[0]
     want = (math.log(2.0) - math.log(4.0)) / (math.log(2.0) - math.log(1.0))
     assert t.zipf_slope == round(want, 6) and t.zipf_r2 == 1.0
+
+
+def test_zipf_fit_degenerate_single_term_group_is_null(spark):
+    """A group whose ranked list has a single term makes the slope
+    denominator n·sxx − sx² exactly 0 — engine-dependent 0/0 unless
+    pinned: zipf_fit emits explicit NULL slope/intercept/r² (r13 advice),
+    and the DuckDB oracle mirrors the same n_terms >= 2 guard."""
+    from pyspark_etl_twitter_spark.operators.textstats import zipf_fit
+
+    docs = spark.createDataFrame(
+        [(0, "solo solo solo", "deg"), (1, "a a b", "ok")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in zipf_fit(docs).collect()}
+    d = out["deg"]
+    assert d.n_terms == 1
+    assert d.zipf_slope is None and d.zipf_intercept is None and d.zipf_r2 is None
+    assert out["ok"].zipf_slope is not None

@@ -1764,3 +1764,127 @@ def rebuild_minhash_index(spark: SparkSession, path: str) -> DataFrame:
             *sort_cols
         ).write.mode("overwrite").parquet(f"{path}/{sub}")
     return spark.read.parquet(f"{path}/texts")
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup (round 14)
+# --------------------------------------------------------------------------
+
+#: Mersenne modulus for the CDC rolling hash: gear values and fold state
+#: stay < 2^31, so acc·31 + g < 2^36 — exact int64 arithmetic on both
+#: engines, no overflow disagreement.
+CDC_HASH_MOD = 2_147_483_647
+CDC_HASH_BASE = 31
+
+
+def _cdc_gear(tok: Column) -> Column:
+    """Portable per-token gear value: the md5 60-bit construction
+    (``portable_term_hash``) reduced mod ``CDC_HASH_MOD`` — identical
+    non-negative integers on Spark and DuckDB."""
+    return portable_term_hash(tok, 0) % CDC_HASH_MOD
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    divisor: int = 8,
+) -> DataFrame:
+    """Sub-document dedup over CONTENT-DEFINED chunk boundaries — the
+    shift-robust twin of ``segment_dedup``: fixed-width segments fall
+    out of phase after a single token insertion (every later segment
+    changes), while a rolling-hash boundary depends only on the last
+    ``window`` tokens, so boundaries RE-ALIGN right after an edit and
+    the downstream chunks dedup again — the property CDC storage
+    systems (and LLM-corpus near-edit dedup) are built on.
+
+    Boundary rule: position ``i`` closes a chunk when the gear-style
+    rolling hash of tokens ``(i-window, i]`` ≡ 0 mod ``divisor`` (the
+    last position always closes) — expected chunk length ≈ ``divisor``
+    tokens, geometric. The hash is a left fold ``acc·31 + gear(tok)
+    mod 2^31-1`` over the bounded window, computed per position as one
+    higher-order-array expression: O(n·window) integer ops per doc,
+    zero shuffle, codegen throughout, and DuckDB replays the identical
+    fold (``list_reduce`` with a prepended 0 seed over the same gear
+    list). Keep-first + reassembly are exactly ``segment_dedup``'s two
+    load-bearing shuffles (map-side-combined min-struct aggregate, then
+    a doc-bounded groupBy) — see that docstring for the 100 TB shape.
+
+    Returns ``(id, n_chunks, n_kept, new_text)`` for EVERY input doc."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    gears = F.transform(toks, _cdc_gear)
+
+    def _roll(i: Column) -> Column:
+        start = F.greatest(i - F.lit(window) + 1, F.lit(1))
+        return F.aggregate(
+            F.slice(gears, start, i - start + 1),
+            F.lit(0).cast("long"),
+            lambda acc, g: (acc * CDC_HASH_BASE + g) % CDC_HASH_MOD,
+        )
+
+    hpos = F.transform(F.sequence(F.lit(1), n), _roll)
+    base = docs.select(
+        F.col(id_col), toks.alias("_toks"), hpos.alias("_h"), n.alias("_n")
+    )
+    bpos = F.filter(
+        F.sequence(F.lit(1), F.col("_n")),
+        lambda i: (F.element_at(F.col("_h"), i) % divisor == 0)
+        | (i == F.col("_n")),
+    )
+    base = base.withColumn("_bp", bpos)
+
+    def _chunk(j: Column) -> Column:
+        start = F.when(j == 1, F.lit(1)).otherwise(
+            F.element_at(F.col("_bp"), j - 1) + 1
+        )
+        end = F.element_at(F.col("_bp"), j)
+        return F.concat_ws(" ", F.slice(F.col("_toks"), start, end - start + 1))
+
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_bp"))), _chunk
+    )
+    base = base.select(
+        id_col, F.size(F.col("_bp")).cast("int").alias("n_chunks"),
+        chunks.alias("_chunks"),
+    )
+    exploded = base.select(
+        id_col, F.posexplode("_chunks").alias("chunk_idx", "chunk")
+    )
+    kept = (
+        exploded.groupBy("chunk")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("i"), F.col("chunk_idx").alias("c")
+                )
+            ).alias("_f")
+        )
+        .select(
+            F.col("_f.i").alias(id_col),
+            F.col("_f.c").alias("chunk_idx"),
+            "chunk",
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("new_text"),
+    )
+    return (
+        base.select(id_col, "n_chunks")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+        )
+    )

@@ -81,17 +81,26 @@ def graph_triangles_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangles_per_node(G.supplier_edges(_li(spark, sf_dir)))
 
 
+# Disk-bounded form (r13 verdict ask #4): the previous shape projected a
+# `tri` CTE three times (one per corner), which DuckDB materializes for
+# multi-reference — at sf0.1 the full triangle enumeration exhausted the
+# /tmp spill disk. This form closes the wedge with an INNER join (oe
+# edges are DISTINCT, so join ≡ EXISTS), fans each closed wedge into its
+# three corners with a select-list unnest, and aggregates in the SAME
+# pipeline — nothing is materialized ahead of the early GROUP BY.
+# Exactly one closed-wedge row per triangle survives: an acyclic degree
+# orientation of a triangle has one node with two out-edges, and only
+# the (e1.dst, e2.dst) order matching the stored closing-edge
+# orientation joins.
 ORACLE_GRAPH_TRIANGLES_PER_NODE = f"""
-WITH {_ORIENT_CTES},
-tri AS (
-  SELECT e1.src AS s, e1.dst AS b, e2.dst AS c
-  FROM oe e1 JOIN oe e2 ON e1.src = e2.src AND e1.dst <> e2.dst
-  WHERE EXISTS (SELECT 1 FROM oe WHERE src = e1.dst AND dst = e2.dst)
-)
+WITH {_ORIENT_CTES}
 SELECT node, count(*) AS n_triangles
-FROM (SELECT s AS node FROM tri
-      UNION ALL SELECT b FROM tri
-      UNION ALL SELECT c FROM tri)
+FROM (
+  SELECT unnest([e1.src, e1.dst, e2.dst]) AS node
+  FROM oe e1
+  JOIN oe e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+  JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
 GROUP BY node
 """
 

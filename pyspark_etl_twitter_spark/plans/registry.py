@@ -309,6 +309,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_incremental": T.dedup_incremental,
     "dedup_incremental_minhash": T.dedup_incremental_minhash,
     "dedup_minhash_maintenance": T.dedup_minhash_maintenance,
+    "dedup_cdc_rebuild": T.dedup_cdc_rebuild,
     "multi_resolution_rollup": T.multi_resolution_rollup,
     "semi_join_customers": R.semi_join_customers,
     "snapshot_diff_counts": R2.snapshot_diff_counts,
@@ -416,6 +417,7 @@ ORACLES: dict[str, str] = {
     "dedup_incremental": T.ORACLE_DEDUP_INCREMENTAL,
     "dedup_incremental_minhash": T.ORACLE_DEDUP_INCREMENTAL_MINHASH,
     "dedup_minhash_maintenance": T.ORACLE_DEDUP_MINHASH_MAINTENANCE,
+    "dedup_cdc_rebuild": T.ORACLE_DEDUP_CDC_REBUILD,
     "repetition_stats": T.ORACLE_REPETITION_STATS,
     "quality_gate_by_source": T.ORACLE_QUALITY_GATE_BY_SOURCE,
     "knn_brute_cosine": T.ORACLE_KNN_BRUTE_COSINE,
@@ -542,7 +544,7 @@ ORACLES: dict[str, str] = {
 # staleness distribution of newest driver rows was
 # {r13: 50, r12: 50, r11: 50, r10: 50, r9: 13} plus two never-checked
 # rows (zipf_by_source, new r13 and never windowed; and the new-in-r14
-# dedup_minhash_maintenance). This window takes both never-checked rows,
+# dedup_minhash_maintenance). This window takes all three never-checked rows (two new-in-r14),
 # ALL thirteen remaining r9 rows (the alphabetical tail the r13 window
 # could not fit), and the 35 alphabetically-first r10 rows — the fifteen
 # alphabetical-tail r10 rows (sessionize_events .. winsorized_price_stats)
@@ -552,6 +554,7 @@ ORACLES: dict[str, str] = {
 # same window).
 ROUND14_WINDOW: list[str] = [
     "dedup_minhash_maintenance",
+    "dedup_cdc_rebuild",
     "zipf_by_source",
     "pricing_summary",
     "profile_orders_columns",
@@ -600,7 +603,6 @@ ROUND14_WINDOW: list[str] = [
     "semdedup_fast_summary",
     "sentiment_classes",
     "sentiment_weights_head",
-    "session_conversion_rate",
 ]
 
 _win = set(ROUND14_WINDOW)

@@ -768,6 +768,82 @@ FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+_CDC_WINDOW = 4
+_CDC_DIVISOR = 8
+
+
+def dedup_cdc_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup (``dedup.cdc_chunk_dedup``): gear
+    rolling-hash boundaries (window 4, divisor 8 → ~8-token chunks),
+    global keep-first, documents reassembled — the shift-robust twin of
+    ``dedup_segments_rebuild`` (a one-token insertion re-aligns CDC
+    boundaries where fixed windows shift every later segment; pinned in
+    pytest)."""
+    return D.cdc_chunk_dedup(
+        _t(spark, sf_dir, "documents"),
+        window=_CDC_WINDOW,
+        divisor=_CDC_DIVISOR,
+    )
+
+
+ORACLE_DEDUP_CDC_REBUILD = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS lst FROM documents
+),
+geared AS (
+  SELECT doc_id, lst,
+         list_transform(lst,
+           t -> ('0x' || substr(md5('0:' || t), 1, 15))::BIGINT
+                % 2147483647) AS glst
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, lst,
+         list_transform(range(1, len(lst) + 1), i ->
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_slice(glst, greatest(i - {_CDC_WINDOW - 1}, 1), i)),
+             (acc, g) -> (acc * 31 + g) % 2147483647)) AS hs
+  FROM geared
+),
+bounds AS (
+  SELECT doc_id, lst,
+         list_filter(range(1, len(lst) + 1),
+                     i -> hs[i] % {_CDC_DIVISOR} = 0 OR i = len(lst)) AS bp
+  FROM hashed
+),
+chunks AS (
+  SELECT doc_id, c.chunk_idx, c.chunk FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(bp) + 1),
+             j -> struct_pack(
+               chunk_idx := j - 1,
+               chunk := array_to_string(
+                 list_slice(lst,
+                            CASE WHEN j = 1 THEN 1 ELSE bp[j - 1] + 1 END,
+                            bp[j]), ' ')))) AS c
+    FROM bounds)
+),
+kept AS (
+  SELECT doc_id, chunk_idx, chunk FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks
+  ) WHERE rn = 1
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY chunk_idx) AS new_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.bp) AS INTEGER) AS n_chunks,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(r.new_text, '') AS new_text
+FROM bounds b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition profile (Gopher-style filters): duplicate-token
     ratio, top-token share, top-bigram share."""

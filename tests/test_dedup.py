@@ -1415,3 +1415,59 @@ def test_sig_match_estimate_counts_matched_positions(spark):
     )
     got = df.select(_sig_match_estimate(4).alias("est")).first().est
     assert got == 0.5
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """THE property content-defined chunking exists for: inserting one
+    token near the front of a duplicated document re-aligns the chunk
+    boundaries within one window, so almost all of the copy's chunks
+    still dedup away — while fixed-width segments shift out of phase and
+    duplicate text survives wholesale."""
+    import random
+
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        cdc_chunk_dedup,
+        segment_dedup,
+    )
+
+    rng = random.Random(41)
+    base_toks = [f"w{rng.randrange(10_000)}" for _ in range(400)]
+    shifted = ["INSERTED"] + base_toks
+    docs = spark.createDataFrame(
+        [(0, " ".join(base_toks)), (1, " ".join(shifted))],
+        "doc_id long, text string",
+    )
+    cdc = {r.doc_id: r for r in cdc_chunk_dedup(docs).collect()}
+    seg = {r.doc_id: r for r in segment_dedup(docs).collect()}
+    # original keeps everything on both schemes
+    assert cdc[0].n_kept == cdc[0].n_chunks
+    assert seg[0].n_kept == seg[0].n_segments
+    # the shifted copy: CDC keeps only the few chunks the insertion
+    # touched; fixed windows keep nearly all of the duplicate text
+    cdc_surv = cdc[1].n_kept / cdc[1].n_chunks
+    seg_surv = seg[1].n_kept / seg[1].n_segments
+    assert cdc_surv < 0.15, f"CDC kept {cdc_surv:.2%} of a shifted dup"
+    assert seg_surv > 0.85, f"fixed windows kept only {seg_surv:.2%}"
+
+
+def test_cdc_chunk_dedup_rebuild_roundtrip(spark):
+    """Chunks partition each document exactly (no token lost or
+    duplicated): a corpus with no cross-doc duplication rebuilds to the
+    original text, and chunk lengths track the divisor."""
+    from pyspark_etl_twitter_spark.operators.dedup import cdc_chunk_dedup
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"u{i}x{rng.randrange(100_000)}" for _ in range(50 + i)))
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in cdc_chunk_dedup(docs).collect()}
+    for i, text in rows:
+        assert out[i].new_text == text
+        assert out[i].n_kept == out[i].n_chunks
+        n_toks = len(text.split(" "))
+        # expected chunk length = divisor (8); allow a loose band
+        assert 1 <= out[i].n_chunks <= n_toks

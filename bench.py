@@ -1292,13 +1292,21 @@ def main() -> None:
                 STREAM_FLOORS.get(k, STATEFUL_DEFAULT_FLOOR),
             )
         if media_decode:
-            # the media row is pure-Python bytecode under mapInPandas —
-            # its upward-only correction rides the BYTECODE canary, not
-            # the BLAS/plan-stable rulers (r13: those under-corrected a
-            # loaded container and false-breached the floor)
+            # the media row is pure-Python bytecode across 32 mapInPandas
+            # workers, so it degrades under EITHER interpreter slowdown
+            # (r13: bytecode ratio detected it, BLAS looked healthy) or
+            # all-core contention (r14 loaded-container test: BLAS 1.36
+            # detected it, single-thread bytecode sat at 1.05) — the
+            # upward-only correction therefore takes the MAX of all
+            # three rulers, whichever detects the slowness (the stated
+            # normalizer philosophy; validated: raw 591 × 1.36 = 804
+            # normalized under deliberate load, no false breach, where
+            # any single ruler would have breached)
             _bc = canary.get("bytecode_ratio")
-            bc_corr = max(1.0, _bc if _bc and _bc > 0 else 1.0)
-            norm_media = media_decode["rows_per_sec"] * bc_corr
+            media_corr = max(
+                correction, _bc if _bc and _bc > 0 else 1.0
+            )
+            norm_media = media_decode["rows_per_sec"] * media_corr
             media_floor = MEDIA_FLOOR_NORM if has_norm else MEDIA_FLOOR
             if norm_media < media_floor:
                 breaches.append(f"media_decode={norm_media:.0f}<{media_floor:.0f}")

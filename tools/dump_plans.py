@@ -90,6 +90,8 @@ SHOWCASE = [
     ("benford_order_prices", "integer-cents leading-digit agg, zero-filled digit frame, order-free max-deviation"),
     ("readability_by_source", "regexp word/sentence/syllable counting in one codegen pass, one agg exchange"),
     ("leakage_safe_split_counts", "near-dup-cluster-keyed md5 split: LSH pairs -> connected components -> row-local buckets"),
+    ("dedup_minhash_maintenance", "persisted store lifecycle: build -> prefiltered append-probe -> CC rebuild, all from stored relations"),
+    ("dedup_cdc_rebuild", "content-defined chunking: codegen rolling-hash boundaries, map-side-combined keep-first, doc-bounded reassembly"),
 ]
 
 

@@ -1820,29 +1820,73 @@ def cdc_chunk_dedup(
     load-bearing shuffles (map-side-combined min-struct aggregate, then
     a doc-bounded groupBy) — see that docstring for the 100 TB shape.
 
-    Returns ``(id, n_chunks, n_kept, new_text)`` for EVERY input doc."""
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    gears = F.transform(toks, _cdc_gear)
+    Returns ``(id, n_chunks, n_kept, new_text)`` for EVERY input doc.
+
+    STAGED PROJECTIONS are load-bearing: the gear array is materialized
+    as a column in its OWN select before the per-position roll
+    references it. Inlining the ``transform(toks, gear)`` expression
+    inside the roll lambda re-evaluates the whole md5 gear array per
+    position (lambda bodies are expression trees, re-evaluated per
+    element; codegen subexpression elimination does not reach inside
+    higher-order functions) — measured 20.4 s vs 0.68 s for the hash
+    stage over the sf0.1 corpus, a 30× cliff. Each derived array
+    (``_g``, ``_h``, ``_bp``) therefore gets its own projection; Spark's
+    CollapseProject keeps multi-referenced non-cheap aliases
+    un-inlined, preserving the once-per-row evaluation.
+
+    TWO more Catalyst traps this operator had to dodge (both found by
+    reading the optimized plan, not the code):
+
+    * ``posexplode_outer`` + ``isNotNull`` instead of ``posexplode``:
+      the non-outer generator lets ``InferFiltersFromGenerate`` infer
+      ``size(_chunks) > 0`` below the Generate, and predicate pushdown
+      substitutes the ENTIRE alias chain into that filter — the plan
+      gains a Filter whose predicate embeds the md5 gear transform 17
+      times, with ``element_at(<bp-expr>, j)`` inside the chunk lambda
+      re-evaluating the whole chain per element: O(n²·window) md5 calls
+      per doc, a >100× wall (the sf0.1 explode went 1.6 s → >400 s).
+      The outer variant removes no rows, so no filter is inferred; the
+      ``isNotNull`` guard above the Generate restores exact semantics
+      (every doc has ≥1 chunk — the last position always closes — so
+      the guard never actually drops anything).
+    * boundary positions come from an INDEXED ``transform`` over ``_h``
+      (binary lambda, array as the HOF *input* — evaluated once per
+      row) rather than ``filter(sequence(1,n), i ->
+      element_at(_h,i)…)``, which references ``_h`` inside a lambda
+      body and re-evaluates it per position if Catalyst ever inlines
+      the alias. Rule of thumb: prior-stage arrays may appear as HOF
+      input arguments, never via ``element_at`` inside lambda bodies."""
+    base = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    base = base.select(
+        id_col, "_toks", F.transform(F.col("_toks"), _cdc_gear).alias("_g")
+    )
 
     def _roll(i: Column) -> Column:
         start = F.greatest(i - F.lit(window) + 1, F.lit(1))
         return F.aggregate(
-            F.slice(gears, start, i - start + 1),
+            F.slice(F.col("_g"), start, i - start + 1),
             F.lit(0).cast("long"),
             lambda acc, g: (acc * CDC_HASH_BASE + g) % CDC_HASH_MOD,
         )
 
-    hpos = F.transform(F.sequence(F.lit(1), n), _roll)
-    base = docs.select(
-        F.col(id_col), toks.alias("_toks"), hpos.alias("_h"), n.alias("_n")
+    base = base.select(
+        id_col,
+        "_toks",
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_g"))), _roll
+        ).alias("_h"),
     )
-    bpos = F.filter(
-        F.sequence(F.lit(1), F.col("_n")),
-        lambda i: (F.element_at(F.col("_h"), i) % divisor == 0)
-        | (i == F.col("_n")),
+    marked = F.transform(
+        F.col("_h"),
+        lambda hv, i0: F.when(
+            (hv % divisor == 0) | (i0 == F.size(F.col("_toks")) - 1), i0 + 1
+        ).otherwise(F.lit(None).cast("int")),
     )
-    base = base.withColumn("_bp", bpos)
+    base = base.select(
+        id_col, "_toks", F.filter(marked, lambda x: x.isNotNull()).alias("_bp")
+    )
 
     def _chunk(j: Column) -> Column:
         start = F.when(j == 1, F.lit(1)).otherwise(
@@ -1859,8 +1903,8 @@ def cdc_chunk_dedup(
         chunks.alias("_chunks"),
     )
     exploded = base.select(
-        id_col, F.posexplode("_chunks").alias("chunk_idx", "chunk")
-    )
+        id_col, F.posexplode_outer("_chunks").alias("chunk_idx", "chunk")
+    ).where(F.col("chunk").isNotNull())
     kept = (
         exploded.groupBy("chunk")
         .agg(

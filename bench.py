@@ -133,6 +133,7 @@ HEADLINE = [
     # round-4 families
     "tpch_q20_excess_stock",
     "fuzzy_decontaminate_counts",
+    "containment_decontaminate_counts",  # asymmetric eval-containment twin
     "budget_selection_by_source",
     "temperature_mix_counts",
     "char_entropy_by_source",
@@ -196,6 +197,7 @@ HEADLINE = [
     # round-14 families (FULL oracles)
     "dedup_minhash_maintenance",  # store lifecycle + re-cluster rebuild
     "dedup_cdc_rebuild",  # content-defined chunk boundaries + keep-first
+    "dedup_cluster_source_profile",  # cross-source near-dup matrix
 ]
 
 

@@ -409,29 +409,28 @@ def weighted_bernoulli_sample(
 # --------------------------------------------------------------------------
 
 
-def jaccard_contamination(
+def _gram_overlap(
     docs: DataFrame,
     eval_docs: DataFrame,
     *,
-    shingle_n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    hash_grams: bool = False,
+    shingle_n: int,
+    id_col: str,
+    text_col: str,
+    hash_grams: bool,
 ) -> DataFrame:
-    """Per-document MAX shingle-Jaccard against any eval document —
-    the fuzzy upgrade of ``contamination_overlap`` (which only counts
-    shared grams): near-paraphrased eval leakage scores high even when no
-    single doc contains many eval grams verbatim.
+    """Shared corpus×eval shingle-set intersection relation:
+    ``(id_col, _eid, _asz, _bsz, _inter)`` for every (train doc, eval
+    doc) pair sharing ≥1 distinct ``shingle_n``-gram. The single scan +
+    broadcast-probe + matched-rows-only aggregate that both the Jaccard
+    and the containment contamination metrics score from — extracted
+    verbatim from ``jaccard_contamination`` (plan shape unchanged).
 
-    Returns (id_col, max_jaccard, best_eval_id) for documents with at
-    least one shared shingle; callers left-join and coalesce(0) like the
-    exact variant. Scale shape: the eval side reduces to
-    (eval_id, gram, eval_size) and BROADCASTS (eval sets are tiny by
-    definition); the corpus makes one narrow pass — shingle → explode →
-    broadcast probe — so only matching (doc, eval, gram) rows (a
-    vanishingly small fraction) are ever aggregated, and the corpus never
-    shuffles. Jaccard = inter / (|a| + |b| - inter) needs per-doc shingle
-    counts, which ride the same single aggregate."""
+    Scale shape: the eval side reduces to (eval_id, gram, eval_size) and
+    BROADCASTS (eval sets are tiny by definition); the corpus makes one
+    narrow pass — shingle → explode → broadcast probe — so only matching
+    (doc, eval, gram) rows (a vanishingly small fraction) are ever
+    aggregated, and the corpus never shuffles. Per-doc shingle-set sizes
+    ride the same single aggregate."""
     # distinct-shingle sets dedup ROW-LOCALLY (array_distinct before the
     # explode) and each exploded gram carries its document's set size, so
     # the corpus is scanned exactly once with no dedup exchange and no
@@ -475,7 +474,7 @@ def jaccard_contamination(
             F.explode("_gs").alias("g"),
         )
     )
-    inter = (
+    return (
         doc_grams.join(F.broadcast(eval_sized), "g")
         .groupBy(id_col, "_eid")
         .agg(
@@ -483,6 +482,34 @@ def jaccard_contamination(
             F.first("_bsz").alias("_bsz"),
             F.count(F.lit(1)).alias("_inter"),
         )
+    )
+
+
+def jaccard_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Per-document MAX shingle-Jaccard against any eval document —
+    the fuzzy upgrade of ``contamination_overlap`` (which only counts
+    shared grams): near-paraphrased eval leakage scores high even when no
+    single doc contains many eval grams verbatim.
+
+    Returns (id_col, max_jaccard, best_eval_id) for documents with at
+    least one shared shingle; callers left-join and coalesce(0) like the
+    exact variant. Jaccard = inter / (|a| + |b| - inter); the shared
+    scan/probe/aggregate shape lives in ``_gram_overlap``."""
+    inter = _gram_overlap(
+        docs,
+        eval_docs,
+        shingle_n=shingle_n,
+        id_col=id_col,
+        text_col=text_col,
+        hash_grams=hash_grams,
     )
     scored = inter.select(
         F.col(id_col),
@@ -500,6 +527,48 @@ def jaccard_contamination(
     return scored.groupBy(id_col).agg(
         F.max("_j").alias("max_jaccard"),
         F.min_by("_eid", F.struct((-F.col("_j")).alias("nj"), F.col("_eid").alias("e"))).alias(
+            "best_eval_id"
+        ),
+    )
+
+
+def containment_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Per-document MAX eval-side n-gram CONTAINMENT — inter / |eval
+    set|, the GPT-3/PaLM "dirty document" definition — against any eval
+    document. The asymmetric complement of ``jaccard_contamination``:
+    a long training doc that embeds an ENTIRE short eval item verbatim
+    scores 1.0 here, while its Jaccard is diluted to ~|eval|/|doc| by
+    the doc's own size and slips under any fixed Jaccard threshold —
+    exactly the leak containment-based decontamination exists to catch.
+
+    Returns (id_col, max_containment, best_eval_id) for documents with
+    at least one shared shingle; same ``_gram_overlap`` scan shape
+    (eval side broadcast, corpus never shuffles), same min_by tiebreak
+    (max score, ties → smallest eval id)."""
+    inter = _gram_overlap(
+        docs,
+        eval_docs,
+        shingle_n=shingle_n,
+        id_col=id_col,
+        text_col=text_col,
+        hash_grams=hash_grams,
+    )
+    scored = inter.select(
+        F.col(id_col),
+        F.col("_eid"),
+        F.round(F.col("_inter") / F.col("_bsz").cast("double"), 6).alias("_c"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max("_c").alias("max_containment"),
+        F.min_by("_eid", F.struct((-F.col("_c")).alias("nc"), F.col("_eid").alias("e"))).alias(
             "best_eval_id"
         ),
     )

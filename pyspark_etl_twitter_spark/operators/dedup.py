@@ -954,6 +954,55 @@ def drop_near_duplicates(
     return docs.join(losers, id_col, "left_anti")
 
 
+def cluster_source_profile(
+    clusters: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix over near-dup clusters — the
+    snapshot-overlap question every multi-crawl corpus audit asks
+    ("how much of crawl A is near-duplicated in crawl B?"): for every
+    unordered source pair ``(source_a ≤ source_b)``, the number of
+    clusters with members in both sources and the number of cross-source
+    member pairs. A same-source row counts clusters with ≥2 members in
+    that source (within-source duplication) and its
+    ``n·(n−1)/2`` internal pairs.
+
+    Scale shape: ``clusters`` is already the tiny relation (only docs in
+    ≥1 near-dup pair); the per-(cluster, source) count aggregate shrinks
+    it further, and the pair expansion self-joins THAT relation on
+    cluster_id — per-cluster work is |distinct sources in cluster|², with
+    the star guard upstream bounding cluster fan-out. The corpus appears
+    only as the broadcast-able (id → source) projection."""
+    per = (
+        clusters.join(docs.select(F.col(id_col), F.col(group_col)), id_col)
+        .groupBy("cluster_id", group_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    a, b = per.alias("a"), per.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.cluster_id") == F.col("b.cluster_id"))
+        & (F.col(f"a.{group_col}") <= F.col(f"b.{group_col}")),
+    ).filter(
+        (F.col(f"a.{group_col}") != F.col(f"b.{group_col}"))
+        | (F.col("a._c") >= 2)
+    )
+    same = F.col(f"a.{group_col}") == F.col(f"b.{group_col}")
+    n_pairs = F.when(
+        same, (F.col("a._c") * (F.col("a._c") - 1) / 2).cast("long")
+    ).otherwise(F.col("a._c") * F.col("b._c"))
+    return joined.groupBy(
+        F.col(f"a.{group_col}").alias("source_a"),
+        F.col(f"b.{group_col}").alias("source_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(n_pairs).alias("n_doc_pairs"),
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

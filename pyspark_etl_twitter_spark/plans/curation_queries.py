@@ -432,6 +432,62 @@ GROUP BY source
 """
 
 
+CONT_TAU = 0.04
+
+
+def containment_decontaminate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source counts of training docs whose MAX eval-side n-gram
+    CONTAINMENT (inter / |eval shingle set| — the GPT-3/PaLM "dirty
+    document" definition) clears CONT_TAU: the asymmetric leak the
+    Jaccard twin dilutes away when a long doc embeds a short eval item
+    whole. Same broadcast-probe scan as the fuzzy row
+    (operators/curation.containment_contamination)."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    scored = C.containment_contamination(train, eval_docs, shingle_n=FUZZY_N)
+    joined = train.join(scored, "doc_id", "left").withColumn(
+        "max_containment", F.coalesce("max_containment", F.lit(0.0))
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("max_containment") >= CONT_TAU, 1)).alias(
+            "n_containment_hits"
+        ),
+        F.round(F.max("max_containment"), 6).alias("max_containment"),
+    )
+
+
+ORACLE_CONTAINMENT_DECONTAMINATE_COUNTS = f"""
+WITH {_grams_cte(FUZZY_N)},
+eval_grams AS (
+  SELECT doc_id AS eid, g FROM grams WHERE doc_id % {EVAL_MOD} = 0
+),
+eval_sizes AS (SELECT eid, count(*) AS bsz FROM eval_grams GROUP BY eid),
+inter AS (
+  SELECT gr.doc_id, eg.eid, count(*) AS n_inter
+  FROM grams gr JOIN eval_grams eg USING (g)
+  WHERE gr.doc_id % {EVAL_MOD} <> 0
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT i.doc_id,
+         max(round(CAST(n_inter AS DOUBLE) / CAST(es.bsz AS DOUBLE), 6)) AS mc
+  FROM inter i
+  JOIN eval_sizes es ON es.eid = i.eid
+  GROUP BY 1
+),
+train AS (SELECT doc_id, source FROM documents WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT source,
+       count(*) AS n_docs,
+       count(CASE WHEN coalesce(mc, 0) >= {CONT_TAU} THEN 1 END)
+         AS n_containment_hits,
+       round(max(coalesce(mc, 0)), 6) AS max_containment
+FROM train LEFT JOIN best USING (doc_id)
+GROUP BY source
+"""
+
+
 BUDGET_CHARS = 40_000
 
 

@@ -98,6 +98,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash_portable_pairs": T.dedup_simhash_portable_pairs,
     "dedup_clusters_simhash_portable": T.dedup_clusters_simhash_portable,
     "dedup_clusters_minhash_portable": T.dedup_clusters_minhash_portable,
+    "dedup_cluster_source_profile": T.dedup_cluster_source_profile,
     "chunk_documents_overlap_64": T.chunk_documents_overlap_64,
     "asof_nearest_click": R.asof_nearest_click,
     "bigram_profile_top": CQ.bigram_profile_top,
@@ -237,6 +238,7 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q21_waiting_suppliers": H.tpch_q21_waiting_suppliers,
     "tpch_q20_excess_stock": H.tpch_q20_excess_stock,
     "fuzzy_decontaminate_counts": CQ.fuzzy_decontaminate_counts,
+    "containment_decontaminate_counts": CQ.containment_decontaminate_counts,
     "budget_selection_by_source": CQ.budget_selection_by_source,
     "temperature_mix_counts": CQ.temperature_mix_counts,
     # cross-source quantile-normalization map (r12)
@@ -384,6 +386,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash_portable_pairs": T.ORACLE_DEDUP_SIMHASH_PORTABLE_PAIRS,
     "dedup_clusters_simhash_portable": T.ORACLE_DEDUP_CLUSTERS_SIMHASH_PORTABLE,
     "dedup_clusters_minhash_portable": T.ORACLE_DEDUP_CLUSTERS_MINHASH_PORTABLE,
+    "dedup_cluster_source_profile": T.ORACLE_DEDUP_CLUSTER_SOURCE_PROFILE,
     "knn_ann_lsh": T.ORACLE_KNN_ANN_LSH,
     "knn_ann_lsh_high_recall": T.ORACLE_KNN_ANN_LSH_HIGH_RECALL,
     "knn_ivf": T.ORACLE_KNN_IVF,
@@ -503,6 +506,7 @@ ORACLES: dict[str, str] = {
     "binned_range_join_bands": AQ.ORACLE_BINNED_RANGE_JOIN_BANDS,
     "weighted_sample_by_length": CQ.ORACLE_WEIGHTED_SAMPLE_BY_LENGTH,
     "fuzzy_decontaminate_counts": CQ.ORACLE_FUZZY_DECONTAMINATE_COUNTS,
+    "containment_decontaminate_counts": CQ.ORACLE_CONTAINMENT_DECONTAMINATE_COUNTS,
     "budget_selection_by_source": CQ.ORACLE_BUDGET_SELECTION_BY_SOURCE,
     "temperature_mix_counts": CQ.ORACLE_TEMPERATURE_MIX_COUNTS,
     "quantile_norm_price_map": CQ.ORACLE_QUANTILE_NORM_PRICE_MAP,
@@ -542,17 +546,20 @@ ORACLES: dict[str, str] = {
 # ROUND-14 WINDOW: rotation stays DECLARATIVE — the list below is
 # reordered to the front of QUERIES at import time. After r13 the
 # staleness distribution of newest driver rows was
-# {r13: 50, r12: 50, r11: 50, r10: 50, r9: 13} plus two never-checked
-# rows (zipf_by_source, new r13 and never windowed; and the new-in-r14
-# dedup_minhash_maintenance). This window takes all three never-checked rows (two new-in-r14),
-# ALL thirteen remaining r9 rows (the alphabetical tail the r13 window
-# could not fit), and the 35 alphabetically-first r10 rows — the fifteen
-# alphabetical-tail r10 rows (sessionize_events .. winsorized_price_stats)
-# rotate in r15, which brings max staleness to r10. One slot
-# (semdedup_fast_summary) is rows-only by design (the documented BLAS
-# kernel; its fold twin semdedup_cluster_summary is hash-verified in the
-# same window).
+# {r13: 50, r12: 50, r11: 50, r10: 50, r9: 13} plus one never-windowed
+# r13 row (zipf_by_source). This window takes all five never-checked
+# rows (four new-in-r14: containment_decontaminate_counts,
+# dedup_cluster_source_profile, dedup_minhash_maintenance,
+# dedup_cdc_rebuild; plus zipf_by_source), ALL thirteen remaining r9
+# rows (the alphabetical tail the r13 window could not fit), and the 32
+# alphabetically-first r10 rows — the eighteen alphabetical-tail r10
+# rows (sentiment_classes .. winsorized_price_stats) rotate in r15,
+# which brings max staleness to r10. One slot (semdedup_fast_summary)
+# is rows-only by design (the documented BLAS kernel; its fold twin
+# semdedup_cluster_summary is hash-verified in the same window).
 ROUND14_WINDOW: list[str] = [
+    "containment_decontaminate_counts",
+    "dedup_cluster_source_profile",
     "dedup_minhash_maintenance",
     "dedup_cdc_rebuild",
     "zipf_by_source",
@@ -601,8 +608,6 @@ ROUND14_WINDOW: list[str] = [
     "semantic_prune_by_centroid",
     "semdedup_cluster_summary",
     "semdedup_fast_summary",
-    "sentiment_classes",
-    "sentiment_weights_head",
 ]
 
 _win = set(ROUND14_WINDOW)

@@ -386,6 +386,59 @@ def dedup_clusters_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFra
     return D.duplicate_clusters(pairs)
 
 
+def dedup_cluster_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix over the portable MinHash near-dup
+    clusters (operators/dedup.cluster_source_profile): for each unordered
+    source pair, how many clusters span both sources and how many
+    cross-source member pairs they contribute — the crawl-overlap audit a
+    multi-snapshot corpus runs before mixing. Rides the exact pair
+    algebra of ``dedup_clusters_minhash_portable``; the oracle extends
+    that row's recursive-CTE closure with the per-(cluster, source)
+    count self-join."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pairs = D.near_dup_pairs_minhash_portable(
+        docs,
+        num_hashes=_PMH_HASHES,
+        bands=_PMH_BANDS,
+        shingle_n=1,
+        threshold=0.5,
+        star_bucket_threshold=_PMH_STAR,
+    )
+    clusters = D.duplicate_clusters(pairs)
+    return D.cluster_source_profile(clusters, docs)
+
+
+ORACLE_DEDUP_CLUSTER_SOURCE_PROFILE = f"""
+WITH RECURSIVE {_portable_minhash_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+  UNION
+  SELECT doc_b, doc_a FROM vpairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+clusters AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+pc AS (
+  SELECT c.cluster_id, d.source, count(*) AS c
+  FROM clusters c JOIN sub d USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_clusters,
+       CAST(sum(CASE WHEN a.source = b.source
+                     THEN CAST(a.c * (a.c - 1) / 2 AS BIGINT)
+                     ELSE CAST(a.c * b.c AS BIGINT) END) AS BIGINT)
+         AS n_doc_pairs
+FROM pc a JOIN pc b
+  ON a.cluster_id = b.cluster_id AND a.source <= b.source
+WHERE a.source <> b.source OR a.c >= 2
+GROUP BY 1, 2
+"""
+
+
 def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only: xxhash64 not SQL-expressible)."""
     return D.simhash_fingerprints(_t(spark, sf_dir, "documents"))

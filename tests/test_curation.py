@@ -287,6 +287,37 @@ def test_jaccard_contamination_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_containment_catches_the_embedded_eval_item_jaccard_dilutes(spark):
+    """The asymmetric leak: a long train doc embeds an ENTIRE short eval
+    doc verbatim. Containment (inter/|eval|) = 1.0; Jaccard is diluted
+    to inter/|train| and slips under any useful threshold."""
+    eval_text = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(40))
+    train = _docs(spark, [(1, filler + " " + eval_text, "s")])
+    eval_docs = _docs(spark, [(100, eval_text, "e")])
+    cont = {
+        r["doc_id"]: (r["max_containment"], r["best_eval_id"])
+        for r in C.containment_contamination(
+            train, eval_docs, shingle_n=3
+        ).collect()
+    }
+    # all 3 eval shingles appear in the train doc -> containment 1.0
+    assert cont[1] == (1.0, 100)
+    jac = {
+        r["doc_id"]: r["max_jaccard"]
+        for r in C.jaccard_contamination(train, eval_docs, shingle_n=3).collect()
+    }
+    # train has 43 distinct 3-shingles, eval 3, inter 3 -> 3/43 ~ 0.07
+    assert jac[1] < 0.1
+
+
+def test_containment_contamination_broadcasts_eval_side(spark):
+    docs = load_table(spark, SF_TINY, "documents")
+    eval_docs = docs.filter("doc_id % 97 = 0")
+    plan = plan_of(C.containment_contamination(docs, eval_docs))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_select_within_budget_exact_boundary(spark):
     docs = spark.createDataFrame(
         [(1, "a", 30), (2, "a", 20), (3, "a", 10), (4, "b", 100)],

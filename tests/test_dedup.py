@@ -147,6 +147,34 @@ def test_duplicate_clusters_transitive_closure(spark):
     assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30, 33: 30}
 
 
+def test_cluster_source_profile_pair_algebra(spark):
+    """Hand-built clusters: cluster 1 = {1:A, 2:A, 3:B}, cluster 10 =
+    {10:B, 11:B}. Expected matrix: (A,A) 1 cluster / 1 within-source
+    pair (the two A members of cluster 1), (A,B) 1 cluster / 2 cross
+    pairs (2 A-members x 1 B-member), (B,B) 1 cluster / 1 pair (cluster
+    10; cluster 1's single-B membership does NOT count as within-B
+    duplication)."""
+    from pyspark_etl_twitter_spark.operators.dedup import cluster_source_profile
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (10, "B"), (11, "B"), (99, "C")],
+        "doc_id long, source string",
+    )
+    got = {
+        (r.source_a, r.source_b): (r.n_clusters, r.n_doc_pairs)
+        for r in cluster_source_profile(clusters, docs).collect()
+    }
+    assert got == {
+        ("A", "A"): (1, 1),
+        ("A", "B"): (1, 2),
+        ("B", "B"): (1, 1),
+    }
+
+
 def test_duplicate_clusters_durable_checkpoint_mode(spark, tmp_path):
     """checkpoint_dir switches lineage truncation from executor-pinned
     localCheckpoint to reliable checkpoint() files (the 100 TB mode:

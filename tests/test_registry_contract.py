@@ -5,15 +5,16 @@ dict order is load-bearing. Rotation is declarative since round 9:
 ``registry.ROUND14_WINDOW`` is reordered to the front of ``QUERIES`` at
 import time and these tests pin its composition.
 
-Round-14 rule (r13 verdict ask #2): the window is the three never-
-driver-checked rows (the new-in-r14 dedup_minhash_maintenance and
-dedup_cdc_rebuild, plus zipf_by_source — new in r13 but never windowed) plus ALL thirteen
-remaining r9 rows plus the 34 alphabetically-first r10 rows — max
-staleness after r14 is r10 on exactly the sixteen alphabetical-tail r10
-rows (session_conversion_rate through winsorized_price_stats), which
-rotate first in r15. One slot (semdedup_fast_summary) is rows-only by design
-(the documented BLAS kernel; its fold twin is hash-verified in the same
-window).
+Round-14 rule (r13 verdict ask #2): the window is the five never-
+driver-checked rows (new-in-r14 containment_decontaminate_counts,
+dedup_cluster_source_profile, dedup_minhash_maintenance and
+dedup_cdc_rebuild, plus zipf_by_source — new in r13 but never windowed)
+plus ALL thirteen remaining r9 rows plus the 32 alphabetically-first
+r10 rows — max staleness after r14 is r10 on exactly the eighteen
+alphabetical-tail r10 rows (sentiment_classes through
+winsorized_price_stats), which rotate first in r15. One slot
+(semdedup_fast_summary) is rows-only by design (the documented BLAS
+kernel; its fold twin is hash-verified in the same window).
 """
 
 import pytest
@@ -62,12 +63,14 @@ def test_window_composition_r14():
     semdedup_fast_summary taking its scheduled r10 refresh (the
     documented BLAS kernel — the driver records rows; its fold twin
     semdedup_cluster_summary is hash-verified in this same window). The
-    3 never-driver-checked rows lead the window and carry FULL
-    oracles."""
+    5 never-driver-checked rows (4 new in r14, plus zipf_by_source) lead
+    the window and carry FULL oracles."""
     window = list(QUERIES)[:DRIVER_WINDOW]
     assert set(window) & ROWS_ONLY_BY_DESIGN == {"semdedup_fast_summary"}
     assert all(k in ORACLES for k in window if k not in ROWS_ONLY_BY_DESIGN)
-    assert window[:3] == [
+    assert window[:5] == [
+        "containment_decontaminate_counts",
+        "dedup_cluster_source_profile",
         "dedup_minhash_maintenance",
         "dedup_cdc_rebuild",
         "zipf_by_source",

@@ -227,6 +227,68 @@ def streaming_dsir_score(
     q.awaitTermination(timeout_s)
 
 
+def streaming_containment_score(
+    spark: SparkSession,
+    src_dir: str,
+    eval_docs: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    shingle_n: int = 3,
+    timeout_s: int = 120,
+) -> None:
+    """Ingest-time decontamination: arriving document batches are scored
+    against a FROZEN eval set with
+    ``curation.containment_contamination`` (max eval-side n-gram
+    containment — the GPT-3/PaLM dirty-doc metric) — the production
+    shape where the benchmark suite is fixed offline and every new
+    crawl batch is screened as it lands, BEFORE it can enter the
+    training mix. Scoring is stateless per document (the eval side is a
+    constant broadcast, exactly the batch operator's plan), so there is
+    no streaming state beyond the frozen eval table, and replaying a
+    batch under the checkpoint recomputes identical scores
+    (deterministic shingle algebra). Every batch doc is emitted —
+    non-matching docs score 0.0 with a NULL best_eval_id — so a
+    downstream ``max_containment < tau`` keep-filter sees the whole
+    batch; the epoch is stamped for replay audit (the
+    ``streaming_dsir_score`` contract)."""
+    from pyspark_etl_twitter_spark.operators.curation import (
+        containment_contamination,
+    )
+    from pyspark_etl_twitter_spark.streaming.pipeline import (
+        DOCUMENTS_STREAM_SCHEMA,
+    )
+
+    stream = spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA).json(src_dir)
+    ev_proj = eval_docs.select("doc_id", "text")
+    frozen = ev_proj.collect()  # eval sets are small by definition
+    model = spark.createDataFrame(frozen, ev_proj.schema)
+
+    def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        scored = containment_contamination(batch_df, model, shingle_n=shingle_n)
+        out = (
+            batch_df.select("doc_id")
+            .join(scored, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("max_containment", F.lit(0.0)).alias(
+                    "max_containment"
+                ),
+                "best_eval_id",
+            )
+            .withColumn("epoch_id", F.lit(epoch_id))
+        )
+        out.write.mode("append").parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
 def streaming_pq_ingest(
     spark: SparkSession,
     src_dir: str,

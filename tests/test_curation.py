@@ -318,6 +318,58 @@ def test_containment_contamination_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_streaming_containment_score_equals_batch(spark, tmp_path):
+    """Streamed ingest-time decontamination against a frozen eval set:
+    streamed per-doc containment equals the batch operator (with the
+    emit-all 0.0 coalesce), and replaying the source dir under the
+    checkpoint is a no-op."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.streaming.incremental import (
+        streaming_containment_score,
+    )
+
+    docs = load_table(spark, SF_TINY, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    incoming = docs.filter(
+        (F.col("doc_id") % 97 != 0) & (F.col("doc_id") < 40)
+    ).select("doc_id", "text")
+    n_incoming = incoming.count()
+    src = tmp_path / "incoming"
+    src.mkdir()
+    lines = [
+        json.dumps({"doc_id": r.doc_id, "text": r.text, "lang": "en",
+                    "source": "sX", "n_chars": len(r.text)})
+        for r in incoming.collect()
+    ]
+    (src / "batch0.json").write_text("\n".join(lines[:20]))
+    (src / "batch1.json").write_text("\n".join(lines[20:]))
+
+    out = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_containment_score(spark, str(src), eval_docs, out, ckpt)
+    streamed = {
+        r.doc_id: round(r.max_containment, 6)
+        for r in spark.read.parquet(out).collect()
+    }
+    scored = C.containment_contamination(incoming, eval_docs)
+    batch = {
+        r.doc_id: round(
+            r.max_containment if r.max_containment is not None else 0.0, 6
+        )
+        for r in incoming.join(scored, "doc_id", "left")
+        .select("doc_id", "max_containment")
+        .collect()
+    }
+    assert streamed == batch and len(streamed) == n_incoming
+
+    # replay is a no-op under the checkpoint
+    streaming_containment_score(spark, str(src), eval_docs, out, ckpt)
+    assert spark.read.parquet(out).count() == n_incoming
+
+
 def test_select_within_budget_exact_boundary(spark):
     docs = spark.createDataFrame(
         [(1, "a", 30), (2, "a", 20), (3, "a", 10), (4, "b", 100)],

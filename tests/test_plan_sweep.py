@@ -154,3 +154,30 @@ def test_no_cartesian_or_python_udf_in_any_registry_plan(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
     assert not failures, "\n".join(failures)
+
+
+def test_no_element_at_over_computed_hof_in_committed_plans():
+    """The InferFiltersFromGenerate / alias-inline signature (DESIGN.md
+    r14): ``element_at(<filter|transform|aggregate>(...), i)`` in a plan
+    means a COMPUTED array was substituted into a per-element access —
+    the whole producing chain re-evaluates per element (O(n²) per row;
+    the CDC row ran 66.7 s instead of 2.6 s at sf0.1). Healthy plans
+    only ever apply element_at to attributes. Sweeps the committed
+    BENCH_PLANTEXT.json so the guard covers every bench row's actual
+    optimized plan, not a re-derivation."""
+    import json
+    import re
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "BENCH_PLANTEXT.json"
+    plans = json.loads(path.read_text())
+    pat = re.compile(r"element_at\((?:filter|transform|aggregate)\(")
+    bad = {
+        name: len(pat.findall(txt))
+        for name, txt in plans.items()
+        if isinstance(txt, str) and pat.search(txt)
+    }
+    assert not bad, (
+        f"computed-array element_at in plans (per-element re-evaluation "
+        f"blowup — see DESIGN.md r14 Catalyst trap): {bad}"
+    )

@@ -1445,6 +1445,55 @@ def test_sig_match_estimate_counts_matched_positions(spark):
     assert got == 0.5
 
 
+def test_cdc_boundaries_match_python_reference(spark):
+    """Differential pin of the gear rolling hash: an independent pure-
+    Python fold (md5 gear mod 2^31−1, windowed left fold ×31) computes
+    each random doc's boundary count and chunk reassembly; on an
+    all-unique corpus cdc_chunk_dedup must report exactly that
+    n_chunks with full-identity reassembly (n_kept == n_chunks,
+    new_text == text)."""
+    import hashlib
+    import random
+
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        CDC_HASH_BASE,
+        CDC_HASH_MOD,
+        cdc_chunk_dedup,
+    )
+
+    window, divisor = 4, 8
+
+    def gear(tok: str) -> int:
+        h = hashlib.md5(f"0:{tok}".encode()).hexdigest()[:15]
+        return int(h, 16) % CDC_HASH_MOD
+
+    def n_chunks_py(toks: list[str]) -> int:
+        g = [gear(t) for t in toks]
+        n = 0
+        for i in range(1, len(g) + 1):
+            acc = 0
+            for v in g[max(0, i - window) : i]:
+                acc = (acc * CDC_HASH_BASE + v) % CDC_HASH_MOD
+            if acc % divisor == 0 or i == len(g):
+                n += 1
+        return n
+
+    rng = random.Random(1414)
+    rows, expected = [], {}
+    for d in range(25):
+        # doc-unique token universe => no cross-doc chunk dedup
+        toks = [f"d{d}_w{rng.randrange(50)}" for _ in range(rng.randrange(1, 120))]
+        rows.append((d, " ".join(toks)))
+        expected[d] = n_chunks_py(toks)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in cdc_chunk_dedup(docs).collect()}
+    texts = dict(rows)
+    for d, exp in expected.items():
+        assert got[d].n_chunks == exp, f"doc {d}: {got[d].n_chunks} != {exp}"
+        assert got[d].n_kept == exp
+        assert got[d].new_text == texts[d]
+
+
 def test_cdc_chunks_realign_after_insertion(spark):
     """THE property content-defined chunking exists for: inserting one
     token near the front of a duplicated document re-aligns the chunk

@@ -198,6 +198,7 @@ HEADLINE = [
     "dedup_minhash_maintenance",  # store lifecycle + re-cluster rebuild
     "dedup_cdc_rebuild",  # content-defined chunk boundaries + keep-first
     "dedup_cluster_source_profile",  # cross-source near-dup matrix
+    "knn_ivf_rebalanced",  # IVF drift-then-retrain maintenance lifecycle
 ]
 
 

@@ -1381,6 +1381,97 @@ def compact_ivf_index(spark, path: str) -> tuple[int, int]:
     return before, _count_files()
 
 
+def rebalance_ivf_index(
+    spark,
+    path: str,
+    *,
+    train_iters: int = 3,
+    portable: bool = False,
+    round_dp: int = 6,
+    max_queries: int = 100,
+    coarse_probe: int | None | str = "auto",
+) -> None:
+    """Maintenance rebalance of a persisted IVF index FROM ITS OWN STORED
+    VECTORS — the centroid-drift closer ``ivf_index_append`` defers to
+    "re-run build on a schedule": appended batches are assigned to the
+    FROZEN centroids, so list populations skew as the corpus grows and
+    the probe's worst case (its biggest list) degrades. This operator
+    re-trains the coarse quantizer with ``train_iters`` Lloyd's
+    iterations over the vectors already IN the store (``assignments``
+    carries emb/nrm), re-assigns every stored vector, and rewrites the
+    three tables in place — a rebalance never re-reads the corpus table
+    (the ``rebuild_minhash_index`` contract: at scale the raw corpus has
+    moved on; the index is self-contained).
+
+    ``portable=True`` trains with ``kmeans_fit_portable`` (the
+    6dp-rounded fixed-iteration trajectory) instead of the production
+    ``kmeans_fit`` — the DuckDB-replayable path the oracle-backed
+    registry row uses: after build(old corpus) → append(new batch) →
+    rebalance, probing the store must equal the one-shot trained pipeline
+    over the UNION (``knn_ivf_rebalanced`` pins it against
+    ``ORACLE_KNN_IVF_TRAINED`` verbatim).
+
+    Rewrite idiom matches ``compact_ivf_index``: localCheckpoint cuts
+    lineage from the directories being overwritten; at deployment scale
+    the same flow writes a versioned directory and flips a pointer."""
+    stored = (
+        spark.read.parquet(f"{path}/assignments")
+        .select("vec_id", "emb")
+        .localCheckpoint()
+    )
+    n_lists = spark.read.parquet(f"{path}/centroids").count()
+    if coarse_probe == "auto":
+        coarse_probe = (
+            IVF_TWO_LEVEL_AUTO_PROBE
+            if n_lists >= IVF_TWO_LEVEL_AUTO_NLISTS
+            else None
+        )
+    if portable:
+        from pyspark_etl_twitter_spark.operators.clustering import (
+            kmeans_fit_portable,
+        )
+
+        cents = kmeans_fit_portable(
+            stored,
+            int(n_lists),
+            vec_col="emb",
+            iters=train_iters,
+            round_dp=round_dp,
+        )
+        assignments, centroids = ivf_assignments(
+            stored,
+            vec_col="emb",
+            n_lists=int(n_lists),
+            centroid_vectors=cents,
+            coarse_probe=coarse_probe,
+        )
+    else:
+        assignments, centroids = ivf_assignments(
+            stored,
+            vec_col="emb",
+            n_lists=int(n_lists),
+            train_iters=train_iters,
+            coarse_probe=coarse_probe,
+        )
+    assignments = assignments.persist()
+    try:
+        assignments.repartition("list_id").write.mode("overwrite").partitionBy(
+            "list_id"
+        ).parquet(f"{path}/assignments")
+        centroids.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/centroids"
+        )
+        assignments.filter(F.col("vec_id") < max_queries).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/queries")
+    finally:
+        assignments.unpersist()
+    for sub in ("assignments", "centroids", "queries"):
+        spark.catalog.refreshByPath(f"{path}/{sub}")
+
+
 def ann_mrr(approx: DataFrame, exact: DataFrame, *, k: int = 5) -> DataFrame:
     """Mean reciprocal rank of each query's TRUE nearest neighbor within
     the approximate top-``k``: 1/position if the exact rank-1 neighbor

@@ -58,6 +58,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_ann_lsh_high_recall": T.knn_ann_lsh_high_recall,
     "knn_ivf": T.knn_ivf,
     "knn_ivf_trained": T.knn_ivf_trained,
+    "knn_ivf_rebalanced": T.knn_ivf_rebalanced,
     "knn_pq_adc": T.knn_pq_adc,
     "knn_ivfpq": T.knn_ivfpq,
     "knn_pq_indexed": T.knn_pq_indexed,
@@ -391,6 +392,7 @@ ORACLES: dict[str, str] = {
     "knn_ann_lsh_high_recall": T.ORACLE_KNN_ANN_LSH_HIGH_RECALL,
     "knn_ivf": T.ORACLE_KNN_IVF,
     "knn_ivf_trained": T.ORACLE_KNN_IVF_TRAINED,
+    "knn_ivf_rebalanced": T.ORACLE_KNN_IVF_TRAINED,
     "knn_pq_adc": T.ORACLE_KNN_PQ_ADC,
     "knn_ivfpq": T.ORACLE_KNN_IVFPQ,
     "knn_pq_indexed": T.ORACLE_KNN_PQ_INDEXED,
@@ -547,19 +549,20 @@ ORACLES: dict[str, str] = {
 # reordered to the front of QUERIES at import time. After r13 the
 # staleness distribution of newest driver rows was
 # {r13: 50, r12: 50, r11: 50, r10: 50, r9: 13} plus one never-windowed
-# r13 row (zipf_by_source). This window takes all five never-checked
-# rows (four new-in-r14: containment_decontaminate_counts,
-# dedup_cluster_source_profile, dedup_minhash_maintenance,
-# dedup_cdc_rebuild; plus zipf_by_source), ALL thirteen remaining r9
-# rows (the alphabetical tail the r13 window could not fit), and the 32
-# alphabetically-first r10 rows — the eighteen alphabetical-tail r10
-# rows (sentiment_classes .. winsorized_price_stats) rotate in r15,
-# which brings max staleness to r10. One slot (semdedup_fast_summary)
-# is rows-only by design (the documented BLAS kernel; its fold twin
-# semdedup_cluster_summary is hash-verified in the same window).
+# r13 row (zipf_by_source). This window takes all six never-checked
+# rows (five new-in-r14: containment_decontaminate_counts,
+# dedup_cluster_source_profile, knn_ivf_rebalanced,
+# dedup_minhash_maintenance, dedup_cdc_rebuild; plus zipf_by_source),
+# ALL thirteen remaining r9 rows (the alphabetical tail the r13 window
+# could not fit), and the 31 alphabetically-first r10 rows — the
+# nineteen remaining r10 rows (semdedup_fast_summary, whose scheduled
+# rows-only refresh a hash-verifiable never-checked row outranks, plus
+# sentiment_classes .. winsorized_price_stats) rotate in r15, which
+# brings max staleness to r10. Every slot is oracle-backed.
 ROUND14_WINDOW: list[str] = [
     "containment_decontaminate_counts",
     "dedup_cluster_source_profile",
+    "knn_ivf_rebalanced",
     "dedup_minhash_maintenance",
     "dedup_cdc_rebuild",
     "zipf_by_source",
@@ -607,7 +610,6 @@ ROUND14_WINDOW: list[str] = [
     "semantic_near_dup_pairs",
     "semantic_prune_by_centroid",
     "semdedup_cluster_summary",
-    "semdedup_fast_summary",
 ]
 
 _win = set(ROUND14_WINDOW)

@@ -1491,6 +1491,38 @@ SELECT q_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
 ORACLE_KNN_IVF_TRAINED = _ivf_trained_oracle()
 
 
+def knn_ivf_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF maintenance lifecycle, the drift-then-retrain story
+    ``ivf_index_append`` defers to: build the index UNTRAINED on the
+    'old corpus' (the lower 80% of vec_ids), append the 'new arrivals'
+    (upper 20%) under the frozen stale centroids, then
+    ``rebalance_ivf_index(portable=True)`` — portable Lloyd's re-trained
+    over the STORE's own vectors (never the corpus table), every stored
+    vector re-assigned, all three tables rewritten in place — and probe.
+    The oracle is ``ORACLE_KNN_IVF_TRAINED`` VERBATIM: the store holds
+    exactly the union, so rebalance-after-append must be
+    hash-indistinguishable from the one-shot trained pipeline over the
+    full table — the equality that makes the rebalance load-bearing
+    (an untrained or skipped rebalance probes differently and goes
+    red)."""
+    import tempfile
+    from pathlib import Path
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cut = max(_IVFT_LISTS, (n * 4) // 5)
+    corpus = emb.filter(F.col("vec_id") < cut)
+    batch = emb.filter(F.col("vec_id") >= cut)
+    base = Path(tempfile.gettempdir()) / "spark_graft_idx"
+    path = str(base / f"ivf_rebal_{Path(sf_dir).name}")
+    S.build_ivf_index(corpus, path, n_lists=_IVFT_LISTS)
+    S.ivf_index_append(spark, path, batch)
+    S.rebalance_ivf_index(
+        spark, path, train_iters=_IVFT_ITERS, portable=True
+    )
+    return S.ivf_probe_indexed(spark, path)
+
+
 ORACLE_KNN_IVF = """
 WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,

@@ -126,6 +126,7 @@ SKIP = {
                                   # builds execute bounded actions
     "dedup_incremental_minhash",  # build_minhash_index writes during build
     "dedup_minhash_maintenance",  # build+append+rebuild write during build
+    "knn_ivf_rebalanced",         # build+append+rebalance write during build
     "leakage_safe_split_counts",  # duplicate_clusters CC executes in build
     "kcore_suppliers",            # per-3-round localCheckpoints execute
 }

@@ -5,16 +5,15 @@ dict order is load-bearing. Rotation is declarative since round 9:
 ``registry.ROUND14_WINDOW`` is reordered to the front of ``QUERIES`` at
 import time and these tests pin its composition.
 
-Round-14 rule (r13 verdict ask #2): the window is the five never-
+Round-14 rule (r13 verdict ask #2): the window is the six never-
 driver-checked rows (new-in-r14 containment_decontaminate_counts,
-dedup_cluster_source_profile, dedup_minhash_maintenance and
-dedup_cdc_rebuild, plus zipf_by_source — new in r13 but never windowed)
-plus ALL thirteen remaining r9 rows plus the 32 alphabetically-first
-r10 rows — max staleness after r14 is r10 on exactly the eighteen
-alphabetical-tail r10 rows (sentiment_classes through
-winsorized_price_stats), which rotate first in r15. One slot
-(semdedup_fast_summary) is rows-only by design (the documented BLAS
-kernel; its fold twin is hash-verified in the same window).
+dedup_cluster_source_profile, knn_ivf_rebalanced,
+dedup_minhash_maintenance and dedup_cdc_rebuild, plus zipf_by_source —
+new in r13 but never windowed) plus ALL thirteen remaining r9 rows plus
+the 31 alphabetically-first r10 rows — max staleness after r14 is r10
+on the nineteen remaining r10 rows (semdedup_fast_summary plus
+sentiment_classes through winsorized_price_stats), which rotate first
+in r15. Every slot is oracle-backed.
 """
 
 import pytest
@@ -59,18 +58,18 @@ def test_window_is_the_declared_rotation():
 
 
 def test_window_composition_r14():
-    """49 of 50 slots oracle-backed; the one rows-only slot is exactly
-    semdedup_fast_summary taking its scheduled r10 refresh (the
-    documented BLAS kernel — the driver records rows; its fold twin
-    semdedup_cluster_summary is hash-verified in this same window). The
-    5 never-driver-checked rows (4 new in r14, plus zipf_by_source) lead
-    the window and carry FULL oracles."""
+    """ALL 50 slots oracle-backed (the late knn_ivf_rebalanced addition
+    displaced semdedup_fast_summary's scheduled rows-only refresh to the
+    r15 rotation — a hash-verifiable never-checked row outranks a
+    rows-only re-validation). The 6 never-driver-checked rows (5 new in
+    r14, plus zipf_by_source) lead the window and carry FULL oracles."""
     window = list(QUERIES)[:DRIVER_WINDOW]
-    assert set(window) & ROWS_ONLY_BY_DESIGN == {"semdedup_fast_summary"}
-    assert all(k in ORACLES for k in window if k not in ROWS_ONLY_BY_DESIGN)
-    assert window[:5] == [
+    assert set(window) & ROWS_ONLY_BY_DESIGN == set()
+    assert all(k in ORACLES for k in window)
+    assert window[:6] == [
         "containment_decontaminate_counts",
         "dedup_cluster_source_profile",
+        "knn_ivf_rebalanced",
         "dedup_minhash_maintenance",
         "dedup_cdc_rebuild",
         "zipf_by_source",

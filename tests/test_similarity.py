@@ -441,6 +441,69 @@ def test_compact_ivf_index_preserves_probes(spark, tmp_path):
     assert got == want
 
 
+def test_rebalance_ivf_index_equals_fresh_trained_build(spark, tmp_path):
+    """The maintenance-equality contract: build UNTRAINED on the old
+    corpus, append the new arrivals under the stale centroids, then
+    ``rebalance_ivf_index(portable=True)`` — probing the rebalanced
+    store must equal probing a FRESH portable-trained index built
+    one-shot over the union (the store holds exactly the union, and the
+    rebalance re-trains from the store's own vectors, never the corpus
+    table). Also pins that the rebalance is load-bearing: the centroid
+    table actually changes (trained means replace the raw seed
+    vectors)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_etl_twitter_spark.operators.clustering import (
+        kmeans_fit_portable,
+    )
+    from pyspark_etl_twitter_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_assignments,
+        ivf_index_append,
+        ivf_probe_indexed,
+        rebalance_ivf_index,
+        _ivf_probe,
+    )
+    from pyspark_etl_twitter_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    cut = max(16, (n * 4) // 5)
+    corpus = emb.filter(F.col("vec_id") < cut)
+    batch = emb.filter(F.col("vec_id") >= cut)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(corpus, idx, n_lists=16)
+    ivf_index_append(spark, idx, batch)
+    cent_before = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/centroids").collect())
+    )
+    rebalance_ivf_index(spark, idx, train_iters=2, portable=True)
+    cent_after = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/centroids").collect())
+    )
+    assert cent_after != cent_before  # the retrain actually moved centroids
+    got = sorted(map(tuple, ivf_probe_indexed(spark, idx).collect()))
+
+    cents = kmeans_fit_portable(emb, 16, iters=2)
+    assignments, centroids = ivf_assignments(
+        emb, n_lists=16, centroid_vectors=cents
+    )
+    queries = assignments.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            _ivf_probe(
+                assignments, centroids, queries, k=5, n_probe=4, round_dp=6
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_mrr_and_ndcg_hand_computed(spark):
     """MRR and nDCG@k against hand-computed values on a tiny fixture,
     plus the identity cases (exact vs itself = 1.0)."""

@@ -567,7 +567,7 @@ def minhash_index_append(
        ``sigs/``) — candidates estimating < threshold − est_slack are
        dropped BEFORE any term fetch, so the exact verify joins only
        plausible pairs. The default slack (0.1875 → cutoff 5/16 at the
-       registry parameters) sits one signature quantum below the floor a
+       registry parameters) sits one signature quantum above the floor a
        single band collision guarantees (rows/num_hashes = 4/16), so it
        prunes only pairs with no agreement beyond their colliding band;
        a pair with true J ≥ threshold estimating below the cutoff is a

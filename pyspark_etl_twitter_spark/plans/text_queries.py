@@ -226,7 +226,7 @@ _PMH_BANDS = 4
 _PMH_STAR = 64
 _PMH_THRESHOLD = 0.5
 #: append-probe signature-estimate slack: cutoff = threshold − slack =
-#: 5/16, one signature quantum below the 4/16 floor a single band
+#: 5/16, one signature quantum above the 4/16 floor a single band
 #: collision guarantees — prunes only pairs with no agreement beyond
 #: their colliding band (dedup.minhash_index_append step 3)
 _PMH_EST_SLACK = 0.1875

@@ -85,6 +85,33 @@ def test_oracles_all_have_query_entries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_doc_counts_match_live_registry():
+    """README.md and COVERAGE.md advertise registry totals; they drifted
+    in r14 (216/210 vs the live 219/213 — r14 verdict ask #6). Pin the
+    documented numbers to ``len(QUERIES)`` / ``len(ORACLES)`` so any new
+    row forces the doc update in the same commit."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    expect = (
+        f"{len(QUERIES)} queries, {len(ORACLES)} with DuckDB oracle twins"
+    )
+    for doc in ("README.md", "COVERAGE.md"):
+        text = (root / doc).read_text()
+        m = re.search(r"(\d+) queries, (\d+) with DuckDB oracle twins", text)
+        assert m, f"{doc} lost its registry-totals line"
+        assert m.group(0) == expect, (
+            f"{doc} says '{m.group(0)}' but the live registry is "
+            f"'{expect}' — update the doc"
+        )
+    cov = (root / "COVERAGE.md").read_text()
+    m = re.search(r"oracle twins, (\d+)\b", cov)
+    assert m and int(m.group(1)) == len(QUERIES) - len(ORACLES), (
+        "COVERAGE.md rows-only count drifted from the live registry"
+    )
+
+
 @pytest.mark.slow
 def test_window_outputs_are_driver_hashable(spark):
     """No ORACLE-BACKED window query may emit an array/map/struct column:

@@ -377,10 +377,43 @@ def main() -> None:
     # them) for the post-run fingerprint pass
     fp_thunks: dict[str, object] = {}
 
+    # ---- idle-container gate (r14 verdict ask #1) ----
+    # The r14 bench ran on a contended container (in-run plan-stable drift
+    # median 1.107, outliers to 5.8×) and the round's perf record was
+    # unusable as a round-over-round ruler. Before ANY timing, re-sample
+    # the two reference ops until two consecutive aggregate samples agree
+    # within 5% — a contended machine keeps scattering and never settles.
+    # On agreement failure the bench still RUNS (the driver contract needs
+    # its one JSON line) but idle_gate.ok=false is a loud flag in both
+    # artifacts, and the plan-stable outlier auto-rerun below gives every
+    # suspect row a second chance on whatever calm follows.
+    IDLE_GATE_TOL = 0.05
+    IDLE_GATE_MAX = 8
     canary_samples: list[tuple[float, float]] = []
+    bytecode_samples: list[float] = []
     canary_sample(spark)  # warmup, off the record
-    canary_samples += [canary_sample(spark) for _ in range(3)]
-    bytecode_samples: list[float] = [bytecode_canary_sample() for _ in range(3)]
+    idle_gate: dict = {"ok": False, "samples": []}
+    prev_s = None
+    for _try in range(IDLE_GATE_MAX):
+        s = canary_sample(spark)
+        canary_samples.append(s)
+        agg = s[0] + s[1]
+        idle_gate["samples"].append(round(agg, 3))
+        if prev_s is not None and abs(agg - prev_s) / min(agg, prev_s) <= IDLE_GATE_TOL:
+            idle_gate["ok"] = True
+            break
+        prev_s = agg
+    if not idle_gate["ok"]:
+        print(
+            f"bench: IDLE GATE FAILED — {IDLE_GATE_MAX} consecutive canary "
+            f"samples never agreed within {IDLE_GATE_TOL:.0%} "
+            f"({idle_gate['samples']}); container is contended, numbers "
+            "are low-confidence",
+            file=sys.stderr,
+        )
+    while len(canary_samples) < 3:  # canary_sec median keeps >= 6 samples
+        canary_samples.append(canary_sample(spark))
+    bytecode_samples += [bytecode_canary_sample() for _ in range(3)]
 
     # r11: streaming/stateful sections moved BEFORE the query gauntlet.
     # Measured run-position dependence with byte-identical streaming code:
@@ -446,9 +479,15 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # rows re-runnable by the plan-stable outlier pass (r14 verdict ask
+    # #1): every run_timed row qualifies — the thunk builds a fresh
+    # DataFrame from live state that outlives the fingerprint pass
+    rerun_thunks: dict[str, object] = {}
+
     def run_timed(name: str, thunk, *, n_warmup: int = None, n_reps: int = None) -> None:
         # Fault-isolated: one failing query records null and the run
         # continues — a single regression must never cost the whole bench.
+        rerun_thunks[name] = thunk
         try:
             for _ in range(warmup if n_warmup is None else n_warmup):
                 thunk().write.format("noop").mode("overwrite").save()
@@ -903,14 +942,11 @@ def main() -> None:
         # the amortized one-time build as cold-cache run minus the warm
         # median. ann_recall_planted has NO persisted side by design
         # (inline rungs over an in-plan fixture), documented in PLANS.md.
-        import tempfile as _tf
-        from pathlib import Path as _P
-
-        rep_root = (
-            _P(_tf.gettempdir())
-            / "spark_graft_idx"
-            / f"recall_v2_ivf16_lshdef_pq8x16_{_P(sf_dir).name}"
+        from pyspark_etl_twitter_spark.plans.text_queries import (
+            recall_report_index_root,
         )
+
+        rep_root = recall_report_index_root(spark, sf_dir)
         shutil.rmtree(rep_root, ignore_errors=True)
         t0 = time.perf_counter()
         QUERIES["ann_recall_report"](spark, sf_dir).write.format("noop").mode(
@@ -1023,8 +1059,6 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[f"fp:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
 
-    shutil.rmtree(bench_tmp, ignore_errors=True)
-
     repo = Path(__file__).resolve().parent
 
     # ---- two-sided drift normalizer (r10 verdict ask #3) ----
@@ -1044,9 +1078,11 @@ def main() -> None:
         prev_plans = json.loads(repo.joinpath("BENCH_PLANS.json").read_text())
     except (OSError, ValueError):
         prev_detail, prev_plans = {}, {}
-    if prev_detail.get("sf") == sf:
+    def _plan_stable_ratios() -> dict[str, float]:
+        if prev_detail.get("sf") != sf:
+            return {}
         prev_q = prev_detail.get("queries", {})
-        ratios: dict[str, float] = {}
+        out: dict[str, float] = {}
         for name, t in timings.items():
             pt = prev_q.get(name)
             if (
@@ -1056,27 +1092,78 @@ def main() -> None:
                 and name in fingerprints
                 and prev_plans.get(name) == fingerprints[name]
             ):
-                ratios[name] = t / pt
-        if ratios:
-            ordered = sorted(ratios.values())
-            n = len(ordered)
-            med = ordered[n // 2]
-            drift = {
-                "median_plan_stable_ratio": round(med, 3),
-                "n_plan_stable_rows": n,
-                "plan_stable_p25_p75": [
-                    round(ordered[n // 4], 3),
-                    round(ordered[(3 * n) // 4], 3),
-                ],
-                # rows moving >1.5× away from the cohort median in either
-                # direction — the per-run-scatter candidates the r10
-                # verdict asked to classify with two-sided data
-                "plan_stable_outliers": {
-                    k: round(v, 3)
-                    for k, v in sorted(ratios.items(), key=lambda kv: -kv[1])
-                    if v > 1.5 * med or v < med / 1.5
-                },
-            }
+                out[name] = t / pt
+        return out
+
+    def _drift_summary(ratios: dict[str, float]) -> dict:
+        if not ratios:
+            return {}
+        ordered = sorted(ratios.values())
+        n = len(ordered)
+        med = ordered[n // 2]
+        return {
+            "median_plan_stable_ratio": round(med, 3),
+            "n_plan_stable_rows": n,
+            "plan_stable_p25_p75": [
+                round(ordered[n // 4], 3),
+                round(ordered[(3 * n) // 4], 3),
+            ],
+            # rows moving >1.5× away from the cohort median in either
+            # direction — the per-run-scatter candidates the r10
+            # verdict asked to classify with two-sided data
+            "plan_stable_outliers": {
+                k: round(v, 3)
+                for k, v in sorted(ratios.items(), key=lambda kv: -kv[1])
+                if v > 1.5 * med or v < med / 1.5
+            },
+        }
+
+    ratios = _plan_stable_ratios()
+    drift = _drift_summary(ratios)
+
+    # ---- plan-stable outlier auto-rerun (r14 verdict ask #1) ----
+    # A row whose plan fingerprint is byte-identical to the previous
+    # committed run but whose time moved outside [0.8, 1.25]× was either
+    # hit by transient contention or is a genuine machine-state shift —
+    # re-time it (one re-warm rep first: the fingerprint pass cleared the
+    # SQL cache) and report the RE-measured median as the row's time, in
+    # BOTH directions. First-pass values are preserved in
+    # BENCH_DETAIL.queries_first_pass so nothing is hidden; reruns happen
+    # after the fingerprint pass so plan artifacts describe the same code.
+    RERUN_BAND = (0.8, 1.25)
+    queries_first_pass: dict[str, float] = {}
+    for name, ratio in sorted(ratios.items()):
+        if RERUN_BAND[0] <= ratio <= RERUN_BAND[1]:
+            continue
+        thunk = rerun_thunks.get(name)
+        if thunk is None:
+            continue
+        try:
+            thunk().write.format("noop").mode("overwrite").save()  # re-warm
+            ts = []
+            for _ in range(max(1, reps)):
+                t0 = time.perf_counter()
+                thunk().write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            queries_first_pass[name] = timings[name]
+            timings[name] = round(sorted(ts)[len(ts) // 2], 3)
+            print(
+                f"bench: rerun {name}: ratio {ratio:.2f} -> "
+                f"{timings[name]}s (first pass {queries_first_pass[name]}s)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors[f"rerun:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+    if queries_first_pass:
+        # recompute drift over the stabilized times
+        ratios = _plan_stable_ratios()
+        drift = _drift_summary(ratios)
+        if "media_decode_real_codec" in queries_first_pass and media_decode:
+            media_decode["rows_per_sec"] = round(
+                media_decode["rows"] / timings["media_decode_real_codec"], 1
+            )
+
+    shutil.rmtree(bench_tmp, ignore_errors=True)
 
     # committed artifacts describe the REAL bench (sf0.1) — a local
     # smoke run at a smaller sf must not clobber them (it silently
@@ -1104,6 +1191,9 @@ def main() -> None:
         "canary": canary,
         "value_canary_norm": round(total / canary["speed_ratio"], 3),
     }
+    detail["idle_gate"] = idle_gate
+    if queries_first_pass:
+        detail["queries_first_pass"] = queries_first_pass
     if drift:
         detail["drift"] = drift
     if recall:
@@ -1174,6 +1264,8 @@ def main() -> None:
         "value_canary_norm": detail["value_canary_norm"],
         "queries": slowest,  # 10 slowest; full table in BENCH_DETAIL.json
         "detail": "BENCH_DETAIL.json",
+        "idle_gate_ok": idle_gate["ok"],
+        "n_reruns": len(queries_first_pass),
     }
     if drift:
         out["median_plan_stable_ratio"] = drift["median_plan_stable_ratio"]

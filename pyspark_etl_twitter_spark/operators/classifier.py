@@ -70,6 +70,16 @@ def lr_train_portable(
     sums per doc; the gradient pass partial-agg sums per bucket — both
     exchanges carry one row per (doc) / (bucket), never the corpus ×
     dim. N (the gradient divisor) is a count, not a collect."""
+    # NOTE (r15, measured and deliberately NOT cached): every iteration
+    # uses feats twice (margin + gradient pass), so persisting the hashed
+    # feature rows looks like an obvious 6×→1× cut — but interleaved A/B
+    # at sf0.1 showed persist(MEMORY_AND_DISK) made the fused
+    # train+score row ~27% SLOWER in matched legs: materializing the
+    # exploded (doc, bucket, val) rows into block storage costs more
+    # than re-running the tokenize→md5 pipeline fused into each
+    # aggregate by whole-stage codegen (the recompute never materializes
+    # the explode). Guide §1.1's empirical loop beats the first-
+    # principles cut here.
     feats = _lr_features(docs, dim=dim, id_col=id_col, text_col=text_col)
     labels = docs.select(
         F.col(id_col).alias("doc_id"), F.col(label_col).cast("double").alias("y")

@@ -588,6 +588,20 @@ def bpe_train_portable(
                 ).alias("b")
             )
             .select(F.col("b.x").alias("bx"), F.col("b.y").alias("by"))
+            # checkpoint the ONE-ROW argmax (r15, guide §1.2 "don't
+            # compute things you throw away... twice"): without this,
+            # round r's pair-explode + two aggregates execute once inside
+            # the words-checkpoint job AND again when the returned merge
+            # list materializes (each step's subtree re-runs its whole
+            # window's fuse chain from the last words checkpoint) —
+            # measured ~2× the trajectory per call. With it every round's
+            # aggregate runs exactly once, the fuse reads a 1-row scan,
+            # and the returned plan is a union of 12 one-row checkpoint
+            # scans. Values are bit-identical (the checkpoint stores the
+            # deterministic argmax row); the distributed contract is
+            # intact — only the single (x, y) winner ever leaves the
+            # aggregate, and it stays on the executors.
+            .localCheckpoint()
         )
         words = words.crossJoin(F.broadcast(best)).select(
             F.when(

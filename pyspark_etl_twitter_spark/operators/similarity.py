@@ -724,16 +724,34 @@ def build_ivf_index(
     assignments = assignments.persist()
     try:
         # repartition on the partition column: one file per inverted list
-        # instead of one per (writer task × list) — see build_lsh_index
+        # instead of one per (writer task × list) — see build_lsh_index.
+        # The big assignments write runs first (it materializes the
+        # cache); the two tiny dependent writes then run as one
+        # concurrent wave over warm blocks (guide §2.6) — each small
+        # single-file write is scheduler-overhead-bound, so overlapping
+        # them halves the fixed tail cost.
+        from concurrent.futures import ThreadPoolExecutor
+
         assignments.repartition("list_id").write.mode("overwrite").partitionBy(
             "list_id"
         ).parquet(f"{path}/assignments")
-        centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-        assignments.filter(F.col("vec_id") < max_queries).select(
-            F.col("vec_id").alias("q_id"),
-            F.col("emb").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/queries")
+
+        def _w_centroids() -> None:
+            centroids.coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/centroids"
+            )
+
+        def _w_queries() -> None:
+            assignments.filter(F.col("vec_id") < max_queries).select(
+                F.col("vec_id").alias("q_id"),
+                F.col("emb").alias("q_emb"),
+                F.col("nrm").alias("q_nrm"),
+            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/queries")
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [pool.submit(fn) for fn in (_w_centroids, _w_queries)]
+            for fut in futures:
+                fut.result()
     finally:
         assignments.unpersist()
 
@@ -1455,17 +1473,30 @@ def rebalance_ivf_index(
         )
     assignments = assignments.persist()
     try:
+        # big write first (materializes the cache), then the two tiny
+        # dependent writes as one concurrent wave — see build_ivf_index
+        from concurrent.futures import ThreadPoolExecutor
+
         assignments.repartition("list_id").write.mode("overwrite").partitionBy(
             "list_id"
         ).parquet(f"{path}/assignments")
-        centroids.coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/centroids"
-        )
-        assignments.filter(F.col("vec_id") < max_queries).select(
-            F.col("vec_id").alias("q_id"),
-            F.col("emb").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/queries")
+
+        def _w_centroids() -> None:
+            centroids.coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/centroids"
+            )
+
+        def _w_queries() -> None:
+            assignments.filter(F.col("vec_id") < max_queries).select(
+                F.col("vec_id").alias("q_id"),
+                F.col("emb").alias("q_emb"),
+                F.col("nrm").alias("q_nrm"),
+            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/queries")
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [pool.submit(fn) for fn in (_w_centroids, _w_queries)]
+            for fut in futures:
+                fut.result()
     finally:
         assignments.unpersist()
     for sub in ("assignments", "centroids", "queries"):

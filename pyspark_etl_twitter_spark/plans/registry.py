@@ -559,69 +559,78 @@ ORACLES: dict[str, str] = {
 # rows-only refresh a hash-verifiable never-checked row outranks, plus
 # sentiment_classes .. winsorized_price_stats) rotate in r15, which
 # brings max staleness to r10. Every slot is oracle-backed.
-ROUND14_WINDOW: list[str] = [
-    "containment_decontaminate_counts",
-    "dedup_cluster_source_profile",
-    "knn_ivf_rebalanced",
-    "dedup_minhash_maintenance",
-    "dedup_cdc_rebuild",
-    "zipf_by_source",
-    "pricing_summary",
-    "profile_orders_columns",
-    "quality_gate_by_source",
-    "referential_integrity_audit",
-    "repeated_spans_top",
-    "repetition_stats",
-    "resample_ffill_hourly",
-    "rolling_1h_event_stats",
-    "running_revenue_by_supplier",
-    "semi_join_customers",
-    "snapshot_diff_counts",
-    "top_revenue_orders",
-    "weekly_revenue_wow",
-    "asof_forward_next_click",
-    "bigram_lm_quality_by_source",
-    "bloom_decontaminate_counts",
-    "bloom_join_urgent_revenue",
-    "chunk_documents_64",
-    "cohort_retention_weekly",
-    "curation_pipeline_counts",
-    "customers_above_nation_avg",
-    "dedup_keep_canonical",
-    "dedup_minhash_portable_pairs",
-    "dedup_normalized_summary",
-    "dedup_segments_rebuild",
-    "doc_length_histogram",
-    "epoch_shuffle_head",
-    "fuzzy_part_name_pairs",
-    "graph_degree_histogram",
-    "graph_triangles_per_node",
-    "kmeans_cluster_sizes",
-    "minmax_by_orders",
-    "null_safe_join_segments",
-    "outlier_events_by_type",
-    "percentile_window_customers",
-    "resample_interpolate_hourly",
-    "revenue_by_nation",
-    "running_revenue_chunked",
-    "salted_join_brand_revenue",
-    "script_profile_by_source",
-    "semantic_dedup_survivors",
-    "semantic_near_dup_pairs",
-    "semantic_prune_by_centroid",
-    "semdedup_cluster_summary",
+# ROUND-15 WINDOW (r14 verdict ask #2): the 19 rows whose newest driver
+# hash is r10 — the staleness-histogram tail, including
+# semdedup_fast_summary's twice-displaced rows-only refresh (the ONE
+# sanctioned rows-only slot this round; every other slot is
+# oracle-backed) — then the 31 alphabetically-first oracle-backed r11
+# rows. Max staleness after r15 is r11 on the 19 remaining r11 rows.
+ROUND15_WINDOW: list[str] = [
+    # r10 cohort (19)
+    "semdedup_fast_summary",
+    "sentiment_classes",
+    "sentiment_weights_head",
+    "session_conversion_rate",
+    "sessionize_events",
+    "sessionize_events_chunked",
+    "stats_aggregates_lineitem",
+    "stratified_exact_n_docs",
+    "temperature_mix_counts",
+    "text_embedding_near_dup",
+    "text_quality_by_source",
+    "text_semantic_dedup_survivors",
+    "token_counts",
+    "topk_orders_per_customer",
+    "tpch_q18_large_volume_customers",
+    "tpch_q20_excess_stock",
+    "tpch_q21_waiting_suppliers",
+    "weighted_sample_by_length",
+    "winsorized_price_stats",
+    # r11 cohort, alphabetically first 31 oracle-backed rows
+    # (bpe_tokens_by_source is rows-only by design and stays in the tail)
+    "anti_join_customers",
+    "approx_distinct_portable",
+    "array_funcs_documents",
+    "asof_nearest_click",
+    "bigram_profile_top",
+    "chunk_documents_overlap_64",
+    "cube_quantity",
+    "date_arithmetic_orders",
+    "date_funcs_orders",
+    "dedup_jaccard_pairs",
+    "distinct_counts",
+    "dsir_gumbel_counts",
+    "dsir_selected_counts",
+    "dsir_weights_by_source",
+    "embedding_centroids_by_label",
+    "embedding_norm_stats",
+    "encoded_docs",
+    "gopher_rules_by_source",
+    "knn_ivfpq",
+    "knn_pq_adc",
+    "knn_pq_trained",
+    "knn_sq8",
+    "mmr_diversified_topk",
+    "pagerank_suppliers",
+    "quality_lr_scores_by_source",
+    "quality_lr_weights",
+    "semdedup_ivf_summary",
+    "top_terms_per_doc",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_latency_priority",
 ]
 
-_win = set(ROUND14_WINDOW)
+_win = set(ROUND15_WINDOW)
 # explicit raise, not assert: a module-level assert is stripped under
 # `python -O`, and a malformed window would then silently corrupt the
 # QUERIES ordering the driver's correctness gate depends on (r9 ADVICE)
-if len(ROUND14_WINDOW) != 50 or len(_win) != 50 or not _win <= set(QUERIES):
+if len(ROUND15_WINDOW) != 50 or len(_win) != 50 or not _win <= set(QUERIES):
     raise ValueError(
-        "window/registry drift: ROUND14_WINDOW must be 50 distinct "
-        f"registry keys (got {len(ROUND14_WINDOW)} entries, "
+        "window/registry drift: ROUND15_WINDOW must be 50 distinct "
+        f"registry keys (got {len(ROUND15_WINDOW)} entries, "
         f"{len(_win)} distinct, unknown={sorted(_win - set(QUERIES))})"
     )
-QUERIES = {k: QUERIES[k] for k in ROUND14_WINDOW} | {
+QUERIES = {k: QUERIES[k] for k in ROUND15_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in _win
 }

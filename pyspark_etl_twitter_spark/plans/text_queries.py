@@ -3645,6 +3645,26 @@ SELECT q_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
 ORACLE_KNN_RP_TOPK = _rp_topk_oracle()
 
 
+def recall_report_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """The scoreboard's per-application index-cache root. Build params are
+    part of the path (a parameter change can never probe a stale cache; v2
+    retired the pre-cache layout); the applicationId suffix scopes the
+    cache to ONE Spark process, so repeated ``ann_recall_report`` calls in
+    a session amortize the builds while a fresh bench/oracle invocation
+    always recomputes from the parquet inputs."""
+    import tempfile
+    from pathlib import Path
+
+    base = Path(tempfile.gettempdir()) / "spark_graft_idx"
+    return str(
+        base
+        / (
+            f"recall_v2_ivf16_lshdef_pq8x16_{Path(sf_dir).name}"
+            f"_{spark.sparkContext.applicationId}"
+        )
+    )
+
+
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-verified ANN quality SCOREBOARD: recall@5 of every
     deterministic approximate rung (LSH, IVF, JL random projection, SQ8,
@@ -3662,9 +3682,6 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_similarity_pq.py), so the oracle is unchanged and the hashes
     must not move. SQ8 and RP stay inline (no persisted form: SQ8's
     range pass is one scan, RP is a projection)."""
-    import tempfile
-    from pathlib import Path
-
     from pyspark_etl_twitter_spark.operators.similarity import (
         build_ivf_index,
         build_lsh_index,
@@ -3675,10 +3692,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    base = Path(tempfile.gettempdir()) / "spark_graft_idx"
-    # params are part of the path: a build-parameter change can never
-    # probe a stale cache (v2 retires the pre-cache layout)
-    root = str(base / f"recall_v2_ivf16_lshdef_pq8x16_{Path(sf_dir).name}")
+    root = recall_report_index_root(spark, sf_dir)
 
     def _ensure(sentinel: str, builder) -> None:
         # index-CACHE semantics — the production shape this scoreboard
@@ -3687,7 +3701,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # first-k centroids / first-16 codebooks + exact parquet
         # round-trips), so a cached index is bit-identical to a rebuild
         # (pinned by the indexed≡one-shot tests); reuse turns this row's
-        # recurring cost into probe-only. The sentinel is each layout's
+        # recurring cost into probe-only WITHIN one Spark application.
+        # The cache is applicationId-scoped (r15): a fresh process always
+        # rebuilds from the parquet inputs — nothing persists between
+        # bench/oracle invocations (the optimization-round no-cross-run-
+        # caching rule); the bench separately reports the cold build cost
+        # in build_probe_split. The sentinel is each layout's
         # LAST-written table, so a crashed partial build always rebuilds.
         try:
             spark.read.parquet(f"{root}/{sentinel}").first()

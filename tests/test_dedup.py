@@ -1374,13 +1374,16 @@ def test_minhash_torn_append_replay_is_repaired(spark, tmp_path):
     """Crash-consistency contract (r13 ADVICE, medium): texts/ is the
     commit surface written LAST — a crash after the bands/sigs/terms
     appends leaves orphan rows whose ids the replayed epoch re-processes.
-    The replay must see the pre-crash store (batch-id anti-join +
-    defensive dropDuplicates), produce the same survivors, and leave a
-    store whose LOGICAL contents match a clean single append; compaction
-    physically removes the duplicated rows."""
+    The replay must see the pre-crash store (dirty-path commit-surface
+    semi-join + defensive dropDuplicates), produce the same survivors,
+    and leave a store whose LOGICAL contents match a clean single append;
+    compaction physically removes the duplicated rows."""
+    import os
     import shutil
 
     from pyspark_etl_twitter_spark.operators.dedup import (
+        _mh_is_clean,
+        _mh_marker,
         build_minhash_index,
         compact_minhash_index,
         minhash_index_append,
@@ -1390,14 +1393,19 @@ def test_minhash_torn_append_replay_is_repaired(spark, tmp_path):
     kw = _mh_index_kw()
     path = str(tmp_path / "idx")
     build_minhash_index(corpus, path, **kw)
+    assert _mh_is_clean(path)  # fresh build commits the clean marker
     # snapshot the commit surface, then 'crash' right before it commits:
-    # run a full append and roll texts/ back to the snapshot
+    # run a full append and roll texts/ back to the snapshot. A real
+    # crash happens AFTER the append cleared the marker and BEFORE it
+    # re-set it, so the simulated torn store must have no marker either.
     shutil.copytree(f"{path}/texts", str(tmp_path / "texts_snap"))
     first = sorted(
         r.doc_id for r in minhash_index_append(spark, path, batch).collect()
     )
     shutil.rmtree(f"{path}/texts")
     shutil.copytree(str(tmp_path / "texts_snap"), f"{path}/texts")
+    os.unlink(_mh_marker(path))
+    assert not _mh_is_clean(path)
 
     # replay the same batch against the torn store
     again = sorted(
@@ -1415,13 +1423,17 @@ def test_minhash_torn_append_replay_is_repaired(spark, tmp_path):
         }
         assert rows(path) == rows(clean), sub
 
-    # the torn store carries physical duplicates until compaction
+    # a dirty-started append leaves the store dirty (physical residue
+    # remains); the torn store carries physical duplicates until
+    # compaction, which removes them and restores the clean marker
+    assert not _mh_is_clean(path)
     n_dup = (
         spark.read.parquet(f"{path}/bands").count()
         - spark.read.parquet(f"{path}/bands").distinct().count()
     )
     assert n_dup > 0
     compact_minhash_index(spark, path)
+    assert _mh_is_clean(path)
     b = spark.read.parquet(f"{path}/bands")
     assert b.count() == b.distinct().count()
 
@@ -1430,6 +1442,112 @@ def test_minhash_torn_append_replay_is_repaired(spark, tmp_path):
         [(500, "d1 d2 d3 d4 d5 d6 d7 d8 d9 z5")], "doc_id long, text string"
     )
     assert minhash_index_append(spark, path, probe).count() == 0
+
+
+def _tear_append(spark, tmp_path, path, batch):
+    """Run a full append then roll texts/ back and drop the clean marker —
+    the state a crash right before the texts/ commit leaves behind."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        _mh_marker,
+        minhash_index_append,
+    )
+
+    snap = str(tmp_path / f"texts_snap_{uuid.uuid4().hex[:8]}")
+    shutil.copytree(f"{path}/texts", snap)
+    minhash_index_append(spark, path, batch)
+    shutil.rmtree(f"{path}/texts")
+    shutil.copytree(snap, f"{path}/texts")
+    if os.path.exists(_mh_marker(path)):
+        os.unlink(_mh_marker(path))
+
+
+def test_minhash_torn_append_orphan_never_drops_later_batch(spark, tmp_path):
+    """r14 ADVICE (medium): an orphan of a torn append must never act as
+    an indexed partner for a DIFFERENT later batch — without the
+    commit-surface guard the later doc is dropped as the orphan's
+    near-dup while the orphan's text was never committed, losing the
+    content on BOTH sides. With the guard the later doc survives; the
+    eventual replay of the crashed batch then near-dups against it and
+    is dropped, so the content lands exactly once."""
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_append,
+    )
+
+    corpus, _ = _mh_fixture(spark)
+    kw = _mh_index_kw()
+    path = str(tmp_path / "idx")
+    build_minhash_index(corpus, path, **kw)
+    batch_x = spark.createDataFrame(
+        [(110, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10")], "doc_id long, text string"
+    )
+    _tear_append(spark, tmp_path, path, batch_x)
+
+    # a DIFFERENT batch whose doc near-dups the orphan's text (9/11
+    # unigram Jaccard) must SURVIVE: the orphan is not committed
+    batch_y = spark.createDataFrame(
+        [(200, "d1 d2 d3 d4 d5 d6 d7 d8 d9 z9")], "doc_id long, text string"
+    )
+    surv_y = sorted(
+        r.doc_id for r in minhash_index_append(spark, path, batch_y).collect()
+    )
+    assert surv_y == [200]
+    texts = {
+        r.doc_id for r in spark.read.parquet(f"{path}/texts").collect()
+    }
+    assert 200 in texts and 110 not in texts
+
+    # the crashed batch's replay now near-dups the committed 200 -> dropped
+    surv_x = sorted(
+        r.doc_id for r in minhash_index_append(spark, path, batch_x).collect()
+    )
+    assert surv_x == []
+    texts = {
+        r.doc_id for r in spark.read.parquet(f"{path}/texts").collect()
+    }
+    assert 200 in texts and 110 not in texts  # content landed exactly once
+
+
+def test_minhash_rebuild_on_torn_store_ignores_orphans(spark, tmp_path):
+    """r14 ADVICE (medium), rebuild half: a maintenance rebuild of a torn
+    store must not cluster orphans — a text-less orphan could otherwise
+    become a cluster's canonical (min id) and committed content would be
+    dropped in its favor. The rebuild's output and the rewritten tables
+    must contain committed ids only, and the store comes out clean."""
+    from pyspark_etl_twitter_spark.operators.dedup import (
+        _mh_is_clean,
+        build_minhash_index,
+        rebuild_minhash_index,
+    )
+
+    corpus, _ = _mh_fixture(spark)
+    kw = _mh_index_kw()
+    path = str(tmp_path / "idx")
+    build_minhash_index(corpus, path, **kw)
+    # orphan id 5 is SMALLER than every committed near-dup partner id and
+    # its text near-dups corpus doc 10 — an unguarded rebuild would
+    # canonicalize 5 (min id) and drop committed doc 10
+    orphan = spark.createDataFrame(
+        [(5, "b1 b2 b3 b4 b5 b6 b7 b8 b9 z7")], "doc_id long, text string"
+    )
+    _tear_append(spark, tmp_path, path, orphan)
+
+    kept = {r.doc_id for r in rebuild_minhash_index(spark, path).collect()}
+    assert kept == {0, 10, 20}  # committed corpus intact, orphan ignored
+    assert _mh_is_clean(path)
+    for sub in ("bands", "sigs", "terms", "texts"):
+        ids = {
+            r.doc_id
+            for r in spark.read.parquet(f"{path}/{sub}")
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert ids == {0, 10, 20}, sub
 
 
 def test_sig_match_estimate_counts_matched_positions(spark):

@@ -2,18 +2,16 @@
 
 The driver's correctness gate checks the first 50 registry keys, so the
 dict order is load-bearing. Rotation is declarative since round 9:
-``registry.ROUND14_WINDOW`` is reordered to the front of ``QUERIES`` at
+``registry.ROUND15_WINDOW`` is reordered to the front of ``QUERIES`` at
 import time and these tests pin its composition.
 
-Round-14 rule (r13 verdict ask #2): the window is the six never-
-driver-checked rows (new-in-r14 containment_decontaminate_counts,
-dedup_cluster_source_profile, knn_ivf_rebalanced,
-dedup_minhash_maintenance and dedup_cdc_rebuild, plus zipf_by_source —
-new in r13 but never windowed) plus ALL thirteen remaining r9 rows plus
-the 31 alphabetically-first r10 rows — max staleness after r14 is r10
-on the nineteen remaining r10 rows (semdedup_fast_summary plus
-sentiment_classes through winsorized_price_stats), which rotate first
-in r15. Every slot is oracle-backed.
+Round-15 rule (r14 verdict ask #2): the window is the 19 rows whose
+newest driver row is r10 — the staleness-histogram tail, including
+semdedup_fast_summary's twice-displaced ROWS-ONLY refresh (the one
+sanctioned no-oracle slot this round) — plus the 31 alphabetically-
+first oracle-backed r11 rows. Max staleness after r15 is r11 on the 19
+remaining r11 rows (bpe_tokens_by_source, the tpch_q13-q22 block and
+friends), which rotate first in r16.
 """
 
 import pytest
@@ -21,7 +19,7 @@ import pytest
 from pyspark_etl_twitter_spark.plans.registry import (
     ORACLES,
     QUERIES,
-    ROUND14_WINDOW,
+    ROUND15_WINDOW,
 )
 
 DRIVER_WINDOW = 50
@@ -53,27 +51,20 @@ ROWS_ONLY_BY_DESIGN = {
 
 
 def test_window_is_the_declared_rotation():
-    assert list(QUERIES)[:DRIVER_WINDOW] == ROUND14_WINDOW
-    assert len(set(ROUND14_WINDOW)) == DRIVER_WINDOW
+    assert list(QUERIES)[:DRIVER_WINDOW] == ROUND15_WINDOW
+    assert len(set(ROUND15_WINDOW)) == DRIVER_WINDOW
 
 
-def test_window_composition_r14():
-    """ALL 50 slots oracle-backed (the late knn_ivf_rebalanced addition
-    displaced semdedup_fast_summary's scheduled rows-only refresh to the
-    r15 rotation — a hash-verifiable never-checked row outranks a
-    rows-only re-validation). The 6 never-driver-checked rows (5 new in
-    r14, plus zipf_by_source) lead the window and carry FULL oracles."""
+def test_window_composition_r15():
+    """49 of 50 slots oracle-backed; the ONE sanctioned rows-only slot is
+    semdedup_fast_summary — the r10-stale rows-only refresh displaced in
+    both r13 and r14, leading the window at last. The other 18 r10-stale
+    rows follow it, then the 31 alphabetically-first oracle-backed r11
+    rows fill the window."""
     window = list(QUERIES)[:DRIVER_WINDOW]
-    assert set(window) & ROWS_ONLY_BY_DESIGN == set()
-    assert all(k in ORACLES for k in window)
-    assert window[:6] == [
-        "containment_decontaminate_counts",
-        "dedup_cluster_source_profile",
-        "knn_ivf_rebalanced",
-        "dedup_minhash_maintenance",
-        "dedup_cdc_rebuild",
-        "zipf_by_source",
-    ]
+    assert set(window) & ROWS_ONLY_BY_DESIGN == {"semdedup_fast_summary"}
+    assert all(k in ORACLES for k in window if k != "semdedup_fast_summary")
+    assert window[0] == "semdedup_fast_summary"
 
 
 def test_rows_only_is_exactly_the_sanctioned_set():

@@ -105,8 +105,13 @@ def lr_train_portable(
         grad = feats.join(err, "doc_id").groupBy("bucket").agg(
             (F.sum(F.col("e") * F.col("val")) / F.lit(n)).alias("g")
         )
-        w_df = spark.createDataFrame(
-            [(b, x) for b, x in enumerate(w)], "bucket long, w double"
+        # range+literals, not createDataFrame: a Python-RDD-backed local
+        # relation adds a Python-worker round trip to the update job on
+        # every iteration (see similarity.ivf_assignments._centroid_table)
+        _w_lit = F.array(*[F.lit(float(x)) for x in w])
+        w_df = spark.range(dim + 1).select(
+            F.col("id").alias("bucket"),
+            F.element_at(_w_lit, (F.col("id") + 1).cast("int")).alias("w"),
         )
         upd = (
             w_df.join(grad, "bucket", "left")

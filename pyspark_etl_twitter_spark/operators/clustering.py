@@ -318,9 +318,18 @@ def kmeans_assign_two_level(
     )
 
     spark = emb.sparkSession
-    child = spark.createDataFrame(
-        [(groups[j], j, [float(x) for x in centroids[j]]) for j in range(k)],
-        schema="_grp int, cluster int, _c array<double>",
+    # range+literals, not createDataFrame: a Python-RDD-backed broadcast
+    # side adds a Python-worker round trip to every assignment job (see
+    # similarity.ivf_assignments._centroid_table)
+    _grp_lit = F.array(*[F.lit(int(groups[j])) for j in range(k)])
+    _c_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in centroids[j]]) for j in range(k)]
+    )
+    _pos = (F.col("id") + 1).cast("int")
+    child = spark.range(k).select(
+        F.element_at(_grp_lit, _pos).cast("int").alias("_grp"),
+        F.col("id").cast("int").alias("cluster"),
+        F.element_at(_c_lit, _pos).alias("_c"),
     )
     pairs = probed.join(F.broadcast(child), "_grp")
     d2 = F.aggregate(
@@ -376,9 +385,13 @@ def kmeans_assign_join(
     argmin of the literal path) → bit-identical assignments; pinned by
     ``test_kmeans_assign_join_matches_literal``."""
     spark = emb.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        schema="cluster int, _c array<double>",
+    # range+literals, not createDataFrame — see kmeans_assign_two_level
+    _c_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    cent_df = spark.range(len(centroids)).select(
+        F.col("id").cast("int").alias("cluster"),
+        F.element_at(_c_lit, (F.col("id") + 1).cast("int")).alias("_c"),
     )
     pairs = emb.select(id_col, vec_col).crossJoin(F.broadcast(cent_df))
     d2 = F.aggregate(

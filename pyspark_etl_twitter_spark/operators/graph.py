@@ -191,7 +191,7 @@ def kcore_nodes(
     k: int,
     *,
     rounds: int = 6,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Fixed-round k-core peel over undirected (u < v) edges: each round
     drops every node whose CURRENT degree is below ``k`` and every edge
@@ -214,7 +214,20 @@ def kcore_nodes(
     an uncut lineage tree doubles per round (the MMR/PageRank lineage
     rule applied to the one bounded-above-by-input relation in the
     loop)."""
-    e = edges
+    # checkpoint the INPUT edge relation too (r15): every round
+    # references its edge set three times (degree + two semi joins), so
+    # an expensive upstream subtree (kcore_suppliers feeds a lineitem
+    # co-occurrence self-join) re-executed multiplicatively inside each
+    # checkpoint window — 3 references per round compound to ~3^w
+    # expansions of the input across a w-round window where exchange
+    # reuse fails to unify them. A lazy localCheckpoint makes each
+    # round's downstream read an RDD scan of once-computed blocks
+    # instead; values are unchanged. Same reasoning moved the default
+    # cadence to every round: measured sf0.1 peel medians at rounds=6
+    # were 2.0 s (every=1), 2.0 (2), 4.0 (3), and the uncut window
+    # (every=6) blew past a 10-minute kill — per-round checkpoints cost
+    # one tiny edge-sized job each and cap every window at one round.
+    e = edges.localCheckpoint(eager=False)
     for r in range(rounds):
         deg = degrees(e)
         keep = deg.filter(F.col("degree") >= k).select("node")

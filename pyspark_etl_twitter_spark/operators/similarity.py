@@ -417,17 +417,38 @@ def ivf_assignments(
         F.col(vec_col).alias("emb"),
         l2_norm(F.col(vec_col)).alias("nrm"),
     )
+    def _centroid_table(vecs: list[list[float]], emb_type: str) -> DataFrame:
+        # range + literals, NOT createDataFrame: a local-list
+        # createDataFrame is backed by a Python RDD, and EVERY job that
+        # touches it (the centroid write, each probe) pays a Python-
+        # worker round trip — measured 5.5-7 s per write at sf0.1 vs
+        # 0.2-0.7 s for the literal plan (the build_minhash_index meta
+        # lesson, applied to the trained-centroid paths; r15). Values
+        # are bit-identical: the same Python doubles ride in as literals.
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in vecs]
+        )
+        nrm_lit = F.array(
+            *[
+                F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))
+                for c in vecs
+            ]
+        )
+        pos = (F.col("id") + 1).cast("int")
+        return embeddings.sparkSession.range(len(vecs)).select(
+            F.col("id").alias("list_id"),
+            F.element_at(cent_lit, pos).cast(emb_type).alias("c_emb"),
+            F.element_at(nrm_lit, pos).alias("c_nrm"),
+        )
+
     if centroid_vectors is not None:
         # pre-trained centroids (e.g. kmeans_fit_portable) — kept as
         # DOUBLES, not the float32 cast of the train_iters branch, so a
         # DuckDB oracle carrying the same 6dp-rounded trajectory computes
         # sims from exactly the same values
-        rows = [
-            (i, [float(x) for x in c], math.sqrt(sum(float(x) * float(x) for x in c)))
-            for i, c in enumerate(centroid_vectors)
-        ]
-        centroids = embeddings.sparkSession.createDataFrame(
-            rows, "list_id long, c_emb array<double>, c_nrm double"
+        centroids = _centroid_table(
+            [[float(x) for x in c] for c in centroid_vectors],
+            "array<double>",
         )
     elif train_iters > 0:
         from pyspark_etl_twitter_spark.operators.clustering import kmeans_fit
@@ -439,16 +460,8 @@ def ivf_assignments(
             vec_col=vec_col,
             max_iters=train_iters,
         )
-        rows = [
-            (i, [float(x) for x in c], math.sqrt(sum(x * x for x in c)))
-            for i, c in enumerate(trained)
-        ]
-        centroids = embeddings.sparkSession.createDataFrame(
-            rows, ["list_id", "c_emb", "c_nrm"]
-        ).select(
-            "list_id",
-            F.col("c_emb").cast("array<float>").alias("c_emb"),
-            "c_nrm",
+        centroids = _centroid_table(
+            [[float(x) for x in c] for c in trained], "array<float>"
         )
     else:
         centroids = base.filter(F.col("vec_id") < n_lists).select(
@@ -546,17 +559,22 @@ def _ivf_assign_two_level(base: DataFrame, crows, n_probe: int) -> DataFrame:
         ).alias("_grp"),
     )
     spark = base.sparkSession
-    child = spark.createDataFrame(
-        [
-            (
-                groups[j],
-                int(crows[j]["list_id"]),
-                [float(x) for x in crows[j]["c_emb"]],
-                float(crows[j]["c_nrm"]),
-            )
+    # range+literals, not createDataFrame — see ivf_assignments._centroid_table
+    _grp_lit = F.array(*[F.lit(int(groups[j])) for j in range(k)])
+    _lid_lit = F.array(*[F.lit(int(crows[j]["list_id"])) for j in range(k)])
+    _c_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in crows[j]["c_emb"]])
             for j in range(k)
-        ],
-        schema="_grp int, list_id long, _c array<double>, _cn double",
+        ]
+    )
+    _cn_lit = F.array(*[F.lit(float(crows[j]["c_nrm"])) for j in range(k)])
+    _pos = (F.col("id") + 1).cast("int")
+    child = spark.range(k).select(
+        F.element_at(_grp_lit, _pos).cast("int").alias("_grp"),
+        F.element_at(_lid_lit, _pos).cast("long").alias("list_id"),
+        F.element_at(_c_lit, _pos).alias("_c"),
+        F.element_at(_cn_lit, _pos).alias("_cn"),
     )
     pairs = probed.join(F.broadcast(child), "_grp")
     sim = dot(F.col("emb"), F.col("_c")) / (F.col("nrm") * F.col("_cn"))
@@ -2003,9 +2021,26 @@ def _ivfpq_probe_plan(
                 ]
             )
             probe_rows.append((q_id, len(luts) - 1, l))
-    probes = spark.createDataFrame(
-        probe_rows, "q_id long, qp int, list_id int"
-    )
+    # range+literals, not createDataFrame: this probe table joins the
+    # codes in EVERY probe job, and a Python-RDD-backed local relation
+    # would add a Python-worker round trip to each (see
+    # ivf_assignments._centroid_table)
+    if probe_rows:
+        _qid_lit = F.array(*[F.lit(int(q)) for q, _, _ in probe_rows])
+        _qp_lit = F.array(*[F.lit(int(p)) for _, p, _ in probe_rows])
+        _lid_lit = F.array(*[F.lit(int(l)) for _, _, l in probe_rows])
+        _pos = (F.col("id") + 1).cast("int")
+        probes = spark.range(len(probe_rows)).select(
+            F.element_at(_qid_lit, _pos).cast("long").alias("q_id"),
+            F.element_at(_qp_lit, _pos).cast("int").alias("qp"),
+            F.element_at(_lid_lit, _pos).cast("int").alias("list_id"),
+        )
+    else:  # no queries: an empty literal array cannot type the columns
+        probes = spark.range(0).select(
+            F.col("id").alias("q_id"),
+            F.lit(0).cast("int").alias("qp"),
+            F.lit(0).cast("int").alias("list_id"),
+        )
     lut_lit = F.array(
         *[
             F.array(*[F.array(*[F.lit(d) for d in row]) for row in qp])
@@ -2162,11 +2197,29 @@ def build_ivfpq_index(
         "list_id"
     ).parquet(f"{path}/codes")
     spark = embeddings.sparkSession
-    spark.createDataFrame(
-        [(n_lists, m, ksub, dsub, cents, books)],
-        "n_lists int, m int, ksub int, dsub int, "
-        "cents array<array<double>>, books array<array<array<double>>>",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    # range(1)+literals, not createDataFrame: the one-row meta write
+    # paid a ~5-7 s Python-worker round trip per build (local-list
+    # createDataFrame is a Python RDD; see ivf_assignments._centroid_table)
+    spark.range(1).select(
+        F.lit(int(n_lists)).cast("int").alias("n_lists"),
+        F.lit(int(m)).cast("int").alias("m"),
+        F.lit(int(ksub)).cast("int").alias("ksub"),
+        F.lit(int(dsub)).cast("int").alias("dsub"),
+        F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+        ).alias("cents"),
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(x)) for x in entry])
+                        for entry in sub
+                    ]
+                )
+                for sub in books
+            ]
+        ).alias("books"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     base.filter(F.col("vec_id") < max_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("_emb").cast("array<double>").alias("q_emb"),
@@ -2716,10 +2769,23 @@ def build_pq_code_table(
     pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col).write.mode(
         "overwrite"
     ).parquet(f"{path}/codes")
-    spark.createDataFrame(
-        [(len(books), len(books[0]), len(books[0][0]), books)],
-        "m int, ksub int, dsub int, books array<array<array<double>>>",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    # range(1)+literals, not createDataFrame — see build_ivfpq_index meta
+    spark.range(1).select(
+        F.lit(int(len(books))).cast("int").alias("m"),
+        F.lit(int(len(books[0]))).cast("int").alias("ksub"),
+        F.lit(int(len(books[0][0]))).cast("int").alias("dsub"),
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(x)) for x in entry])
+                        for entry in sub
+                    ]
+                )
+                for sub in books
+            ]
+        ).alias("books"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _read_pq_meta(spark, path: str) -> list[list[list[float]]]:

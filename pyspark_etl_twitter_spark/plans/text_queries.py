@@ -2593,8 +2593,12 @@ def quality_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _lr_label(_t(spark, sf_dir, "documents"))
     w = lr_train_portable(docs, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE)
-    return spark.createDataFrame(
-        [(b, x) for b, x in enumerate(w)], "bucket long, weight double"
+    # range+literals, not createDataFrame (the Python-RDD local-relation
+    # cost — see classifier.lr_train_portable's update table)
+    _w_lit = F.array(*[F.lit(float(x)) for x in w])
+    return spark.range(len(w)).select(
+        F.col("id").alias("bucket"),
+        F.element_at(_w_lit, (F.col("id") + 1).cast("int")).alias("weight"),
     )
 
 
@@ -3864,7 +3868,13 @@ def ann_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.94 / 0.56 / 1.0 / 0.25 / 0.14. The separation (LSH 0.56 → 1.0,
     PQ ×1.7, RP ×1.7, IVF → perfect) IS the result, now
     driver-hash-checked on both distributions."""
-    pl = _planted_embeddings(spark, sf_dir)
+    # checkpoint the 240-row planted table (r15): six rungs + exact
+    # ground truth each reference it several times, and every reference
+    # re-evaluated (and re-codegen'd) the 8-center × 64-dim md5-noise
+    # literal grid — ~18 compilations of the engine's largest expression
+    # for 240 rows of data. One materialization, same values
+    # (deterministic md5 construction).
+    pl = _planted_embeddings(spark, sf_dir).localCheckpoint()
     ex = S.cosine_topk(pl, n_queries=10, k=5).select("q_id", "neighbor_id")
     methods = {
         "ivf": lambda: S.ivf_topk(pl, n_queries=10, k=5),

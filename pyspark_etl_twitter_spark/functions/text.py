@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from pyspark_etl_twitter_spark.functions.lits import lit_strings
 from pyspark_etl_twitter_spark.functions.stopwords import ENGLISH_STOPWORDS
 
 # Verbatim from consumer.py:46 (quirks intentional — see module docstring).
@@ -86,5 +87,5 @@ def remove_stopwords(
     # array_contains against a constant-folded literal array benches faster
     # than In/InSet inside a HOF lambda (the In→InSet rewrite does not fire
     # under lambda scope), and both stay inside codegen.
-    stop_lit = F.array(*[F.lit(w) for w in stopwords])
+    stop_lit = lit_strings(stopwords)
     return F.filter(t, lambda tok: ~F.array_contains(stop_lit, F.lower(tok)))

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_etl_twitter_spark.functions.lits import lit_doubles
+
 from pyspark_etl_twitter_spark.operators.encoding import hashed_term_features
 
 
@@ -88,7 +90,7 @@ def lr_train_portable(
     spark = docs.sparkSession
     w = [0.0] * (dim + 1)
     for _ in range(iters):
-        w_lit = F.array(*[F.lit(x) for x in w])
+        w_lit = lit_doubles(w)  # one py4j call (functions/lits)
         marg = feats.groupBy("doc_id").agg(
             F.sum(
                 F.col("val")
@@ -108,7 +110,7 @@ def lr_train_portable(
         # range+literals, not createDataFrame: a Python-RDD-backed local
         # relation adds a Python-worker round trip to the update job on
         # every iteration (see similarity.ivf_assignments._centroid_table)
-        _w_lit = F.array(*[F.lit(float(x)) for x in w])
+        _w_lit = lit_doubles(w)
         w_df = spark.range(dim + 1).select(
             F.col("id").alias("bucket"),
             F.element_at(_w_lit, (F.col("id") + 1).cast("int")).alias("w"),
@@ -144,7 +146,7 @@ def lr_score(
     if len(weights) != dim + 1:
         raise ValueError(f"weights has {len(weights)} entries, want {dim + 1}")
     feats = _lr_features(docs, dim=dim, id_col=id_col, text_col=text_col)
-    w_lit = F.array(*[F.lit(x) for x in weights])
+    w_lit = lit_doubles(weights)
     marg = feats.groupBy("doc_id").agg(
         F.sum(
             F.col("val") * F.element_at(w_lit, (F.col("bucket") + 1).cast("int"))

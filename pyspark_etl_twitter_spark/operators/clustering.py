@@ -22,6 +22,11 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_etl_twitter_spark.functions.lits import (
+    lit_doubles_2d,
+    lit_ints,
+)
+
 
 def _assign(emb: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
     """(id, cluster, dist2): nearest centroid per vector, ties → lowest id.
@@ -35,7 +40,7 @@ def _assign(emb: DataFrame, centroids: list[list[float]], id_col: str, vec_col: 
     compile being the cost (the r6 AQE/codegen-traps note: HOF folds beat
     giant unrolled expressions ~3×). Pure codegen, no explode, no
     shuffle."""
-    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cent_lit = lit_doubles_2d(centroids)  # one py4j call (functions/lits)
     dists = F.transform(
         cent_lit,
         lambda c: F.aggregate(
@@ -285,7 +290,7 @@ def kmeans_assign_two_level(
     n_probe = max(1, min(n_probe, n_coarse))
     sup, groups = _group_centroids(centroids, n_coarse, group_iters)
 
-    sup_lit = F.array(*[F.array(*[F.lit(float(x)) for x in s]) for s in sup])
+    sup_lit = lit_doubles_2d(sup)
     d_arr = F.transform(
         sup_lit,
         lambda c: F.aggregate(
@@ -321,10 +326,8 @@ def kmeans_assign_two_level(
     # range+literals, not createDataFrame: a Python-RDD-backed broadcast
     # side adds a Python-worker round trip to every assignment job (see
     # similarity.ivf_assignments._centroid_table)
-    _grp_lit = F.array(*[F.lit(int(groups[j])) for j in range(k)])
-    _c_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in centroids[j]]) for j in range(k)]
-    )
+    _grp_lit = lit_ints([groups[j] for j in range(k)])
+    _c_lit = lit_doubles_2d([centroids[j] for j in range(k)])
     _pos = (F.col("id") + 1).cast("int")
     child = spark.range(k).select(
         F.element_at(_grp_lit, _pos).cast("int").alias("_grp"),
@@ -386,9 +389,7 @@ def kmeans_assign_join(
     ``test_kmeans_assign_join_matches_literal``."""
     spark = emb.sparkSession
     # range+literals, not createDataFrame — see kmeans_assign_two_level
-    _c_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    _c_lit = lit_doubles_2d(centroids)
     cent_df = spark.range(len(centroids)).select(
         F.col("id").cast("int").alias("cluster"),
         F.element_at(_c_lit, (F.col("id") + 1).cast("int")).alias("_c"),

@@ -27,6 +27,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark_etl_twitter_spark.functions.lits import (
+    lit_doubles,
+    lit_doubles_2d,
+    lit_doubles_3d,
+    lit_ints,
+    lit_longs,
+)
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision (left-fold, deterministic order)."""
@@ -150,7 +158,13 @@ def cosine_topk_pandas(
         sims = (mat @ q_mat.T) / np.outer(norms, q_norm)
         return pd.Series(list(sims))
 
-    q_id_arr = F.array(*[F.lit(int(i)) for i in q_ids])
+    # one-py4j-call literal (functions/lits): int32-ranged ids keep
+    # F.lit's IntegerType, bigger ids the long coercion F.array applied
+    q_id_arr = (
+        lit_ints(q_ids)
+        if all(-(2**31) <= int(i) <= 2**31 - 1 for i in q_ids)
+        else lit_longs(q_ids)
+    )
     scored = (
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("emb"))
         .withColumn("sims", cos_block(F.col("emb")))
@@ -184,7 +198,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane bucket id: bit p = sign(v · plane_p)."""
     bucket = F.lit(0)
     for p, plane in enumerate(planes):
-        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+        plane_lit = lit_doubles(plane)  # one py4j call per plane
         bucket = bucket + F.when(dot(vec, plane_lit) > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
@@ -221,7 +235,9 @@ def _probe_buckets(bucket: Column, n_planes: int, probe_bits: int) -> Column:
         masks += [
             sum(1 << i for i in bits) for bits in combinations(range(n_planes), r)
         ]
-    return F.array(*[bucket.bitwiseXOR(F.lit(m)) for m in masks])
+    # one literal mask array + a transform, not n_masks unrolled XOR
+    # branches (2·n_masks py4j calls); query-side only, values identical
+    return F.transform(lit_ints(masks), lambda m: bucket.bitwiseXOR(m))
 
 
 def _lsh_base(
@@ -425,14 +441,9 @@ def ivf_assignments(
         # 0.2-0.7 s for the literal plan (the build_minhash_index meta
         # lesson, applied to the trained-centroid paths; r15). Values
         # are bit-identical: the same Python doubles ride in as literals.
-        cent_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in vecs]
-        )
-        nrm_lit = F.array(
-            *[
-                F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))
-                for c in vecs
-            ]
+        cent_lit = lit_doubles_2d(vecs)
+        nrm_lit = lit_doubles(
+            math.sqrt(sum(float(x) * float(x) for x in c)) for c in vecs
         )
         pos = (F.col("id") + 1).cast("int")
         return embeddings.sparkSession.range(len(vecs)).select(
@@ -493,10 +504,8 @@ def ivf_assignments(
     # (enumerate / first-k vec_ids), asserted below so the positional
     # lookup can never silently mislabel.
     assert list_ids == list(range(len(list_ids))), list_ids
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in r["c_emb"]]) for r in crows]
-    )
-    nrm_lit = F.array(*[F.lit(float(r["c_nrm"])) for r in crows])
+    cent_lit = lit_doubles_2d([r["c_emb"] for r in crows])
+    nrm_lit = lit_doubles(float(r["c_nrm"]) for r in crows)
     sims = F.transform(
         F.sequence(F.lit(0), F.lit(len(crows) - 1)),
         lambda i: dot(F.col("emb"), F.element_at(cent_lit, i + 1))
@@ -538,7 +547,7 @@ def _ivf_assign_two_level(base: DataFrame, crows, n_probe: int) -> DataFrame:
         n = math.sqrt(sum(x * x for x in s)) or 1.0
         sup_unit.append([x / n for x in s])
 
-    sup_lit = F.array(*[F.array(*[F.lit(float(x)) for x in s]) for s in sup_unit])
+    sup_lit = lit_doubles_2d(sup_unit)
     gd = F.transform(sup_lit, lambda s: dot(F.col("emb"), s))
     scored = base.select("vec_id", "emb", "nrm", gd.alias("_gs"))
     ranked = F.transform(
@@ -560,15 +569,10 @@ def _ivf_assign_two_level(base: DataFrame, crows, n_probe: int) -> DataFrame:
     )
     spark = base.sparkSession
     # range+literals, not createDataFrame — see ivf_assignments._centroid_table
-    _grp_lit = F.array(*[F.lit(int(groups[j])) for j in range(k)])
-    _lid_lit = F.array(*[F.lit(int(crows[j]["list_id"])) for j in range(k)])
-    _c_lit = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in crows[j]["c_emb"]])
-            for j in range(k)
-        ]
-    )
-    _cn_lit = F.array(*[F.lit(float(crows[j]["c_nrm"])) for j in range(k)])
+    _grp_lit = lit_ints([groups[j] for j in range(k)])
+    _lid_lit = lit_longs([crows[j]["list_id"] for j in range(k)])
+    _c_lit = lit_doubles_2d([crows[j]["c_emb"] for j in range(k)])
+    _cn_lit = lit_doubles(float(crows[j]["c_nrm"]) for j in range(k))
     _pos = (F.col("id") + 1).cast("int")
     child = spark.range(k).select(
         F.element_at(_grp_lit, _pos).cast("int").alias("_grp"),
@@ -1645,13 +1649,9 @@ def pq_codebooks(
 
 def _pq_books_lit(books: list[list[list[float]]]) -> Column:
     """3-D literal ``books[s][j][t]`` as nested Spark arrays — one shared
-    expression tree indexed positionally, not m·ksub unrolled branches."""
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(v) for v in entry]) for entry in sub])
-            for sub in books
-        ]
-    )
+    expression tree indexed positionally, not m·ksub unrolled branches;
+    built in one py4j call (functions/lits)."""
+    return lit_doubles_3d(books)
 
 
 def pq_encode(
@@ -1771,13 +1771,12 @@ def pq_adc_topk(
         ]
         for _, vec in q_rows
     ]
-    lut_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(d) for d in row]) for row in q])
-            for q in lut
-        ]
+    lut_lit = lit_doubles_3d(lut)
+    qid_lit = (
+        lit_ints([int(r[0]) for r in q_rows])
+        if all(-(2**31) <= int(r[0]) <= 2**31 - 1 for r in q_rows)
+        else lit_longs([int(r[0]) for r in q_rows])
     )
-    qid_lit = F.array(*[F.lit(int(r[0])) for r in q_rows])
     codes = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
     qi = F.col("_qi")
     adc = F.aggregate(
@@ -1929,7 +1928,7 @@ def _ivfpq_encode_plan(base, cents, books, m: int, ksub: int, dsub: int):
     assignment (lowest-list tie), per-sub-space residual argmin codes.
     Returns a (vec_id, list_id, codes) DataFrame."""
     n_lists = len(cents)
-    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    cent_lit = lit_doubles_2d(cents)
     cdists = F.transform(
         F.sequence(F.lit(0), F.lit(n_lists - 1)),
         lambda l: _l2_sq(F.col("_emb"), F.element_at(cent_lit, (l + 1).cast("int"))),
@@ -2026,9 +2025,9 @@ def _ivfpq_probe_plan(
     # would add a Python-worker round trip to each (see
     # ivf_assignments._centroid_table)
     if probe_rows:
-        _qid_lit = F.array(*[F.lit(int(q)) for q, _, _ in probe_rows])
-        _qp_lit = F.array(*[F.lit(int(p)) for _, p, _ in probe_rows])
-        _lid_lit = F.array(*[F.lit(int(l)) for _, _, l in probe_rows])
+        _qid_lit = lit_longs([q for q, _, _ in probe_rows])
+        _qp_lit = lit_ints([p for _, p, _ in probe_rows])
+        _lid_lit = lit_ints([l for _, _, l in probe_rows])
         _pos = (F.col("id") + 1).cast("int")
         probes = spark.range(len(probe_rows)).select(
             F.element_at(_qid_lit, _pos).cast("long").alias("q_id"),
@@ -2041,12 +2040,7 @@ def _ivfpq_probe_plan(
             F.lit(0).cast("int").alias("qp"),
             F.lit(0).cast("int").alias("list_id"),
         )
-    lut_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(d) for d in row]) for row in qp])
-            for qp in luts
-        ]
-    )
+    lut_lit = lit_doubles_3d(luts)
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -2205,20 +2199,8 @@ def build_ivfpq_index(
         F.lit(int(m)).cast("int").alias("m"),
         F.lit(int(ksub)).cast("int").alias("ksub"),
         F.lit(int(dsub)).cast("int").alias("dsub"),
-        F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-        ).alias("cents"),
-        F.array(
-            *[
-                F.array(
-                    *[
-                        F.array(*[F.lit(float(x)) for x in entry])
-                        for entry in sub
-                    ]
-                )
-                for sub in books
-            ]
-        ).alias("books"),
+        lit_doubles_2d(cents).alias("cents"),
+        lit_doubles_3d(books).alias("books"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     base.filter(F.col("vec_id") < max_queries).select(
         F.col("vec_id").alias("q_id"),
@@ -2667,8 +2649,8 @@ def sq8_encode(
     near-lossless recall (the cheap rung of the compression frontier;
     PQ is the 32× rung). Zero-exchange codegen map; constant dims
     (hi == lo) encode as 0 and dequantize back to lo exactly."""
-    lo_lit = F.array(*[F.lit(v) for v in lo])
-    hi_lit = F.array(*[F.lit(v) for v in hi])
+    lo_lit = lit_doubles(lo)
+    hi_lit = lit_doubles(hi)
     codes = F.zip_with(
         F.zip_with(
             F.transform(F.col("_emb"), lambda v: v.cast("double")),
@@ -2704,8 +2686,8 @@ def sq8_topk(
     Near-lossless by construction (measured recall@5 vs exact cosine in
     tests); the value is the 4× scan-size cut, not a recall trade."""
     lo, hi = sq8_params(embeddings, vec_col=vec_col, round_dp=round_dp)
-    lo_lit = F.array(*[F.lit(v) for v in lo])
-    step_lit = F.array(*[F.lit((h - l) / 255.0) for l, h in zip(lo, hi)])
+    lo_lit = lit_doubles(lo)
+    step_lit = lit_doubles((h - l) / 255.0 for l, h in zip(lo, hi))
     codes = sq8_encode(embeddings, lo, hi, id_col=id_col, vec_col=vec_col)
     deq = F.zip_with(
         F.zip_with(F.col("codes"), step_lit, lambda c, s: c.cast("double") * s),
@@ -2774,17 +2756,7 @@ def build_pq_code_table(
         F.lit(int(len(books))).cast("int").alias("m"),
         F.lit(int(len(books[0]))).cast("int").alias("ksub"),
         F.lit(int(len(books[0][0]))).cast("int").alias("dsub"),
-        F.array(
-            *[
-                F.array(
-                    *[
-                        F.array(*[F.lit(float(x)) for x in entry])
-                        for entry in sub
-                    ]
-                )
-                for sub in books
-            ]
-        ).alias("books"),
+        lit_doubles_3d(books).alias("books"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -2856,13 +2828,12 @@ def pq_adc_topk_indexed(
         ]
         for _, vec in queries
     ]
-    lut_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(d) for d in row]) for row in q])
-            for q in lut
-        ]
+    lut_lit = lit_doubles_3d(lut)
+    qid_lit = (
+        lit_ints([int(q) for q, _ in queries])
+        if all(-(2**31) <= int(q) <= 2**31 - 1 for q, _ in queries)
+        else lit_longs([int(q) for q, _ in queries])
     )
-    qid_lit = F.array(*[F.lit(int(q)) for q, _ in queries])
     codes = spark.read.parquet(f"{path}/codes")
     qi = F.col("_qi")
     adc = F.aggregate(
@@ -2924,10 +2895,7 @@ def rp_project(vec: Column, planes: list[list[float]]) -> Column:
     """array<double> of ``len(planes)`` projections — one codegen fold
     per component, zero shuffle, zero Python."""
     return F.array(
-        *[
-            dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
-            for plane in planes
-        ]
+        *[dot(vec, lit_doubles(plane)) for plane in planes]
     )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from pyspark_etl_twitter_spark.operators.fanout import fan_out
 
+from pyspark_etl_twitter_spark.functions.lits import lit_strings
 from pyspark_etl_twitter_spark.functions.stopwords import ENGLISH_STOPWORDS
 
 # Small deterministic marker-word profiles for the language-ID heuristic.
@@ -50,7 +51,7 @@ def avg_token_length(tokens: Column) -> Column:
 
 
 def stopword_ratio(tokens: Column, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
-    stop_lit = F.array(*[F.lit(w) for w in stopwords])
+    stop_lit = lit_strings(stopwords)  # one py4j call (functions/lits)
     n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_lit, F.lower(t))))
     return n_stop.cast("double") / F.size(tokens).cast("double")
 
@@ -67,7 +68,7 @@ def quality_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def profile_score(tokens: Column, profile: tuple[str, ...]) -> Column:
-    prof_lit = F.array(*[F.lit(w) for w in profile])
+    prof_lit = lit_strings(profile)
     return F.size(F.filter(tokens, lambda t: F.array_contains(prof_lit, t)))
 
 
@@ -535,7 +536,7 @@ def gopher_quality_flags(
     stop_hits = F.size(
         F.array_intersect(
             F.array_distinct(toks),
-            F.array(*[F.lit(w) for w in stopwords]),
+            lit_strings(stopwords),
         )
     )
     # keep_cols ride along in the same narrow pass — rule consumers that

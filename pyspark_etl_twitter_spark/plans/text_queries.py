@@ -12,6 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_etl_twitter_spark.functions.lits import (
+    lit_doubles,
+    lit_doubles_2d,
+)
 from pyspark_etl_twitter_spark.functions.stopwords import ENGLISH_STOPWORDS
 from pyspark_etl_twitter_spark.operators import dedup as D
 from pyspark_etl_twitter_spark.operators import similarity as S
@@ -2595,7 +2599,7 @@ def quality_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = lr_train_portable(docs, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE)
     # range+literals, not createDataFrame (the Python-RDD local-relation
     # cost — see classifier.lr_train_portable's update table)
-    _w_lit = F.array(*[F.lit(float(x)) for x in w])
+    _w_lit = lit_doubles(w)
     return spark.range(len(w)).select(
         F.col("id").alias("bucket"),
         F.element_at(_w_lit, (F.col("id") + 1).cast("int")).alias("weight"),
@@ -3823,9 +3827,7 @@ def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
-    carr = F.array(
-        *[F.array(*[F.lit(x) for x in vec]) for _, vec in centers]
-    )
+    carr = lit_doubles_2d([vec for _, vec in centers])
     cvec = F.element_at(
         carr, (F.col("vec_id") % _PLANT_CENTERS + 1).cast("int")
     )
